@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One engine query: the Spark implementation plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL the driver hash-compares against.
+  * Column names/aliases MUST match pairwise — the compare sorts columns by
+  * name then hashes values.
+  */
+final case class QueryDef(fn: (SparkSession, String) => DataFrame,
+                          oracle: Option[String])
+
+object QueryDef {
+  /** Exact, order-independent money sum: cast to DECIMAL before summing so
+    * Spark's and DuckDB's different accumulation orders cannot produce
+    * different doubles (double summation of 60k ~1e5-sized values drifts
+    * ~1e-4 — enough to flip a round()). Decimal addition is exact; the
+    * final cast back to double is deterministic. DuckDB twin:
+    * CAST(SUM(CAST(x AS DECIMAL(18,s)) AS DOUBLE). */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+}

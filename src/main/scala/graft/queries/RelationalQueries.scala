@@ -1,0 +1,574 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Cleaning
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import QueryDef.dsum
+
+/** Relational core (SURVEY.md §2.1-2.8, M0+M1): every query returns a
+  * deterministic, totally-ordered DataFrame and carries matching DuckDB
+  * oracle SQL. Scale stance: filters/projections sit directly on the
+  * parquet scan (pushdown + pruning), dimension joins are broadcast,
+  * aggregations are hash aggregates with map-side partials, exact
+  * percentiles are single-scan multi-quantile aggs with a tiny driver
+  * round-trip for the break values.
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables(s, d, "customer")
+
+  val entries: Seq[(String, QueryDef)] = Seq(
+
+    // ----------------------------------------------------------------
+    // q01: flagship (SURVEY §7 M0) — IQR-cap l_extendedprice, bucket by
+    // quartiles of the capped value, join orders, grouped counts, top-10
+    // with ties. Exercises S1/P3/F8/A2/A4/A5/A6/A7/W1/J1 in one plan.
+    "q01_flagship" -> QueryDef(
+      fn = (s, d) => {
+        val l = li(s, d)
+        val Seq(q1, q3) =
+          Cleaning.quantiles(l, Seq("l_extendedprice"), Seq(0.25, 0.75))("l_extendedprice")
+        val iqr = q3 - q1
+        val capped = l.withColumn("price_capped",
+          Cleaning.clamp(col("l_extendedprice"), q1 - 1.5 * iqr, q3 + 1.5 * iqr))
+        val breaks = Cleaning.quantiles(capped, Seq("price_capped"),
+          Seq(0.0, 0.25, 0.5, 0.75, 1.0))("price_capped")
+        val bucketed = capped.withColumn("bucket",
+          Cleaning.cutLabels(col("price_capped"), breaks,
+            Seq("Low", "Medium", "High", "VeryHigh")))
+        val agg = bucketed
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("bucket", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        Cleaning.topNWithTies(agg, "cnt", 10)
+          .orderBy(desc("cnt"), asc("bucket"), asc("o_orderpriority"))
+      },
+      oracle = Some("""
+        WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                          quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem),
+        c AS (SELECT l.*, CASE WHEN l_extendedprice > q3 + 1.5*(q3-q1) THEN q3 + 1.5*(q3-q1)
+                               WHEN l_extendedprice < q1 - 1.5*(q3-q1) THEN q1 - 1.5*(q3-q1)
+                               ELSE l_extendedprice END AS price_capped
+              FROM lineitem l CROSS JOIN q),
+        b AS (SELECT quantile_cont(price_capped, 0.00) AS b0, quantile_cont(price_capped, 0.25) AS b1,
+                     quantile_cont(price_capped, 0.50) AS b2, quantile_cont(price_capped, 0.75) AS b3,
+                     quantile_cont(price_capped, 1.00) AS b4 FROM c),
+        d AS (SELECT c.*, CASE WHEN price_capped IS NULL OR price_capped < b0 OR price_capped > b4 THEN NULL
+                               WHEN price_capped <= b1 THEN 'Low'
+                               WHEN price_capped <= b2 THEN 'Medium'
+                               WHEN price_capped <= b3 THEN 'High'
+                               ELSE 'VeryHigh' END AS bucket
+              FROM c CROSS JOIN b),
+        a AS (SELECT bucket, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     SUM(l_quantity) AS sum_qty
+              FROM d JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY bucket, o_orderpriority),
+        r AS (SELECT *, RANK() OVER (ORDER BY cnt DESC) AS rk FROM a)
+        SELECT bucket, o_orderpriority, cnt, sum_qty FROM r WHERE rk <= 10
+        ORDER BY cnt DESC, bucket, o_orderpriority""")),
+
+    // ----------------------------------------------------------------
+    // q02: TPC-H-Q1-style pricing summary — pushdown filter + hash agg
+    // with exact decimal sums (order-independent; see QueryDef.dsum).
+    "q02_pricing_summary" -> QueryDef(
+      fn = (s, d) => {
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(12, 2))
+        li(s, d)
+          .filter(col("l_shipdate") < lit(java.time.LocalDateTime.parse("2000-01-01T00:00")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+              * dec(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ----------------------------------------------------------------
+    // q03: filter + project (F1 IN-list, range predicates) — all pushed
+    // to the parquet scan; timestamps emitted as ISO strings for parity.
+    "q03_filter_project" -> QueryDef(
+      fn = (s, d) =>
+        li(s, d)
+          .filter(col("l_returnflag").isin("A", "R")
+            && col("l_discount").between(0.02, 0.08)
+            && col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1999-01-01T00:00")))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+               strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        FROM lineitem
+        WHERE l_returnflag IN ('A','R') AND l_discount BETWEEN 0.02 AND 0.08
+          AND l_shipdate >= TIMESTAMP '1999-01-01'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ----------------------------------------------------------------
+    // q04: value counts + top-n WITH ties (A6+A7: rank, not limit).
+    "q04_topk_ties" -> QueryDef(
+      fn = (s, d) => {
+        val counts = Cleaning.valueCounts(Tables(s, d, "part"), "p_brand")
+          .withColumnRenamed("count", "cnt")
+        Cleaning.topNWithTies(counts, "cnt", 5).orderBy(desc("cnt"), asc("p_brand"))
+      },
+      oracle = Some("""
+        WITH a AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt FROM part GROUP BY p_brand),
+        r AS (SELECT *, RANK() OVER (ORDER BY cnt DESC) AS rk FROM a)
+        SELECT p_brand, cnt FROM r WHERE rk <= 5 ORDER BY cnt DESC, p_brand""")),
+
+    // ----------------------------------------------------------------
+    // q05: median imputation (A2/F8) — nulls injected deterministically,
+    // replaced by the exact type-7 median (== DuckDB quantile_cont).
+    "q05_median_impute" -> QueryDef(
+      fn = (s, d) => {
+        val withNulls = cust(s, d).withColumn("acct",
+          when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_acctbal")))
+        Cleaning.medianImpute(withNulls, Seq("acct"))
+          .select(col("c_custkey"), round(col("acct"), 3).as("acct_imputed"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END AS acct FROM customer),
+        m AS (SELECT quantile_cont(acct, 0.5) AS med FROM t)
+        SELECT c_custkey, ROUND(COALESCE(acct, med), 3) AS acct_imputed
+        FROM t CROSS JOIN m ORDER BY c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // q06: IQR outlier capping (A4/F8) + grouped profile of the result.
+    "q06_iqr_cap" -> QueryDef(
+      fn = (s, d) => {
+        val capped = Cleaning.iqrCap(li(s, d), Seq("l_extendedprice"))
+          .withColumnRenamed("l_extendedprice", "price_capped")
+        capped.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            round(avg("price_capped"), 4).as("avg_capped"),
+            round(min("price_capped"), 4).as("min_capped"),
+            round(max("price_capped"), 4).as("max_capped"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                          quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem),
+        c AS (SELECT l_returnflag,
+                     CASE WHEN l_extendedprice > q3 + 1.5*(q3-q1) THEN q3 + 1.5*(q3-q1)
+                          WHEN l_extendedprice < q1 - 1.5*(q3-q1) THEN q1 - 1.5*(q3-q1)
+                          ELSE l_extendedprice END AS price_capped
+              FROM lineitem CROSS JOIN q)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(AVG(price_capped), 4) AS avg_capped,
+               ROUND(MIN(price_capped), 4) AS min_capped,
+               ROUND(MAX(price_capped), 4) AS max_capped
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----------------------------------------------------------------
+    // q07: quantile bucketing with R cut() semantics (A5/C6): (a,b],
+    // lowest-inclusive, computed from the column's own quartiles.
+    "q07_quartile_bucket" -> QueryDef(
+      fn = (s, d) =>
+        Cleaning.quantileBucket(ord(s, d), "o_totalprice", "bucket")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"), round(avg("o_totalprice"), 2).as("avg_price"))
+          .orderBy("bucket"),
+      oracle = Some("""
+        WITH b AS (SELECT quantile_cont(o_totalprice, 0.00) AS b0, quantile_cont(o_totalprice, 0.25) AS b1,
+                          quantile_cont(o_totalprice, 0.50) AS b2, quantile_cont(o_totalprice, 0.75) AS b3,
+                          quantile_cont(o_totalprice, 1.00) AS b4 FROM orders),
+        d AS (SELECT o_totalprice, CASE WHEN o_totalprice IS NULL OR o_totalprice < b0 OR o_totalprice > b4 THEN NULL
+                                        WHEN o_totalprice <= b1 THEN 'Low'
+                                        WHEN o_totalprice <= b2 THEN 'Medium'
+                                        WHEN o_totalprice <= b3 THEN 'High'
+                                        ELSE 'VeryHigh' END AS bucket
+              FROM orders CROSS JOIN b)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM d GROUP BY bucket ORDER BY bucket""")),
+
+    // ----------------------------------------------------------------
+    // q08: per-group mode with pinned lexical tie-break (A3).
+    "q08_mode_per_group" -> QueryDef(
+      fn = (s, d) => {
+        val counts = ord(s, d).groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(desc("cnt"), asc("o_orderpriority"))
+        counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("cnt"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        WITH a AS (SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority) AS rn FROM a)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM r WHERE rn = 1
+        ORDER BY o_orderstatus""")),
+
+    // ----------------------------------------------------------------
+    // q09: per-column null counts in ONE pass (A1) over deterministically
+    // nulled columns.
+    "q09_null_counts" -> QueryDef(
+      fn = (s, d) => {
+        val df = cust(s, d)
+          .withColumn("c_acctbal", when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")))
+          .withColumn("c_mktsegment", when(col("c_custkey") % 11 === 0, lit(null)).otherwise(col("c_mktsegment")))
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal").isNull.cast("long")).as("n_null_acctbal"),
+          sum(col("c_mktsegment").isNull.cast("long")).as("n_null_mktsegment"))
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_acctbal,
+               CAST(SUM(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_mktsegment
+        FROM customer""")),
+
+    // ----------------------------------------------------------------
+    // q10: value counts sorted (A6).
+    "q10_value_counts" -> QueryDef(
+      fn = (s, d) =>
+        Cleaning.valueCounts(Tables(s, d, "events"), "event_type")
+          .withColumnRenamed("count", "cnt"),
+      oracle = Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+        GROUP BY event_type ORDER BY cnt DESC, event_type""")),
+
+    // ----------------------------------------------------------------
+    // q11: star join — fact orders against broadcast dims customer →
+    // nation → region (J1 at warehouse shape), exact decimal revenue.
+    "q11_star_join_revenue" -> QueryDef(
+      fn = (s, d) => {
+        val o = ord(s, d)
+        val c = cust(s, d)
+        val n = Tables(s, d, "nation")
+        val r = Tables(s, d, "region")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("revenue"),
+            countDistinct(col("o_custkey")).as("n_customers"))
+          .orderBy("r_name")
+      },
+      oracle = Some("""
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ----------------------------------------------------------------
+    // q12: left-semi join (F2/J2: EXISTS).
+    "q12_semi_join" -> QueryDef(
+      fn = (s, d) => {
+        val big = ord(s, d).filter(col("o_totalprice") > 300000).select("o_custkey")
+        cust(s, d).join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        ORDER BY c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // q13: left-anti join (NOT EXISTS) — customers with no large order.
+    "q13_anti_join" -> QueryDef(
+      fn = (s, d) => {
+        val big = ord(s, d).filter(col("o_totalprice") > 400000).select("o_custkey")
+        cust(s, d).join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // q14: left-outer join preserving empty groups.
+    "q14_outer_join" -> QueryDef(
+      fn = (s, d) => {
+        val n = Tables(s, d, "nation")
+        n.join(cust(s, d), col("n_nationkey") === col("c_nationkey"), "left")
+          .groupBy("n_nationkey", "n_name")
+          .agg(count(col("c_custkey")).as("n_customers"),
+            coalesce(dsum(col("c_acctbal")), lit(0.0)).as("total_acctbal"))
+          .orderBy("n_nationkey")
+      },
+      oracle = Some("""
+        SELECT n_nationkey, n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_customers,
+               COALESCE(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_acctbal
+        FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        GROUP BY n_nationkey, n_name ORDER BY n_nationkey""")),
+
+    // ----------------------------------------------------------------
+    // q15: row-wise set ops — UNION/INTERSECT/EXCEPT (all DISTINCT).
+    "q15_set_ops" -> QueryDef(
+      fn = (s, d) => {
+        val o = ord(s, d)
+        val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+        val b = o.filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct()
+        a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+          .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+          .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
+      },
+      oracle = Some("""
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F' UNION SELECT o_custkey FROM orders WHERE o_orderstatus='P')) AS n_union,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='P')) AS n_intersect,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='P')) AS n_except""")),
+
+    // ----------------------------------------------------------------
+    // q16: ROLLUP with grouping() → 'ALL' sentinel (avoids NULL-ordering
+    // divergence between engines).
+    "q16_rollup" -> QueryDef(
+      fn = (s, d) =>
+        li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping(col("l_returnflag")).as("g1"), grouping(col("l_linestatus")).as("g2"),
+            count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+          .select(
+            when(col("g1") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("returnflag"),
+            when(col("g2") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("linestatus"),
+            col("cnt"), col("sum_qty"))
+          .orderBy("returnflag", "linestatus"),
+      oracle = Some("""
+        SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+               CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+               CAST(COUNT(*) AS BIGINT) AS cnt, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    // ----------------------------------------------------------------
+    // q17: CUBE, same sentinel treatment, exact decimal sums.
+    "q17_cube" -> QueryDef(
+      fn = (s, d) =>
+        ord(s, d).cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping(col("o_orderstatus")).as("g1"), grouping(col("o_orderpriority")).as("g2"),
+            count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+          .select(
+            when(col("g1") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+            when(col("g2") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
+            col("cnt"), col("total"))
+          .orderBy("status", "priority"),
+      oracle = Some("""
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ----------------------------------------------------------------
+    // q18: exact distinct aggregation (expands to two-phase agg in Spark).
+    "q18_distinct_agg" -> QueryDef(
+      fn = (s, d) =>
+        li(s, d).groupBy("l_returnflag")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----------------------------------------------------------------
+    // q19: window frame — per-customer running revenue (rowsBetween
+    // unbounded-preceding..current), deterministic order incl. key.
+    "q19_window_running" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ord(s, d)
+          .withColumn("running_total",
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("o_totalprice"), col("running_total"))
+          .orderBy("o_custkey", "order_date", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM orders ORDER BY o_custkey, order_date, o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // q20: lag/lead over event streams (per-user ordered by time).
+    "q20_lag_lead" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+            round(col("value") - col("prev_value"), 2).as("delta_value"), col("next_type"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      oracle = Some("""
+        SELECT user_id, event_id, epoch_ns(ts) AS ts, value,
+               ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id), 2) AS delta_value,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS next_type
+        FROM events ORDER BY user_id, ts, event_id""")),
+
+    // ----------------------------------------------------------------
+    // q21: argmax-within-group (W3): each customer's largest order.
+    "q21_argmax_per_group" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        ord(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("top_orderkey"),
+            col("o_totalprice").as("top_totalprice"))
+          .orderBy("o_custkey")
+      },
+      oracle = Some("""
+        WITH r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_totalprice
+        FROM r WHERE rn = 1 ORDER BY o_custkey""")),
+
+    // ----------------------------------------------------------------
+    // q22: time-window aggregation — batch window(ts, 1 hour) over the
+    // event stream table (epoch-aligned, == floor division by 1h).
+    "q22_time_window" -> QueryDef(
+      fn = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(unix_timestamp(col("w.start")).as("hour_start"), col("event_type"),
+            col("cnt"), col("avg_value"), col("n_users"))
+          .orderBy("hour_start", "event_type"),
+      oracle = Some("""
+        SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(AVG(value), 4) AS avg_value,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
+
+    // ----------------------------------------------------------------
+    // q23: JSON extraction (get_json_object) over events.props.
+    "q23_json_extract" -> QueryDef(
+      fn = (s, d) =>
+        Tables(s, d, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy((col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"),
+            min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy("k_mod"),
+      oracle = Some("""
+        WITH t AS (SELECT CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k, value FROM events)
+        SELECT k % 10 AS k_mod, CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(AVG(value), 4) AS avg_value,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM t GROUP BY k % 10 ORDER BY k_mod""")),
+
+    // ----------------------------------------------------------------
+    // q24: scalar-function battery (C1-C10): first-word, case, regex
+    // replace, log1p/expm1, round, concat_ws, length.
+    "q24_scalar_funcs" -> QueryDef(
+      fn = (s, d) =>
+        Tables(s, d, "part").select(
+          col("p_partkey"),
+          substring_index(col("p_name"), " ", 1).as("first_word"),
+          upper(col("p_name")).as("name_upper"),
+          regexp_replace(col("p_type"), "[AEIOU]", "").as("type_novowel"),
+          round(log1p(col("p_retailprice")), 6).as("log1p_price"),
+          round(expm1(col("p_retailprice") / 1000.0), 6).as("expm1_scaled"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).as("name_len"))
+          .orderBy("p_partkey"),
+      oracle = Some("""
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) AS first_word,
+               upper(p_name) AS name_upper,
+               regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_novowel,
+               ROUND(ln(1 + p_retailprice), 6) AS log1p_price,
+               ROUND(exp(p_retailprice / 1000.0) - 1, 6) AS expm1_scaled,
+               concat_ws('-', p_brand, p_type) AS brand_type,
+               CAST(length(p_name) AS INTEGER) AS name_len
+        FROM part ORDER BY p_partkey""")),
+
+    // ----------------------------------------------------------------
+    // q25: per-group Pearson correlation (A10).
+    "q25_corr_by_group" -> QueryDef(
+      fn = (s, d) =>
+        li(s, d).groupBy("l_returnflag")
+          .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----------------------------------------------------------------
+    // q26: describe/summary profile (A13): count/mean/stddev/min/max/median.
+    "q26_summary_stats" -> QueryDef(
+      fn = (s, d) =>
+        ord(s, d).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            round(avg("o_totalprice"), 4).as("mean_price"),
+            round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+            round(min("o_totalprice"), 2).as("min_price"),
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+            round(max("o_totalprice"), 2).as("max_price"))
+          .orderBy("o_orderstatus"),
+      oracle = Some("""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(AVG(o_totalprice), 4) AS mean_price,
+               ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ----------------------------------------------------------------
+    // q30: transactions/item-frequency (A14/A15): rows → item arrays →
+    // explode → per-item support, as in the arules pipeline.
+    "q30_item_frequency" -> QueryDef(
+      fn = (s, d) => {
+        val o = ord(s, d).join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        val items = o.select(explode(array(
+          concat(lit("status="), col("o_orderstatus")),
+          concat(lit("prio="), col("o_orderpriority")),
+          concat(lit("seg="), col("c_mktsegment")))).as("item"))
+        val total = ord(s, d).count()
+        items.groupBy("item").agg(count(lit(1)).as("cnt"))
+          .withColumn("support", round(col("cnt") / lit(total.toDouble), 6))
+          .orderBy(desc("cnt"), asc("item"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT unnest(['status=' || o_orderstatus, 'prio=' || o_orderpriority, 'seg=' || c_mktsegment]) AS item
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+        n AS (SELECT COUNT(*) AS total FROM orders)
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM n), 6) AS support
+        FROM t GROUP BY item ORDER BY cnt DESC, item"""))
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Cleaning
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for cleaning operators against hand-computable cases plus
+  * the reference's own raw CSV (data fixture only — golden quartiles
+  * 5118/7788/10295/16503/45400 per SURVEY.md §5.2, from R type-7
+  * quantile() on CarPrice_Assignment.csv price).
+  */
+class CleaningSpec extends AnyFunSuite {
+  lazy val spark = Tables.session(4)
+  import spark.implicits._
+
+  test("cutLabels implements R cut(): (a,b], include.lowest, out-of-range null") {
+    val df = Seq(-1.0, 0.0, 5.0, 10.0, 10.5, 20.0, 25.0).toDF("v")
+      .withColumn("bucket", Cleaning.cutLabels(col("v"), Seq(0, 10, 20), Seq("lo", "hi")))
+    val got = df.orderBy("v").select("bucket").collect().map(_.getString(0))
+    assert(got.toSeq == Seq(null, "lo", "lo", "lo", "hi", "hi", null))
+  }
+
+  test("exact quantiles match R type-7 on the reference CSV") {
+    val car = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv("/root/reference/CarPrice_Assignment.csv")
+    val q = Cleaning.quantiles(car, Seq("price"), Seq(0.0, 0.25, 0.5, 0.75, 1.0))("price")
+    assert(q == Seq(5118.0, 7788.0, 10295.0, 16503.0, 45400.0))
+  }
+
+  test("topNWithTies keeps ties (R top_n semantics)") {
+    val df = Seq(("a", 5L), ("b", 3L), ("c", 3L), ("d", 1L)).toDF("k", "cnt")
+    val got = Cleaning.topNWithTies(df, "cnt", 2).select("k").collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b", "c")) // rank 2 is a tie -> 3 rows survive
+  }
+
+  test("iqrCap clamps outliers but preserves nulls (R ifelse NA semantics)") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(100.0), None)
+      .toDF("v")
+    val capped = Cleaning.iqrCap(df, Seq("v")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(capped.count(_.isEmpty) == 1)
+    assert(capped.flatten.max < 100.0)
+    assert(capped.flatten.min == 1.0)
+  }
+
+  test("medianImpute fills all nulls with the exact median") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(5.0), None).toDF("v")
+    val out = Cleaning.medianImpute(df, Seq("v"))
+    assert(out.filter(col("v").isNull).count() == 0)
+    assert(out.filter(col("v") === 3.0).count() == 2) // median of 1..5 = 3
+  }
+
+  test("mode breaks ties lexically (R table factor-level order)") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("v")
+    assert(Cleaning.mode(df, "v").contains("a"))
+  }
+
+  test("quantileBucket assigns quartile labels with (a,b] bins") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Cleaning.quantileBucket(df, "v", "b")
+    val counts = out.groupBy("b").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // breaks 1, 25.75, 50.5, 75.25, 100 -> 25 per bucket
+    assert(counts == Map("Low" -> 25L, "Medium" -> 25L, "High" -> 25L, "VeryHigh" -> 25L))
+  }
+}

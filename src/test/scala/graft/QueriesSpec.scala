@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every catalog query must run on sf0.001 and produce rows; results must
+  * be deterministic across two runs (total ordering discipline).
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = Tables.session(8)
+  val dir = "/root/testdata/sf0.001"
+
+  SparkEntry.catalog.foreach { case (name, q) =>
+    test(s"$name runs, returns rows, and is deterministic") {
+      val a = q.fn(spark, dir)
+      val rows = a.collect()
+      assert(rows.nonEmpty, s"$name returned no rows")
+      val b = q.fn(spark, dir).collect()
+      assert(rows.sameElements(b), s"$name not deterministic")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key exists in queries and every query has a name-safe key") {
+    val qk = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
+    qk.foreach(k => assert(k.matches("[a-z0-9_]+"), s"bad key $k"))
+  }
+}
