@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** Ordered catalog of all engine queries. */
   val catalog: Seq[(String, QueryDef)] =
-    RelationalQueries.entries ++ StatsQueries.entries
+    RelationalQueries.entries ++ StatsQueries.entries ++ TextQueries.entries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

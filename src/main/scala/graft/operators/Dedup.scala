@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all designed for
+  * the 100-TB shape:
+  *
+  *  - exact:   one hash-groupBy on a digest — a single shuffle on a
+  *             16-byte key, map-side combinable.
+  *  - prefix:  same, on a normalized-prefix fingerprint.
+  *  - n-gram Jaccard: candidate generation must NEVER be an O(n^2)
+  *             cross-join at scale — callers block (here: by source) or
+  *             use MinHash-LSH below.
+  *  - MinHash + LSH banding: signature = per-row expression (no shuffle);
+  *             band explode → groupBy band-bucket is the only shuffle and
+  *             its fan-out is bounded by bucket size, not n^2.
+  *  - SimHash: 64-bit signature per row; near-dup = small Hamming
+  *             distance; bucket by 16-bit chunks for candidate join.
+  *
+  * Everything is deterministic (fixed permutation constants, no RNG at
+  * runtime) and pure Catalyst expressions — no UDFs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups on a digest of `textCol`. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
+
+  /** Word n-gram shingles (distinct), as a Catalyst expression over a
+    * pre-split token array column named `toksCol`. */
+  def shingleExpr(toksCol: String, n: Int = 3): Column = {
+    array_distinct(expr(
+      s"IF(size($toksCol) >= $n, " +
+        s"transform(sequence(1, size($toksCol) - ${n - 1}), " +
+        s"i -> concat_ws(' ', " +
+        (0 until n).map(i => s"element_at($toksCol, i + $i)").mkString(", ") +
+        ")), CAST(array() AS ARRAY<STRING>))"))
+  }
+
+  /** Jaccard similarity of two distinct-element array columns (0.0 when
+    * both are empty — also keeps ANSI mode from a divide-by-zero). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
+  }
+
+  // MinHash: h_j(x) = (a_j * (xxhash64(x) mod p) + b_j) mod p with the
+  // Mersenne prime p = 2^31 - 1 and fixed LCG-derived coefficients —
+  // deterministic across runs and expressible in plain SQL (the two-step
+  // mod keeps every product below 2^62: no ANSI overflow).
+  val MinhashPrime = 2147483647L
+  def perm(j: Int): (Long, Long) = (
+    (1103515245L * (j + 1) + 12345L) % (MinhashPrime - 1) + 1,
+    (134775813L * (j + 1) + 1L) % MinhashPrime)
+
+  /** MinHash signature (array<bigint> of length numPerms) over a distinct
+    * shingle array column. Per-row expression — embarrassingly parallel. */
+  def minhashSignature(shingles: Column, numPerms: Int = 32): Column = {
+    val hs = s"transform(${shingles.toString}, x -> pmod(xxhash64(x), $MinhashPrime))"
+    val mins = (0 until numPerms).map { j =>
+      val (a, b) = perm(j)
+      s"array_min(transform($hs, h -> pmod($a * h + $b, $MinhashPrime)))"
+    }
+    expr(mins.mkString("array(", ", ", ")"))
+  }
+
+  /** LSH band buckets: split the signature into bands of `rowsPerBand`,
+    * hash each band. Returns array<struct<band:int, bucket:bigint>>. */
+  def lshBands(sig: Column, numPerms: Int = 32, rowsPerBand: Int = 4): Column = {
+    val nBands = numPerms / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val elems = (0 until rowsPerBand)
+        .map(r => s"element_at(${sig.toString}, ${b * rowsPerBand + r + 1})")
+        .mkString(", ")
+      s"named_struct('band', $b, 'bucket', xxhash64(concat_ws('_', CAST($b AS STRING), $elems)))"
+    }
+    expr(bands.mkString("array(", ", ", ")"))
+  }
+
+  /** Full MinHash-LSH near-dup candidate pairs with exact-Jaccard
+    * verification. The only shuffle is the band-bucket self-join; at scale
+    * the bucket key distributes uniformly (xxhash64) and skewed buckets
+    * can be salted. Returns (a_id, b_id, jaccard) for pairs above the
+    * threshold. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numPerms: Int = 32, rowsPerBand: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val base = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__sh", shingleExpr("__toks"))
+      .withColumn("__sig", minhashSignature(col("__sh"), numPerms))
+      .select(col(idCol), col("__sh"),
+        explode(lshBands(col("__sig"), numPerms, rowsPerBand)).as("bb"))
+      .select(col(idCol), col("__sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = base.select(col(idCol).as("a_id"), col("__sh").as("a_sh"), col("band"), col("bucket"))
+    val b = base.select(col(idCol).as("b_id"), col("__sh").as("b_sh"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over a token array column: per-bit vote of token
+    * hashes, sign → bit. Pure expression (bit ops inside nested lambdas). */
+  def simhash64(toksCol: String): Column = {
+    val hs = s"transform($toksCol, t -> xxhash64(t))"
+    expr(
+      s"aggregate(transform(sequence(0, 63), b -> " +
+        s"IF(aggregate($hs, 0L, (acc, h) -> acc + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0L, " +
+        s"shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc | x)")
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: candidates share at least one of four 16-bit
+    * signature chunks (guarantees recall for distance <= 3), verified by
+    * exact Hamming distance. Chunk-bucket join, not O(n^2). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigd = df.withColumn("__sig", simhash64(s"split($textCol, ' ')"))
+    val chunked = sigd.select(col(idCol), col("__sig"),
+      explode(expr("transform(sequence(0, 3), c -> " +
+        "named_struct('chunk', c, 'ckey', shiftright(`__sig`, c * 16) & 65535))")).as("cb"))
+      .select(col(idCol), col("__sig"), col("cb.chunk").as("chunk"), col("cb.ckey").as("ckey"))
+    val a = chunked.select(col(idCol).as("a_id"), col("__sig").as("a_sig"), col("chunk"), col("ckey"))
+    val b = chunked.select(col(idCol).as("b_id"), col("__sig").as("b_sig"), col("chunk"), col("ckey"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), hamming(col("a_sig"), col("b_sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and a partition-wise
+  * decode/feature-extract stage.
+  *
+  * The Spark-side shape is real and tested: schema (bytes + metadata
+  * struct), partitioning (decode is a mapPartitions stage so a real codec
+  * can amortize per-partition init, exactly like an image library handle),
+  * and batch signature. The codec itself is STUBBED — this container has
+  * no image/audio libraries — with a deterministic fake that derives
+  * fixed-size features from the raw bytes. Swapping in a real decoder
+  * changes only the body of [[FakeCodec.decode]].
+  */
+object Multimodal {
+
+  /** Attach a binary payload + metadata struct derived from a string
+    * column (the testdata has no true binary column; the engine surface
+    * treats it as opaque bytes from here on). */
+  def binarize(df: DataFrame, idCol: String, payloadCol: String,
+               mime: String = "application/octet-stream"): DataFrame =
+    df.select(
+      col(idCol),
+      col(payloadCol).cast("binary").as("bytes"),
+      struct(
+        lit(mime).as("mime"),
+        octet_length(col(payloadCol).cast("binary")).as("n_bytes"),
+        sha2(col(payloadCol).cast("binary"), 256).as("sha256")).as("media_meta"))
+
+  /** STUB decoder: stands in for an image/audio codec. Deterministic:
+    * feature i = byte[(i * 31) mod len] / 255. A real implementation
+    * would decode the payload and pool pixel/sample statistics here. */
+  object FakeCodec {
+    val dim = 8
+    def decode(bytes: Array[Byte]): Array[Double] = {
+      if (bytes == null || bytes.isEmpty) Array.fill(dim)(0.0)
+      else Array.tabulate(dim)(i => (bytes((i * 31) % bytes.length) & 0xff) / 255.0)
+    }
+  }
+
+  /** Partition-wise decode/feature-extract: one codec "handle" per
+    * partition (the `iter =>` prologue is where a real codec would init),
+    * rows streamed through it. Returns (id, features). */
+  def decodeFeatures(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+    ds.mapPartitions { iter =>
+      // real codec init would happen here, once per partition
+      iter.map { case (id, bytes) => (id, FakeCodec.decode(bytes)) }
+    }.toDF(idCol, "features")
+  }
+
+  /** Frame-sampling analog: slice the payload into `n` evenly spaced
+    * chunks (as a video frame-sampler would) and fingerprint each. Pure
+    * expression — stays in codegen. */
+  def sampleChunks(df: DataFrame, idCol: String, bytesCol: String, n: Int = 4): DataFrame =
+    df.select(col(idCol), posexplode(expr(
+      s"transform(sequence(0, ${n - 1}), i -> " +
+        s"sha2(substring($bytesCol, CAST(i * octet_length($bytesCol) / $n AS INT) + 1, " +
+        s"greatest(CAST(octet_length($bytesCol) / $n AS INT), 1)), 256))"))
+      .as(Seq("chunk_idx", "chunk_sha")))
+}

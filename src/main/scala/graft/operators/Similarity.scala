@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Two tiers, as a 100-TB design requires:
+  *  - bruteForceTopK: exact cosine top-k via query-broadcast. The query
+  *    set is broadcast (small), candidates stream through one scan —
+  *    O(|Q| * n) work, no shuffle of the big side; the only shuffle is
+  *    the final per-query top-k (tiny after the window filter).
+  *  - lshTopK: BucketedRandomProjectionLSH (seeded, deterministic
+  *    hyperplanes) prunes candidates to same-bucket pairs before exact
+  *    re-scoring — the scale path when |Q| is large.
+  *
+  * Dot products are Catalyst expressions (zip_with + aggregate) computed
+  * in double — bit-compatible with a DuckDB list_dot_product oracle.
+  */
+object Similarity {
+
+  /** Cast array<float> → array<double> (exact). */
+  def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(c: Column): Column = sqrt(dot(c, c))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` should
+    * be small (it is broadcast). Rank on the rounded score with id
+    * tie-break so results are stable cross-engine. */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int = 10, scale: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), toDoubleArray(col(vecCol)).as("qv"))
+    val c = candidates.select(col(idCol).as("c_id"), toDoubleArray(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("qv"), col("cv")), scale).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
+  }
+
+  /** Approximate neighbors via seeded random-projection LSH; candidates
+    * sharing a hash bucket are exactly re-scored. Deterministic for a
+    * fixed seed. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              k: Int = 10, bucketLength: Double = 2.0, numTables: Int = 3,
+              seed: Long = 42L): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
+      .withColumn("features", array_to_vector(col("arr")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(vecs)
+    val joined = model.approxSimilarityJoin(vecs, vecs, Double.MaxValue, "dist")
+      .select(col("datasetA.id").as("q_id"), col("datasetB.id").as("c_id"),
+        col("datasetA.arr").as("qv"), col("datasetB.arr").as("cv"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (exact,
+    * blocked by the caller at scale or piped through lshTopK). */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), toDoubleArray(col(vecCol)).as("av"))
+    val b = df.select(col(idCol).as("b_id"), toDoubleArray(col(vecCol)).as("bv"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("av"), col("bv")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, token counting,
+  * document fingerprinting. All pure Catalyst expressions (codegen'd, no
+  * UDFs) so they stay inside WholeStageCodegen on a 100-TB scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex token stream: runs of letters or digits. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+  /** Count of stopword tokens (expression over the token array). */
+  def stopwordCount(toks: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val inList = stopwords.map(s => s"'$s'").mkString(", ")
+    size(expr(s"filter(${toks.toString}, t -> t IN ($inList))"))
+  }
+
+  /** Quality profile per document: lengths, token counts, distinct ratio,
+    * stopword ratio, mean token length. One narrow projection — no
+    * shuffle, fully pushed into the scan stage. */
+  def qualityProfile(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_calc"),
+      size(split(col(textCol), " ")).as("n_tokens"),
+      size(array_distinct(split(col(textCol), " "))).as("n_distinct"),
+      round(size(expr(s"filter(split($textCol, ' '), t -> t IN (" +
+        defaultStopwords.map(s => s"'$s'").mkString(", ") + "))")) /
+        size(split(col(textCol), " ")).cast("double"), 6).as("stop_ratio"),
+      round(expr(s"aggregate(split($textCol, ' '), 0L, (acc, t) -> acc + length(t))") /
+        size(split(col(textCol), " ")).cast("double"), 4).as("mean_token_len"))
+
+  /** Heuristic language ID: stopword-list hit counts per language, argmax
+    * with a pinned precedence order. Deterministic, SQL-expressible. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ein"))
+
+  def langId(textCol: String): Column = {
+    val scores = langStopwords.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      lang -> expr(s"size(filter(split($textCol, ' '), t -> t IN ($inList)))")
+    }
+    // argmax with precedence = list order; all-zero -> 'und'
+    scores.tail.foldLeft(
+      when(scores.head._2 >= greatest(scores.map(_._2): _*) && scores.head._2 > 0,
+        lit(scores.head._1))) { case (acc, (lang, sc)) =>
+      acc.when(sc >= greatest(scores.map(_._2): _*) && sc > 0, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of the first n tokens (prefix fingerprint
+    * for near-head-duplicate grouping). */
+  def prefixFingerprint(textCol: String, n: Int = 5): Column =
+    md5(concat_ws(" ", slice(split(col(textCol), " "), 1, n)))
+
+  /** Normalized full-text fingerprint: lowercase, collapse whitespace. */
+  def normalizedFingerprint(textCol: String): Column =
+    md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+}

@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-training-data pipeline operators over the documents/embeddings
+  * tables: dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash,
+  * embedding-cosine), similarity search (brute-force + LSH), text
+  * analysis (quality, lang-ID, token counts, fingerprints), multimodal
+  * binary plumbing. DuckDB oracles wherever list/lambda SQL can express
+  * the same computation; signature-based ops are rows-only + ScalaTest.
+  */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "documents")
+  private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "embeddings")
+
+  val entries: Seq[(String, QueryDef)] = Seq(
+
+    // ----------------------------------------------------------------
+    // q31: exact dedup — one hash-groupBy on md5(text) (the only shuffle,
+    // on a 16-byte key), keep-lowest-id policy.
+    "q31_dedup_exact" -> QueryDef(
+      fn = (s, d) =>
+        Dedup.exactGroups(docs(s, d), "doc_id", "text")
+          .orderBy("text_hash"),
+      oracle = Some("""
+        SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text) ORDER BY text_hash""")),
+
+    // ----------------------------------------------------------------
+    // q32: word-3-gram Jaccard near-dup, blocked by source (candidate
+    // generation is block-local, never all-pairs); top-20 most similar
+    // pairs. Shingling/intersection are pure array expressions.
+    "q32_ngram_jaccard" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("sh", Dedup.shingleExpr("toks"))
+          .select(col("doc_id"), col("source"), col("sh"))
+        val a = base.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("a_id"), col("source"), col("sh").as("a_sh"))
+        val b = base.select(col("doc_id").as("b_id"), col("source"), col("sh").as("b_sh"))
+        val pairs = a.join(b, Seq("source")).filter(col("b_id") > col("a_id"))
+          .select(col("a_id"), col("b_id"),
+            round(Dedup.jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))
+        // distributed top-k (TakeOrdered) first; the row_number window then
+        // only sees 20 rows — no single-partition window over all pairs
+        val top = pairs.orderBy(desc("jaccard"), asc("a_id"), asc("b_id")).limit(20)
+        val w = Window.orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
+        top.withColumn("rn", row_number().over(w))
+          .select(col("a_id"), col("b_id"), col("jaccard"), col("rn").cast("int").as("rn"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+                       (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 4) AS jaccard
+          FROM base a JOIN base b ON a.source = b.source AND b.doc_id > a.doc_id
+          WHERE a.doc_id % 25 = 0),
+        r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a_id, b_id) AS rn FROM pairs)
+        SELECT a_id, b_id, jaccard, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 20
+        ORDER BY rn""")),
+
+    // ----------------------------------------------------------------
+    // q33: MinHash + LSH banding near-dup. Candidates only from shared
+    // band buckets (bounded fan-out), verified by exact Jaccard. The
+    // corpus is unioned with an id-shifted copy so true duplicate pairs
+    // exist at every scale. Signature math is deterministic (fixed
+    // permutation constants); rows-only check + ScalaTest.
+    "q33_minhash_lsh" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val shifted = base.withColumn("doc_id", col("doc_id") + 10000000L)
+        Dedup.minhashLshPairs(base.union(shifted), "doc_id", "text", threshold = 0.8)
+          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      oracle = None),
+
+    // ----------------------------------------------------------------
+    // q34: SimHash near-dup — 64-bit signature, 16-bit-chunk candidate
+    // buckets, exact Hamming verify; same unioned corpus as q33.
+    "q34_simhash" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val shifted = base.withColumn("doc_id", col("doc_id") + 10000000L)
+        Dedup.simhashPairs(base.union(shifted), "doc_id", "text", maxHamming = 3)
+          .orderBy("a_id", "b_id")
+      },
+      oracle = None),
+
+    // ----------------------------------------------------------------
+    // q35: exact ANN — brute-force cosine top-10 for 5 query vectors
+    // (query side broadcast; big side streams through one scan).
+    "q35_ann_cosine" -> QueryDef(
+      fn = (s, d) => {
+        val e = embs(s, d)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding")
+          .orderBy("q_id", "rn")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, v AS cv FROM e),
+        s AS (SELECT q_id, c_id,
+                ROUND(list_dot_product(qv, cv) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+              FROM q CROSS JOIN c WHERE c_id <> q_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn FROM s)
+        SELECT q_id, c_id, cos, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 10
+        ORDER BY q_id, rn""")),
+
+    // ----------------------------------------------------------------
+    // q36: text quality profile — single narrow projection, stays in
+    // WholeStageCodegen, no shuffle.
+    "q36_text_quality" -> QueryDef(
+      fn = (s, d) =>
+        TextAnalysis.qualityProfile(docs(s, d), "text", "doc_id").orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars_calc,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is', 'it', 'for'))) AS DOUBLE) /
+                 len(string_split(text, ' ')), 6) AS stop_ratio,
+               ROUND(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE) /
+                 len(string_split(text, ' ')), 4) AS mean_token_len
+        FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q37: heuristic language ID (stopword-list argmax, pinned
+    // precedence), aggregated to predicted-language counts.
+    "q37_langid" -> QueryDef(
+      fn = (s, d) =>
+        docs(s, d).withColumn("lang_pred", TextAnalysis.langId("text"))
+          .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+          .orderBy("lang_pred"),
+      oracle = Some("""
+        WITH s AS (SELECT
+            len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to'))) AS s_en,
+            len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','y','que'))) AS s_es,
+            len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et','les','des'))) AS s_fr,
+            len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und','das','ein'))) AS s_de
+          FROM documents),
+        p AS (SELECT CASE
+                WHEN s_en >= greatest(s_en, s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+                WHEN s_es >= greatest(s_en, s_es, s_fr, s_de) AND s_es > 0 THEN 'es'
+                WHEN s_fr >= greatest(s_en, s_es, s_fr, s_de) AND s_fr > 0 THEN 'fr'
+                WHEN s_de >= greatest(s_en, s_es, s_fr, s_de) AND s_de > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred
+              FROM s)
+        SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS cnt FROM p
+        GROUP BY lang_pred ORDER BY lang_pred""")),
+
+    // ----------------------------------------------------------------
+    // q38: token counting — whitespace vs regex ([a-z]+|[0-9]+) tokenizers.
+    "q38_token_count" -> QueryDef(
+      fn = (s, d) =>
+        docs(s, d).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("ws_tokens"),
+          size(TextAnalysis.regexTokens(col("text"))).as("re_tokens"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS re_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q39: prefix fingerprint dedup groups (first-5-token md5).
+    "q39_fingerprint" -> QueryDef(
+      fn = (s, d) =>
+        docs(s, d)
+          .groupBy(TextAnalysis.prefixFingerprint("text").as("fp"))
+          .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_id"))
+          .orderBy("fp"),
+      oracle = Some("""
+        SELECT md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp,
+               CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // ----------------------------------------------------------------
+    // q42: multimodal binary plumbing — opaque bytes + typed metadata
+    // (mime, byte length, sha256 digest).
+    "q42_multimodal_meta" -> QueryDef(
+      fn = (s, d) =>
+        Multimodal.binarize(docs(s, d), "doc_id", "text", mime = "text/plain")
+          .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+            col("media_meta.sha256").as("sha256"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q43: stubbed decode/feature-extract via mapPartitions (per-partition
+    // codec init; deterministic fake features — see Multimodal.FakeCodec).
+    "q43_multimodal_decode" -> QueryDef(
+      fn = (s, d) => {
+        val bin = Multimodal.binarize(docs(s, d), "doc_id", "text")
+        Multimodal.decodeFeatures(bin, "doc_id", "bytes")
+          .select(col("doc_id"),
+            round(expr("aggregate(features, 0D, (acc, x) -> acc + x)"), 6).as("feature_sum"))
+          .orderBy("doc_id")
+      },
+      oracle = None),
+
+    // ----------------------------------------------------------------
+    // q44: LSH-bucketed ANN (seeded random projections, re-scored) — the
+    // scale path of q35. Deterministic for fixed seed; rows-only.
+    "q44_ann_lsh" -> QueryDef(
+      fn = (s, d) =>
+        Similarity.lshTopK(embs(s, d).filter(col("vec_id") < 500), "vec_id", "embedding", k = 5)
+          .orderBy("q_id", "rn"),
+      oracle = None),
+
+    // ----------------------------------------------------------------
+    // q45: embedding-cosine near-duplicate pairs (exact, id-blocked).
+    "q45_embed_dup" -> QueryDef(
+      fn = (s, d) =>
+        Similarity.cosineDupPairs(embs(s, d).filter(col("vec_id") < 1000),
+          "vec_id", "embedding", threshold = 0.25)
+          .orderBy("a_id", "b_id"),
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                ROUND(list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT a_id, b_id, cos FROM p WHERE cos >= 0.25 ORDER BY a_id, b_id"""))
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the LLM-pipeline operators on hand-built corpora where
+  * ground truth is known. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = Tables.session(4)
+  import spark.implicits._
+
+  val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup
+    (4L, "completely different words about spark engines and distributed queries here"),
+    (5L, "another unrelated document discussing database optimizers and join plans")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates to min id") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text").collect()
+    assert(g.length == 4)
+    val dup = g.find(_.getAs[Long]("cnt") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("shingles + jaccard: identical docs 1.0, near-dups high, unrelated 0") {
+    val sh = corpus.withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", Dedup.shingleExpr("toks"))
+    val byId = sh.select("doc_id", "sh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (byId(a).toSet, byId(b).toSet)
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    assert(jac(1, 2) == 1.0)
+    assert(jac(1, 3) > 0.7)
+    assert(jac(1, 4) == 0.0)
+  }
+
+  test("minhashLshPairs finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs distance 0, unrelated far") {
+    val sigs = corpus.withColumn("sig", Dedup.simhash64("split(text, ' ')"))
+      .select("doc_id", "sig").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 10)
+  }
+
+  test("simhashPairs recovers identical pair via chunk buckets") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("bruteForceTopK: self-similar vector ranks first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),   // nearly same direction as 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1), "vec_id", "embedding", k = 2)
+      .orderBy("rn").collect()
+    assert(top.head.getAs[Long]("c_id") == 2L)
+    assert(top.head.getAs[Double]("cos") > 0.99)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and the dog"),
+      (2L, "el gato y la casa de la playa que bonita"),
+      (3L, "xyzzy qwerty asdf")).toDF("doc_id", "text")
+    val got = df.withColumn("l", TextAnalysis.langId("text"))
+      .select("doc_id", "l").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "und")
+  }
+
+  test("decodeFeatures is deterministic and fixed-dim") {
+    val bin = graft.operators.Multimodal.binarize(corpus, "doc_id", "text")
+    val f = graft.operators.Multimodal.decodeFeatures(bin, "doc_id", "bytes").collect()
+    assert(f.length == 5)
+    f.foreach(r => assert(r.getSeq[Double](1).length == 8))
+    val f2 = graft.operators.Multimodal.decodeFeatures(bin, "doc_id", "bytes").collect()
+    assert(f.map(_.toString).sorted.sameElements(f2.map(_.toString).sorted))
+  }
+}
