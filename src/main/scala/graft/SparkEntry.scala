@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** Ordered catalog of all engine queries. */
   val catalog: Seq[(String, QueryDef)] =
-    RelationalQueries.entries ++ StatsQueries.entries ++ TextQueries.entries
+    RelationalQueries.entries ++ StatsQueries.entries ++ TextQueries.entries ++
+      MLQueries.entries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -90,6 +90,21 @@ object Cleaning {
     }
   }
 
+  /** Winsorize: clamp each column to its [pLo, pHi] exact percentiles
+    * (all bounds from one aggregate pass). This is the rule the
+    * reference's committed golden outputs actually reflect (1%/99% — e.g.
+    * car_id 1,2,3 → 3.04 = type-7 quantile(x, .01); see
+    * car_prices_cleaned.csv), even though the current script text does
+    * 1.5*IQR capping. Both are provided; golden tests use this one. */
+  def winsorize(df: DataFrame, cols: Seq[String], pLo: Double = 0.01,
+                pHi: Double = 0.99, exact: Boolean = true): DataFrame = {
+    val q = quantiles(df, cols, Seq(pLo, pHi), exact)
+    cols.foldLeft(df) { (d, c) =>
+      val Seq(lo, hi) = q(c)
+      d.withColumn(c, clamp(col(c), lo, hi))
+    }
+  }
+
   /** Clamp expression form (no quantiles), null-preserving. */
   def clamp(c: Column, lb: Double, ub: Double): Column =
     when(c > ub, lit(ub)).when(c < lb, lit(lb)).otherwise(c)

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.ml.fpm.FPGrowth
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Association-rule mining (SURVEY.md §2.10 M12-M14, §2.9 T6), rebuilt on
+  * ml.fpm.FPGrowth (distributed FP-Growth ≡ Apriori output at equal
+  * thresholds — reference: BigDataProject.R:554-563,
+  * associationRules.R:105-111,357-360).
+  *
+  * Scale shape: FPGrowth is the multi-stage distributed part (item
+  * frequency pass + per-partition conditional trees). Everything after —
+  * length filters, redundancy prune, interest measures — is DataFrame
+  * algebra over the (small) rules/itemsets frames.
+  */
+object Rules {
+
+  /** Build market-basket transactions: one array<string> of "col=value"
+    * items per row (arules transactions analog, associationRules.R:86). */
+  def toTransactions(df: DataFrame, cols: Seq[String],
+                     out: String = "items"): DataFrame =
+    df.withColumn(out, array(cols.map(c =>
+      concat_ws("=", lit(c), col(c).cast("string"))): _*))
+
+  /** M12: mine rules at (minSupport, minConfidence) with arules-style
+    * minlen/maxlen over antecedent+consequent size. Returns
+    * (antecedent, consequent, confidence, lift, support, count). */
+  def mine(transactions: DataFrame, itemsCol: String,
+           minSupport: Double, minConfidence: Double,
+           minLen: Int = 2, maxLen: Int = 10): DataFrame = {
+    val n = transactions.count()
+    val fp = new FPGrowth().setItemsCol(itemsCol)
+      .setMinSupport(minSupport).setMinConfidence(minConfidence)
+    val model = fp.fit(transactions)
+    model.associationRules
+      .withColumn("rule_len", size(col("antecedent")) + size(col("consequent")))
+      .filter(col("rule_len").between(minLen, maxLen))
+      .withColumn("count", round(col("support") * n, 0).cast("long"))
+      .drop("rule_len")
+  }
+
+  /** Frequent itemsets with relative support (for measure computation). */
+  def freqItemsets(transactions: DataFrame, itemsCol: String,
+                   minSupport: Double): DataFrame = {
+    val n = transactions.count()
+    val fp = new FPGrowth().setItemsCol(itemsCol).setMinSupport(minSupport)
+      .setMinConfidence(0.0)
+    fp.fit(transactions).freqItemsets
+      .withColumn("rel_support", col("freq") / lit(n.toDouble))
+  }
+
+  /** M13 (associationRules.R:121): a rule is redundant iff a rule with a
+    * PROPER SUBSET antecedent, same consequent, and >= confidence exists.
+    * Self-join on sorted consequent + subset test + anti-join survivors. */
+  def pruneRedundant(rules: DataFrame): DataFrame = {
+    val r1 = rules
+      .withColumn("__a1", sort_array(col("antecedent")))
+      .withColumn("__c1", sort_array(col("consequent")))
+    val r2 = rules.select(
+      sort_array(col("antecedent")).as("__a2"),
+      sort_array(col("consequent")).as("__c2"),
+      col("confidence").as("__conf2"))
+    val redundant = r1.join(r2,
+      col("__c1") === col("__c2") &&
+        size(col("__a2")) < size(col("__a1")) &&
+        size(array_except(col("__a2"), col("__a1"))) === 0 &&
+        col("__conf2") >= col("confidence"), "left_semi")
+    r1.join(redundant.select(col("__a1").as("__ra"), col("__c1").as("__rc")),
+      col("__a1") === col("__ra") && col("__c1") === col("__rc"), "left_anti")
+      .drop("__a1", "__c1")
+  }
+
+  /** T6 (associationRules.R:201-207): extra interest measures, all
+    * closed-form in (supp(A), supp(B), supp(A∪B), N) obtained by joining
+    * the rules frame with itemset supports. */
+  def withMeasures(rules: DataFrame, itemsets: DataFrame, nTransactions: Long): DataFrame = {
+    val suppOf = itemsets.select(sort_array(col("items")).as("__key"),
+      col("rel_support"))
+    val joined = rules
+      .join(suppOf.withColumnRenamed("rel_support", "supp_a"),
+        sort_array(col("antecedent")) === col("__key")).drop("__key")
+      .join(suppOf.withColumnRenamed("rel_support", "supp_b"),
+        sort_array(col("consequent")) === col("__key")).drop("__key")
+    val s = col("support"); val sa = col("supp_a"); val sb = col("supp_b")
+    val n = lit(nTransactions.toDouble)
+    joined
+      .withColumn("coverage", sa)
+      .withColumn("leverage", s - sa * sb)
+      .withColumn("conviction",
+        when(col("confidence") === 1.0, lit(Double.PositiveInfinity))
+          .otherwise((lit(1.0) - sb) / (lit(1.0) - col("confidence"))))
+      .withColumn("cosine", s / sqrt(sa * sb))
+      .withColumn("chi_squared",
+        n * pow(s - sa * sb, 2) / (sa * sb * (lit(1.0) - sa) * (lit(1.0) - sb)))
+      .withColumn("odds_ratio", {
+        val denom = (sa - s) * (sb - s)
+        when(denom === 0, lit(Double.PositiveInfinity))
+          .otherwise(s * (lit(1.0) - sa - sb + s) / denom)
+      })
+  }
+
+  /** M14 (associationRules.R:349-370): re-mine per segment value. */
+  def perGroupMine(df: DataFrame, groupCol: String, itemCols: Seq[String],
+                   minSupport: Double, minConfidence: Double): DataFrame = {
+    val groups = df.select(groupCol).distinct().collect().map(_.get(0).toString).sorted
+    groups.map { g =>
+      val tx = toTransactions(df.filter(col(groupCol) === g), itemCols)
+      mine(tx, "items", minSupport, minConfidence)
+        .withColumn("segment", lit(g))
+    }.reduce(_.unionByName(_))
+  }
+}
