@@ -105,14 +105,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash over a token array column: per-bit vote of token
-    * hashes, sign → bit. Pure expression (bit ops inside nested lambdas). */
-  def simhash64(toksCol: String): Column = {
-    val hs = s"transform($toksCol, t -> xxhash64(t))"
-    expr(
-      s"aggregate(transform(sequence(0, 63), b -> " +
-        s"IF(aggregate($hs, 0L, (acc, h) -> acc + IF((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0L, " +
-        s"shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc | x)")
-  }
+    * hashes, sign → bit. Single pass over the tokens with a 64-wide
+    * accumulator — the token hashes are the aggregate's input array so
+    * xxhash64 runs once per token (a per-bit outer loop would re-hash
+    * every token 64 times). */
+  def simhash64(toksCol: String): Column = expr(
+    s"""aggregate(
+          zip_with(
+            aggregate(transform($toksCol, t -> xxhash64(t)),
+                      array_repeat(0L, 64),
+                      (acc, h) -> zip_with(acc, sequence(0, 63),
+                        (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1L, -1L))),
+            sequence(0, 63),
+            (cnt, b) -> IF(cnt > 0L, shiftleft(1L, b), 0L)),
+          0L, (acc, x) -> acc | x)""")
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -53,9 +53,17 @@ object MLOps {
     val (prepped, _, _) = standardize(df, cols)
     val cached = prepped.cache()
     try {
-      val rows = ks.map { k =>
-        val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("scaled").fit(cached)
-        (k, model.summary.trainingCost)
+      val rows = ks.map {
+        case 1 =>
+          // Spark KMeans requires k >= 2; WSS(1) is the total sum of
+          // squares about the mean, computed directly (R kmeans allows 1)
+          val Row(vars: org.apache.spark.ml.linalg.Vector, n: Long) = cached.select(
+            org.apache.spark.ml.stat.Summarizer.variance(col("scaled")),
+            count(lit(1))).head()
+          (1, vars.toArray.sum * (n - 1))
+        case k =>
+          val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("scaled").fit(cached)
+          (k, model.summary.trainingCost)
       }
       import spark.implicits._
       rows.toDF("k", "wss")

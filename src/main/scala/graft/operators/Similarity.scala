@@ -32,16 +32,24 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Precompute the L2 norm once per row — cosine per pair then costs one
+    * dot product instead of three (norms recomputed per pair are the
+    * classic all-pairs perf trap; at 500k pairs it tripled the work). */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       idAs: String, vAs: String, nAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), toDoubleArray(col(vecCol)).as(vAs))
+      .withColumn(nAs, l2norm(col(vAs)))
+
   /** Exact top-k cosine neighbors for each query vector. `queries` should
     * be small (it is broadcast). Rank on the rounded score with id
     * tie-break so results are stable cross-engine. */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int = 10, scale: Int = 6): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), toDoubleArray(col(vecCol)).as("qv"))
-    val c = candidates.select(col(idCol).as("c_id"), toDoubleArray(col(vecCol)).as("cv"))
+    val q = withNorm(queries, idCol, vecCol, "q_id", "qv", "qn")
+    val c = withNorm(candidates, idCol, vecCol, "c_id", "cv", "cn")
     val scored = c.join(broadcast(q), col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
-        round(cosine(col("qv"), col("cv")), scale).as("cos"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), scale).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
@@ -54,6 +62,7 @@ object Similarity {
               k: Int = 10, bucketLength: Double = 2.0, numTables: Int = 3,
               seed: Long = 42L): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
+      .withColumn("nrm", l2norm(col("arr")))
       .withColumn("features", array_to_vector(col("arr")))
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
@@ -61,23 +70,26 @@ object Similarity {
     val model = lsh.fit(vecs)
     val joined = model.approxSimilarityJoin(vecs, vecs, Double.MaxValue, "dist")
       .select(col("datasetA.id").as("q_id"), col("datasetB.id").as("c_id"),
-        col("datasetA.arr").as("qv"), col("datasetB.arr").as("cv"))
+        col("datasetA.arr").as("qv"), col("datasetB.arr").as("cv"),
+        col("datasetA.nrm").as("qn"), col("datasetB.nrm").as("cn"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (exact,
-    * blocked by the caller at scale or piped through lshTopK). */
+    * blocked by the caller at scale or piped through lshTopK). Norms are
+    * computed once per row, not per pair. */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a_id"), toDoubleArray(col(vecCol)).as("av"))
-    val b = df.select(col(idCol).as("b_id"), toDoubleArray(col(vecCol)).as("bv"))
+    val a = withNorm(df, idCol, vecCol, "a_id", "av", "an")
+    val b = withNorm(df, idCol, vecCol, "b_id", "bv", "bn")
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("av"), col("bv")), 6).as("cos"))
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

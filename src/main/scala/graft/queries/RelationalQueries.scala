@@ -31,15 +31,21 @@ object RelationalQueries {
     "q01_flagship" -> QueryDef(
       fn = (s, d) => {
         val l = li(s, d)
-        val Seq(q1, q3) =
-          Cleaning.quantiles(l, Seq("l_extendedprice"), Seq(0.25, 0.75))("l_extendedprice")
+        // ONE exact-quantile scan: the capped distribution's {0,.25,.5,
+        // .75,1} quantiles equal the clamped raw quantiles (clamp is
+        // monotone; the interior interpolation pairs sit strictly inside
+        // the 1.5*IQR bounds, and min/max are single order stats) — so no
+        // second pass over the capped data is needed.
+        val qs = Cleaning.quantiles(l, Seq("l_extendedprice"),
+          Seq(0.0, 0.25, 0.5, 0.75, 1.0))("l_extendedprice")
+        val (q1, q3) = (qs(1), qs(3))
         val iqr = q3 - q1
-        val capped = l.withColumn("price_capped",
-          Cleaning.clamp(col("l_extendedprice"), q1 - 1.5 * iqr, q3 + 1.5 * iqr))
-        val breaks = Cleaning.quantiles(capped, Seq("price_capped"),
-          Seq(0.0, 0.25, 0.5, 0.75, 1.0))("price_capped")
-        val bucketed = capped.withColumn("bucket",
-          Cleaning.cutLabels(col("price_capped"), breaks,
+        val lb = q1 - 1.5 * iqr
+        val ub = q3 + 1.5 * iqr
+        val breaks = qs.map(b => math.max(math.min(b, ub), lb))
+        val bucketed = l
+          .withColumn("price_capped", Cleaning.clamp(col("l_extendedprice"), lb, ub))
+          .withColumn("bucket", Cleaning.cutLabels(col("price_capped"), breaks,
             Seq("Low", "Medium", "High", "VeryHigh")))
         val agg = bucketed
           .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -49,24 +55,28 @@ object RelationalQueries {
           .orderBy(desc("cnt"), asc("bucket"), asc("o_orderpriority"))
       },
       oracle = Some("""
-        WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
-                          quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem),
-        c AS (SELECT l.*, CASE WHEN l_extendedprice > q3 + 1.5*(q3-q1) THEN q3 + 1.5*(q3-q1)
-                               WHEN l_extendedprice < q1 - 1.5*(q3-q1) THEN q1 - 1.5*(q3-q1)
-                               ELSE l_extendedprice END AS price_capped
-              FROM lineitem l CROSS JOIN q),
-        b AS (SELECT quantile_cont(price_capped, 0.00) AS b0, quantile_cont(price_capped, 0.25) AS b1,
-                     quantile_cont(price_capped, 0.50) AS b2, quantile_cont(price_capped, 0.75) AS b3,
-                     quantile_cont(price_capped, 1.00) AS b4 FROM c),
-        d AS (SELECT c.*, CASE WHEN price_capped IS NULL OR price_capped < b0 OR price_capped > b4 THEN NULL
-                               WHEN price_capped <= b1 THEN 'Low'
-                               WHEN price_capped <= b2 THEN 'Medium'
-                               WHEN price_capped <= b3 THEN 'High'
-                               ELSE 'VeryHigh' END AS bucket
-              FROM c CROSS JOIN b),
+        WITH q AS (SELECT quantile_cont(l_extendedprice, [0.00, 0.25, 0.50, 0.75, 1.00]) AS qs FROM lineitem),
+        p AS (SELECT qs[2] - 1.5*(qs[4]-qs[2]) AS lb, qs[4] + 1.5*(qs[4]-qs[2]) AS ub, qs FROM q),
+        b AS (SELECT lb, ub,
+                     greatest(least(qs[1], ub), lb) AS b0, greatest(least(qs[2], ub), lb) AS b1,
+                     greatest(least(qs[3], ub), lb) AS b2, greatest(least(qs[4], ub), lb) AS b3,
+                     greatest(least(qs[5], ub), lb) AS b4 FROM p),
+        d AS (SELECT l.l_orderkey, l.l_quantity,
+                     CASE WHEN l.l_extendedprice > b.ub THEN b.ub
+                          WHEN l.l_extendedprice < b.lb THEN b.lb
+                          ELSE l.l_extendedprice END AS pc,
+                     b.b0, b.b1, b.b2, b.b3, b.b4
+              FROM lineitem l CROSS JOIN b),
+        f AS (SELECT l_orderkey, l_quantity,
+                     CASE WHEN pc IS NULL OR pc < b0 OR pc > b4 THEN NULL
+                          WHEN pc <= b1 THEN 'Low'
+                          WHEN pc <= b2 THEN 'Medium'
+                          WHEN pc <= b3 THEN 'High'
+                          ELSE 'VeryHigh' END AS bucket
+              FROM d),
         a AS (SELECT bucket, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
                      SUM(l_quantity) AS sum_qty
-              FROM d JOIN orders ON l_orderkey = o_orderkey
+              FROM f JOIN orders ON l_orderkey = o_orderkey
               GROUP BY bucket, o_orderpriority),
         r AS (SELECT *, RANK() OVER (ORDER BY cnt DESC) AS rk FROM a)
         SELECT bucket, o_orderpriority, cnt, sum_qty FROM r WHERE rk <= 10

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming surface over the events table shape (stretch
+  * capability — the reference is batch-only, SURVEY §2.11). The same
+  * windowed aggregation runs identically in batch (q22_time_window) and
+  * here as a stream: readStream → watermark → window agg → sink, plus a
+  * mapGroupsWithState session counter for custom state.
+  *
+  * At scale this is the standard shape: source partitions → stateful agg
+  * partitioned by (window, key) in the state store, watermark bounds state
+  * size; no collect anywhere.
+  */
+object EventStream {
+
+  /** The events parquet schema once nanos→timestamp conversion is applied
+    * upstream (streams read pre-converted parquet/json drops). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(dir)
+
+  /** Hourly per-type aggregation with a 10-minute watermark — the
+    * streaming twin of q22_time_window. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+  final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom state: running per-user totals via mapGroupsWithState. */
+  def userTotals(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout()) {
+        (uid, rows, state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserAgg(uid, prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive a streaming frame synchronously to a named in-memory sink
+    * (local smoke-test harness; production would use kafka/parquet). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}
