@@ -57,14 +57,22 @@ object Dedup {
     (134775813L * (j + 1) + 1L) % MinhashPrime)
 
   /** MinHash signature (array<bigint> of length numPerms) over a distinct
-    * shingle array column. Per-row expression — embarrassingly parallel. */
+    * shingle array column. Per-row expression — embarrassingly parallel.
+    * Single pass: shingle hashes are the aggregate's input (xxhash64 once
+    * per shingle), the accumulator is the numPerms-wide running minimum —
+    * a per-permutation array_min would re-hash every shingle numPerms
+    * times. Empty shingle sets yield the sentinel signature (all = p). */
   def minhashSignature(shingles: Column, numPerms: Int = 32): Column = {
-    val hs = s"transform(${shingles.toString}, x -> pmod(xxhash64(x), $MinhashPrime))"
-    val mins = (0 until numPerms).map { j =>
-      val (a, b) = perm(j)
-      s"array_min(transform($hs, h -> pmod($a * h + $b, $MinhashPrime)))"
-    }
-    expr(mins.mkString("array(", ", ", ")"))
+    val p = MinhashPrime
+    val aArr = (0 until numPerms).map(j => s"${perm(j)._1}L").mkString("array(", ", ", ")")
+    val bArr = (0 until numPerms).map(j => s"${perm(j)._2}L").mkString("array(", ", ", ")")
+    expr(
+      s"""aggregate(
+            transform(${shingles.toString}, x -> pmod(xxhash64(x), $p)),
+            array_repeat(${p}L, $numPerms),
+            (acc, h) -> zip_with(acc,
+              zip_with($aArr, $bArr, (pa, pb) -> pmod(pa * h + pb, $p)),
+              (m, v) -> least(m, v)))""")
   }
 
   /** LSH band buckets: split the signature into bands of `rowsPerBand`,
@@ -88,19 +96,28 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numPerms: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val base = df
+    val withSh = df
       .withColumn("__toks", split(col(textCol), " "))
       .withColumn("__sh", shingleExpr("__toks"))
+    val sh = withSh.select(col(idCol), col("__sh"))
+    val bands = withSh
       .withColumn("__sig", minhashSignature(col("__sh"), numPerms))
-      .select(col(idCol), col("__sh"),
+      .select(col(idCol),
         explode(lshBands(col("__sig"), numPerms, rowsPerBand)).as("bb"))
-      .select(col(idCol), col("__sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = base.select(col(idCol).as("a_id"), col("__sh").as("a_sh"), col("band"), col("bucket"))
-    val b = base.select(col(idCol).as("b_id"), col("__sh").as("b_sh"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // dedupe candidate PAIRS first (ids only — cheap shuffle), then fetch
+    // shingles and verify once per unique pair: a pair can collide in up
+    // to numPerms/rowsPerBand bands and exact Jaccard on large shingle
+    // arrays is the expensive step
+    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bucket"))
+    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sh.select(col(idCol).as("a_id"), col("__sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col(idCol).as("b_id"), col("__sh").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 

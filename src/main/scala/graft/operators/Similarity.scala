@@ -25,8 +25,10 @@ object Similarity {
   /** Cast array<float> → array<double> (exact). */
   def toDoubleArray(c: Column): Column = transform(c, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native kernel (graft.functions.DotProduct): same
+    * left-to-right summation as the HOF formulation — bit-identical
+    * results, ~an order of magnitude faster on all-pairs loops. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot(a, b)
 
   def l2norm(c: Column): Column = sqrt(dot(c, c))
 
