@@ -205,6 +205,34 @@ object MLQueries {
       oracle = None),
 
     // ----------------------------------------------------------------
+    // q63: rule-subset filters (F5 arrays_overlap on consequent, F6
+    // partial item match via exists, F7 confidence threshold) + W3
+    // argmax-by-lift per consequent — the arules subset()/%pin% surface.
+    "q63_rule_subset" -> QueryDef(
+      fn = (s, d) => {
+        val o = Tables(s, d, "orders").join(broadcast(Tables(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        val tx = Rules.toTransactions(o, Seq("o_orderstatus", "o_orderpriority", "c_mktsegment"))
+        val rules = Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3)
+        val filtered = rules
+          .filter(arrays_overlap(col("consequent"),
+            array(lit("o_orderstatus=F"), lit("o_orderstatus=O"))) ||
+            exists(col("antecedent"), _.contains("mktsegment")))
+          .filter(col("confidence") > 0.3)
+        val w = Window.partitionBy(concat_ws(",", sort_array(col("consequent"))))
+          .orderBy(desc("lift"), concat_ws(",", sort_array(col("antecedent"))).asc)
+        filtered.withColumn("rn", row_number().over(w))
+          .select(
+            concat_ws(",", sort_array(col("antecedent"))).as("lhs"),
+            concat_ws(",", sort_array(col("consequent"))).as("rhs"),
+            round(col("confidence"), 6).as("confidence"),
+            round(col("lift"), 6).as("lift"),
+            (col("rn") === 1).as("is_top_for_rhs"))
+          .orderBy("rhs", "lhs")
+      },
+      oracle = None),
+
+    // ----------------------------------------------------------------
     // q62: RBF-SVR stand-in (M8): random Fourier features + linear model
     // with a TrainValidationSplit grid (caret::tune analog); fit metrics.
     "q62_rff_svr" -> QueryDef(

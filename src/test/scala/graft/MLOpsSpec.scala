@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.MLOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit checks for ML operators not already covered by queries/goldens. */
+class MLOpsSpec extends AnyFunSuite {
+  lazy val spark = Tables.session(4)
+
+  lazy val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    .select("l_quantity", "l_discount", "l_extendedprice").cache()
+
+  test("M5: decision tree fits better than the mean baseline") {
+    val pred = MLOps.decisionTree(li, Seq("l_quantity", "l_discount"), "l_extendedprice")
+    val (rmse, _, _) = MLOps.regressionMetrics(pred, "prediction", "l_extendedprice")
+    val sd = li.agg(stddev_pop(col("l_extendedprice"))).head().getDouble(0)
+    assert(rmse <= sd * 1.001, s"tree rmse $rmse worse than baseline $sd")
+  }
+
+  test("M4: caret-style metrics — R2 is squared Pearson corr") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.1), (2.0, 3.9), (3.0, 6.1), (4.0, 7.9))
+      .toDF("label", "prediction")
+    val (rmse, r2, mae) = MLOps.regressionMetrics(df, "prediction", "label")
+    val r = df.agg(corr(col("prediction"), col("label"))).head().getDouble(0)
+    assert(math.abs(r2 - r * r) < 1e-12)
+    assert(rmse > 0 && mae > 0)
+  }
+
+  test("M2: stratified split is deterministic and ~80/20 per stratum") {
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val (tr1, te1) = MLOps.stratifiedSplit(o, "o_orderkey", "o_totalprice", 0.8)
+    val (tr2, _) = MLOps.stratifiedSplit(o, "o_orderkey", "o_totalprice", 0.8)
+    assert(tr1.count() == tr2.count())
+    val frac = tr1.count().toDouble / o.count()
+    assert(frac > 0.7 && frac < 0.9)
+    assert(tr1.count() + te1.count() == o.count())
+  }
+
+  test("A12: standardize produces mean 0 / sample sd 1") {
+    val (scaled, center, scale) = MLOps.standardize(li, Seq("l_quantity", "l_extendedprice"))
+    assert(center.length == 2 && scale.length == 2)
+    val stats = scaled.select(
+      org.apache.spark.ml.stat.Summarizer.mean(col("scaled")),
+      org.apache.spark.ml.stat.Summarizer.variance(col("scaled"))).head()
+    val means = stats.getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+    val vars = stats.getAs[org.apache.spark.ml.linalg.Vector](1).toArray
+    means.foreach(m => assert(math.abs(m) < 1e-9))
+    vars.foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+  }
+}
