@@ -205,6 +205,42 @@ object MLQueries {
       oracle = None),
 
     // ----------------------------------------------------------------
+    // q64: sketch aggregations — the 100-TB scale path for distinct
+    // counts and quantiles (HLL++ / KLL-style approx vs exact deltas).
+    // Approx values are engine-specific → rows-only check; the exact
+    // columns double as internal validation.
+    "q64_approx_sketch" -> QueryDef(
+      fn = (s, d) =>
+        Tables(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 2).as("exact_p90"),
+            round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 2).as("approx_p90"))
+          .orderBy("l_returnflag"),
+      oracle = None),
+
+    // ----------------------------------------------------------------
+    // q65: salted skew join — result must equal the plain broadcast join
+    // while fanning each hot key across 8 salt buckets (Skew.saltedJoin).
+    "q65_salted_join" -> QueryDef(
+      fn = (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"), col("l_quantity"))
+        val supp = Tables(s, d, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"), col("s_nationkey"))
+        graft.operators.Skew.saltedJoin(li, supp, "l_suppkey",
+            concat(col("l_orderkey"), lit("_"), col("l_linenumber")))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+          .orderBy("s_name")
+      },
+      oracle = Some("""
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(l_quantity) AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name ORDER BY s_name""")),
+
+    // ----------------------------------------------------------------
     // q63: rule-subset filters (F5 arrays_overlap on consequent, F6
     // partial item match via exists, F7 confidence threshold) + W3
     // argmax-by-lift per consequent — the arules subset()/%pin% surface.

@@ -107,8 +107,8 @@ object StatsQueries {
                   CAST((SELECT COUNT(*) FROM t WHERE actual = c.cls) AS BIGINT) AS actual_n
                 FROM (SELECT DISTINCT pred AS cls FROM t UNION SELECT DISTINCT actual FROM t) c)
         SELECT per.class, per.tp, per.pred_n, per.actual_n,
-               ROUND(per.tp / CAST(per.pred_n AS DOUBLE), 6) AS precision,
-               ROUND(per.tp / CAST(per.actual_n AS DOUBLE), 6) AS recall,
+               ROUND(per.tp / CAST(per.pred_n AS DOUBLE), 6) AS "precision",
+               ROUND(per.tp / CAST(per.actual_n AS DOUBLE), 6) AS "recall",
                ROUND(acc.po, 6) AS accuracy,
                ROUND((acc.po - pe.pe) / (1 - pe.pe), 6) AS kappa
         FROM per CROSS JOIN acc CROSS JOIN pe ORDER BY per.class"""))
