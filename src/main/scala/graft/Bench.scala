@@ -14,6 +14,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qmap = SparkEntry.queries
+    // JVM/codegen/scan warmup so the first timed query isn't charged for
+    // session startup (touch every table once + run one tiny query)
+    graft.Tables.names.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+    try qmap("q02_pricing_summary")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.benchQueries.map { name =>
       val t0 = System.nanoTime()
       try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }

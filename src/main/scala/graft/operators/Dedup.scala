@@ -122,20 +122,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash over a token array column: per-bit vote of token
-    * hashes, sign → bit. Single pass over the tokens with a 64-wide
-    * accumulator — the token hashes are the aggregate's input array so
-    * xxhash64 runs once per token (a per-bit outer loop would re-hash
-    * every token 64 times). */
-  def simhash64(toksCol: String): Column = expr(
-    s"""aggregate(
-          zip_with(
-            aggregate(transform($toksCol, t -> xxhash64(t)),
-                      array_repeat(0L, 64),
-                      (acc, h) -> zip_with(acc, sequence(0, 63),
-                        (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1L, -1L))),
-            sequence(0, 63),
-            (cnt, b) -> IF(cnt > 0L, shiftleft(1L, b), 0L)),
-          0L, (acc, x) -> acc | x)""")
+    * hashes, sign → bit. Token hashing is one transform pass; the 64-bit
+    * vote/fold runs in the native codegen'd SimHash64 expression (the
+    * nested-lambda formulation walked a 64-wide array accumulator through
+    * interpreted HOFs per token). */
+  def simhash64(toksCol: String): Column =
+    graft.functions.SimHashExpression.simhash64(
+      expr(s"transform($toksCol, t -> xxhash64(t))"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
