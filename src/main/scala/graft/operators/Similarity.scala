@@ -82,6 +82,45 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path: k-means
+    * partitions the vectors into nlist cells (seeded, deterministic);
+    * each query probes only its nprobe nearest cells and re-scores
+    * exactly. At 100 TB the cell assignment is one narrow shuffle-free
+    * column, the probe map is a broadcast of nlist centroids, and the
+    * candidate join fans each query to ~nprobe/nlist of the data. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val base = withNorm(candidates, idCol, vecCol, "c_id", "cv", "cn")
+      .withColumn("features", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(base)
+    val cells = model.transform(base).select("c_id", "cv", "cn", "cell")
+    // per-query nprobe nearest centroids via broadcast centroid frame
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "center")
+    val q = withNorm(queries, idCol, vecCol, "q_id", "qv", "qn")
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", dot(col("qv"), col("center")) /
+        (col("qn") * sqrt(dot(col("center"), col("center")))))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cdist"), asc("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select("q_id", "qv", "qn", "cell")
+    val scored = probes.join(cells, Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (exact,
     * blocked by the caller at scale or piped through lshTopK). Norms are
     * computed once per row, not per pair. */

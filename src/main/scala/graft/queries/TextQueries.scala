@@ -227,6 +227,48 @@ object TextQueries {
       oracle = None),
 
     // ----------------------------------------------------------------
+    // q46: IVF ANN (k-means cells + nprobe probing + exact re-score) —
+    // the third similarity-search tier next to q35 (exact) and q44 (LSH).
+    // Seeded k-means cells → rows-only check; recall vs exact is pinned
+    // in ScalaTest.
+    "q46_ann_ivf" -> QueryDef(
+      fn = (s, d) => {
+        val e = embs(s, d)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding")
+          .orderBy("q_id", "rn")
+      },
+      oracle = None),
+
+    // ----------------------------------------------------------------
+    // q47: batch sessionization — lag + cumulative-sum session ids, the
+    // engine-portable formulation (native session_window equivalence is
+    // pinned in ScalaTest). 30-minute inactivity gap over epoch nanos.
+    "q47_sessionize" -> QueryDef(
+      fn = (s, d) => {
+        val gapNs = 1800000000000L // 30 min
+        graft.operators.Sessionize.manualSessions(
+            Tables(s, d, "events"), "user_id", "ts", "event_id", gapNs)
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("sess_start"), max("ts").as("sess_end"),
+            QueryDef.dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("sess_id"), col("n_events"),
+            col("sess_start"), col("sess_end"), col("sum_value"))
+          .orderBy("user_id", "sess_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, value FROM events),
+        m AS (SELECT *, CASE WHEN tsn - LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 1800000000000
+                              OR LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+                             THEN 1 ELSE 0 END AS new_sess FROM e),
+        s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM m)
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(tsn) AS sess_start, MAX(tsn) AS sess_end,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
+
+    // ----------------------------------------------------------------
     // q45: embedding-cosine near-duplicate pairs (exact, id-blocked).
     "q45_embed_dup" -> QueryDef(
       fn = (s, d) =>

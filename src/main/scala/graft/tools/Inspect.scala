@@ -18,7 +18,7 @@ object Inspect {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val tables = Seq("events", "documents", "embeddings")
+    val tables = graft.Tables.names
     tables.foreach { t =>
       val df = spark.read.parquet(s"$dir/$t.parquet")
       println(s"=== $t rows=${df.count()} ===")
