@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Cleaning
+import graft.operators.{AsOf, Cleaning}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -557,6 +557,45 @@ object RelationalQueries {
                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
                ROUND(MAX(o_totalprice), 2) AS max_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ----------------------------------------------------------------
+    // q48: as-of join — each event matched to the user's most recent
+    // order at or before the event instant (composed from window
+    // built-ins, see operators.AsOf; DuckDB oracles it with its native
+    // ASOF JOIN). Right side deduped to one order per (custkey, second)
+    // keeping the max orderkey, so the match is deterministic in both
+    // engines. Both timelines in epoch seconds.
+    "q48_asof_join" -> QueryDef(
+      fn = (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000000000").as("ev_sec"))
+        val w = Window.partitionBy("o_custkey", "ord_sec")
+          .orderBy(desc("o_orderkey"))
+        val ords = ord(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_timestamp(col("o_orderdate").cast("timestamp")).as("ord_sec"),
+            col("o_totalprice"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        AsOf.join(ev, ords, "user_id", "o_custkey", "ev_sec", "ord_sec")
+          .select(col("event_id"), col("user_id"),
+            col("payload.o_orderkey").as("last_orderkey"),
+            col("payload.o_totalprice").as("last_totalprice"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH ords AS (
+          SELECT o_orderkey, o_custkey, epoch(o_orderdate)::BIGINT AS ord_sec, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey, epoch(o_orderdate)::BIGINT
+                                    ORDER BY o_orderkey DESC) AS rn
+          FROM orders),
+        dedup AS (SELECT * FROM ords WHERE rn = 1),
+        ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ev_sec FROM events)
+        SELECT ev.event_id, ev.user_id, d.o_orderkey AS last_orderkey,
+               d.o_totalprice AS last_totalprice
+        FROM ev ASOF LEFT JOIN dedup d
+          ON ev.user_id = d.o_custkey AND ev.ev_sec >= d.ord_sec
+        ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
     // q30: transactions/item-frequency (A14/A15): rows → item arrays →
