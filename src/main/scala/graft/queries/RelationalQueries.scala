@@ -431,21 +431,28 @@ object RelationalQueries {
 
     // ----------------------------------------------------------------
     // q20: lag/lead over event streams (per-user ordered by time).
+    // ts is emitted at MICROsecond resolution on both sides: DuckDB's
+    // parquet reader may truncate TIMESTAMP(NANOS) to its native micros
+    // timestamp, so raw-nanos outputs can never hash-match. `ts div 1000`
+    // (Spark, raw nanos long) == `epoch_ns(ts) // 1000` (DuckDB, whether
+    // its read kept nanos or already truncated to micros).
     "q20_lag_lead" -> QueryDef(
       fn = (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
         Tables(s, d, "events")
+          .withColumn("ts_us", expr("ts div 1000"))
           .withColumn("prev_value", lag(col("value"), 1).over(w))
           .withColumn("next_type", lead(col("event_type"), 1).over(w))
-          .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
             round(col("value") - col("prev_value"), 2).as("delta_value"), col("next_type"))
-          .orderBy("user_id", "ts", "event_id")
+          .orderBy("user_id", "ts_us", "event_id")
       },
       oracle = Some("""
-        SELECT user_id, event_id, epoch_ns(ts) AS ts, value,
-               ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id), 2) AS delta_value,
-               LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS next_type
-        FROM events ORDER BY user_id, ts, event_id""")),
+        WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value, event_type FROM events)
+        SELECT user_id, event_id, ts_us, value,
+               ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), 2) AS delta_value,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type
+        FROM e ORDER BY user_id, ts_us, event_id""")),
 
     // ----------------------------------------------------------------
     // q21: argmax-within-group (W3): each customer's largest order.
@@ -471,14 +478,19 @@ object RelationalQueries {
       fn = (s, d) =>
         Tables.events(s, d)
           .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"),
+          .agg(count(lit(1)).as("cnt"),
+            // exact decimal sum / count, NO round: round(avg,4) can land
+            // exactly on a half boundary (sum-of-2dp / 8 = x.xxxx5) where
+            // Spark (shortest-string HALF_UP) and DuckDB (binary) diverge.
+            (QueryDef.dsum(col("value")) / count(lit(1))).as("avg_value"),
             countDistinct(col("user_id")).as("n_users"))
           .select(unix_timestamp(col("w.start")).as("hour_start"), col("event_type"),
             col("cnt"), col("avg_value"), col("n_users"))
           .orderBy("hour_start", "event_type"),
       oracle = Some("""
         SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start, event_type,
-               CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(AVG(value), 4) AS avg_value,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 

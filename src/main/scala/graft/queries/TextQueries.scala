@@ -245,20 +245,25 @@ object TextQueries {
     // pinned in ScalaTest). 30-minute inactivity gap over epoch nanos.
     "q47_sessionize" -> QueryDef(
       fn = (s, d) => {
-        val gapNs = 1800000000000L // 30 min
+        // Sessionize at MICROsecond resolution: DuckDB's parquet reader may
+        // truncate TIMESTAMP(NANOS) to micros, so both the gap comparisons
+        // and the emitted start/end must be micros to hash-match under
+        // either DuckDB behavior (ns-capable or truncating read).
+        val gapUs = 1800000000L // 30 min in micros
         graft.operators.Sessionize.manualSessions(
-            Tables(s, d, "events"), "user_id", "ts", "event_id", gapNs)
+            Tables(s, d, "events").withColumn("ts_us", expr("ts div 1000")),
+            "user_id", "ts_us", "event_id", gapUs)
           .groupBy("user_id", "sess_id")
           .agg(count(lit(1)).as("n_events"),
-            min("ts").as("sess_start"), max("ts").as("sess_end"),
+            min("ts_us").as("sess_start"), max("ts_us").as("sess_end"),
             QueryDef.dsum(col("value")).as("sum_value"))
           .select(col("user_id"), col("sess_id"), col("n_events"),
             col("sess_start"), col("sess_end"), col("sum_value"))
           .orderBy("user_id", "sess_id")
       },
       oracle = Some("""
-        WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, value FROM events),
-        m AS (SELECT *, CASE WHEN tsn - LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 1800000000000
+        WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsn, value FROM events),
+        m AS (SELECT *, CASE WHEN tsn - LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 1800000000
                               OR LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
                              THEN 1 ELSE 0 END AS new_sess FROM e),
         s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id
