@@ -100,6 +100,20 @@ object Rules {
       })
   }
 
+  /** Recover the exact integer count basis (pc = supp count of A∪B,
+    * ac = antecedent count, cc = consequent count) from a mined rules
+    * frame. FPGrowth emits only double ratios + `count`; the ratios are
+    * single divisions of the underlying longs, so the longs are
+    * recoverable exactly (relative error of a few ulp ≪ 1/2). Integer
+    * basis → measures can be computed with integer/fixed-op-tree math
+    * that is bit-identical across engines (the oracle-parity trick). */
+  def withCountBasis(rules: DataFrame, n: Long): DataFrame =
+    rules
+      .withColumn("__pc", col("count"))
+      .withColumn("__ac", round(col("count") / col("confidence")).cast("long"))
+      .withColumn("__cc",
+        round(col("confidence") * lit(n.toDouble) / col("lift")).cast("long"))
+
   /** M14 (associationRules.R:349-370): re-mine per segment value. */
   def perGroupMine(df: DataFrame, groupCol: String, itemCols: Seq[String],
                    minSupport: Double, minConfidence: Double): DataFrame = {

