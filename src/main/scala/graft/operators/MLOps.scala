@@ -62,7 +62,15 @@ object MLOps {
             count(lit(1))).head()
           (1, vars.toArray.sum * (n - 1))
         case k =>
-          val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("scaled").fit(cached)
+          // random init for the sweep: the elbow needs the WSS(k) shape,
+          // not each fit's global optimum, and k-means|| init is several
+          // extra data passes per k (the sweep is |ks| fits — the init
+          // cost dominates at scale). The final model fit (kmeans())
+          // keeps the k-means|| default.
+          // capped iterations: the sweep needs the WSS(k) curve's shape,
+          // not converged optima; each iteration is a full pass at scale
+          val model = new KMeans().setK(k).setSeed(seed).setInitMode("random")
+            .setMaxIter(8).setFeaturesCol("scaled").fit(cached)
           (k, model.summary.trainingCost)
       }
       import spark.implicits._

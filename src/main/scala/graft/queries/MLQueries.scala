@@ -208,16 +208,17 @@ object MLQueries {
       oracle = None),
 
     // ----------------------------------------------------------------
-    // q56: OLS with full coefficient summary (M3: lm() analog, exact
-    // normal-equation solve — no RNG at all).
+    // q56: OLS with coefficient t-values (M3: lm() analog) — single-pass
+    // exact-sufficient-statistics + Cramer closed form (OlsSufficient):
+    // one narrow aggregation instead of MLlib's assembler + iterative
+    // passes, bit-identical to the generated DuckDB oracle. The MLlib
+    // normal-solver path stays in MLOps.ols + specs.
     "q56_ols_coefficients" -> QueryDef(
       fn = (s, d) =>
-        MLOps.ols(Tables(s, d, "lineitem"),
-          Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
-          .select(col("term"), round(col("estimate"), 4).as("estimate"),
-            round(col("t_value"), 2).as("t_value"))
-          .orderBy("term"),
-      oracle = None),
+        graft.operators.OlsSufficient.fit(Tables(s, d, "lineitem"),
+          Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice"),
+      oracle = Some(graft.operators.OlsSufficient.oracleSql("lineitem",
+        Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice"))),
 
     // ----------------------------------------------------------------
     // q57: random-forest feature importances (M6), seeded.

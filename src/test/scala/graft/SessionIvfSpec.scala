@@ -54,4 +54,18 @@ class SessionIvfSpec extends AnyFunSuite {
     val again = Similarity.ivfTopK(e, q, "vec_id", "embedding").collect()
     assert(ivf.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("LSH ANN: candidate pruning with reasonable recall vs exact") {
+    val e = Tables(spark, dir, "embeddings").cache()
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", k = 5).collect()
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lshPairs.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall $recall unreasonably low")
+    // determinism (seeded hyperplanes)
+    val again = Similarity.lshTopK(e, "vec_id", "embedding", k = 5).collect()
+    assert(lsh.map(_.toString).sameElements(again.map(_.toString)))
+    e.unpersist()
+  }
 }
