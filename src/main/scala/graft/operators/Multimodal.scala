@@ -59,9 +59,11 @@ object Multimodal {
     * chunks (as a video frame-sampler would) and fingerprint each. Pure
     * expression — stays in codegen. */
   def sampleChunks(df: DataFrame, idCol: String, bytesCol: String, n: Int = 4): DataFrame =
+    // integer `div` for offsets/lengths: a double division + CAST here
+    // would truncate in Spark but round in DuckDB — not oracle-safe
     df.select(col(idCol), posexplode(expr(
       s"transform(sequence(0, ${n - 1}), i -> " +
-        s"sha2(substring($bytesCol, CAST(i * octet_length($bytesCol) / $n AS INT) + 1, " +
-        s"greatest(CAST(octet_length($bytesCol) / $n AS INT), 1)), 256))"))
+        s"sha2(substring($bytesCol, CAST((i * octet_length($bytesCol)) div $n AS INT) + 1, " +
+        s"CAST(greatest(octet_length($bytesCol) div $n, 1) AS INT)), 256))"))
       .as(Seq("chunk_idx", "chunk_sha")))
 }

@@ -630,6 +630,37 @@ object RelationalQueries {
         n AS (SELECT COUNT(*) AS total FROM orders)
         SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
                ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM n), 6) AS support
-        FROM t GROUP BY item ORDER BY cnt DESC, item"""))
+        FROM t GROUP BY item ORDER BY cnt DESC, item""")),
+
+    // ----------------------------------------------------------------
+    // q49: pivot / wide crosstab — groupBy().pivot() with PINNED pivot
+    // values (dynamic value discovery is a separate pass and
+    // nondeterministic column order; pinning is also what you do at scale
+    // so the schema is known up front). Counts coalesced to 0 to match
+    // SQL's conditional-sum semantics; revenue sums are exact decimal.
+    "q49_pivot" -> QueryDef(
+      fn = (s, d) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val wide = ord(s, d)
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", prios)
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("rev"))
+        wide.select(col("o_orderstatus") +:
+          prios.zipWithIndex.flatMap { case (p, i) =>
+            Seq(coalesce(col(s"`${p}_cnt`"), lit(0L)).as(s"p${i + 1}_cnt"),
+              col(s"`${p}_rev`").as(s"p${i + 1}_rev"))
+          }: _*)
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val cells = prios.zipWithIndex.map { case (p, i) =>
+          s"""CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS p${i + 1}_cnt,
+             CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p${i + 1}_rev"""
+        }.mkString(",\n")
+        s"""
+        SELECT o_orderstatus, $cells
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      })
   )
 }

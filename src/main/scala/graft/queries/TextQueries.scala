@@ -285,6 +285,25 @@ object TextQueries {
         FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
 
     // ----------------------------------------------------------------
+    // q66: frame-sampling analog (Multimodal.sampleChunks) — slice each
+    // binary payload into 4 evenly spaced chunks (as a video frame
+    // sampler would) and fingerprint each; pure expression, stays in
+    // codegen. ASCII payloads make byte offsets == char offsets, so the
+    // oracle mirrors with substring + sha256 over the text.
+    "q66_frame_sample" -> QueryDef(
+      fn = (s, d) => {
+        val bin = Multimodal.binarize(docs(s, d), "doc_id", "text")
+        Multimodal.sampleChunks(bin, "doc_id", "bytes", n = 4)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      oracle = Some("""
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+               sha256(substring(text, ((i * length(text)) // 4) + 1,
+                                greatest(length(text) // 4, 1))) AS chunk_sha
+        FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ix
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ----------------------------------------------------------------
     // q45: embedding-cosine near-duplicate pairs (exact, id-blocked).
     "q45_embed_dup" -> QueryDef(
       fn = (s, d) =>

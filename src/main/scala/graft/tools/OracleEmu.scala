@@ -33,6 +33,12 @@ object OracleEmu {
   /** Oracles whose DuckDB form uses list functions get a hand-written
     * Spark-SQL equivalent here (same semantics, Spark dialect). */
   private val overrides: Map[String, String] = Map(
+    "q66_frame_sample" -> """
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             sha2(CAST(substring(text, CAST(((i * length(text)) div 4) AS INT) + 1,
+                              CAST(greatest(length(text) div 4, 1) AS INT)) AS BINARY), 256) AS chunk_sha
+      FROM documents LATERAL VIEW explode(sequence(0, 3)) ix AS i
+      ORDER BY doc_id, chunk_idx""",
     "q43_multimodal_decode" -> """
       SELECT doc_id,
              aggregate(transform(sequence(0, 7),

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape pins for the properties that matter at 100 TB:
+  * filter pushdown and column pruning at the parquet scan, broadcast
+  * joins on dimension tables, equi-join (not cross) candidate generation
+  * in the LSH path, and no stray cartesian products. Asserted on the
+  * FINAL adaptive plan (after an action — pre-execution AQE plans hide
+  * codegen/join choices). */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = Tables.session(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    // formatted mode prints PushedFilters/ReadSchema untruncated (the
+    // default tree string elides long attribute lists with "...")
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q03: filter and projection are pushed into the parquet scan") {
+    val p = finalPlan("q03_filter_project")
+    assert("PushedFilters: \\[[^\\]]*[A-Za-z]".r.findFirstIn(p).isDefined,
+      s"no non-empty PushedFilters in:\n${p.take(1200)}")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined && read.get.split(",").length <= 8,
+      s"scan reads too many columns: $read")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q11: star join broadcasts the dimension sides") {
+    val p = finalPlan("q11_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q44: LSH candidate generation is an equi-join on (table, bucket)") {
+    val p = finalPlan("q44_ann_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH degenerated into a cross join")
+  }
+
+  test("q22: time-window aggregation is hash-aggregated, not sorted per group") {
+    val p = finalPlan("q22_time_window")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(1200))
+  }
+
+  test("q56: sufficient-stats OLS is a single narrow aggregation pass") {
+    val p = finalPlan("q56_ols_coefficients")
+    // one scan feeding one (partial+final) aggregate; no joins of the fact table
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+  }
+}
