@@ -52,6 +52,26 @@ object EventStream {
       }
   }
 
+  /** Streaming ingest dedup — the training-pipeline front door: duplicate
+    * records (re-delivered events, re-crawled documents) are dropped by
+    * key while the watermark bounds the dedup state, so state size is
+    * O(keys per watermark window), not O(all history). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming sessionization — the streaming twin of the batch
+    * q47/Sessionize path, via native session_window with gap-close
+    * semantics bounded by the watermark. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"), col("sum_value"))
+
   /** Drive a streaming frame synchronously to a named in-memory sink
     * (local smoke-test harness; production would use kafka/parquet). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -47,4 +47,44 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("n") =!= col("count")).count()
     assert(joined == 0, "streaming per-user counts diverge from batch")
   }
+
+  test("watermarked streaming dedup drops exact re-deliveries") {
+    // stage a doubled drop: every event delivered twice
+    val dupDir = java.nio.file.Files.createTempDirectory("events_dup").toString
+    val once = spark.read.parquet(stagingDir)
+    once.union(once).write.mode("overwrite").parquet(dupDir)
+    val dedup = EventStream.dedupStream(
+      EventStream.readEvents(spark, dupDir), Seq("event_id"))
+    EventStream.runToMemory(dedup, "dedup_stream", OutputMode.Append())
+    val got = spark.table("dedup_stream").count()
+    assert(got == once.count(),
+      s"dedup stream kept $got of ${2 * once.count()} doubled rows; expected ${once.count()}")
+  }
+
+  test("streaming session_window agg emits exactly the watermark-closed batch sessions") {
+    val gapUs = 1800000000L
+    val wmUs = 600000000L // 10 minutes, matches sessionAgg's watermark
+    val stream = EventStream.sessionAgg(EventStream.readEvents(spark, stagingDir))
+    EventStream.runToMemory(stream, "sess_stream", OutputMode.Append())
+    val streamed = spark.table("sess_stream")
+      .select(col("user_id"), unix_micros(col("sess_start")).as("s"), col("n_events"))
+    val evB = Tables(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val batchSess = graft.operators.Sessionize.manualSessions(
+        evB, "user_id", "ts_us", "event_id", gapUs)
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"), min("ts_us").as("s"), max("ts_us").as("e"))
+    // append mode emits a session once the watermark passes its window
+    // end (= last event + gap); the final watermark under AvailableNow is
+    // max event time − delay, so tail sessions legitimately stay open
+    val wm = evB.agg(max("ts_us")).head().getLong(0) - wmUs
+    val nStrict = batchSess.filter(col("e") + gapUs < wm).count()
+    val nLenient = batchSess.filter(col("e") + gapUs <= wm).count()
+    val n = streamed.count()
+    assert(n == nStrict || n == nLenient,
+      s"streamed $n sessions; batch closed-session count is $nStrict/$nLenient")
+    // every emitted session matches a batch session exactly (start + size)
+    val matched = streamed.join(batchSess, Seq("user_id", "s", "n_events"), "left_semi").count()
+    assert(matched == n, s"only $matched of $n streamed sessions match batch sessionization")
+  }
 }
