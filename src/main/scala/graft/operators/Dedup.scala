@@ -57,12 +57,24 @@ object Dedup {
     (134775813L * (j + 1) + 1L) % MinhashPrime)
 
   /** MinHash signature (array<bigint> of length numPerms) over a distinct
-    * shingle array column. Per-row expression — embarrassingly parallel.
-    * Single pass: shingle hashes are the aggregate's input (xxhash64 once
-    * per shingle), the accumulator is the numPerms-wide running minimum —
-    * a per-permutation array_min would re-hash every shingle numPerms
-    * times. Empty shingle sets yield the sentinel signature (all = p). */
+    * shingle array column. Per-row, embarrassingly parallel: shingles are
+    * xxhash64'd once each (codegen'd builtin transform), then the
+    * numPerms-wide running minimum runs in the native codegen'd
+    * MinHashSignature kernel (the aggregate+zip_with HOF formulation of
+    * the same fold is interpreted and was the q33 hot spot; equivalence
+    * is pinned in DedupSpec). Empty shingle sets yield the sentinel
+    * signature (all = p). */
   def minhashSignature(shingles: Column, numPerms: Int = 32): Column = {
+    val p = MinhashPrime
+    val perms = (0 until numPerms).map(perm)
+    graft.functions.MinHashExpression.minhash(
+      expr(s"transform(${shingles.toString}, x -> pmod(xxhash64(x), $p))"),
+      perms.map(_._1), perms.map(_._2), p)
+  }
+
+  /** The pure-expression formulation of [[minhashSignature]] — kept as
+    * the executable spec of the native kernel (DedupSpec pins equality). */
+  def minhashSignatureExpr(shingles: Column, numPerms: Int = 32): Column = {
     val p = MinhashPrime
     val aArr = (0 until numPerms).map(j => s"${perm(j)._1}L").mkString("array(", ", ", ")")
     val bArr = (0 until numPerms).map(j => s"${perm(j)._2}L").mkString("array(", ", ", ")")

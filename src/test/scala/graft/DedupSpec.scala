@@ -47,6 +47,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("native minhash kernel == pure-expression formulation") {
+    val sh = corpus
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("__sh", Dedup.shingleExpr("__toks"))
+    // include an empty-shingle row (short doc) to cover the sentinel path
+    val withEmpty = sh.union(
+      Seq((9L, "ab")).toDF("doc_id", "text")
+        .withColumn("__toks", split(col("text"), " "))
+        .withColumn("__sh", Dedup.shingleExpr("__toks")))
+    val both = withEmpty.select(col("doc_id"),
+      Dedup.minhashSignature(col("__sh")).as("native"),
+      Dedup.minhashSignatureExpr(col("__sh")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("simhash: identical docs distance 0, unrelated far") {
     val sigs = corpus.withColumn("sig", Dedup.simhash64("split(text, ' ')"))
       .select("doc_id", "sig").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
