@@ -101,10 +101,13 @@ object OlsSufficient {
   /** The Spark plan built from the shared stage expressions. */
   def fit(df: DataFrame, features: Seq[String], label: String): DataFrame = {
     val (aggE, castE, detE, estE, rowE) = stages(features, label)
+    // cache the one-row stats frame: the per-term union branches would
+    // otherwise each re-run the full aggregation scan (p+1 passes)
     val stats = df.agg(expr(aggE.head), aggE.tail.map(expr): _*)
       .selectExpr(castE: _*)
       .selectExpr("*" +: detE: _*)
       .selectExpr("*" +: estE: _*)
+      .cache()
     rowE.map { case (term, est, t) =>
       stats.selectExpr(s"$term AS term", s"$est AS estimate", s"$t AS t_value")
     }.reduce(_.unionByName(_)).orderBy("term")

@@ -73,6 +73,9 @@ object StatsQueries {
     // StatsSpec.
     "q40_tukey_hsd" -> QueryDef(
       fn = (s, d) => {
+        // cache the k-row group stats: they feed the pair self-join (both
+        // sides) AND the pooled-MSW aggregate — uncached, that is three
+        // full scans of the fact table
         val g = Tables(s, d, "events").groupBy("event_type").agg(
           count(lit(1)).as("n"),
           expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("s1"),
@@ -80,6 +83,7 @@ object StatsQueries {
           .select(col("event_type"), col("n"),
             expr("s1 / n").as("m"),
             expr("(s2 - ((s1 * s1) / n)) / (n - 1)").as("v"))
+          .cache()
         val w = g.agg(
           expr("SUM((n - 1) * v) / (SUM(n) - COUNT(*))").as("msw"))
         val a = g.select(col("event_type").as("a_et"), col("n").as("a_n"), col("m").as("a_m"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.MLOps
+import graft.operators.{MLOps, OlsSufficient}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -48,5 +48,21 @@ class MLOpsSpec extends AnyFunSuite {
     val vars = stats.getAs[org.apache.spark.ml.linalg.Vector](1).toArray
     means.foreach(m => assert(math.abs(m) < 1e-9))
     vars.foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("OlsSufficient (Cramer over exact sums) agrees with MLlib's normal solver") {
+    val full = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val cramer = OlsSufficient.fit(full, feats, "l_extendedprice")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val mllib = MLOps.ols(full, feats, "l_extendedprice")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    assert(cramer.keySet == mllib.keySet)
+    cramer.foreach { case (term, (est, t)) =>
+      val (est2, t2) = mllib(term)
+      val scale = math.max(math.abs(est2), 1e-9)
+      assert(math.abs(est - est2) / scale < 1e-6, s"$term estimate $est vs $est2")
+      assert(math.abs(t - t2) / math.max(math.abs(t2), 1e-9) < 1e-4, s"$term t $t vs $t2")
+    }
   }
 }
