@@ -62,6 +62,30 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
+  /** Word n-grams WITH multiplicity (frequency counting wants every
+    * occurrence; Dedup.shingleExpr dedups for set similarity). */
+  def ngramExpr(toksCol: String, n: Int = 2): Column =
+    expr(
+      s"IF(size($toksCol) >= $n, " +
+        s"transform(sequence(1, size($toksCol) - ${n - 1}), " +
+        s"i -> concat_ws(' ', " +
+        (0 until n).map(i => s"element_at($toksCol, i + $i)").mkString(", ") +
+        ")), CAST(array() AS ARRAY<STRING>))")
+
+  /** TF-IDF term scores: tf = in-document term count, idf = smooth
+    * ln((N+1)/(df+1)) + 1. Two hash-aggregate shuffles (doc-term, then
+    * term document-frequency) + a term-keyed join — the canonical
+    * distributed shape; no vectors, no fitting, SQL-mirrorable. `nDocs`
+    * is passed in so the caller controls the extra count pass. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String, nDocs: Long): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dft"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        expr(s"round(tf * (ln(CAST($nDocs + 1 AS DOUBLE) / (dft + 1)) + 1.0), 6)"))
+  }
+
   /** Document fingerprint: md5 of the first n tokens (prefix fingerprint
     * for near-head-duplicate grouping). */
   def prefixFingerprint(textCol: String, n: Int = 5): Column =

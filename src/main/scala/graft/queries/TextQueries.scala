@@ -304,6 +304,56 @@ object TextQueries {
         ORDER BY doc_id, chunk_idx""")),
 
     // ----------------------------------------------------------------
+    // q67: corpus bigram frequency — ngrams with multiplicity, hash
+    // aggregate, top-20 with ties (A6/A7 shape on text). The explode is
+    // the only wide edge; counting is map-side combinable.
+    "q67_ngram_freq" -> QueryDef(
+      fn = (s, d) => {
+        val grams = docs(s, d)
+          .withColumn("__toks", split(col("text"), " "))
+          .select(explode(TextAnalysis.ngramExpr("__toks", 2)).as("ngram"))
+          .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        graft.operators.Cleaning.topNWithTies(grams, "cnt", 20)
+          .orderBy(desc("cnt"), asc("ngram"))
+      },
+      oracle = Some("""
+        WITH toks AS (SELECT string_split(text, ' ') AS s FROM documents),
+        grams AS (SELECT unnest(list_transform(range(1, len(s)),
+                    i -> s[i] || ' ' || s[i+1])) AS ngram FROM toks),
+        c AS (SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram),
+        r AS (SELECT *, RANK() OVER (ORDER BY cnt DESC) AS rk FROM c)
+        SELECT ngram, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rk <= 20
+        ORDER BY cnt DESC, ngram""")),
+
+    // ----------------------------------------------------------------
+    // q68: TF-IDF top-5 terms per document — the DataFrame-algebra
+    // formulation (no HashingTF vectors): doc-term counts, term document
+    // frequency, smooth idf, per-doc top-k. Ranking runs on the rounded
+    // score so a 1-ulp ln() difference between engines cannot reorder.
+    "q68_tfidf" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d)
+        val n = base.count()
+        val scored = TextAnalysis.tfIdf(base, "doc_id", "text", n)
+        val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("doc_id"), col("rn").cast("int").as("rn"),
+            col("term"), col("tf"), col("score"))
+          .orderBy("doc_id", "rn")
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS nd FROM documents),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                 ROUND(tf.tf * (ln(CAST(n.nd + 1 AS DOUBLE) / (dfreq.dft + 1)) + 1.0), 6) AS score
+               FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
+        SELECT doc_id, CAST(rn AS INTEGER) AS rn, term, CAST(tf AS BIGINT) AS tf, score
+        FROM r WHERE rn <= 5 ORDER BY doc_id, rn""")),
+
+    // ----------------------------------------------------------------
     // q45: embedding-cosine near-duplicate pairs (exact, id-blocked).
     "q45_embed_dup" -> QueryDef(
       fn = (s, d) =>

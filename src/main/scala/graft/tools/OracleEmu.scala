@@ -33,6 +33,26 @@ object OracleEmu {
   /** Oracles whose DuckDB form uses list functions get a hand-written
     * Spark-SQL equivalent here (same semantics, Spark dialect). */
   private val overrides: Map[String, String] = Map(
+    "q67_ngram_freq" -> """
+      WITH grams AS (
+        SELECT ngram FROM (SELECT split(text, ' ') AS s FROM documents)
+        LATERAL VIEW explode(IF(size(s) >= 2,
+          transform(sequence(1, size(s) - 1), i -> concat_ws(' ', element_at(s, i), element_at(s, i + 1))),
+          CAST(array() AS ARRAY<STRING>))) g AS ngram),
+      c AS (SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram),
+      r AS (SELECT *, RANK() OVER (ORDER BY cnt DESC) AS rk FROM c)
+      SELECT ngram, cnt FROM r WHERE rk <= 20 ORDER BY cnt DESC, ngram""",
+    "q68_tfidf" -> """
+      WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      dfreq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS nd FROM documents),
+      sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * (ln(CAST(n.nd + 1 AS DOUBLE) / (dfreq.dft + 1)) + 1.0), 6) AS score
+             FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
+      SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, score
+      FROM r WHERE rn <= 5 ORDER BY doc_id, rn""",
     "q66_frame_sample" -> """
       SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
              sha2(CAST(substring(text, CAST(((i * length(text)) div 4) AS INT) + 1,
