@@ -401,8 +401,11 @@ object MLQueries {
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
             expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
             expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("approx_p90"))
+          // scale 4, not 2: the p90 interpolation is a + (j/10)*(k/100)
+          // — exactly 3 decimals — so a half-tie at scale 4 cannot occur,
+          // while 0.9*0.05 = .045 ties at scale 2
           .select(col("l_returnflag"), col("exact_parts"),
-            round(col("exact_p90"), 2).as("exact_p90"),
+            round(col("exact_p90"), 4).as("exact_p90"),
             (abs(col("approx_parts") - col("exact_parts")) <=
               col("exact_parts") * 0.06).as("parts_in_bounds"),
             (abs(col("approx_p90") - col("exact_p90")) <=
@@ -410,7 +413,7 @@ object MLQueries {
           .orderBy("l_returnflag"),
       oracle = Some("""
         SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-               ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS exact_p90,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
                TRUE AS parts_in_bounds, TRUE AS p90_in_bounds
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
