@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
-/** ML / mining operators on the testdata (SURVEY.md §2.10). RNG-bearing
-  * ops are seeded and therefore deterministic for a fixed dataset, but
-  * not cross-engine-checkable → rows-only driver check + golden/unit
-  * specs on the reference CSV (see CarPipelineSpec). z-score and one-hot
-  * are pure algebra → full DuckDB oracles.
+/** ML / mining operators on the testdata (SURVEY.md §2.10). Seeded
+  * RNG-bearing fits (k-means, PCA, RF, RFF-SVR) are deterministic per
+  * dataset but not cross-engine-checkable → rows-only driver check +
+  * golden/unit specs (CarPipelineSpec, MLOpsSpec). Everything reducible
+  * to exact sufficient statistics or co-occurrence counts carries a full
+  * DuckDB oracle: z-score, one-hot, hash-stratified split, Gaussian NB,
+  * sufficient-stats OLS, FP-Growth rule queries (SQL-enumerated),
+  * sketch bounds.
   */
 object MLQueries {
 

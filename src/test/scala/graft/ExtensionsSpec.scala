@@ -16,6 +16,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("graft_simhash64 and graft_minhash are callable from SQL") {
+    GraftExtensions.register(spark)
+    val sig = spark.sql(
+      "SELECT graft_simhash64(transform(split('a b c', ' '), t -> xxhash64(t))) AS s")
+      .head().getLong(0)
+    val viaOp = Seq(("a b c"))
+      .map(Tuple1.apply).foldLeft(spark.range(1).toDF()) { (_, t) =>
+        spark.sql(s"SELECT '${t._1}' AS text")
+      }.select(graft.operators.Dedup.simhash64("split(text, ' ')")).head().getLong(0)
+    assert(sig == viaOp)
+    val mh = spark.sql(
+      "SELECT graft_minhash(transform(split('a b c', ' '), t -> pmod(xxhash64(t), 2147483647))) AS m")
+      .head().getSeq[Long](0)
+    assert(mh.length == 32 && mh.forall(v => v >= 0 && v < 2147483647L))
+  }
+
   test("graft_dot matches the HOF formulation bit-for-bit on real embeddings") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .withColumn("v", transform(col("embedding"), _.cast("double")))
