@@ -28,4 +28,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
     qk.foreach(k => assert(k.matches("[a-z0-9_]+"), s"bad key $k"))
   }
+
+  test("rows-only queries are exactly the known RNG/hash-internal set") {
+    // guard: adding a query without an oracle (or dropping one) must be a
+    // conscious decision — these are the ops whose internals (seeded fits,
+    // signature hashes) make a cross-engine SQL oracle impossible; each is
+    // pinned by specs instead
+    val rowsOnly = SparkEntry.catalog.collect {
+      case (n, q) if q.oracle.isEmpty => n
+    }.toSet
+    val known = Set("q33_minhash_lsh", "q34_simhash", "q44_ann_lsh", "q46_ann_ivf",
+      "q53_kmeans_sizes", "q54_kmeans_elbow", "q55_pca_variance",
+      "q57_rf_importance", "q62_rff_svr")
+    assert(rowsOnly == known,
+      s"unexpected rows-only queries: ${(rowsOnly -- known) ++ (known -- rowsOnly)}")
+  }
 }
