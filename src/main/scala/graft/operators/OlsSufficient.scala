@@ -91,9 +91,14 @@ object OlsSufficient {
         s"(syy - $bxy) / (nd - ${(p + 1).toDouble}) AS s2"
       }
 
-    val rowExprs = ("'(intercept)'", "est0", "est0 / sqrt(s2 * inv0)") +:
+    // s2 = 0 on an exactly-consistent system (zero residuals): the t
+    // statistic is undefined — NULL, not a divide-by-zero (ANSI mode
+    // makes x/0 an error, and the CASE must guard BOTH engines)
+    def tExpr(j: Int): String =
+      s"CASE WHEN s2 > 0 THEN est$j / sqrt(s2 * inv$j) ELSE NULL END"
+    val rowExprs = ("'(intercept)'", "est0", tExpr(0)) +:
       features.zipWithIndex.map { case (f, i) =>
-        (s"'$f'", s"est${i + 1}", s"est${i + 1} / sqrt(s2 * inv${i + 1})")
+        (s"'$f'", s"est${i + 1}", tExpr(i + 1))
       }
     (aggExprs.toSeq, castExprs.toSeq, detExprs, estExprs, rowExprs)
   }

@@ -95,4 +95,52 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getAs[Double]("lift") > 0)
     }
   }
+
+  test("OlsSufficient recovers an exact linear relationship") {
+    // y = 1 + 2*x1 - 3*x2 with no noise: the normal equations are exactly
+    // consistent, so the Cramer solve must return the true coefficients
+    // (x values at <= 2dp keep the decimal sufficient statistics exact)
+    val rows = for (i <- 1 to 200) yield {
+      val x1 = (i % 37) / 4.0        // .0/.25/.5/.75 steps
+      val x2 = ((i * 13) % 29) / 2.0
+      (x1, x2, 1.0 + 2.0 * x1 - 3.0 * x2)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val est = graft.operators.OlsSufficient.fit(df, Seq("x1", "x2"), "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est("(intercept)") - 1.0) < 1e-8)
+    assert(math.abs(est("x1") - 2.0) < 1e-8)
+    assert(math.abs(est("x2") + 3.0) < 1e-8)
+  }
+
+  test("ngramExpr emits exactly max(0, tokens - n + 1) grams, in order") {
+    val docs = Seq("a b c d", "a b", "a", "x y z").toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+    val got = docs.select(col("text"),
+      graft.operators.TextAnalysis.ngramExpr("toks", 3).as("g")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("a b c d") == Seq("a b c", "b c d"))
+    assert(got("a b").isEmpty && got("a").isEmpty)
+    assert(got("x y z") == Seq("x y z"))
+  }
+
+  test("tfIdf: per-doc tf sums to token count; scores positive") {
+    val docs = Seq((1L, "a a b c"), (2L, "b c c d"), (3L, "d d d d")).toDF("doc_id", "text")
+    val scored = graft.operators.TextAnalysis.tfIdf(docs, "doc_id", "text", 3L)
+    val sums = scored.groupBy("doc_id").agg(sum("tf").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums == Map(1L -> 4L, 2L -> 4L, 3L -> 4L))
+    assert(scored.filter(col("score") <= 0).count() == 0)
+  }
+
+  test("deterministic hash split is a partition and reproducible") {
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    def trainIds = o.filter(
+      (col("o_orderkey") * lit(2654435761L)) % lit(4294967296L) < lit(3435973837L))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val t1 = trainIds; val t2 = trainIds
+    assert(t1 == t2)
+    val all = o.count()
+    assert(t1.size > all * 0.7 && t1.size < all * 0.9, s"split frac ${t1.size.toDouble / all}")
+  }
 }
