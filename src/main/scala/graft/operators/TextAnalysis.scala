@@ -86,6 +86,23 @@ object TextAnalysis {
         expr(s"round(tf * (ln(CAST($nDocs + 1 AS DOUBLE) / (dft + 1)) + 1.0), 6)"))
   }
 
+  /** BM25 term scores (k1 = 1.2, b = 0.75): the retrieval-grade upgrade
+    * of [[tfIdf]] — same two-aggregation + join shape plus a broadcast
+    * 1-row (avgdl) frame. Scores rounded at 6 so a 1-ulp ln() difference
+    * between engines cannot reorder ranks. */
+  def bm25(df: DataFrame, idCol: String, textCol: String, nDocs: Long): DataFrame = {
+    val dl = df.select(col(idCol), size(tokens(col(textCol))).as("dl"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dft"))
+    val stats = dl.agg(expr("CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl"))
+    tf.join(dfreq, "term").join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("score", expr(
+        s"round(ln(((CAST($nDocs - dft AS DOUBLE) + 0.5) / (dft + 0.5)) + 1.0) * " +
+          "((tf * (1.2 + 1.0)) / (tf + (1.2 * ((1.0 - 0.75) + ((0.75 * dl) / avgdl))))), 6)"))
+  }
+
   /** Document fingerprint: md5 of the first n tokens (prefix fingerprint
     * for near-head-duplicate grouping). */
   def prefixFingerprint(textCol: String, n: Int = 5): Column =

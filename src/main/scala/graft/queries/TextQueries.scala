@@ -354,6 +354,86 @@ object TextQueries {
         FROM r WHERE rn <= 5 ORDER BY doc_id, rn""")),
 
     // ----------------------------------------------------------------
+    // q70: BM25 top-3 terms per document (k1=1.2, b=0.75) — the
+    // retrieval-grade term scorer over the same two-aggregation shape as
+    // q68; avgdl comes from one broadcast 1-row frame of exact sums.
+    "q70_bm25" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d)
+        val n = base.count()
+        val scored = TextAnalysis.bm25(base, "doc_id", "text", n)
+        val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn").cast("int").as("rn"),
+            col("term"), col("tf"), col("score"))
+          .orderBy("doc_id", "rn")
+      },
+      oracle = Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS nd, CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM documents),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                 ROUND(ln(((CAST(n.nd - dfreq.dft AS DOUBLE) + 0.5) / (dfreq.dft + 0.5)) + 1.0) *
+                       ((tf.tf * (1.2 + 1.0)) / (tf.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * dl.dl) / n.avgdl))))), 6) AS score
+               FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
+        SELECT doc_id, CAST(rn AS INTEGER) AS rn, term, CAST(tf AS BIGINT) AS tf, score
+        FROM r WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
+    // ----------------------------------------------------------------
+    // q71: corpus curation — the composite flow a 100-TB training-data
+    // job actually runs, as ONE declarative plan: normalized-fingerprint
+    // exact dedup (keep min id) → quality gate (length + lexical
+    // diversity) → language gate (en) → deterministic multiplicative-hash
+    // sample (~50%). Every stage is an expression; one window + one hash
+    // aggregate are the only wide edges.
+    "q71_corpus_curation" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d)
+          .withColumn("fp", TextAnalysis.normalizedFingerprint("text"))
+          .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+          .withColumn("n_distinct", size(array_distinct(TextAnalysis.tokens(col("text")))))
+          .withColumn("lang_pred", TextAnalysis.langId("text"))
+        val w = Window.partitionBy("fp")
+        base.withColumn("keep_id", min("doc_id").over(w))
+          .filter(col("doc_id") === col("keep_id"))
+          .filter(col("n_tokens") >= 20 &&
+            col("n_distinct").cast("double") / col("n_tokens") >= 0.3)
+          .filter(col("lang_pred") === "en")
+          .filter((col("doc_id") * lit(2654435761L)) % lit(4294967296L) < lit(2147483648L))
+          .select(col("doc_id"), col("fp"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to'))) AS s_en,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','y','que'))) AS s_es,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et','les','des'))) AS s_fr,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und','das','ein'))) AS s_de
+          FROM documents),
+        lang AS (SELECT *, CASE
+                   WHEN s_en >= greatest(s_en, s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+                   WHEN s_es >= greatest(s_en, s_es, s_fr, s_de) AND s_es > 0 THEN 'es'
+                   WHEN s_fr >= greatest(s_en, s_es, s_fr, s_de) AND s_fr > 0 THEN 'fr'
+                   WHEN s_de >= greatest(s_en, s_es, s_fr, s_de) AND s_de > 0 THEN 'de'
+                   ELSE 'und' END AS lang_pred
+                 FROM base),
+        dedup AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM lang)
+        SELECT doc_id, fp, CAST(n_tokens AS INTEGER) AS n_tokens
+        FROM dedup
+        WHERE doc_id = keep_id
+          AND n_tokens >= 20 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+          AND lang_pred = 'en'
+          AND ((doc_id * 2654435761) % 4294967296) < 2147483648
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // q45: embedding-cosine near-duplicate pairs (exact, id-blocked).
     "q45_embed_dup" -> QueryDef(
       fn = (s, d) =>

@@ -33,6 +33,45 @@ object OracleEmu {
   /** Oracles whose DuckDB form uses list functions get a hand-written
     * Spark-SQL equivalent here (same semantics, Spark dialect). */
   private val overrides: Map[String, String] = Map(
+    "q70_bm25" -> """
+      WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
+      dl AS (SELECT doc_id, size(split(text, ' ')) AS dl FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      dfreq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS nd, CAST(SUM(size(split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM documents),
+      sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(ln(((CAST(n.nd - dfreq.dft AS DOUBLE) + 0.5) / (dfreq.dft + 0.5)) + 1.0) *
+                     ((tf.tf * (1.2 + 1.0)) / (tf.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * dl.dl) / n.avgdl))))), 6) AS score
+             FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
+      SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, score
+      FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "q71_corpus_curation" -> """
+      WITH base AS (
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS fp,
+               size(split(text, ' ')) AS n_tokens,
+               size(array_distinct(split(text, ' '))) AS n_distinct,
+               size(filter(split(text, ' '), t -> t IN ('the','a','of','and','to'))) AS s_en,
+               size(filter(split(text, ' '), t -> t IN ('el','la','de','y','que'))) AS s_es,
+               size(filter(split(text, ' '), t -> t IN ('le','la','et','les','des'))) AS s_fr,
+               size(filter(split(text, ' '), t -> t IN ('der','die','und','das','ein'))) AS s_de
+        FROM documents),
+      lang AS (SELECT *, CASE
+                 WHEN s_en >= greatest(s_en, s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+                 WHEN s_es >= greatest(s_en, s_es, s_fr, s_de) AND s_es > 0 THEN 'es'
+                 WHEN s_fr >= greatest(s_en, s_es, s_fr, s_de) AND s_fr > 0 THEN 'fr'
+                 WHEN s_de >= greatest(s_en, s_es, s_fr, s_de) AND s_de > 0 THEN 'de'
+                 ELSE 'und' END AS lang_pred
+               FROM base),
+      dedup AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM lang)
+      SELECT doc_id, fp, CAST(n_tokens AS INT) AS n_tokens
+      FROM dedup
+      WHERE doc_id = keep_id
+        AND n_tokens >= 20 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+        AND lang_pred = 'en'
+        AND ((doc_id * 2654435761) % 4294967296) < 2147483648
+      ORDER BY doc_id""",
     "q67_ngram_freq" -> """
       WITH grams AS (
         SELECT ngram FROM (SELECT split(text, ' ') AS s FROM documents)
