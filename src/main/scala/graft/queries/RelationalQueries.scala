@@ -661,6 +661,34 @@ object RelationalQueries {
         s"""
         SELECT o_orderstatus, $cells
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
-      })
+      }),
+
+    // ----------------------------------------------------------------
+    // q72: unpivot / melt (wide → long) — the inverse of q49's pivot,
+    // via the native Dataset.unpivot (Spark 3.4+ melt). Values pass
+    // through untouched (same parquet doubles both engines), so no
+    // rounding is involved at all.
+    "q72_unpivot" -> QueryDef(
+      fn = (s, d) =>
+        li(s, d).filter(col("l_orderkey") < 200)
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+            "metric", "value")
+          .orderBy("l_orderkey", "l_linenumber", "metric"),
+      oracle = Some("""
+        WITH m AS (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+          FROM lineitem WHERE l_orderkey < 200
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          FROM lineitem WHERE l_orderkey < 200
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey < 200
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+          FROM lineitem WHERE l_orderkey < 200)
+        SELECT * FROM m ORDER BY l_orderkey, l_linenumber, metric"""))
   )
 }
