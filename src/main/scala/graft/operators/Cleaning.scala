@@ -47,6 +47,37 @@ object Cleaning {
     cols.map(c => c -> row.getSeq[Double](row.fieldIndex(c))).toMap
   }
 
+  /** Exact type-7 quantiles via distributed sort + rank selection — the
+    * 100-TB path for EXACT quantiles. The `percentile` aggregate (used by
+    * [[quantiles]]) buffers every value of a group in one aggregation
+    * buffer: fine at test scale, impossible at 100 TB. Here the values
+    * are range-sorted across the cluster (sortBy shuffle), globally
+    * indexed from partition offsets (zipWithIndex), and only the <= 2·|probs|
+    * boundary order statistics are collected; interpolation mirrors the
+    * Percentile aggregate's weighted form
+    * (higher − pos)·lower + (pos − lower)·higher, so results agree
+    * bit-for-bit (pinned in CleaningSpec). Genuine per-partition
+    * imperative logic → the one sanctioned RDD use. */
+  def sortedQuantiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] = {
+    val sorted = df.select(col(c).cast("double")).na.drop()
+      .rdd.map(_.getDouble(0)).sortBy(identity).zipWithIndex().map(_.swap)
+      .cache()
+    try {
+      val n = sorted.count()
+      if (n == 0) return probs.map(_ => Double.NaN)
+      val positions = probs.map(p => p * (n - 1))
+      val wanted = positions.flatMap(pos =>
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).toSet
+      val stats = sorted.filter(kv => wanted.contains(kv._1)).collect().toMap
+      positions.map { pos =>
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        if (hi == lo) stats(lo)
+        else (hi - pos) * stats(lo) + (pos - lo) * stats(hi)
+      }
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** A2 + F8 (BigDataProject.R:86-87): replace nulls with the column
     * median, all medians from one aggregate pass. */
   def medianImpute(df: DataFrame, cols: Seq[String],

@@ -63,4 +63,14 @@ class CleaningSpec extends AnyFunSuite {
     // breaks 1, 25.75, 50.5, 75.25, 100 -> 25 per bucket
     assert(counts == Map("Low" -> 25L, "Medium" -> 25L, "High" -> 25L, "VeryHigh" -> 25L))
   }
+
+  test("sortedQuantiles (distributed sort path) == percentile aggregate exactly") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val agg = Cleaning.quantiles(li, Seq("l_extendedprice"), probs)("l_extendedprice")
+    val srt = Cleaning.sortedQuantiles(li, "l_extendedprice", probs)
+    agg.zip(srt).zip(probs).foreach { case ((a, s), p) =>
+      assert(a == s, s"p=$p: aggregate $a vs sorted $s")
+    }
+  }
 }
