@@ -31,13 +31,16 @@ object RelationalQueries {
     "q01_flagship" -> QueryDef(
       fn = (s, d) => {
         val l = li(s, d)
-        // ONE exact-quantile scan: the capped distribution's {0,.25,.5,
+        // ONE exact-quantile pass: the capped distribution's {0,.25,.5,
         // .75,1} quantiles equal the clamped raw quantiles (clamp is
         // monotone; the interior interpolation pairs sit strictly inside
         // the 1.5*IQR bounds, and min/max are single order stats) — so no
-        // second pass over the capped data is needed.
-        val qs = Cleaning.quantiles(l, Seq("l_extendedprice"),
-          Seq(0.0, 0.25, 0.5, 0.75, 1.0))("l_extendedprice")
+        // second pass over the capped data is needed. Distributed
+        // sort-selection path: bit-identical to the percentile aggregate
+        // (CleaningSpec) but range-partitioned instead of one buffer —
+        // the formulation that survives 100 TB, and faster here too.
+        val qs = Cleaning.sortedQuantiles(l, "l_extendedprice",
+          Seq(0.0, 0.25, 0.5, 0.75, 1.0))
         val (q1, q3) = (qs(1), qs(3))
         val iqr = q3 - q1
         val lb = q1 - 1.5 * iqr
