@@ -27,6 +27,21 @@ object OracleEmu {
     s = s.replaceAll("""epoch_ns\(ts\)""", epochNs)
     s = s.replace("strpos(", "instr(")
     s = s.replaceAll("""quantile_cont\(""", "percentile(")
+    // list/string function family
+    s = s.replace("string_split(", "split(")
+    s = s.replace("list_distinct(", "array_distinct(")
+    s = s.replace("list_filter(", "filter(")
+    s = s.replace("list_transform(", "transform(")
+    s = s.replace("list_contains(", "array_contains(")
+    s = s.replace("unnest(", "explode(")
+    s = s.replaceAll("""\blen\(""", "size(")
+    s = s.replace("strftime(", "date_format(")
+    s = s.replace("'%Y-%m-%d'", "'yyyy-MM-dd'")
+    // 1-based element indexing name[2] -> element_at(name, 2) (before the
+    // list-literal rewrite so [2] isn't turned into array(2))
+    s = s.replaceAll("""([A-Za-z_][A-Za-z0-9_.]*)\[(\d+)\]""", "element_at($1, $2)")
+    // numeric list literals [0.0, 0.25] -> array(0.0, 0.25)
+    s = s.replaceAll("""\[([0-9][0-9eE+\-., ]*)\]""", "array($1)")
     s
   }
 
