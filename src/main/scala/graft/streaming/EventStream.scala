@@ -72,6 +72,13 @@ object EventStream {
       .select(col("user_id"), col("sw.start").as("sess_start"),
         col("sw.end").as("sess_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment — the canonical streaming dimension
+    * lookup: every micro-batch joins the static frame (broadcast — at
+    * scale the dim is the small side by construction); stateless, no
+    * watermark involved. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Drive a streaming frame synchronously to a named in-memory sink
     * (local smoke-test harness; production would use kafka/parquet). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {

@@ -53,4 +53,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // one scan feeding one (partial+final) aggregate; no joins of the fact table
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("q71: curation pipeline stays join-free (one window + filters)") {
+    val p = finalPlan("q71_corpus_curation")
+    assert(!p.contains("Join"), "curation plan grew a join:\n" + p.take(1200))
+    assert(p.contains("Window"), p.take(1200))
+  }
 }

@@ -48,6 +48,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined == 0, "streaming per-user counts diverge from batch")
   }
 
+  test("stream-static enrichment joins every event to its dimension row") {
+    val dim = spark.read.parquet(stagingDir)
+      .select(col("user_id")).distinct()
+      .withColumn("user_tier", (col("user_id") % 3).cast("int"))
+    val enriched = EventStream.enrich(
+      EventStream.readEvents(spark, stagingDir), dim, "user_id")
+    EventStream.runToMemory(enriched, "enriched", OutputMode.Append())
+    val got = spark.table("enriched")
+    val total = spark.read.parquet(stagingDir).count()
+    assert(got.count() == total)
+    assert(got.filter(col("user_tier").isNull).count() == 0,
+      "some events missed their dimension row")
+  }
+
   test("watermarked streaming dedup drops exact re-deliveries") {
     // stage a doubled drop: every event delivered twice
     val dupDir = java.nio.file.Files.createTempDirectory("events_dup").toString
