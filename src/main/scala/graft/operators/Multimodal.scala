@@ -55,6 +55,20 @@ object Multimodal {
     }.toDF(idCol, "features")
   }
 
+  /** Resize analog (image-thumbnail stand-in): stride-resample the
+    * payload down to a fixed-length vector of byte values —
+    * out[i] = byte[(i * len) div target]. A real implementation would
+    * decode and bilinear-resample pixels; the Spark-side shape (fixed
+    * output width, pure expression, codegen) is what carries to 100 TB.
+    * Integer `div` keeps the offsets oracle-safe (cross-engine CAST
+    * rounding differs). */
+  def resizeBytes(df: DataFrame, idCol: String, bytesCol: String,
+                  target: Int = 16): DataFrame =
+    df.select(col(idCol),
+      expr(s"transform(sequence(0, ${target - 1}), i -> " +
+        s"ascii(CAST(substring($bytesCol, CAST((i * octet_length($bytesCol)) div $target AS INT) + 1, 1) AS STRING)))")
+        .as("resized"))
+
   /** Frame-sampling analog: slice the payload into `n` evenly spaced
     * chunks (as a video frame-sampler would) and fingerprint each. Pure
     * expression — stays in codegen. */

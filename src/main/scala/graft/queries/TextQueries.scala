@@ -434,6 +434,26 @@ object TextQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // q73: multimodal resize stub — stride-resample each payload to a
+    // fixed 16-wide byte vector (thumbnail analog; Multimodal.resizeBytes),
+    // emitted as a comma-joined signature so the compare is scalar.
+    "q73_multimodal_resize" -> QueryDef(
+      fn = (s, d) => {
+        val bin = Multimodal.binarize(docs(s, d), "doc_id", "text")
+        Multimodal.resizeBytes(bin, "doc_id", "bytes", target = 16)
+          .select(col("doc_id"),
+            concat_ws(",", expr("transform(resized, x -> CAST(x AS STRING))")).as("resized_sig"),
+            size(col("resized")).as("width"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, 16),
+                 i -> CAST(ord(substring(text, ((i * length(text)) // 16) + 1, 1)) AS VARCHAR)), ',') AS resized_sig,
+               16 AS width
+        FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // q45: embedding-cosine near-duplicate pairs (exact, id-blocked).
     "q45_embed_dup" -> QueryDef(
       fn = (s, d) =>

@@ -48,6 +48,12 @@ object OracleEmu {
   /** Oracles whose DuckDB form uses list functions get a hand-written
     * Spark-SQL equivalent here (same semantics, Spark dialect). */
   private val overrides: Map[String, String] = Map(
+    "q73_multimodal_resize" -> """
+      SELECT doc_id,
+             concat_ws(',', transform(sequence(0, 15),
+               i -> CAST(ascii(substring(text, CAST(((i * length(text)) div 16) AS INT) + 1, 1)) AS STRING))) AS resized_sig,
+             16 AS width
+      FROM documents ORDER BY doc_id""",
     "q70_bm25" -> """
       WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
       dl AS (SELECT doc_id, size(split(text, ' ')) AS dl FROM documents),
