@@ -692,6 +692,66 @@ object RelationalQueries {
           UNION ALL
           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
           FROM lineitem WHERE l_orderkey < 200)
-        SELECT * FROM m ORDER BY l_orderkey, l_linenumber, metric"""))
+        SELECT * FROM m ORDER BY l_orderkey, l_linenumber, metric""")),
+
+    // ----------------------------------------------------------------
+    // q74: RANGE-interval window frame (vs q19's ROWS frame): per
+    // customer, revenue in the trailing 30 days of each order — the
+    // value-based frame built-ins; ordered on epoch seconds so the range
+    // arithmetic is integral in both engines.
+    "q74_range_frame" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("ord_sec"))
+          .rangeBetween(-2592000L, Window.currentRow)
+        ord(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            unix_timestamp(col("o_orderdate").cast("timestamp")).as("ord_sec"),
+            col("o_totalprice"))
+          .withColumn("rev_30d",
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+          .withColumn("n_30d", count(lit(1)).over(w))
+          .orderBy("o_custkey", "ord_sec", "o_orderkey")
+      },
+      oracle = Some("""
+        WITH o AS (SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS ord_sec, o_totalprice
+                   FROM orders)
+        SELECT o_custkey, o_orderkey, ord_sec, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY ord_sec
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d,
+               CAST(COUNT(*) OVER (
+                 PARTITION BY o_custkey ORDER BY ord_sec
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+        FROM o ORDER BY o_custkey, ord_sec, o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // q75: ranking-function battery — rank, dense_rank, ntile, and the
+    // distribution ranks over a total order (totalprice, orderkey), per
+    // status. percent_rank/cume_dist are exact rationals of integer
+    // ranks/counts: identical single-division trees on both sides, no
+    // rounding needed.
+    "q75_rank_battery" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        ord(s, d).filter(col("o_orderkey") < 2000)
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rk", rank().over(w))
+          .withColumn("drk", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .orderBy("o_orderstatus", "rk")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               CAST(RANK() OVER w AS BIGINT) AS rk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM orders WHERE o_orderkey < 2000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderstatus, rk"""))
   )
 }

@@ -48,6 +48,18 @@ object OracleEmu {
   /** Oracles whose DuckDB form uses list functions get a hand-written
     * Spark-SQL equivalent here (same semantics, Spark dialect). */
   private val overrides: Map[String, String] = Map(
+    "q74_range_frame" -> """
+      WITH o AS (SELECT o_custkey, o_orderkey,
+                        unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS ord_sec, o_totalprice
+                 FROM orders)
+      SELECT o_custkey, o_orderkey, ord_sec, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY ord_sec
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d,
+             COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY ord_sec
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_30d
+      FROM o ORDER BY o_custkey, ord_sec, o_orderkey""",
     "q73_multimodal_resize" -> """
       SELECT doc_id,
              concat_ws(',', transform(sequence(0, 15),
