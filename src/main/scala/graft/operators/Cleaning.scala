@@ -108,7 +108,13 @@ object Cleaning {
     * bounds from one aggregate pass. */
   def iqrCap(df: DataFrame, cols: Seq[String], k: Double = 1.5,
              exact: Boolean = true): DataFrame = {
-    val q = quantiles(df, cols, Seq(0.25, 0.75), exact)
+    // single column → distributed sort-selection (bit-identical to the
+    // percentile aggregate, scales past its one-buffer limit); several
+    // columns → one multi-quantile aggregate scan beats |cols| sorts
+    val q =
+      if (exact && cols.size == 1)
+        Map(cols.head -> sortedQuantiles(df, cols.head, Seq(0.25, 0.75)))
+      else quantiles(df, cols, Seq(0.25, 0.75), exact)
     cols.foldLeft(df) { (d, c) =>
       val Seq(q1, q3) = q(c)
       val iqr = q3 - q1
