@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Everything is deterministic (fixed permutation constants, no RNG at
   * runtime) and pure Catalyst expressions — no UDFs.
+  *
+  * Algorithms: MinHash resemblance sketches (Broder, "On the resemblance
+  * and containment of documents", 1997) with banded LSH (Leskovec/
+  * Rajaraman/Ullman, MMDS ch.3); SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002) with the
+  * chunk-bucket candidate scheme of Manku et al., WWW 2007.
   */
 object Dedup {
 

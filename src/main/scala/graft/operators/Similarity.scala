@@ -18,6 +18,12 @@ import org.apache.spark.sql.expressions.Window
   *
   * Dot products are Catalyst expressions (zip_with + aggregate) computed
   * in double — bit-compatible with a DuckDB list_dot_product oracle.
+  *
+  * Algorithms: random-projection LSH (Datar/Immorlica/Indyk/Mirrokni,
+  * "Locality-sensitive hashing scheme based on p-stable distributions",
+  * SoCG 2004); IVF cell probing (Jégou/Douze/Schmid, "Product
+  * quantization for nearest neighbor search", TPAMI 2011 — the inverted-
+  * file routing layer, without the PQ codes).
   */
 object Similarity {
 

@@ -86,10 +86,11 @@ object TextAnalysis {
         expr(s"round(tf * (ln(CAST($nDocs + 1 AS DOUBLE) / (dft + 1)) + 1.0), 6)"))
   }
 
-  /** BM25 term scores (k1 = 1.2, b = 0.75): the retrieval-grade upgrade
-    * of [[tfIdf]] — same two-aggregation + join shape plus a broadcast
-    * 1-row (avgdl) frame. Scores rounded at 6 so a 1-ulp ln() difference
-    * between engines cannot reorder ranks. */
+  /** BM25 term scores (k1 = 1.2, b = 0.75; Robertson/Walker's Okapi
+    * weighting, TREC-3 1994): the retrieval-grade upgrade of [[tfIdf]] —
+    * same two-aggregation + join shape plus a broadcast 1-row (avgdl)
+    * frame. Scores rounded at 6 so a 1-ulp ln() difference between
+    * engines cannot reorder ranks. */
   def bm25(df: DataFrame, idCol: String, textCol: String, nDocs: Long): DataFrame = {
     val dl = df.select(col(idCol), size(tokens(col(textCol))).as("dl"))
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
