@@ -752,6 +752,32 @@ object RelationalQueries {
                CUME_DIST() OVER w AS cume
         FROM orders WHERE o_orderkey < 2000
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-        ORDER BY o_orderstatus, rk"""))
+        ORDER BY o_orderstatus, rk""")),
+
+    // ----------------------------------------------------------------
+    // q76: value-navigation window functions — first/last/nth over the
+    // FULL partition frame (last_value needs the unbounded-following
+    // frame; the default running frame silently returns the current row).
+    "q76_value_window" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ord(s, d).filter(col("o_orderkey") < 2000)
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("cheapest_key", first(col("o_orderkey")).over(w))
+          .withColumn("priciest_key", last(col("o_orderkey")).over(w))
+          .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(w))
+          .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+               LAST_VALUE(o_orderkey) OVER w AS priciest_key,
+               NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+        FROM orders WHERE o_orderkey < 2000
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderstatus, o_totalprice, o_orderkey"""))
   )
 }
