@@ -143,4 +143,20 @@ class PropertySpec extends AnyFunSuite {
     val all = o.count()
     assert(t1.size > all * 0.7 && t1.size < all * 0.9, s"split frac ${t1.size.toDouble / all}")
   }
+
+  test("sortedQuantiles == percentile aggregate on adversarial generated data") {
+    // duplicates, ties, negatives, tiny/huge magnitudes — the sort path
+    // and the aggregate must agree bit-for-bit on every probability
+    val gen = Gen.listOfN(257, Gen.oneOf(
+      Gen.choose(-1e6, 1e6), Gen.oneOf(0.0, -0.0, 1.0, 1.0, 1.0, 2.5, -2.5, 1e-12, 9e11)))
+    val probs = Seq(0.0, 0.01, 0.33, 0.5, 0.66, 0.99, 1.0)
+    cases(gen, 5).foreach { vs =>
+      val df = vs.toDF("v")
+      val agg = Cleaning.quantiles(df, Seq("v"), probs)("v")
+      val srt = Cleaning.sortedQuantiles(df, "v", probs)
+      agg.zip(srt).zip(probs).foreach { case ((a, s), p) =>
+        assert(java.lang.Double.compare(a, s) == 0, s"p=$p: $a vs $s over ${vs.take(8)}...")
+      }
+    }
+  }
 }
