@@ -189,4 +189,25 @@ object Stats {
     perClass.toSeq.toDF("class", "tp", "pred_n", "actual_n", "precision", "recall",
       "accuracy", "kappa").orderBy("class")
   }
+
+  /** Chi-squared test of independence over a two-way contingency table —
+    * fully distributed (one groupBy for cells, two tiny margin
+    * aggregations, no collect): chi2 = Σ (obs − exp)²/exp with
+    * exp = rowMargin·colMargin/n. Returns (chi2, dof, n). The cell count
+    * basis is integer, so the per-cell terms are cross-engine-identical;
+    * only the Σ over cells is order-sensitive (rounding absorbs). */
+  def chi2Independence(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a).cast("string").as("a"), col(b).cast("string").as("b"))
+      .agg(count(lit(1)).as("obs"))
+    val ra = cells.groupBy("a").agg(sum("obs").as("ra"))
+    val cb = cells.groupBy("b").agg(sum("obs").as("cb"))
+    val tot = cells.agg(sum("obs").as("n"),
+      countDistinct(col("a")).as("nr"), countDistinct(col("b")).as("nc"))
+    cells.join(ra, "a").join(cb, "b").crossJoin(broadcast(tot))
+      .agg(
+        sum(expr("((obs - ((CAST(ra AS DOUBLE) * cb) / n)) * (obs - ((CAST(ra AS DOUBLE) * cb) / n))) / ((CAST(ra AS DOUBLE) * cb) / n)"))
+          .as("chi2"),
+        first(expr("(nr - 1) * (nc - 1)")).as("dof"),
+        first(col("n")).as("n"))
+  }
 }

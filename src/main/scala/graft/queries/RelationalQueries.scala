@@ -778,6 +778,27 @@ object RelationalQueries {
         FROM orders WHERE o_orderkey < 2000
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        ORDER BY o_orderstatus, o_totalprice, o_orderkey"""))
+        ORDER BY o_orderstatus, o_totalprice, o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // q77: unionByName with missing columns (P10 — the schema-padding
+    // the reference does by hand at BigDataProject.R:297-299): disjoint
+    // projections re-aligned by NAME, absent columns null-padded.
+    "q77_union_by_name" -> QueryDef(
+      fn = (s, d) => {
+        val open = ord(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val finished = ord(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        open.unionByName(finished, allowMissingColumns = true)
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey, NULL, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_orderkey"""))
   )
 }

@@ -111,6 +111,24 @@ object StatsQueries {
         FROM gg a JOIN gg b ON a.event_type > b.event_type CROSS JOIN w
         ORDER BY pair""")),
 
+    // chi-squared test of independence (status × priority) — T-family
+    // extension over the contingency table; integer cell basis, the Σ
+    // over 15 cells is the only order-sensitive step (round 4 absorbs).
+    "q78_chi2_independence" -> QueryDef(
+      fn = (s, d) =>
+        Stats.chi2Independence(Tables(s, d, "orders"), "o_orderstatus", "o_orderpriority")
+          .select(round(col("chi2"), 4).as("chi2"), col("dof"), col("n")),
+      oracle = Some("""
+        WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS obs
+                       FROM orders GROUP BY 1, 2),
+        ra AS (SELECT a, SUM(obs) AS ra FROM cells GROUP BY a),
+        cb AS (SELECT b, SUM(obs) AS cb FROM cells GROUP BY b),
+        tot AS (SELECT SUM(obs) AS n, COUNT(DISTINCT a) AS nr, COUNT(DISTINCT b) AS nc FROM cells)
+        SELECT ROUND(SUM(((obs - ((CAST(ra AS DOUBLE) * cb) / n)) * (obs - ((CAST(ra AS DOUBLE) * cb) / n))) / ((CAST(ra AS DOUBLE) * cb) / n)), 4) AS chi2,
+               CAST(MIN((nr - 1) * (nc - 1)) AS BIGINT) AS dof,
+               CAST(MIN(n) AS BIGINT) AS n
+        FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot""")),
+
     // T5: confusion matrix + accuracy + Cohen's kappa. Prediction is a
     // deterministic value-threshold rule so the operator is exercised
     // without an ML model; fully SQL-expressible.
