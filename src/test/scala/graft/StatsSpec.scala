@@ -62,4 +62,16 @@ class StatsSpec extends AnyFunSuite {
     assert(m.getAs[Double]("accuracy") == 1.0)
     assert(m.getAs[Double]("kappa") == 1.0)
   }
+
+  test("chi2Independence matches the hand-computed 2x2 value") {
+    import spark.implicits._
+    // 2x2 table: a={x,y} vs b={u,v} with counts 20/10/10/20
+    val rows = Seq.fill(20)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(20)(("y", "v"))
+    val df = rows.toDF("a", "b")
+    val r = graft.functions.Stats.chi2Independence(df, "a", "b").head()
+    // margins 30/30, n=60, expected all 15: chi2 = 4 * 25/15 = 6.6667
+    assert(math.abs(r.getDouble(0) - 20.0 / 3.0) < 1e-9)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 60L)
+  }
 }
