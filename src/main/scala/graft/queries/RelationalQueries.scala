@@ -799,6 +799,33 @@ object RelationalQueries {
         UNION ALL
         SELECT o_orderkey, NULL, o_orderpriority
         FROM orders WHERE o_orderstatus = 'F'
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // q79: scalar + correlated subqueries via spark.sql — customers whose
+    // order total beats the global average AND who have a high-priority
+    // order (correlated EXISTS). Catalyst decorrelates both into joins;
+    // the average is compared through an exact decimal sum so the
+    // threshold is cross-engine-identical.
+    "q79_subqueries" -> QueryDef(
+      fn = (s, d) => {
+        ord(s, d).createOrReplaceTempView("__ord")
+        s.sql("""
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big
+          FROM __ord o
+          WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                       / COUNT(*) FROM __ord)
+            AND EXISTS (SELECT 1 FROM __ord i
+                        WHERE i.o_custkey = o.o_custkey AND i.o_orderpriority = '1-URGENT')
+          GROUP BY o_custkey ORDER BY o_custkey""")
+      },
+      oracle = Some("""
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big
+        FROM orders o
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                     / COUNT(*) FROM orders)
+          AND EXISTS (SELECT 1 FROM orders i
+                      WHERE i.o_custkey = o.o_custkey AND i.o_orderpriority = '1-URGENT')
+        GROUP BY o_custkey ORDER BY o_custkey"""))
   )
 }
