@@ -43,4 +43,29 @@ object AsOf {
       .filter(col("__side") === 1)
       .select(col("__lrow.*") +: Seq(col("payload")): _*)
   }
+
+  /** Forward variant: for each left row, the right row with the SMALLEST
+    * timestamp >= the left timestamp within the key (next-event lookup).
+    * Same union-spine shape, mirrored frame: left sorts before right on
+    * ties (so an exactly-simultaneous right row matches), and the first
+    * non-null right payload is taken from the current-row-to-end frame. */
+  def joinForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTs: String, rightTs: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val l = left.select(
+      col(leftKey).as("__k"), col(leftTs).as("__t"), lit(0).as("__side"),
+      struct(lCols.map(col): _*).as("__lrow"), lit(null).cast(
+        org.apache.spark.sql.types.StructType(right.schema.fields)).as("__rrow"))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTs).as("__t"), lit(1).as("__side"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields)).as("__lrow"),
+      struct(right.columns.map(col).toIndexedSeq: _*).as("__rrow"))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("payload", first(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__lrow.*") +: Seq(col("payload")): _*)
+  }
 }

@@ -37,4 +37,25 @@ class AsOfSpec extends AnyFunSuite {
     val got = AsOf.join(left, right, "k", "k", "t", "t").collect()
     assert(got.length == 1 && got.head.isNullAt(3))
   }
+
+  test("forward as-of picks the earliest right row at or after each left ts") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", 5L, 100L),  // next quote 10 -> 1.0
+      ("A", 20L, 200L), // exactly at 20 -> 2.0 (>= semantics)
+      ("A", 25L, 300L), // next is 30 -> 3.0
+      ("A", 99L, 400L), // nothing after -> null
+      ("B", 16L, 600L)  // nothing after -> null
+    ).toDF("sym", "tts", "qty")
+    val got = AsOf.joinForward(trades, quotes, "sym", "sym", "tts", "qts")
+      .select(col("sym"), col("tts"), col("payload.px").as("px"))
+      .orderBy("sym", "tts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq == Seq(
+      ("A", 5L, Some(1.0)), ("A", 20L, Some(2.0)), ("A", 25L, Some(3.0)),
+      ("A", 99L, None), ("B", 16L, None)))
+  }
 }
