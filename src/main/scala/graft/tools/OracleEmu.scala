@@ -42,12 +42,111 @@ object OracleEmu {
     s = s.replaceAll("""([A-Za-z_][A-Za-z0-9_.]*)\[(\d+)\]""", "element_at($1, $2)")
     // numeric list literals [0.0, 0.25] -> array(0.0, 0.25)
     s = s.replaceAll("""\[([0-9][0-9eE+\-., ]*)\]""", "array($1)")
+    // regex flags arg (Spark regexp_replace is global by default)
+    s = s.replace(", 'g')", ")")
+    // digest/binary helpers
+    s = s.replaceAll("""sha256\(([^()]*)\)""", "sha2(CAST($1 AS BINARY), 256)")
+    s = s.replaceAll("""encode\(([^()]*)\)""", "CAST($1 AS BINARY)")
+    // simple-arg dot product (oracle args are plain column refs)
+    s = s.replaceAll("""list_dot_product\(([^,()]+), ([^()]+)\)""",
+      "aggregate(zip_with($1, $2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    // range(a, b) is end-exclusive; sequence(a, b) is inclusive
+    s = s.replaceAll("""\brange\(1, ([^()]*)\)""", "sequence(1, ($1) - 1)")
+    // array type syntax
+    s = s.replace("DOUBLE[]", "ARRAY<DOUBLE>")
     s
   }
 
   /** Oracles whose DuckDB form uses list functions get a hand-written
     * Spark-SQL equivalent here (same semantics, Spark dialect). */
   private val overrides: Map[String, String] = Map(
+    "q41_confusion_matrix" -> """
+      WITH t AS (SELECT CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS pred,
+                        CASE WHEN event_id % 2 = 0 THEN 'high' ELSE 'low' END AS actual
+                 FROM events),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM t),
+      classes AS (SELECT DISTINCT pred AS cls FROM t UNION SELECT DISTINCT actual AS cls FROM t),
+      predN AS (SELECT pred AS cls, COUNT(*) AS pred_n FROM t GROUP BY pred),
+      actN AS (SELECT actual AS cls, COUNT(*) AS actual_n FROM t GROUP BY actual),
+      tpN AS (SELECT pred AS cls, COUNT(*) AS tp FROM t WHERE pred = actual GROUP BY pred),
+      per AS (SELECT c.cls, coalesce(tp, 0L) AS tp, coalesce(pred_n, 0L) AS pred_n,
+                     coalesce(actual_n, 0L) AS actual_n
+              FROM classes c LEFT JOIN predN USING (cls) LEFT JOIN actN USING (cls)
+                   LEFT JOIN tpN USING (cls)),
+      acc AS (SELECT SUM(tp) / MIN(total) AS po FROM per CROSS JOIN n),
+      pe AS (SELECT SUM((pred_n / total) * (actual_n / total)) AS pe FROM per CROSS JOIN n)
+      SELECT per.cls AS class, per.tp, per.pred_n, per.actual_n,
+             ROUND(per.tp / CAST(per.pred_n AS DOUBLE), 6) AS `precision`,
+             ROUND(per.tp / CAST(per.actual_n AS DOUBLE), 6) AS recall,
+             ROUND((SELECT po FROM acc), 6) AS accuracy,
+             ROUND(((SELECT po FROM acc) - (SELECT pe FROM pe)) / (1 - (SELECT pe FROM pe)), 6) AS kappa
+      FROM per ORDER BY class""",
+    "q23_json_extract" -> """
+      WITH t AS (SELECT CAST(nullif(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') AS INT) AS k, value FROM events)
+      SELECT k % 10 AS k_mod, CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(AVG(value), 4) AS avg_value,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM t GROUP BY k % 10 ORDER BY k_mod""",
+    "q30_item_frequency" -> """
+      WITH t AS (SELECT explode(array('status=' || o_orderstatus, 'prio=' || o_orderpriority,
+                                      'seg=' || c_mktsegment)) AS item
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+      n AS (SELECT COUNT(*) AS total FROM orders)
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+             ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM n), 6) AS support
+      FROM t GROUP BY item ORDER BY cnt DESC, item""",
+    "q32_ngram_jaccard" -> """
+      WITH base AS (
+        SELECT doc_id, source,
+          array_distinct(IF(size(split(text, ' ')) >= 3,
+            transform(sequence(1, size(split(text, ' ')) - 2),
+              i -> concat_ws(' ', element_at(split(text, ' '), i),
+                             element_at(split(text, ' '), i + 1),
+                             element_at(split(text, ' '), i + 2))),
+            CAST(array() AS ARRAY<STRING>))) AS sh
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          ROUND(CAST(size(filter(a.sh, x -> array_contains(b.sh, x))) AS DOUBLE) /
+                (size(a.sh) + size(b.sh) - size(filter(a.sh, x -> array_contains(b.sh, x)))), 4) AS jaccard
+        FROM base a JOIN base b ON a.source = b.source AND b.doc_id > a.doc_id
+        WHERE a.doc_id % 25 = 0),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a_id, b_id) AS rn FROM pairs)
+      SELECT a_id, b_id, jaccard, CAST(rn AS INT) AS rn FROM r WHERE rn <= 20 ORDER BY rn""",
+    "q36_text_quality" -> """
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars_calc,
+             CAST(size(split(text, ' ')) AS INT) AS n_tokens,
+             CAST(size(array_distinct(split(text, ' '))) AS INT) AS n_distinct,
+             ROUND(CAST(size(filter(split(text, ' '),
+               t -> t IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is', 'it', 'for'))) AS DOUBLE) /
+               size(split(text, ' ')), 6) AS stop_ratio,
+             ROUND(CAST(aggregate(transform(split(text, ' '), t -> length(t)), 0, (acc, x) -> acc + x) AS DOUBLE) /
+               size(split(text, ' ')), 4) AS mean_token_len
+      FROM documents ORDER BY doc_id""",
+    "q39_fingerprint" -> """
+      SELECT md5(concat_ws(' ', slice(split(text, ' '), 1, 5))) AS fp,
+             CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY 1 ORDER BY fp""",
+    "q48_asof_join" -> """
+      WITH ords AS (
+        SELECT o_orderkey, o_custkey, unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS ord_sec, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, unix_timestamp(CAST(o_orderdate AS TIMESTAMP))
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders),
+      dedup AS (SELECT * FROM ords WHERE rn = 1),
+      ev AS (SELECT event_id, user_id, ts div 1000000000 AS ev_sec FROM events),
+      u AS (SELECT ev_sec AS t, 1 AS side, event_id, user_id AS k,
+                   CAST(NULL AS BIGINT) AS ok, CAST(NULL AS DOUBLE) AS tp FROM ev
+            UNION ALL
+            SELECT ord_sec, 0, CAST(NULL AS BIGINT), o_custkey, o_orderkey, o_totalprice FROM dedup),
+      w AS (SELECT *,
+              last_value(ok, true) OVER (PARTITION BY k ORDER BY t, side
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_orderkey,
+              last_value(tp, true) OVER (PARTITION BY k ORDER BY t, side
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_totalprice
+            FROM u)
+      SELECT event_id, k AS user_id, last_orderkey, last_totalprice
+      FROM w WHERE side = 1 ORDER BY event_id""",
     "q74_range_frame" -> """
       WITH o AS (SELECT o_custkey, o_orderkey,
                         unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS ord_sec, o_totalprice
