@@ -28,8 +28,11 @@ object Rules {
     * (antecedent, consequent, confidence, lift, support, count). */
   def mine(transactions: DataFrame, itemsCol: String,
            minSupport: Double, minConfidence: Double,
-           minLen: Int = 2, maxLen: Int = 10): DataFrame = {
-    val n = transactions.count()
+           minLen: Int = 2, maxLen: Int = 10,
+           nTransactions: Long = -1L): DataFrame = {
+    // Callers that already counted (to cache, to compute minsup) pass n in;
+    // recounting here would add one full pass per mining call.
+    val n = if (nTransactions >= 0) nTransactions else transactions.count()
     val fp = new FPGrowth().setItemsCol(itemsCol)
       .setMinSupport(minSupport).setMinConfidence(minConfidence)
     val model = fp.fit(transactions)
@@ -42,8 +45,8 @@ object Rules {
 
   /** Frequent itemsets with relative support (for measure computation). */
   def freqItemsets(transactions: DataFrame, itemsCol: String,
-                   minSupport: Double): DataFrame = {
-    val n = transactions.count()
+                   minSupport: Double, nTransactions: Long = -1L): DataFrame = {
+    val n = if (nTransactions >= 0) nTransactions else transactions.count()
     val fp = new FPGrowth().setItemsCol(itemsCol).setMinSupport(minSupport)
       .setMinConfidence(0.0)
     fp.fit(transactions).freqItemsets
@@ -114,7 +117,15 @@ object Rules {
       .withColumn("__cc",
         round(col("confidence") * lit(n.toDouble) / col("lift")).cast("long"))
 
-  /** M14 (associationRules.R:349-370): re-mine per segment value. */
+  /** M14 (associationRules.R:349-370): re-mine per segment value.
+    *
+    * Scale note: this mirrors the reference's own per-segment loop — one
+    * FPGrowth fit per distinct segment, driven serially from the driver.
+    * Each fit is itself distributed, but segment COUNT is a wall-clock
+    * multiplier: fine for a handful of market segments, wrong for
+    * thousands of groups (there, mine once with the segment value encoded
+    * into the items, or group baskets and run per-group FP-trees inside
+    * an aggregator). */
   def perGroupMine(df: DataFrame, groupCol: String, itemCols: Seq[String],
                    minSupport: Double, minConfidence: Double): DataFrame = {
     val groups = df.select(groupCol).distinct().collect().map(_.get(0).toString).sorted

@@ -77,12 +77,17 @@ object Similarity {
     * shuffle join. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               k: Int = 10, bucketLength: Double = 1.0, numTables: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, dim: Int = -1): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
       .withColumn("nrm", l2norm(col("arr")))
-    val dim = vecs.select(size(col("arr"))).head.getInt(0)
+    // Hyperplane width: caller-supplied, or probed from ONE row of the raw
+    // input (LocalLimit short-circuits the scan after the first row) — not
+    // a full-column job over the data before the real work starts.
+    val vecDim =
+      if (dim > 0) dim
+      else df.select(size(col(vecCol))).limit(1).head.getInt(0)
     val rng = new java.util.Random(seed)
-    val planes = Array.fill(numTables)(Array.fill(dim)(rng.nextGaussian()))
+    val planes = Array.fill(numTables)(Array.fill(vecDim)(rng.nextGaussian()))
     val tableHashes = (0 until numTables).map { t =>
       struct(lit(t).as("t"),
         floor(dot(col("arr"), typedLit(planes(t).toSeq)) / bucketLength)

@@ -49,6 +49,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "de" -> Seq("der", "die", "und", "das", "ein"))
 
+  /** Single-Column formulation — convenient for one-off use in tests, but
+    * the higher-order `filter` scores are CodegenFallback and every `when`
+    * branch re-evaluates them (no CSE for interpreted HOFs), so the tree
+    * costs ~20 filter+split evaluations per row. Hot paths must use
+    * [[withLangId]], which materializes each score exactly once. */
   def langId(textCol: String): Column = {
     val scores = langStopwords.map { case (lang, words) =>
       val inList = words.map(w => s"'$w'").mkString(", ")
@@ -60,6 +65,34 @@ object TextAnalysis {
         lit(scores.head._1))) { case (acc, (lang, sc)) =>
       acc.when(sc >= greatest(scores.map(_._2): _*) && sc > 0, lit(lang))
     }.otherwise(lit("und"))
+  }
+
+  /** Language ID as a staged plan — the shape the DuckDB oracle already
+    * uses (score CTE, then CASE): one projection tokenizes, one projection
+    * computes the four stopword-hit scores (a `withColumns` batch of
+    * non-cheap aliases, which CollapseProject will NOT re-inline into the
+    * consumers), then the argmax CASE runs over plain int columns. Each
+    * interpreted HOF evaluates exactly once per row instead of ~20 times —
+    * this is what keeps language gating viable inside a 100-TB curation
+    * scan. Temp columns are dropped; output schema = input + `outCol`. */
+  def withLangId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame = {
+    val toksCol = "__li_toks"
+    val scoreNames = langStopwords.map { case (lang, _) => lang -> s"__li_s_$lang" }
+    val scoreExprs = langStopwords.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"__li_s_$lang" -> size(expr(s"filter($toksCol, t -> t IN ($inList))"))
+    }
+    val scored = df
+      .withColumn(toksCol, split(col(textCol), " "))
+      .withColumns(scoreExprs.toMap)
+      .withColumn("__li_max", greatest(scoreNames.map(p => col(p._2)): _*))
+    val pred = scoreNames.tail.foldLeft(
+      when(col(scoreNames.head._2) >= col("__li_max") && col(scoreNames.head._2) > 0,
+        lit(scoreNames.head._1))) { case (acc, (lang, sn)) =>
+      acc.when(col(sn) >= col("__li_max") && col(sn) > 0, lit(lang))
+    }.otherwise(lit("und"))
+    scored.withColumn(outCol, pred)
+      .drop(toksCol +: "__li_max" +: scoreNames.map(_._2): _*)
   }
 
   /** Word n-grams WITH multiplicity (frequency counting wants every

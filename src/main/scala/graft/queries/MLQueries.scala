@@ -93,7 +93,8 @@ object MLQueries {
       fn = (s, d) => {
         val tx = ruleBase(s, d).cache()
         val n = tx.count()
-        val rules = Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3)
+        val rules = Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3,
+          nTransactions = n)
         Rules.withCountBasis(rules, n)
           .select(
             concat_ws(",", sort_array(col("antecedent"))).as("lhs"),
@@ -149,7 +150,8 @@ object MLQueries {
       fn = (s, d) => {
         val tx = ruleBase(s, d).cache()
         val n = tx.count()
-        val rules = Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3)
+        val rules = Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3,
+          nTransactions = n)
         Rules.withCountBasis(rules, n)
           .withColumn("__s", expr(s"CAST(__pc AS DOUBLE) / ${n}L"))
           .withColumn("__sa", expr(s"CAST(__ac AS DOUBLE) / ${n}L"))
@@ -448,7 +450,8 @@ object MLQueries {
       fn = (s, d) => {
         val tx = ruleBase(s, d).cache()
         val n = tx.count()
-        val rules = Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3)
+        val rules = Rules.mine(tx, "items", minSupport = 0.02, minConfidence = 0.3,
+          nTransactions = n)
         val based = Rules.withCountBasis(rules, n)
           .withColumn("__liftppm", expr(s"(__pc * ${n}L) * 1000000L div (__ac * __cc)"))
         val filtered = based
@@ -496,7 +499,8 @@ object MLQueries {
             Seq("o_orderstatus", "o_orderpriority")).cache()
           val n = tx.count()
           Rules.withCountBasis(
-              Rules.mine(tx, "items", minSupport = 0.05, minConfidence = 0.25), n)
+              Rules.mine(tx, "items", minSupport = 0.05, minConfidence = 0.25,
+                nTransactions = n), n)
             .select(lit(g).as("segment"),
               concat_ws(",", sort_array(col("antecedent"))).as("lhs"),
               concat_ws(",", sort_array(col("consequent"))).as("rhs"),

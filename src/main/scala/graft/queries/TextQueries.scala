@@ -143,7 +143,7 @@ object TextQueries {
     // precedence), aggregated to predicted-language counts.
     "q37_langid" -> QueryDef(
       fn = (s, d) =>
-        docs(s, d).withColumn("lang_pred", TextAnalysis.langId("text"))
+        TextAnalysis.withLangId(docs(s, d), "text")
           .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
           .orderBy("lang_pred"),
       oracle = Some("""
@@ -392,11 +392,12 @@ object TextQueries {
     // aggregate are the only wide edges.
     "q71_corpus_curation" -> QueryDef(
       fn = (s, d) => {
-        val base = docs(s, d)
-          .withColumn("fp", TextAnalysis.normalizedFingerprint("text"))
-          .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
-          .withColumn("n_distinct", size(array_distinct(TextAnalysis.tokens(col("text")))))
-          .withColumn("lang_pred", TextAnalysis.langId("text"))
+        val base = TextAnalysis.withLangId(
+          docs(s, d)
+            .withColumn("fp", TextAnalysis.normalizedFingerprint("text"))
+            .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+            .withColumn("n_distinct", size(array_distinct(TextAnalysis.tokens(col("text"))))),
+          "text")
         val w = Window.partitionBy("fp")
         base.withColumn("keep_id", min("doc_id").over(w))
           .filter(col("doc_id") === col("keep_id"))
