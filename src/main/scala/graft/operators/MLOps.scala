@@ -46,9 +46,15 @@ object MLOps {
     (model.transform(prepped), model.summary.trainingCost)
   }
 
-  /** M9: elbow sweep — one cached standardized frame, |ks| fits. */
+  /** M9: elbow sweep — one cached standardized frame, |ks| * restarts fits.
+    * Defaults (1 restart, 8 iterations) give the WSS(k) SHAPE cheaply —
+    * the right trade at scale, where every extra iteration is a full data
+    * pass, but the resulting curve can be locally non-monotone (a sloppy
+    * fit at k+1 may land above k's). Parity with R's `nstart = 10`
+    * converged sweep (clustering.R:36-42) needs restarts ≈ 10 and a high
+    * maxIter; CarClusteringPipeline.elbow opts into that. */
   def elbow(df: DataFrame, cols: Seq[String], ks: Seq[Int],
-            seed: Long = 123L): DataFrame = {
+            seed: Long = 123L, restarts: Int = 1, maxIter: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val (prepped, _, _) = standardize(df, cols)
     val cached = prepped.cache()
@@ -69,9 +75,12 @@ object MLOps {
           // keeps the k-means|| default.
           // capped iterations: the sweep needs the WSS(k) curve's shape,
           // not converged optima; each iteration is a full pass at scale
-          val model = new KMeans().setK(k).setSeed(seed).setInitMode("random")
-            .setMaxIter(8).setFeaturesCol("scaled").fit(cached)
-          (k, model.summary.trainingCost)
+          val cost = (0 until restarts).map { i =>
+            new KMeans().setK(k).setSeed(seed + i).setInitMode("random")
+              .setMaxIter(maxIter).setFeaturesCol("scaled").fit(cached)
+              .summary.trainingCost
+          }.min
+          (k, cost)
       }
       import spark.implicits._
       rows.toDF("k", "wss")

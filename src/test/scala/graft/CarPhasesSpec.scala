@@ -41,10 +41,163 @@ class CarPhasesSpec extends AnyFunSuite {
     assert(labels == Set("Economy Cars", "Performance Cars", "Luxury Cars"))
   }
 
-  test("clustering: elbow WSS decreases with k") {
-    val wss = CarClusteringPipeline.elbow(mlReady, Seq(1, 2, 3, 5, 8))
-      .orderBy("k").collect().map(_.getDouble(1))
-    assert(wss.zip(wss.tail).forall { case (a, b) => b <= a + 1e-6 })
+  // ------------------------------------------------------------------
+  // Golden comparison vs the reference's committed clustering outputs
+  // (clustering.R:162 car_data_with_clusters.csv, :165 cluster_centers.csv).
+  // The golden CSVs carry the case-colliding brand.nissan/brand.Nissan
+  // headers, so they are parsed with plain Scala (no Spark CSV reader
+  // header mangling) — 206 lines, driver-side is the right place.
+  // Rows carry no id and R's merge() re-sorted them by cluster, so rows
+  // pair by their full (features, price) tuple; assignments compare up to
+  // a cluster-label permutation exactly as SURVEY §5.1 prescribes.
+
+  private def parseQuotedCsv(path: String): (Array[String], Seq[Array[String]]) = {
+    val lines = scala.io.Source.fromFile(path).getLines().toIndexedSeq
+    def cells(l: String) = l.split(",", -1).map(_.stripPrefix("\"").stripSuffix("\""))
+    (cells(lines.head), lines.tail.map(cells))
+  }
+
+  /** Same collision-safe renaming CarClusteringPipeline applies, so golden
+    * header names line up with the sanitized frame. */
+  private def sanitize(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map[String, Int]()
+    names.map { c =>
+      val base = c.replace(".", "_")
+      val n = seen.getOrElse(base.toLowerCase, 0)
+      seen(base.toLowerCase) = n + 1
+      if (n == 0) base else s"${base}__$n"
+    }
+  }
+
+  private def rowKey(vals: Seq[Double]): String = vals.map(v => f"$v%.4f").mkString("|")
+
+  private lazy val goldenAssignments: Map[String, Seq[Int]] = {
+    val (hdr, rows) = parseQuotedCsv("/root/reference/car_data_with_clusters.csv")
+    val names = sanitize(hdr.toSeq)
+    val featIdx = names.zipWithIndex.filter { case (n, _) =>
+      n != "cluster" && n != "label" }
+    (rows.map { r =>
+      val key = rowKey(featIdx.map { case (_, i) => r(i).toDouble })
+      key -> r(names.indexOf("cluster")).toInt
+    }).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+  }
+
+  // Assignment parity result (probed exhaustively, see KMeansPolish
+  // scaladoc): R's golden partition (WSS 5711.115 in z-space) is a
+  // first-improvement Hartigan-Wong optimum; our Lloyd + steepest-descent
+  // H-W polish converges to WSS 5710.815 — strictly BETTER on R's own
+  // objective — differing on 7 boundary rows between the economy and
+  // performance clusters. Exact row parity would require emulating R's
+  // Mersenne-Twister init and its in-row-order first-improvement transfer
+  // scan, which SURVEY §5.1's metric-level-parity rule for RNG-bearing ML
+  // explicitly declines. So the golden contract here is:
+  //   identical data keys, >= 195/205 agreement under the best label
+  //   permutation, the 11-car luxury cluster EXACTLY equal, and our
+  //   within-cluster SS <= the golden partition's.
+  test("golden: k=3 assignments match car_data_with_clusters.csv up to permutation and boundary rows") {
+    val (labeled, _) = clustered
+    val featNames = sanitize(parseQuotedCsv("/root/reference/car_data_with_clusters.csv")
+      ._1.toSeq).filter(n => n != "cluster" && n != "label")
+    val collected = labeled.collect().map { r =>
+      val fv = featNames.map(n => r.getAs[Any](n) match {
+        case d: Double => d; case i: Int => i.toDouble; case l: Long => l.toDouble
+      })
+      (rowKey(fv), fv, r.getAs[Int]("cluster"))
+    }
+    val ours = collected.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sorted.toSeq }
+
+    assert(ours.keySet == goldenAssignments.keySet,
+      s"feature-tuple keys diverge: ours-only=${(ours.keySet -- goldenAssignments.keySet).take(3)} " +
+        s"golden-only=${(goldenAssignments.keySet -- ours.keySet).take(3)}")
+
+    val perms = Seq(1, 2, 3).permutations.toSeq
+    val agreements = perms.map { p =>
+      val m = Map(1 -> p(0), 2 -> p(1), 3 -> p(2))
+      p -> ours.map { case (k, cs) =>
+        cs.map(m).sorted.intersect(goldenAssignments(k)).size
+      }.sum
+    }
+    val (bestPerm, bestAgree) = agreements.maxBy(_._2)
+    val total = goldenAssignments.values.map(_.size).sum
+    info(s"best permutation $bestPerm agrees on $bestAgree/$total rows")
+    assert(total == 205)
+    assert(bestAgree >= 195,
+      s"assignments disagree on ${total - bestAgree} rows (perm $bestPerm)")
+    val m = Map(1 -> bestPerm(0), 2 -> bestPerm(1), 3 -> bestPerm(2))
+
+    // the small luxury cluster must match exactly (its 11 members are
+    // unambiguous under both optima)
+    val luxGolden = goldenAssignments.collect { case (k, cs) if cs.contains(3) => k }.toSet
+    val luxOurs = ours.collect { case (k, cs) if cs.map(m).contains(3) => k }.toSet
+    assert(luxOurs == luxGolden, "luxury-cluster membership diverges")
+
+    // our partition must be at least as good as R's on R's own objective
+    // (z-space total within-cluster SS, same scaling both sides)
+    val n = collected.length
+    val d = featNames.length - 1 // drop price (not a clustering feature)
+    val feats = collected.map(_._2.take(d))
+    val mean = Array.tabulate(d)(j => feats.map(_(j)).sum / n)
+    val sd = Array.tabulate(d)(j =>
+      math.sqrt(feats.map(v => math.pow(v(j) - mean(j), 2)).sum / (n - 1)))
+    def z(v: Seq[Double]) = Array.tabulate(d)(j => (v(j) - mean(j)) / sd(j))
+    def wssOf(assign: Seq[(Seq[Double], Int)]): Double =
+      assign.groupBy(_._2).map { case (_, mem) =>
+        val zs = mem.map(x => z(x._1))
+        val c = Array.tabulate(d)(j => zs.map(_(j)).sum / zs.length)
+        zs.map(zv => zv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).sum
+      }.sum
+    val ourWss = wssOf(collected.map(r => (r._2, r._3)).toSeq)
+    val goldenByKey = goldenAssignments
+    val goldenWss = wssOf(collected.map(r => (r._2, goldenByKey(r._1).head)).toSeq)
+    info(f"z-space WSS ours=$ourWss%.6f golden=$goldenWss%.6f")
+    assert(ourWss <= goldenWss + 1e-6,
+      f"our partition is worse than the golden one: $ourWss%.6f > $goldenWss%.6f")
+  }
+
+  test("golden: unscaled centers match cluster_centers.csv within tolerance") {
+    val (_, centers) = clustered
+    val (hdr, rows) = parseQuotedCsv("/root/reference/cluster_centers.csv")
+    val golden = rows.map(_.map(_.toDouble).toSeq)
+    assert(golden.length == 3 && hdr.length == 34 && centers.forall(_.length == 34))
+    // Our cluster ids are ordered by ascending horsepower center exactly
+    // like the golden rows, so the mapping is positional. The 7 divergent
+    // boundary rows (see assignment test) shift the economy/performance
+    // means by up to 7/69 ≈ 0.10 on a dummy proportion and ~2% on the
+    // numeric features, so those two centers get 5% relative + 0.11
+    // absolute; the luxury cluster has identical membership, so its center
+    // must match to float-print precision (1e-9 rel; golden carries 1e-17
+    // unscaling noise on zero dummy coords).
+    centers.zipWithIndex.foreach { case (c, ci) =>
+      val g = golden(ci)
+      val (absTol, relTol) = if (ci == 2) (1e-9, 1e-9) else (0.11, 0.05)
+      c.zip(g).zipWithIndex.foreach { case ((a, b), coord) =>
+        assert(math.abs(a - b) <= absTol + relTol * math.abs(b),
+          s"center $ci coord ${hdr(coord)}: ours=$a golden=$b")
+      }
+    }
+  }
+
+  test("clustering: full elbow sweep k=1..15 is monotone with the elbow the reference read at 3") {
+    // the reference's full sweep (clustering.R:36-42, nstart=10 converged)
+    val t0 = System.nanoTime()
+    val rows = CarClusteringPipeline.elbow(mlReady)
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    info(f"k=1..15 sweep (10 restarts, converged): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(rows.map(_._1).toSeq == (1 to 15))
+    val wss = rows.map(_._2)
+    // WSS(1) is exact: total SS about the mean = (n-1)*d on z-scores
+    assert(math.abs(wss(0) - 204.0 * 34.0) < 1e-6)
+    // converged best-of-10 restarts make the curve monotone non-increasing
+    // (single capped fits do NOT — see MLOps.elbow doc)
+    assert(wss.zip(wss.tail).forall { case (a, b) => b <= a + 1e-6 },
+      s"non-monotone WSS curve: ${wss.mkString(", ")}")
+    // WSS(3) lands at the k=3 optimum R reported (5711.1; Lloyd basin 5712.5)
+    assert(wss(2) > 5705 && wss(2) < 5716, s"wss(3)=${wss(2)}")
+    // the elbow shape the reference eyeballed: the first two drops carry
+    // ~3x the mass of the next two — the curve visibly flattens after 3
+    val dropTo3 = wss(0) - wss(2)
+    val dropTo5 = wss(2) - wss(4)
+    assert(dropTo3 >= 2.5 * dropTo5, s"no elbow at 3: $dropTo3 vs $dropTo5")
   }
 
   test("clustering: per-feature ANOVA finds significant separation") {
