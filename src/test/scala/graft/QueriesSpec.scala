@@ -37,8 +37,11 @@ class QueriesSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.catalog.collect {
       case (n, q) if q.oracle.isEmpty => n
     }.toSet
+    // q53/q54/q55 were moved to the oracled set in round 3: their outputs
+    // are now the fits' deterministic invariants (assignment totals, the
+    // WSS(1) identity, the exact-integer covariance matrix + ratio-sum
+    // sentinel); the RNG-dependent internals remain spec-pinned.
     val known = Set("q33_minhash_lsh", "q34_simhash", "q44_ann_lsh", "q46_ann_ivf",
-      "q53_kmeans_sizes", "q54_kmeans_elbow", "q55_pca_variance",
       "q57_rf_importance", "q62_rff_svr")
     assert(rowsOnly == known,
       s"unexpected rows-only queries: ${(rowsOnly -- known) ++ (known -- rowsOnly)}")
