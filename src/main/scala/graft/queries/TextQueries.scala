@@ -455,18 +455,33 @@ object TextQueries {
         FROM documents ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
-    // q45: embedding-cosine near-duplicate pairs (exact, id-blocked).
+    // q45: embedding-cosine near-duplicate pairs through the BUCKETED
+    // tier: sign-LSH banding prunes candidates, exact re-score keeps the
+    // output identical to all-pairs (the oracle enumerates every pair, so
+    // any recall miss is a hash mismatch). The corpus is unioned with an
+    // id-shifted copy — the q33/q34 pattern — so true duplicate pairs
+    // (cos = 1, which collide in every LSH table by construction) exist
+    // at every scale. Threshold 0.9 is the near-dup regime where
+    // bucketing genuinely prunes; sub-0.5 thresholds mean "most of the
+    // sphere qualifies" and belong to the exact tier (cosineDupPairs,
+    // measured: at 0.25 this data's qualifying radius admits no complete
+    // pruning).
     "q45_embed_dup" -> QueryDef(
-      fn = (s, d) =>
-        Similarity.cosineDupPairs(embs(s, d).filter(col("vec_id") < 1000),
-          "vec_id", "embedding", threshold = 0.25)
-          .orderBy("a_id", "b_id"),
+      fn = (s, d) => {
+        val base = embs(s, d).filter(col("vec_id") < 1000)
+          .select(col("vec_id"), col("embedding"))
+        val shifted = base.withColumn("vec_id", col("vec_id") + 10000000L)
+        Similarity.lshDupPairs(base.union(shifted), "vec_id", "embedding",
+          threshold = 0.9, dim = 64)
+          .orderBy("a_id", "b_id")
+      },
       oracle = Some("""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
+        e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 10000000, v FROM e0),
         p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                 ROUND(list_dot_product(a.v, b.v) /
                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        SELECT a_id, b_id, cos FROM p WHERE cos >= 0.25 ORDER BY a_id, b_id"""))
+        SELECT a_id, b_id, cos FROM p WHERE cos >= 0.9 ORDER BY a_id, b_id"""))
   )
 }

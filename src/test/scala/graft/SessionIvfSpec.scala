@@ -55,6 +55,23 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(ivf.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("lshDupPairs == exact cosineDupPairs on the dup-bearing corpus (recall 1.0)") {
+    // the q45 shape: id-shifted copy creates exact-duplicate pairs, which
+    // collide in every sign-LSH table by construction; the bucketed plan
+    // must reproduce the exact all-pairs answer row for row
+    val base = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val shifted = base.withColumn("vec_id", col("vec_id") + 10000000L)
+    val corpus = base.union(shifted).cache()
+    val exact = Similarity.cosineDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    val bucketed = Similarity.lshDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    assert(exact.nonEmpty, "corpus must contain duplicate pairs")
+    assert(bucketed.sameElements(exact),
+      s"bucketed plan diverges: exact=${exact.length} bucketed=${bucketed.length}")
+    corpus.unpersist()
+  }
+
   test("LSH ANN: candidate pruning with reasonable recall vs exact") {
     val e = Tables(spark, dir, "embeddings").cache()
     val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
