@@ -64,9 +64,15 @@ object Multimodal {
     * rounding differs). */
   def resizeBytes(df: DataFrame, idCol: String, bytesCol: String,
                   target: Int = 16): DataFrame =
+    // byte value via hex/conv, NOT CAST(bytes AS STRING)+ascii: the string
+    // round-trip assumes valid UTF-8 and rewrites bytes >= 0x80 to the
+    // replacement char (identical outputs on ASCII payloads, wrong on real
+    // media bytes — caught by the committed binary fixture). Empty payload
+    // resizes to zeros (conv('') is NULL -> coalesce).
     df.select(col(idCol),
       expr(s"transform(sequence(0, ${target - 1}), i -> " +
-        s"ascii(CAST(substring($bytesCol, CAST((i * octet_length($bytesCol)) div $target AS INT) + 1, 1) AS STRING)))")
+        s"coalesce(CAST(conv(hex(substring($bytesCol, " +
+        s"CAST((i * octet_length($bytesCol)) div $target AS INT) + 1, 1)), 16, 10) AS INT), 0))")
         .as("resized"))
 
   /** Frame-sampling analog: slice the payload into `n` evenly spaced

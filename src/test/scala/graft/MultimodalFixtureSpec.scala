@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.tools.MakeMediaFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal operators over the COMMITTED true-binary fixture
+  * (src/test/resources/media_fixture.parquet): payloads include an empty
+  * array, NUL, all-0xFF, and invalid UTF-8 — none of which survive a
+  * string round-trip, so these tests pin that the whole path stays
+  * byte-level. Expected values are recomputed from the fixture
+  * generator's deterministic byte streams, which also verifies the
+  * committed file hasn't drifted from the generator.
+  */
+class MultimodalFixtureSpec extends AnyFunSuite {
+  lazy val spark = Tables.session(4)
+
+  private val fixturePath = "src/test/resources/media_fixture.parquet"
+  private lazy val fixture = spark.read.parquet(fixturePath).cache()
+  private lazy val expected = MakeMediaFixture.rows.map(r => r._1 -> r).toMap
+
+  private def sha256(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map("%02x".format(_)).mkString
+
+  test("committed fixture matches its deterministic generator (16 rows, true binary)") {
+    val got = fixture.orderBy("media_id").collect()
+    assert(got.length == 16)
+    got.foreach { r =>
+      val (_, mime, bytes) = expected(r.getAs[Long]("media_id"))
+      assert(r.getAs[String]("mime") == mime)
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("bytes"), bytes),
+        s"payload drift at media_id ${r.getAs[Long]("media_id")}")
+    }
+    // non-UTF8 coverage: several payloads must fail strict UTF-8 decoding
+    def validUtf8(b: Array[Byte]): Boolean =
+      try {
+        java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(b)); true
+      } catch { case _: java.nio.charset.CharacterCodingException => false }
+    val invalid = got.map(_.getAs[Array[Byte]]("bytes")).count(b => !validUtf8(b))
+    assert(invalid >= 2, s"fixture must contain non-UTF8 payloads (got $invalid)")
+  }
+
+  test("binarize metadata is byte-exact on non-UTF8 payloads") {
+    val meta = Multimodal.binarize(fixture, "media_id", "bytes", mime = "x/fixture")
+      .select(col("media_id"), col("media_meta.n_bytes").as("n"),
+        col("media_meta.sha256").as("sha"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    expected.values.foreach { case (id, _, bytes) =>
+      assert(meta(id)._1 == bytes.length, s"n_bytes wrong for $id")
+      assert(meta(id)._2 == sha256(bytes), s"sha256 wrong for $id")
+    }
+  }
+
+  test("decodeFeatures runs the codec stub on raw bytes (empty -> zeros)") {
+    val feats = Multimodal.decodeFeatures(fixture, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    expected.values.foreach { case (id, _, bytes) =>
+      val want = Multimodal.FakeCodec.decode(bytes).toSeq
+      assert(feats(id) == want, s"features diverge for $id")
+    }
+    assert(feats(0L).forall(_ == 0.0))
+    // 0xFF byte must reach the feature unmangled: 255/255 = 1.0
+    assert(feats(2L).forall(_ == 1.0))
+  }
+
+  test("resizeBytes preserves byte values >= 0x80 (no UTF-8 mangling)") {
+    val resized = Multimodal.resizeBytes(fixture, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    expected.values.foreach { case (id, _, bytes) =>
+      val want = (0 until 16).map { i =>
+        if (bytes.isEmpty) 0
+        else bytes((i * bytes.length) / 16) & 0xff
+      }
+      assert(resized(id) == want, s"resize diverges for $id: ${resized(id)} vs $want")
+    }
+    // the all-0xFF payload resizes to sixteen 255s — the value the old
+    // string round-trip rewrote to the replacement char
+    assert(resized(2L).forall(_ == 255))
+  }
+
+  test("sampleChunks fingerprints byte slices") {
+    val chunks = Multimodal.sampleChunks(fixture.filter(col("media_id") >= 4),
+        "media_id", "bytes", n = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    expected.values.filter(_._1 >= 4).foreach { case (id, _, bytes) =>
+      (0 until 4).foreach { i =>
+        val start = (i * bytes.length) / 4
+        val len = math.max(bytes.length / 4, 1)
+        val slice = bytes.slice(start, start + len)
+        assert(chunks((id, i)) == sha256(slice), s"chunk $i diverges for $id")
+      }
+    }
+  }
+}
