@@ -47,35 +47,108 @@ object Cleaning {
     cols.map(c => c -> row.getSeq[Double](row.fieldIndex(c))).toMap
   }
 
-  /** Exact type-7 quantiles via distributed sort + rank selection — the
-    * 100-TB path for EXACT quantiles. The `percentile` aggregate (used by
+  /** Exact type-7 quantiles via SKETCH-BRACKETED SELECTION — the 100-TB
+    * path for EXACT quantiles. The `percentile` aggregate (used by
     * [[quantiles]]) buffers every value of a group in one aggregation
-    * buffer: fine at test scale, impossible at 100 TB. Here the values
-    * are range-sorted across the cluster (sortBy shuffle), globally
-    * indexed from partition offsets (zipWithIndex), and only the <= 2·|probs|
-    * boundary order statistics are collected; interpolation mirrors the
-    * Percentile aggregate's weighted form
+    * buffer: fine at test scale, impossible at 100 TB. A full
+    * distributed sort works but pays a whole-data range shuffle (and the
+    * round-2 RDD sortBy + zipWithIndex version re-executed that sort per
+    * lineage action — 15x super-linear at a 10x scale-up).
+    *
+    * Here: pass 1 aggregates count + approx_percentile at padded ranks
+    * (rank error <= n/accuracy) to bracket each wanted order statistic;
+    * pass 2 counts values below each bracket and inside it; pass 3
+    * collects only the bracket's members (thousands, not millions) and
+    * selects the exact order statistics locally. If a sketch bracket
+    * misses (rank drift beyond the padding) the padding doubles and the
+    * scan pair reruns — never observed, but correctness does not depend
+    * on the sketch. All scans are narrow single-column aggregates: no
+    * shuffle, no sort of the data.
+    *
+    * Interpolation mirrors the Percentile aggregate's weighted form
     * (higher − pos)·lower + (pos − lower)·higher, so results agree
-    * bit-for-bit (pinned in CleaningSpec). Genuine per-partition
-    * imperative logic → the one sanctioned RDD use. */
+    * bit-for-bit (pinned in CleaningSpec). */
   def sortedQuantiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] = {
-    val sorted = df.select(col(c).cast("double")).na.drop()
-      .rdd.map(_.getDouble(0)).sortBy(identity).zipWithIndex().map(_.swap)
-      .cache()
-    try {
-      val n = sorted.count()
-      if (n == 0) return probs.map(_ => Double.NaN)
-      val positions = probs.map(p => p * (n - 1))
-      val wanted = positions.flatMap(pos =>
-        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).toSet
-      val stats = sorted.filter(kv => wanted.contains(kv._1)).collect().toMap
-      positions.map { pos =>
-        val lo = math.floor(pos).toLong
-        val hi = math.ceil(pos).toLong
-        if (hi == lo) stats(lo)
-        else (hi - pos) * stats(lo) + (pos - lo) * stats(hi)
+    val vals = df.select(col(c).cast("double").as("__v")).na.drop()
+    val accuracy = 10000
+    val head1 = vals.agg(count(lit(1)).as("n"),
+      min("__v").as("mn"), max("__v").as("mx")).head()
+    val n = head1.getLong(0)
+    if (n == 0) return probs.map(_ => Double.NaN)
+    val (mn, mx) = (head1.getDouble(1), head1.getDouble(2))
+    val positions = probs.map(p => p * (n - 1))
+    val ranks = positions.flatMap(pos =>
+      Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
+
+    var pad = 2.0 / accuracy
+    var attempt = 0
+    var stats: Option[Map[Long, Double]] = None
+    while (stats.isEmpty && attempt < 4) {
+      // bracket every wanted rank with sketch values at padded quantiles
+      val sketchProbs = ranks.flatMap { k =>
+        val p = k.toDouble / math.max(n - 1, 1)
+        Seq(math.max(0.0, p - pad), math.min(1.0, p + pad))
       }
-    } finally sorted.unpersist(blocking = false)
+      val ap = vals.agg(expr(
+        s"approx_percentile(__v, array(${sketchProbs.mkString(", ")}), $accuracy)"))
+        .head().getSeq[Double](0)
+      // per-rank bracket [lo, hi]; padded prob at the domain edge means
+      // the true min/max IS the hard bound (the sketch only approximates
+      // the extremes), then merge overlapping brackets
+      val raw = ranks.zipWithIndex.map { case (k, i) =>
+        val p = k.toDouble / math.max(n - 1, 1)
+        val lo = if (p - pad <= 0) mn else ap(2 * i)
+        val hi = if (p + pad >= 1) mx else ap(2 * i + 1)
+        (math.min(lo, hi), math.max(lo, hi))
+      }
+      val brackets = raw.foldLeft(List.empty[(Double, Double)]) {
+        case (acc0, (lo, hi)) => acc0 match {
+          case (plo, phi) :: rest if lo <= phi => (plo, math.max(phi, hi)) :: rest
+          case _ => (lo, hi) :: acc0
+        }
+      }.reverse
+      // pass 2: below-count and in-count per bracket (one narrow scan)
+      val cntAggs = brackets.zipWithIndex.flatMap { case ((lo, hi), i) =>
+        Seq(sum(when(col("__v") < lo, 1L).otherwise(0L)).as(s"lt$i"),
+          sum(when(col("__v") >= lo && col("__v") <= hi, 1L).otherwise(0L)).as(s"in$i"))
+      }
+      val cnts = vals.agg(cntAggs.head, cntAggs.tail: _*).head()
+      val meta = brackets.indices.map(i =>
+        (cnts.getAs[Long](s"lt$i"), cnts.getAs[Long](s"in$i")))
+      val covered = ranks.forall(k => brackets.indices.exists { i =>
+        k >= meta(i)._1 && k < meta(i)._1 + meta(i)._2 })
+      val small = meta.forall(_._2 <= 4000000L)
+      if (covered && small) {
+        // pass 3: collect the bracket members, select exact order stats
+        val colAggs = brackets.zipWithIndex.map { case ((lo, hi), i) =>
+          sort_array(collect_list(when(col("__v") >= lo && col("__v") <= hi,
+            col("__v")))).as(s"vs$i")
+        }
+        val vrow = vals.agg(colAggs.head, colAggs.tail: _*).head()
+        val found = ranks.map { k =>
+          val i = brackets.indices.find(i =>
+            k >= meta(i)._1 && k < meta(i)._1 + meta(i)._2).get
+          k -> vrow.getSeq[Double](vrow.fieldIndex(s"vs$i"))((k - meta(i)._1).toInt)
+        }.toMap
+        stats = Some(found)
+      } else {
+        pad = math.min(pad * 8, 0.5)
+        attempt += 1
+      }
+    }
+    val byRank = stats.getOrElse {
+      // sketch never converged (pathological duplicates): one exact
+      // percentile aggregate as the safety net
+      val exactProbs = ranks.map(k => k.toDouble / math.max(n - 1, 1))
+      val row = vals.agg(pctExpr("__v", exactProbs, exact = true)).head()
+      ranks.zip(row.getSeq[Double](0)).toMap
+    }
+    positions.map { pos =>
+      val lo = math.floor(pos).toLong
+      val hi = math.ceil(pos).toLong
+      if (hi == lo) byRank(lo)
+      else (hi - pos) * byRank(lo) + (pos - lo) * byRank(hi)
+    }
   }
 
   /** A2 + F8 (BigDataProject.R:86-87): replace nulls with the column

@@ -64,7 +64,7 @@ class CleaningSpec extends AnyFunSuite {
     assert(counts == Map("Low" -> 25L, "Medium" -> 25L, "High" -> 25L, "VeryHigh" -> 25L))
   }
 
-  test("sortedQuantiles (distributed sort path) == percentile aggregate exactly") {
+  test("sortedQuantiles (sketch-bracketed exact selection) == percentile aggregate exactly") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
     val agg = Cleaning.quantiles(li, Seq("l_extendedprice"), probs)("l_extendedprice")

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.TextAnalysis
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan shape pins for the properties that matter at 100 TB:
@@ -58,5 +59,19 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = finalPlan("q71_corpus_curation")
     assert(!p.contains("Join"), "curation plan grew a join:\n" + p.take(1200))
     assert(p.contains("Window"), p.take(1200))
+  }
+
+  test("q37: langId evaluates each stopword HOF once (no when-branch re-expansion)") {
+    // the round-2 regression: the argmax when-chain inlined every score
+    // expression into every branch — ~20 interpreted `filter` HOFs per
+    // row instead of 4. withLangId stages scores as real columns;
+    // CollapseProject must NOT re-fuse them into the consumers. Guard by
+    // counting lambda-filter occurrences in the optimized plan.
+    val df = SparkEntry.queries("q37_langid")(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val hofCount = "\\bfilter\\(".r.findAllIn(optimized).length
+    assert(hofCount <= TextAnalysis.langStopwords.length,
+      s"langId HOF re-expansion regressed: $hofCount filter() nodes in\n" +
+        optimized.take(1500))
   }
 }
