@@ -37,14 +37,130 @@ object Cleaning {
     else expr(s"approx_percentile(`$c`, $arr, 10000)")
   }
 
-  /** One-pass exact quantiles for several columns (single scan). Returns
-    * col -> prob-ordered values. Type-7 interpolation == R quantile ==
-    * DuckDB quantile_cont. */
+  /** Exact quantiles for several columns. `exact = true` routes through
+    * [[bracketQuantiles]] — sketch-bracketed selection, 3 narrow scans,
+    * no per-group buffering, the shape that survives 100 TB. Type-7
+    * interpolation == R quantile == DuckDB quantile_cont either way;
+    * `exact = false` is a single approx_percentile pass for
+    * cardinality-unbounded columns where a sketch answer suffices. */
   def quantiles(df: DataFrame, cols: Seq[String], probs: Seq[Double],
-                exact: Boolean = true): Map[String, Seq[Double]] = {
-    val aggs = cols.map(c => pctExpr(c, probs, exact).as(c))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.map(c => c -> row.getSeq[Double](row.fieldIndex(c))).toMap
+                exact: Boolean = true): Map[String, Seq[Double]] =
+    if (exact) bracketQuantiles(df, cols, probs)
+    else {
+      val aggs = cols.map(c => pctExpr(c, probs, exact = false).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      cols.map(c => c -> row.getSeq[Double](row.fieldIndex(c))).toMap
+    }
+
+  /** Multi-column exact type-7 quantiles via sketch-bracketed selection
+    * (see [[sortedQuantiles]] for the algorithm rationale). All columns
+    * share the same 3 narrow scans: (1) count/min/max + approx sketch at
+    * padded probabilities, (2) below/inside counts per bracket, (3)
+    * collect only the bracket members and select the exact order
+    * statistics locally. Exactness never depends on the sketch — a
+    * bracket that misses its rank widens and retries, and a column the
+    * sketch cannot pin (pathological duplicate mass) falls back to one
+    * exact percentile aggregate for that column alone. */
+  def bracketQuantiles(df: DataFrame, cols: Seq[String], probs: Seq[Double],
+                       accuracy: Int = 10000): Map[String, Seq[Double]] = {
+    val vcols = cols.indices.map(i => s"__q$i")
+    val vals = df.select(cols.zip(vcols).map { case (c, v) =>
+      col(s"`$c`").cast("double").as(v) }: _*)
+    val out = scala.collection.mutable.Map[String, Seq[Double]]()
+    var remaining: Seq[(String, String)] = cols.zip(vcols)
+    var pad = 2.0 / accuracy
+    var attempt = 0
+    while (remaining.nonEmpty && attempt < 4) {
+      val sketchProbs = probs.flatMap(p =>
+        Seq(math.max(0.0, p - pad), math.min(1.0, p + pad)))
+      val aggs = remaining.flatMap { case (_, v) =>
+        Seq(count(col(v)).as(s"n_$v"), min(col(v)).as(s"mn_$v"),
+          max(col(v)).as(s"mx_$v"),
+          expr(s"approx_percentile($v, array(${sketchProbs.mkString(", ")}), $accuracy)")
+            .as(s"ap_$v"))
+      }
+      val r1 = vals.agg(aggs.head, aggs.tail: _*).head()
+      // per column: wanted ranks + merged brackets from the sketch
+      case class Plan(c: String, v: String, n: Long, ranks: Seq[Long],
+                      brackets: Seq[(Double, Double)])
+      val plans = remaining.flatMap { case (c, v) =>
+        val n = r1.getAs[Long](s"n_$v")
+        if (n == 0) { out(c) = probs.map(_ => Double.NaN); None }
+        else {
+          val (mn, mx) = (r1.getAs[Double](s"mn_$v"), r1.getAs[Double](s"mx_$v"))
+          val ap = r1.getSeq[Double](r1.fieldIndex(s"ap_$v"))
+          val ranks = probs.map(_ * (n - 1)).flatMap(pos =>
+            Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
+          val raw = probs.indices.map { j =>
+            val lo = if (probs(j) - pad <= 0) mn else ap(2 * j)
+            val hi = if (probs(j) + pad >= 1) mx else ap(2 * j + 1)
+            // rank-vs-prob rounding can push floor/ceil past the sketch
+            // value at small n; widen by one sketch step both ways
+            (math.min(lo, hi), math.max(lo, hi))
+          }.sortBy(_._1)
+          val merged = raw.foldLeft(List.empty[(Double, Double)]) {
+            case ((plo, phi) :: rest, (lo, hi)) if lo <= phi =>
+              (plo, math.max(phi, hi)) :: rest
+            case (acc0, b) => b :: acc0
+          }.reverse
+          Some(Plan(c, v, n, ranks, merged))
+        }
+      }
+      if (plans.isEmpty) { remaining = Nil }
+      else {
+        val cntAggs = plans.flatMap { pl =>
+          pl.brackets.zipWithIndex.flatMap { case ((lo, hi), i) =>
+            Seq(sum(when(col(pl.v) < lo, 1L).otherwise(0L)).as(s"lt_${pl.v}_$i"),
+              sum(when(col(pl.v) >= lo && col(pl.v) <= hi, 1L).otherwise(0L))
+                .as(s"in_${pl.v}_$i"))
+          }
+        }
+        val r2 = vals.agg(cntAggs.head, cntAggs.tail: _*).head()
+        def meta(pl: Plan) = pl.brackets.indices.map(i =>
+          (r2.getAs[Long](s"lt_${pl.v}_$i"), r2.getAs[Long](s"in_${pl.v}_$i")))
+        val (ready, retry) = plans.partition { pl =>
+          val m = meta(pl)
+          pl.ranks.forall(k => m.indices.exists(i =>
+            k >= m(i)._1 && k < m(i)._1 + m(i)._2)) &&
+            m.forall(_._2 <= 4000000L)
+        }
+        if (ready.nonEmpty) {
+          val colAggs = ready.flatMap { pl =>
+            pl.brackets.zipWithIndex.map { case ((lo, hi), i) =>
+              sort_array(collect_list(when(col(pl.v) >= lo && col(pl.v) <= hi,
+                col(pl.v)))).as(s"vs_${pl.v}_$i")
+            }
+          }
+          val r3 = vals.agg(colAggs.head, colAggs.tail: _*).head()
+          ready.foreach { pl =>
+            val m = meta(pl)
+            val byRank = pl.ranks.map { k =>
+              val i = m.indices.find(i =>
+                k >= m(i)._1 && k < m(i)._1 + m(i)._2).get
+              k -> r3.getSeq[Double](r3.fieldIndex(s"vs_${pl.v}_$i"))((k - m(i)._1).toInt)
+            }.toMap
+            out(pl.c) = probs.map { p =>
+              val pos = p * (pl.n - 1)
+              val lo = math.floor(pos).toLong
+              val hi = math.ceil(pos).toLong
+              if (hi == lo) byRank(lo)
+              else (hi - pos) * byRank(lo) + (pos - lo) * byRank(hi)
+            }
+          }
+        }
+        remaining = retry.map(pl => pl.c -> pl.v)
+        pad = math.min(pad * 8, 0.5)
+        attempt += 1
+      }
+    }
+    // safety net for columns the sketch never pinned
+    if (remaining.nonEmpty) {
+      val aggs = remaining.map { case (_, v) => pctExpr(v, probs, exact = true).as(v) }
+      val row = vals.agg(aggs.head, aggs.tail: _*).head()
+      remaining.foreach { case (c, v) =>
+        out(c) = row.getSeq[Double](row.fieldIndex(v)) }
+    }
+    cols.map(c => c -> out(c)).toMap
   }
 
   /** Exact type-7 quantiles via SKETCH-BRACKETED SELECTION — the 100-TB
@@ -68,88 +184,8 @@ object Cleaning {
     * Interpolation mirrors the Percentile aggregate's weighted form
     * (higher − pos)·lower + (pos − lower)·higher, so results agree
     * bit-for-bit (pinned in CleaningSpec). */
-  def sortedQuantiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] = {
-    val vals = df.select(col(c).cast("double").as("__v")).na.drop()
-    val accuracy = 10000
-    val head1 = vals.agg(count(lit(1)).as("n"),
-      min("__v").as("mn"), max("__v").as("mx")).head()
-    val n = head1.getLong(0)
-    if (n == 0) return probs.map(_ => Double.NaN)
-    val (mn, mx) = (head1.getDouble(1), head1.getDouble(2))
-    val positions = probs.map(p => p * (n - 1))
-    val ranks = positions.flatMap(pos =>
-      Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
-
-    var pad = 2.0 / accuracy
-    var attempt = 0
-    var stats: Option[Map[Long, Double]] = None
-    while (stats.isEmpty && attempt < 4) {
-      // bracket every wanted rank with sketch values at padded quantiles
-      val sketchProbs = ranks.flatMap { k =>
-        val p = k.toDouble / math.max(n - 1, 1)
-        Seq(math.max(0.0, p - pad), math.min(1.0, p + pad))
-      }
-      val ap = vals.agg(expr(
-        s"approx_percentile(__v, array(${sketchProbs.mkString(", ")}), $accuracy)"))
-        .head().getSeq[Double](0)
-      // per-rank bracket [lo, hi]; padded prob at the domain edge means
-      // the true min/max IS the hard bound (the sketch only approximates
-      // the extremes), then merge overlapping brackets
-      val raw = ranks.zipWithIndex.map { case (k, i) =>
-        val p = k.toDouble / math.max(n - 1, 1)
-        val lo = if (p - pad <= 0) mn else ap(2 * i)
-        val hi = if (p + pad >= 1) mx else ap(2 * i + 1)
-        (math.min(lo, hi), math.max(lo, hi))
-      }
-      val brackets = raw.foldLeft(List.empty[(Double, Double)]) {
-        case (acc0, (lo, hi)) => acc0 match {
-          case (plo, phi) :: rest if lo <= phi => (plo, math.max(phi, hi)) :: rest
-          case _ => (lo, hi) :: acc0
-        }
-      }.reverse
-      // pass 2: below-count and in-count per bracket (one narrow scan)
-      val cntAggs = brackets.zipWithIndex.flatMap { case ((lo, hi), i) =>
-        Seq(sum(when(col("__v") < lo, 1L).otherwise(0L)).as(s"lt$i"),
-          sum(when(col("__v") >= lo && col("__v") <= hi, 1L).otherwise(0L)).as(s"in$i"))
-      }
-      val cnts = vals.agg(cntAggs.head, cntAggs.tail: _*).head()
-      val meta = brackets.indices.map(i =>
-        (cnts.getAs[Long](s"lt$i"), cnts.getAs[Long](s"in$i")))
-      val covered = ranks.forall(k => brackets.indices.exists { i =>
-        k >= meta(i)._1 && k < meta(i)._1 + meta(i)._2 })
-      val small = meta.forall(_._2 <= 4000000L)
-      if (covered && small) {
-        // pass 3: collect the bracket members, select exact order stats
-        val colAggs = brackets.zipWithIndex.map { case ((lo, hi), i) =>
-          sort_array(collect_list(when(col("__v") >= lo && col("__v") <= hi,
-            col("__v")))).as(s"vs$i")
-        }
-        val vrow = vals.agg(colAggs.head, colAggs.tail: _*).head()
-        val found = ranks.map { k =>
-          val i = brackets.indices.find(i =>
-            k >= meta(i)._1 && k < meta(i)._1 + meta(i)._2).get
-          k -> vrow.getSeq[Double](vrow.fieldIndex(s"vs$i"))((k - meta(i)._1).toInt)
-        }.toMap
-        stats = Some(found)
-      } else {
-        pad = math.min(pad * 8, 0.5)
-        attempt += 1
-      }
-    }
-    val byRank = stats.getOrElse {
-      // sketch never converged (pathological duplicates): one exact
-      // percentile aggregate as the safety net
-      val exactProbs = ranks.map(k => k.toDouble / math.max(n - 1, 1))
-      val row = vals.agg(pctExpr("__v", exactProbs, exact = true)).head()
-      ranks.zip(row.getSeq[Double](0)).toMap
-    }
-    positions.map { pos =>
-      val lo = math.floor(pos).toLong
-      val hi = math.ceil(pos).toLong
-      if (hi == lo) byRank(lo)
-      else (hi - pos) * byRank(lo) + (pos - lo) * byRank(hi)
-    }
-  }
+  def sortedQuantiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] =
+    bracketQuantiles(df, Seq(c), probs)(c)
 
   /** A2 + F8 (BigDataProject.R:86-87): replace nulls with the column
     * median, all medians from one aggregate pass. */
@@ -181,13 +217,9 @@ object Cleaning {
     * bounds from one aggregate pass. */
   def iqrCap(df: DataFrame, cols: Seq[String], k: Double = 1.5,
              exact: Boolean = true): DataFrame = {
-    // single column → distributed sort-selection (bit-identical to the
-    // percentile aggregate, scales past its one-buffer limit); several
-    // columns → one multi-quantile aggregate scan beats |cols| sorts
-    val q =
-      if (exact && cols.size == 1)
-        Map(cols.head -> sortedQuantiles(df, cols.head, Seq(0.25, 0.75)))
-      else quantiles(df, cols, Seq(0.25, 0.75), exact)
+    // exact path = sketch-bracketed selection for ALL columns in the
+    // same 3 narrow scans (no per-group percentile buffering)
+    val q = quantiles(df, cols, Seq(0.25, 0.75), exact)
     cols.foldLeft(df) { (d, c) =>
       val Seq(q1, q3) = q(c)
       val iqr = q3 - q1
