@@ -32,6 +32,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bracketQuantiles == percentile aggregate bitwise on adversarial inputs") {
+    // the sketch only proposes brackets; selection is exact, so results
+    // must be BIT-identical to the buffered percentile aggregate for any
+    // distribution: heavy duplicate mass, tiny n, skew, constant columns
+    val gens: Seq[Gen[List[Double]]] = Seq(
+      doubleLists,                                        // generic
+      Gen.nonEmptyListOf(Gen.oneOf(1.0, 2.0, 2.0, 7.5)),  // few distinct values
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, Gen.choose(-5.0, 5.0))), // tiny n
+      Gen.nonEmptyListOf(Gen.oneOf(0.0, 0.0, 0.0, 1e9)))  // extreme skew
+    val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.61, 0.99, 1.0)
+    val probsArr = probs.mkString("array(", ",", ")")
+    gens.zipWithIndex.foreach { case (g, gi) =>
+      cases(g, 5).foreach { xs =>
+        val df = xs.toDF("v")
+        val got = Cleaning.bracketQuantiles(df, Seq("v"), probs)("v")
+        val want = df.agg(expr(s"percentile(v, $probsArr)"))
+          .head().getSeq[Double](0)
+        assert(got == want,
+          s"gen $gi diverged for n=${xs.length}: got=$got want=$want")
+      }
+    }
+  }
+
   test("medianImpute leaves no nulls and keeps row count") {
     val g = Gen.nonEmptyListOf(Gen.option(Gen.choose(-1e6, 1e6)))
       .suchThat(_.exists(_.isDefined))
