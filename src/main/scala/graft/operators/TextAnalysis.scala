@@ -137,6 +137,49 @@ object TextAnalysis {
           "((tf * (1.2 + 1.0)) / (tf + (1.2 * ((1.0 - 0.75) + ((0.75 * dl) / avgdl))))), 6)"))
   }
 
+  /** PII scrubbing battery for training-data curation: emails, IPv4s,
+    * international phone runs — redacted in a fixed order (email first:
+    * the other patterns can match inside a local part). Patterns stay in
+    * the RE2-compatible subset (no backrefs/lookaround) so a DuckDB
+    * oracle runs them verbatim. Pure regexp_replace/extract expressions:
+    * codegen'd, no shuffle — the shape of a 100-TB scrub pass. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d{7,15}", "<PHONE>"))
+
+  /** Scrubbed text column (sequential redaction in piiPatterns order). */
+  def scrubPii(textCol: Column): Column =
+    piiPatterns.foldLeft(textCol) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-pattern match count over the ORIGINAL text (counts are
+    * independent per pattern, so they commute with the redaction). */
+  def piiCounts(textCol: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, pat, _) =>
+      s"n_$name" -> size(regexp_extract_all(textCol, lit(pat), lit(0)))
+    }
+
+  /** Boilerplate removal: drop repeated lines, keeping the FIRST
+    * occurrence in document order (the classic header/footer/nav dedup
+    * inside a scraped page). Formulated as explode → first-position per
+    * distinct line → ordered reassembly: one hash aggregate per doc, no
+    * O(lines^2) lambda scans, works at any line count. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    lines.groupBy(col(idCol), col("line"))
+      .agg(min("pos").as("fpos"), count(lit(1)).as("occurrences"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("occurrences").cast("int").as("n_lines"),
+        count(lit(1)).cast("int").as("n_unique"),
+        md5(concat_ws("\n",
+          expr("transform(array_sort(collect_list(struct(fpos, line))), s -> s.line)")))
+          .as("dedup_md5"))
+  }
+
   /** Document fingerprint: md5 of the first n tokens (prefix fingerprint
     * for near-head-duplicate grouping). */
   def prefixFingerprint(textCol: String, n: Int = 5): Column =

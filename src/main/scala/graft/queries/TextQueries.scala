@@ -455,6 +455,67 @@ object TextQueries {
         FROM documents ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // q80: PII scrubbing (curation regex battery) — emails/IPv4s/phone
+    // runs redacted in a fixed order, per-pattern counts over the
+    // original text. The docs corpus carries no PII, so both engines
+    // append the SAME deterministic PII fragment built from doc_id; the
+    // scrub itself is pure regexp_replace, codegen'd, shuffle-free.
+    "q80_pii_scrub" -> QueryDef(
+      fn = (s, d) => {
+        val aug = docs(s, d).select(col("doc_id"), expr(
+          "text || ' contact user' || CAST(doc_id AS STRING) || " +
+            "'@example.com from +14155550' || CAST(doc_id % 100 AS STRING) || " +
+            "' at 10.0.' || CAST(doc_id % 256 AS STRING) || '.7'").as("t"))
+        val counts = TextAnalysis.piiCounts(col("t"))
+        aug.select(col("doc_id") +: (counts.map { case (n, c) => c.as(n) } :+
+          md5(TextAnalysis.scrubPii(col("t"))).as("scrub_md5")): _*)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH aug AS (SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '@example.com from +14155550' || CAST(doc_id % 100 AS VARCHAR) ||
+            ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+          CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+          CAST(len(regexp_extract_all(t, '\+\d{7,15}')) AS INTEGER) AS n_phone,
+          md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\+\d{7,15}', '<PHONE>', 'g')) AS scrub_md5
+        FROM aug ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q81: boilerplate line-dedup — drop repeated lines keeping the first
+    // occurrence (header/footer removal in scraped pages). Docs are
+    // single-line, so both engines build the same 3-line document (text,
+    // text again, unique tail). One explode + two hash aggregates; the
+    // reassembly is an ordered in-group fold, never O(lines^2).
+    "q81_line_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val aug = docs(s, d).select(col("doc_id"), expr(
+          "text || char(10) || text || char(10) || 'tail marker ' || " +
+            "CAST(doc_id AS STRING)").as("t"))
+        TextAnalysis.dedupLines(aug, "doc_id", "t").orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH aug AS (SELECT doc_id,
+            text || chr(10) || text || chr(10) || 'tail marker ' || CAST(doc_id AS VARCHAR) AS t
+          FROM documents),
+        l AS (SELECT doc_id,
+                unnest(string_split(t, chr(10))) AS line,
+                unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+              FROM aug),
+        f AS (SELECT doc_id, line, MIN(pos) AS fpos, COUNT(*) AS occ
+              FROM l GROUP BY doc_id, line)
+        SELECT doc_id, CAST(SUM(occ) AS INTEGER) AS n_lines,
+               CAST(COUNT(*) AS INTEGER) AS n_unique,
+               md5(string_agg(line, chr(10) ORDER BY fpos)) AS dedup_md5
+        FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // q45: embedding-cosine near-duplicate pairs through the BUCKETED
     // tier: sign-LSH banding prunes candidates, exact re-score keeps the
     // output identical to all-pairs (the oracle enumerates every pair, so

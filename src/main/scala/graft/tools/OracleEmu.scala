@@ -204,6 +204,34 @@ object OracleEmu {
         AND lang_pred = 'en'
         AND ((doc_id * 2654435761) % 4294967296) < 2147483648
       ORDER BY doc_id""",
+    "q80_pii_scrub" -> """
+      WITH aug AS (SELECT doc_id,
+          concat(text, ' contact user', CAST(doc_id AS STRING),
+                 '@example.com from +14155550', CAST(doc_id % 100 AS STRING),
+                 ' at 10.0.', CAST(doc_id % 256 AS STRING), '.7') AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(size(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS INT) AS n_email,
+        CAST(size(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0)) AS INT) AS n_ipv4,
+        CAST(size(regexp_extract_all(t, '\\+\\d{7,15}', 0)) AS INT) AS n_phone,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>'),
+          '\\+\\d{7,15}', '<PHONE>')) AS scrub_md5
+      FROM aug ORDER BY doc_id""",
+    "q81_line_dedup" -> """
+      WITH aug AS (SELECT doc_id,
+          concat(text, char(10), text, char(10), 'tail marker ', CAST(doc_id AS STRING)) AS t
+        FROM documents),
+      l AS (SELECT doc_id, pos, line
+            FROM aug LATERAL VIEW posexplode(split(t, char(10))) x AS pos, line),
+      f AS (SELECT doc_id, line, MIN(pos) AS fpos, COUNT(*) AS occ
+            FROM l GROUP BY doc_id, line)
+      SELECT doc_id, CAST(SUM(occ) AS INT) AS n_lines,
+             CAST(COUNT(*) AS INT) AS n_unique,
+             md5(concat_ws(char(10),
+               transform(array_sort(collect_list(struct(fpos, line))), s -> s.line))) AS dedup_md5
+      FROM f GROUP BY doc_id ORDER BY doc_id""",
     "q67_ngram_freq" -> """
       WITH grams AS (
         SELECT ngram FROM (SELECT split(text, ' ') AS s FROM documents)

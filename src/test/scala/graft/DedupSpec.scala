@@ -100,6 +100,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == "und")
   }
 
+  test("scrubPii redacts emails/IPs/phones and counts match, clean text untouched") {
+    val df = Seq(
+      (1L, "reach alice.smith+work@sub.example.co.uk or +4915123456789 via 192.168.1.254 today"),
+      (2L, "two mails a@b.io c@d.org one ip 10.0.0.1"),
+      (3L, "nothing sensitive in here at all")).toDF("doc_id", "text")
+    val counts = TextAnalysis.piiCounts(col("text"))
+    val got = df.select(col("doc_id") +: (counts.map { case (n, c) => c.as(n) } :+
+      TextAnalysis.scrubPii(col("text")).as("s")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1 && got(1L)._3 == 1)
+    assert(got(1L)._4 == "reach <EMAIL> or <PHONE> via <IP> today")
+    assert(got(2L)._1 == 2 && got(2L)._2 == 1 && got(2L)._3 == 0)
+    assert(got(3L) == ((0, 0, 0, "nothing sensitive in here at all")))
+  }
+
+  test("dedupLines keeps first occurrence in order and counts lines") {
+    val df = Seq(
+      (1L, "header\nbody one\nheader\nbody two\nfooter\nfooter"),
+      (2L, "only line")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L)._1 == 6 && got(1L)._2 == 4)
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("header\nbody one\nbody two\nfooter".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(1L)._3 == expectedMd5)
+    assert(got(2L)._1 == 1 && got(2L)._2 == 1)
+  }
+
   test("decodeFeatures is deterministic and fixed-dim") {
     val bin = graft.operators.Multimodal.binarize(corpus, "doc_id", "text")
     val f = graft.operators.Multimodal.decodeFeatures(bin, "doc_id", "bytes").collect()
