@@ -55,33 +55,40 @@ object MLOps {
     * maxIter; CarClusteringPipeline.elbow opts into that. */
   def elbow(df: DataFrame, cols: Seq[String], ks: Seq[Int],
             seed: Long = 123L, restarts: Int = 1, maxIter: Int = 8): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val spark = df.sparkSession
     val (prepped, _, _) = standardize(df, cols)
     val cached = prepped.cache()
+    cached.count() // materialize once before concurrent fits share it
     try {
-      val rows = ks.map {
-        case 1 =>
+      // every (k, restart) fit is an independent Spark job over the same
+      // cached frame — submit them concurrently and let the scheduler
+      // interleave stages. On a sweep this turns sum-of-fits wall time
+      // into ~max-of-fits (each tiny fit underutilizes the cluster; the
+      // reference's own loop is serial). Results are seed-deterministic
+      // and order-independent.
+      val futs = ks.map {
+        case 1 => Future {
           // Spark KMeans requires k >= 2; WSS(1) is the total sum of
           // squares about the mean, computed directly (R kmeans allows 1)
           val Row(vars: org.apache.spark.ml.linalg.Vector, n: Long) = cached.select(
             org.apache.spark.ml.stat.Summarizer.variance(col("scaled")),
             count(lit(1))).head()
           (1, vars.toArray.sum * (n - 1))
-        case k =>
-          // random init for the sweep: the elbow needs the WSS(k) shape,
-          // not each fit's global optimum, and k-means|| init is several
-          // extra data passes per k (the sweep is |ks| fits — the init
-          // cost dominates at scale). The final model fit (kmeans())
-          // keeps the k-means|| default.
-          // capped iterations: the sweep needs the WSS(k) curve's shape,
-          // not converged optima; each iteration is a full pass at scale
-          val cost = (0 until restarts).map { i =>
+        }
+        case k => Future.sequence((0 until restarts).map { i => Future {
+            // random init for the sweep: the elbow needs the WSS(k) shape,
+            // not each fit's global optimum, and k-means|| init is several
+            // extra data passes per k; capped iterations for the same
+            // reason. The final model fit (kmeans()) keeps k-means||.
             new KMeans().setK(k).setSeed(seed + i).setInitMode("random")
               .setMaxIter(maxIter).setFeaturesCol("scaled").fit(cached)
               .summary.trainingCost
-          }.min
-          (k, cost)
+          } }).map(costs => (k, costs.min))
       }
+      val rows = Await.result(Future.sequence(futs), Duration.Inf)
       import spark.implicits._
       rows.toDF("k", "wss")
     } finally cached.unpersist()

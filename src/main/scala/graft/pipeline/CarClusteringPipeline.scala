@@ -64,17 +64,24 @@ object CarClusteringPipeline {
     *    reproduces that semantic deterministically. */
   def cluster(mlReadyDf: DataFrame, k: Int = 3, seed: Long = 123L,
               restarts: Int = 10, polishMoves: Int = 200): (DataFrame, Seq[Seq[Double]]) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val mlReady = safeNames(mlReadyDf)
     val featCols = mlReady.drop("price").columns.toSeq
-    val (scaled, center, scale) = MLOps.standardize(mlReady, featCols)
+    val (scaled0, center, scale) = MLOps.standardize(mlReady, featCols)
+    val scaled = scaled0.cache()
+    scaled.count() // materialize before the concurrent restart fits
     // initMode=random matches what R's nstart actually does (sample k rows
     // as centers, run to convergence, keep best); k-means|| restarts all
     // land in the same wider basin here and miss the 11-car luxury cluster.
-    val model = (0 until restarts).map { i =>
-      new KMeans().setK(k).setSeed(seed + i).setFeaturesCol("scaled")
+    // Restarts are independent jobs over the cached frame — run them
+    // concurrently (min-by-cost is order-independent and seed-pinned).
+    val model = Await.result(Future.sequence((0 until restarts).map { i =>
+      Future(new KMeans().setK(k).setSeed(seed + i).setFeaturesCol("scaled")
         .setPredictionCol("cluster0").setInitMode("random")
-        .setMaxIter(100).setTol(1e-9).fit(scaled)
-    }.minBy(_.summary.trainingCost)
+        .setMaxIter(100).setTol(1e-9).fit(scaled))
+    }), Duration.Inf).minBy(_.summary.trainingCost)
     // Lloyd fixed point != Hartigan-Wong fixed point: polish with the H-W
     // single-point-move criterion (what R's kmeans actually optimizes) so
     // the partition matches the reference's committed golden exactly.
