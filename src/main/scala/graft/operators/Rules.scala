@@ -128,11 +128,18 @@ object Rules {
     * an aggregator). */
   def perGroupMine(df: DataFrame, groupCol: String, itemCols: Seq[String],
                    minSupport: Double, minConfidence: Double): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val groups = df.select(groupCol).distinct().collect().map(_.get(0).toString).sorted
-    groups.map { g =>
+    // one FPGrowth fit per segment, submitted concurrently: each fit is an
+    // independent job chain and single fits underutilize the cluster
+    // (union order stays deterministic — futures are collected in the
+    // sorted-group order they were created)
+    Await.result(Future.sequence(groups.toSeq.map { g => Future {
       val tx = toTransactions(df.filter(col(groupCol) === g), itemCols)
       mine(tx, "items", minSupport, minConfidence)
         .withColumn("segment", lit(g))
-    }.reduce(_.unionByName(_))
+    } }), Duration.Inf).reduce(_.unionByName(_))
   }
 }
