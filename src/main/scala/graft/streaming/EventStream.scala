@@ -72,6 +72,31 @@ object EventStream {
       .select(col("user_id"), col("sw.start").as("sess_start"),
         col("sw.end").as("sess_end"), col("n_events"), col("sum_value"))
 
+  /** Streaming corpus curation — the batch q71 flow as a stream, which
+    * is how a 100-TB training-data front door actually runs: normalized-
+    * fingerprint dedup is the only STATEFUL stage (state bounded by the
+    * ingest watermark), and the quality/language gates are the exact
+    * same stateless expressions as batch (withLangId's staged scores
+    * included). Selection within a duplicate group is arrival-order
+    * (batch q71 pins min doc_id instead), so cross-checks compare the
+    * surviving fingerprint SET, which is identical.
+    * `docs` must carry an `ingest_ts` timestamp column. */
+  def curateDocs(docs: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val base = TextAnalysis.withLangId(
+      docs
+        .withColumn("fp", TextAnalysis.normalizedFingerprint("text"))
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+        .withColumn("n_distinct", size(array_distinct(TextAnalysis.tokens(col("text"))))),
+      "text")
+    base.withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+      .filter(col("n_tokens") >= 20 &&
+        col("n_distinct").cast("double") / col("n_tokens") >= 0.3)
+      .filter(col("lang_pred") === "en")
+      .select(col("doc_id"), col("fp"), col("n_tokens"))
+  }
+
   /** Stream-static enrichment — the canonical streaming dimension
     * lookup: every micro-batch joins the static frame (broadcast — at
     * scale the dim is the small side by construction); stateless, no

@@ -101,4 +101,42 @@ class StreamingSpec extends AnyFunSuite {
     val matched = streamed.join(batchSess, Seq("user_id", "s", "n_events"), "left_semi").count()
     assert(matched == n, s"only $matched of $n streamed sessions match batch sessionization")
   }
+
+  test("streaming corpus curation survives the same fingerprint set as batch") {
+    // stage documents + an exact-duplicate wave (re-crawl analog) with
+    // ingest timestamps; the stream must keep exactly one survivor per
+    // fingerprint and apply the same quality/language gates as batch q71
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val redelivered = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val staged = docs.union(redelivered)
+      .withColumn("ingest_ts", timestamp_micros(lit(1700000000000000L) + col("doc_id")))
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    staged.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ingest_ts TIMESTAMP")
+      .parquet(dir)
+    EventStream.runToMemory(EventStream.curateDocs(stream), "curated", OutputMode.Append())
+    val streamedFps = spark.table("curated").select("fp")
+      .collect().map(_.getString(0)).sorted
+
+    val batch = graft.operators.TextAnalysis.withLangId(
+        staged
+          .withColumn("fp", graft.operators.TextAnalysis.normalizedFingerprint("text"))
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("n_distinct", size(array_distinct(split(col("text"), " ")))),
+        "text")
+      .dropDuplicates("fp")
+      .filter(col("n_tokens") >= 20 &&
+        col("n_distinct").cast("double") / col("n_tokens") >= 0.3)
+      .filter(col("lang_pred") === "en")
+    val batchFps = batch.select("fp").collect().map(_.getString(0)).sorted
+
+    assert(streamedFps.nonEmpty, "curation stream emitted nothing")
+    assert(streamedFps.length == streamedFps.distinct.length,
+      "stream emitted duplicate fingerprints")
+    assert(streamedFps.sameElements(batchFps),
+      s"survivor sets differ: stream=${streamedFps.length} batch=${batchFps.length}")
+  }
 }
