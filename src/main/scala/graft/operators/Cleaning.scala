@@ -91,11 +91,12 @@ object Cleaning {
           val ap = r1.getSeq[Double](r1.fieldIndex(s"ap_$v"))
           val ranks = probs.map(_ * (n - 1)).flatMap(pos =>
             Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
+          // rank-vs-prob rounding at small n can push floor/ceil ranks
+          // outside a tight bracket — the pass-2 coverage check catches
+          // that and the retry loop widens `pad`
           val raw = probs.indices.map { j =>
             val lo = if (probs(j) - pad <= 0) mn else ap(2 * j)
             val hi = if (probs(j) + pad >= 1) mx else ap(2 * j + 1)
-            // rank-vs-prob rounding can push floor/ceil past the sketch
-            // value at small n; widen by one sketch step both ways
             (math.min(lo, hi), math.max(lo, hi))
           }.sortBy(_._1)
           val merged = raw.foldLeft(List.empty[(Double, Double)]) {
