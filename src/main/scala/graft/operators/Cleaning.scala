@@ -57,46 +57,88 @@ object Cleaning {
     * share the same 3 narrow scans: (1) count/min/max + approx sketch at
     * padded probabilities, (2) below/inside counts per bracket, (3)
     * collect only the bracket members and select the exact order
-    * statistics locally. Exactness never depends on the sketch — a
-    * bracket that misses its rank widens and retries, and a column the
-    * sketch cannot pin (pathological duplicate mass) falls back to one
-    * exact percentile aggregate for that column alone. */
+    * statistics locally. Exactness never depends on the sketch, and the
+    * two ways a bracket can fail retry DIFFERENTLY:
+    *
+    *  - rank miss (a wanted order statistic fell outside its bracket —
+    *    sketch rank drift): widen `pad` ×8 at the same accuracy;
+    *  - oversize (a bracket holds more than `maxBracket` members —
+    *    bracket population ≈ 2·pad·n, so this is the NORMAL case once
+    *    n ≳ maxBracket·accuracy/4): raise `accuracy` so the expected
+    *    bracket shrinks to ~maxBracket/4 and shrink `pad` ∝ 1/accuracy.
+    *    Widening here would be guaranteed-worse; falling back to the
+    *    single-buffer `percentile` aggregate would OOM at exactly the
+    *    scale this operator exists for, so the oversize cause NEVER
+    *    takes that fallback.
+    *
+    * Oversize is also predicted from n right after pass 1 (2·pad·n >
+    * maxBracket) so the escalation happens before paying passes 2–3, and
+    * a degenerate bracket (lo == hi — heavy duplicate mass pinning the
+    * rank to a single value) resolves to that value directly with no
+    * member collection, so duplicate-heavy columns can never oversize
+    * their way into a fallback either. Only the rank-miss cause, after
+    * exhausting its widens, reaches the exact `percentile` safety net —
+    * and rank misses are a small-n rounding phenomenon, where that
+    * aggregate is safe.
+    *
+    * `maxBracket` is the driver-side collection cap (how many bracket
+    * members pass 3 may pull to the driver); `onRetry(col, cause,
+    * accuracy)` is an instrumentation hook (causes: "oversize",
+    * "rankmiss", "fallback") used by the spec that forces each path. */
   def bracketQuantiles(df: DataFrame, cols: Seq[String], probs: Seq[Double],
-                       accuracy: Int = 10000): Map[String, Seq[Double]] = {
+                       accuracy: Int = 10000,
+                       maxBracket: Long = 4000000L,
+                       onRetry: (String, String, Long) => Unit = (_, _, _) => ())
+      : Map[String, Seq[Double]] = {
     val vcols = cols.indices.map(i => s"__q$i")
     val vals = df.select(cols.zip(vcols).map { case (c, v) =>
       col(s"`$c`").cast("double").as(v) }: _*)
     val out = scala.collection.mutable.Map[String, Seq[Double]]()
-    var remaining: Seq[(String, String)] = cols.zip(vcols)
-    var pad = 2.0 / accuracy
+    // per-column retry state: sketch accuracy, bracket half-width, and
+    // how many rank-miss widens / oversize escalations it has burned
+    case class St(c: String, v: String, acc: Long, pad: Double,
+                  widens: Int, escalations: Int)
+    val maxAcc = 100000000L // sketch memory cap: covers n/maxBracket up to 2.5e7
+    var remaining: Seq[St] = cols.zip(vcols).map { case (c, v) =>
+      St(c, v, accuracy.toLong, 2.0 / accuracy, 0, 0) }
     var attempt = 0
-    while (remaining.nonEmpty && attempt < 4) {
-      val sketchProbs = probs.flatMap(p =>
-        Seq(math.max(0.0, p - pad), math.min(1.0, p + pad)))
-      val aggs = remaining.flatMap { case (_, v) =>
-        Seq(count(col(v)).as(s"n_$v"), min(col(v)).as(s"mn_$v"),
-          max(col(v)).as(s"mx_$v"),
-          expr(s"approx_percentile($v, array(${sketchProbs.mkString(", ")}), $accuracy)")
-            .as(s"ap_$v"))
+    while (remaining.nonEmpty && attempt < 12) {
+      val aggs = remaining.flatMap { st =>
+        val sketchProbs = probs.flatMap(p =>
+          Seq(math.max(0.0, p - st.pad), math.min(1.0, p + st.pad)))
+        Seq(count(col(st.v)).as(s"n_${st.v}"), min(col(st.v)).as(s"mn_${st.v}"),
+          max(col(st.v)).as(s"mx_${st.v}"),
+          expr(s"approx_percentile(${st.v}, array(${sketchProbs.mkString(", ")}), ${st.acc})")
+            .as(s"ap_${st.v}"))
       }
       val r1 = vals.agg(aggs.head, aggs.tail: _*).head()
       // per column: wanted ranks + merged brackets from the sketch
-      case class Plan(c: String, v: String, n: Long, ranks: Seq[Long],
+      case class Plan(st: St, n: Long, ranks: Seq[Long],
                       brackets: Seq[(Double, Double)])
-      val plans = remaining.flatMap { case (c, v) =>
-        val n = r1.getAs[Long](s"n_$v")
-        if (n == 0) { out(c) = probs.map(_ => Double.NaN); None }
-        else {
-          val (mn, mx) = (r1.getAs[Double](s"mn_$v"), r1.getAs[Double](s"mx_$v"))
-          val ap = r1.getSeq[Double](r1.fieldIndex(s"ap_$v"))
+      val next = scala.collection.mutable.Buffer[St]()
+      val plans = remaining.flatMap { st =>
+        val n = r1.getAs[Long](s"n_${st.v}")
+        if (n == 0) { out(st.c) = probs.map(_ => Double.NaN); None }
+        else if (2.0 * st.pad * n > maxBracket && st.acc < maxAcc) {
+          // predicted oversize: bracket population ≈ 2·pad·n would blow
+          // the collection cap — escalate accuracy (target bracket
+          // ≈ maxBracket/4) before paying passes 2-3
+          val want = math.min(maxAcc, math.max(st.acc * 8, 8L * (n / maxBracket + 1)))
+          onRetry(st.c, "oversize", want)
+          next += st.copy(acc = want, pad = 2.0 / want,
+            escalations = st.escalations + 1)
+          None
+        } else {
+          val (mn, mx) = (r1.getAs[Double](s"mn_${st.v}"), r1.getAs[Double](s"mx_${st.v}"))
+          val ap = r1.getSeq[Double](r1.fieldIndex(s"ap_${st.v}"))
           val ranks = probs.map(_ * (n - 1)).flatMap(pos =>
             Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
           // rank-vs-prob rounding at small n can push floor/ceil ranks
           // outside a tight bracket — the pass-2 coverage check catches
-          // that and the retry loop widens `pad`
+          // that and the rank-miss retry widens `pad`
           val raw = probs.indices.map { j =>
-            val lo = if (probs(j) - pad <= 0) mn else ap(2 * j)
-            val hi = if (probs(j) + pad >= 1) mx else ap(2 * j + 1)
+            val lo = if (probs(j) - st.pad <= 0) mn else ap(2 * j)
+            val hi = if (probs(j) + st.pad >= 1) mx else ap(2 * j + 1)
             (math.min(lo, hi), math.max(lo, hi))
           }.sortBy(_._1)
           val merged = raw.foldLeft(List.empty[(Double, Double)]) {
@@ -104,43 +146,65 @@ object Cleaning {
               (plo, math.max(phi, hi)) :: rest
             case (acc0, b) => b :: acc0
           }.reverse
-          Some(Plan(c, v, n, ranks, merged))
+          Some(Plan(st, n, ranks, merged))
         }
       }
-      if (plans.isEmpty) { remaining = Nil }
-      else {
+      if (plans.nonEmpty) {
+        // pass 2 splits each bracket into ==lo / strict interior / ==hi:
+        // endpoint duplicate mass resolves by COUNT arithmetic (a rank
+        // inside the lo-mass IS lo), so only the strict interior is ever
+        // collected. Heavy duplicates at a bracket edge — including the
+        // boundary-rank case where a wanted rank sits exactly where a
+        // heavy value begins — can therefore never oversize a bracket;
+        // the size cap applies to the interior alone.
         val cntAggs = plans.flatMap { pl =>
           pl.brackets.zipWithIndex.flatMap { case ((lo, hi), i) =>
-            Seq(sum(when(col(pl.v) < lo, 1L).otherwise(0L)).as(s"lt_${pl.v}_$i"),
-              sum(when(col(pl.v) >= lo && col(pl.v) <= hi, 1L).otherwise(0L))
-                .as(s"in_${pl.v}_$i"))
+            Seq(sum(when(col(pl.st.v) < lo, 1L).otherwise(0L)).as(s"lt_${pl.st.v}_$i"),
+              sum(when(col(pl.st.v) >= lo && col(pl.st.v) <= hi, 1L).otherwise(0L))
+                .as(s"in_${pl.st.v}_$i"),
+              sum(when(col(pl.st.v) === lo, 1L).otherwise(0L)).as(s"lo_${pl.st.v}_$i"),
+              sum(when(col(pl.st.v) === hi, 1L).otherwise(0L)).as(s"hi_${pl.st.v}_$i"))
           }
         }
         val r2 = vals.agg(cntAggs.head, cntAggs.tail: _*).head()
-        def meta(pl: Plan) = pl.brackets.indices.map(i =>
-          (r2.getAs[Long](s"lt_${pl.v}_$i"), r2.getAs[Long](s"in_${pl.v}_$i")))
+        case class B(lt: Long, in: Long, eqLo: Long, eqHi: Long, interior: Long)
+        def meta(pl: Plan) = pl.brackets.indices.map { i =>
+          val lt = r2.getAs[Long](s"lt_${pl.st.v}_$i")
+          val in = r2.getAs[Long](s"in_${pl.st.v}_$i")
+          val eqLo = r2.getAs[Long](s"lo_${pl.st.v}_$i")
+          val eqHi = r2.getAs[Long](s"hi_${pl.st.v}_$i")
+          val (blo, bhi) = pl.brackets(i)
+          val interior = if (blo == bhi) 0L else in - eqLo - eqHi
+          B(lt, in, eqLo, eqHi, interior)
+        }
         val (ready, retry) = plans.partition { pl =>
           val m = meta(pl)
-          pl.ranks.forall(k => m.indices.exists(i =>
-            k >= m(i)._1 && k < m(i)._1 + m(i)._2)) &&
-            m.forall(_._2 <= 4000000L)
+          pl.ranks.forall(k => m.exists(b => k >= b.lt && k < b.lt + b.in)) &&
+            m.forall(_.interior <= maxBracket)
         }
         if (ready.nonEmpty) {
-          val colAggs = ready.flatMap { pl =>
-            pl.brackets.zipWithIndex.map { case ((lo, hi), i) =>
-              sort_array(collect_list(when(col(pl.v) >= lo && col(pl.v) <= hi,
-                col(pl.v)))).as(s"vs_${pl.v}_$i")
+          val interiors = ready.map(pl => pl -> meta(pl))
+          val colAggs = interiors.flatMap { case (pl, m) =>
+            pl.brackets.zipWithIndex.collect {
+              case ((lo, hi), i) if m(i).interior > 0 =>
+                sort_array(collect_list(when(col(pl.st.v) > lo && col(pl.st.v) < hi,
+                  col(pl.st.v)))).as(s"vs_${pl.st.v}_$i")
             }
           }
-          val r3 = vals.agg(colAggs.head, colAggs.tail: _*).head()
-          ready.foreach { pl =>
-            val m = meta(pl)
+          val r3 = if (colAggs.nonEmpty)
+            vals.agg(colAggs.head, colAggs.tail: _*).head() else null
+          interiors.foreach { case (pl, m) =>
             val byRank = pl.ranks.map { k =>
-              val i = m.indices.find(i =>
-                k >= m(i)._1 && k < m(i)._1 + m(i)._2).get
-              k -> r3.getSeq[Double](r3.fieldIndex(s"vs_${pl.v}_$i"))((k - m(i)._1).toInt)
+              val i = m.indices.find(i => k >= m(i).lt && k < m(i).lt + m(i).in).get
+              val off = k - m(i).lt
+              val value =
+                if (off < m(i).eqLo) pl.brackets(i)._1
+                else if (off < m(i).eqLo + m(i).interior)
+                  r3.getSeq[Double](r3.fieldIndex(s"vs_${pl.st.v}_$i"))((off - m(i).eqLo).toInt)
+                else pl.brackets(i)._2
+              k -> value
             }.toMap
-            out(pl.c) = probs.map { p =>
+            out(pl.st.c) = probs.map { p =>
               val pos = p * (pl.n - 1)
               val lo = math.floor(pos).toLong
               val hi = math.ceil(pos).toLong
@@ -149,17 +213,46 @@ object Cleaning {
             }
           }
         }
-        remaining = retry.map(pl => pl.c -> pl.v)
-        pad = math.min(pad * 8, 0.5)
-        attempt += 1
+        // cause-split retry: rank miss widens pad at the same accuracy;
+        // oversize (all wanted ranks covered, some live bracket too big)
+        // escalates accuracy and shrinks pad — NEVER widens
+        retry.foreach { pl =>
+          val m = meta(pl)
+          val covered = pl.ranks.forall(k => m.exists(b => k >= b.lt && k < b.lt + b.in))
+          if (!covered) {
+            onRetry(pl.st.c, "rankmiss", pl.st.acc)
+            next += pl.st.copy(pad = math.min(pl.st.pad * 8, 0.5),
+              widens = pl.st.widens + 1)
+          } else {
+            val want = math.min(maxAcc, pl.st.acc * 8)
+            onRetry(pl.st.c, "oversize", want)
+            next += pl.st.copy(acc = want, pad = 2.0 / want,
+              escalations = pl.st.escalations + 1)
+          }
+        }
       }
+      // budget the two causes separately: >4 widens → exact-percentile
+      // safety net (small-n regime only, where it is safe); oversize has
+      // no safe fallback, but escalation converges — acc ≥ 8n/maxBracket
+      // bounds the expected bracket at maxBracket/4, and heavier-than-pad
+      // duplicate mass degenerates the bracket instead
+      val (fallback, keep) = next.partition(_.widens > 4)
+      if (fallback.nonEmpty) {
+        val aggs = fallback.toSeq.map(st => pctExpr(st.v, probs, exact = true).as(st.v))
+        val row = vals.agg(aggs.head, aggs.tail: _*).head()
+        fallback.foreach { st =>
+          onRetry(st.c, "fallback", st.acc)
+          out(st.c) = row.getSeq[Double](row.fieldIndex(st.v))
+        }
+      }
+      remaining = keep.toSeq
+      attempt += 1
     }
-    // safety net for columns the sketch never pinned
-    if (remaining.nonEmpty) {
-      val aggs = remaining.map { case (_, v) => pctExpr(v, probs, exact = true).as(v) }
-      val row = vals.agg(aggs.head, aggs.tail: _*).head()
-      remaining.foreach { case (c, v) =>
-        out(c) = row.getSeq[Double](row.fieldIndex(v)) }
+    remaining.foreach { st =>
+      throw new IllegalStateException(
+        s"bracketQuantiles: column '${st.c}' still unresolved after $attempt " +
+          s"attempts (accuracy=${st.acc}, pad=${st.pad}); refusing the " +
+          "single-buffer percentile fallback, which cannot run at this scale")
     }
     cols.map(c => c -> out(c)).toMap
   }

@@ -55,6 +55,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bracketQuantiles oversize brackets escalate accuracy — never the percentile fallback") {
+    // force the oversize cause with an injected tiny collection cap and a
+    // coarse starting sketch: bracket population ≈ 2·pad·n = 800 ≫ 50, so
+    // the old policy (widen pad ×8, then single-buffer percentile fallback)
+    // would fall back — the fixed policy must RAISE accuracy (shrinking
+    // the bracket ∝ 1/accuracy) and still return exact type-7 values
+    val xs = (0 until 20000).map(i => ((i * 7919) % 20011) / 20011.0 * 1000.0)
+    val df = xs.toDF("v")
+    val probs = Seq(0.25, 0.5, 0.75)
+    val retries = scala.collection.mutable.Buffer[(String, String, Long)]()
+    val got = Cleaning.bracketQuantiles(df, Seq("v"), probs,
+      accuracy = 100, maxBracket = 50L,
+      onRetry = (c, cause, acc) => retries += ((c, cause, acc)))("v")
+    val want = df.agg(expr(s"percentile(v, array(${probs.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    assert(got == want, s"got=$got want=$want")
+    val causes = retries.map(_._2)
+    assert(causes.contains("oversize"), s"expected oversize escalation, saw $retries")
+    assert(!causes.contains("fallback"),
+      s"oversize must never reach the percentile fallback, saw $retries")
+    // and the escalation actually raised accuracy past the cap-implied bound
+    val accs = retries.filter(_._2 == "oversize").map(_._3)
+    assert(accs.exists(_ >= 8L * (20000L / 50L)), s"accuracy not escalated: $accs")
+  }
+
+  test("bracketQuantiles heavy duplicate mass resolves via endpoint counts — no collection, no fallback") {
+    // 6000 copies of one value pin the median, and p=0.25 lands exactly at
+    // the BOUNDARY where the heavy mass begins — its bracket [.., 42] holds
+    // the whole 6000-row mass, far over the 50-member cap. Endpoint masses
+    // resolve by count arithmetic (only the strict interior is collected),
+    // so neither rank needs an escalation spiral or a fallback
+    val xs = (0 until 2500).map(i => (i % 977) / 97.7) ++
+      Seq.fill(6000)(42.0) ++ (0 until 1500).map(i => 50.0 + (i % 631) / 63.1)
+    val df = xs.toDF("v")
+    val probs = Seq(0.25, 0.5, 0.75)
+    val retries = scala.collection.mutable.Buffer[(String, String, Long)]()
+    val got = Cleaning.bracketQuantiles(df, Seq("v"), probs,
+      accuracy = 100, maxBracket = 50L,
+      onRetry = (c, cause, acc) => retries += ((c, cause, acc)))("v")
+    val want = df.agg(expr(s"percentile(v, array(${probs.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    assert(got == want, s"got=$got want=$want")
+    assert(got(1) == 42.0)
+    assert(!retries.map(_._2).contains("fallback"),
+      s"duplicate mass must resolve via the degenerate bracket, saw $retries")
+  }
+
   test("medianImpute leaves no nulls and keeps row count") {
     val g = Gen.nonEmptyListOf(Gen.option(Gen.choose(-1e6, 1e6)))
       .suchThat(_.exists(_.isDefined))
