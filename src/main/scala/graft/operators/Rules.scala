@@ -123,9 +123,9 @@ object Rules {
     * FPGrowth fit per distinct segment, driven serially from the driver.
     * Each fit is itself distributed, but segment COUNT is a wall-clock
     * multiplier: fine for a handful of market segments, wrong for
-    * thousands of groups (there, mine once with the segment value encoded
-    * into the items, or group baskets and run per-group FP-trees inside
-    * an aggregator). */
+    * thousands of groups — there, use [[segmentEncodedMine]], which mines
+    * ALL segments in one fit and matches this operator's output exactly
+    * (identity pinned in PropertySpec). */
   def perGroupMine(df: DataFrame, groupCol: String, itemCols: Seq[String],
                    minSupport: Double, minConfidence: Double): DataFrame = {
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -141,5 +141,74 @@ object Rules {
       mine(tx, "items", minSupport, minConfidence)
         .withColumn("segment", lit(g))
     } }), Duration.Inf).reduce(_.unionByName(_))
+  }
+
+  /** M14 at scale — the variant [[perGroupMine]]'s scaladoc names: encode
+    * the segment value into every item and mine ONCE. Baskets from
+    * different segments then share no items, so the single global
+    * FP-Growth fit factors exactly into the independent per-segment fits:
+    * every itemset lives entirely inside one segment, its global count
+    * equals its within-segment count, and confidence (a ratio of two such
+    * counts) is identical bit-for-bit. Segment-relative support and lift
+    * are restored afterwards from the recovered integer count basis (the
+    * [[withCountBasis]] trick) and the per-segment transaction counts —
+    * mirroring FPGrowth's own division order so the doubles match the
+    * per-segment fits exactly.
+    *
+    * Thresholds: per-segment mining keeps itemsets with count >=
+    * ceil(minSupport·n_g); the single fit mines at the loosest of those
+    * (the smallest segment's) and re-applies each segment's integer
+    * minCount afterwards. Confidence needs no rescaling, so FPGrowth's
+    * own minConfidence gate already matches.
+    *
+    * Scale shape: one fit regardless of segment count — segment
+    * cardinality stops being a wall-clock multiplier. The cost is mining
+    * large segments at the smallest segment's threshold; with heavily
+    * skewed segment sizes, bucket segments by magnitude and run one fit
+    * per bucket. Items must not contain U+0001 (the tag separator). */
+  def segmentEncodedMine(df: DataFrame, groupCol: String, itemCols: Seq[String],
+                         minSupport: Double, minConfidence: Double,
+                         minLen: Int = 2, maxLen: Int = 10): DataFrame = {
+    val sep = "\u0001"
+    val sp = df.sparkSession
+    import sp.implicits._
+    val segN = df.groupBy(col(groupCol).cast("string").as("segment"))
+      .count().withColumnRenamed("count", "__n")
+    val totalN = segN.agg(sum(col("__n"))).head().getLong(0)
+    require(totalN > 0, "segmentEncodedMine: empty input")
+    val nMin = segN.agg(min(col("__n"))).head().getLong(0)
+    // ceil(g·totalN) == ceil(minSupport·nMin) for g just under the ratio:
+    // the global fit keeps exactly the itemsets any segment might need
+    val minCountMin = math.max(math.ceil(minSupport * nMin), 1.0)
+    val globalMinSup = (minCountMin - 0.5) / totalN
+    val tagged = toTransactions(df, itemCols).withColumn("items",
+      transform(col("items"),
+        x => concat(col(groupCol).cast("string"), lit(sep), x)))
+    val fp = new FPGrowth().setItemsCol("items")
+      .setMinSupport(globalMinSup).setMinConfidence(minConfidence)
+    val rules = fp.fit(tagged).associationRules
+    rules
+      .withColumn("segment", substring_index(element_at(col("antecedent"), 1), sep, 1))
+      .withColumn("antecedent",
+        transform(col("antecedent"), x => substring_index(x, sep, -1)))
+      .withColumn("consequent",
+        transform(col("consequent"), x => substring_index(x, sep, -1)))
+      .withColumn("rule_len", size(col("antecedent")) + size(col("consequent")))
+      .filter(col("rule_len").between(minLen, maxLen)).drop("rule_len")
+      // integer count basis from the global ratios (exact: single
+      // divisions of longs round-trip within a few ulp)
+      .withColumn("__pc", round(col("support") * totalN).cast("long"))
+      .withColumn("__cc",
+        round(col("confidence") * lit(totalN.toDouble) / col("lift")).cast("long"))
+      .join(broadcast(segN), "segment")
+      // each segment's own FPGrowth minCount gate, in integers
+      .filter(col("__pc") >= ceil(lit(minSupport) * col("__n")))
+      // FPGrowth's division order: support = freq / n; lift = conf / (freqB / n)
+      .withColumn("support", col("__pc").cast("double") / col("__n"))
+      .withColumn("lift",
+        col("confidence") / (col("__cc").cast("double") / col("__n")))
+      .withColumn("count", col("__pc"))
+      .select("antecedent", "consequent", "confidence", "lift", "support",
+        "count", "segment")
   }
 }

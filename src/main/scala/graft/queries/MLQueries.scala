@@ -17,6 +17,40 @@ import org.apache.spark.sql.types.DecimalType
   */
 object MLQueries {
 
+  /** Shared by q69 (per-segment loop) and q82 (segment-encoded single
+    * fit): DuckDB enumeration of the per-segment rules on 2-item baskets —
+    * per-segment n and minCount, conf = pc/ac raw division, support as
+    * exact integer fixed-point. */
+  private val perSegmentRulesOracle = """
+        WITH t AS (
+          SELECT c_mktsegment AS seg,
+                 'o_orderstatus=' || o_orderstatus AS i1,
+                 'o_orderpriority=' || o_orderpriority AS i2
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        nn AS (SELECT seg, COUNT(*) AS n, CEIL(CAST(0.05 AS DOUBLE) * COUNT(*)) AS minc
+               FROM t GROUP BY seg),
+        s1 AS (SELECT seg, item, COUNT(*) AS c FROM (
+                 SELECT seg, i1 AS item FROM t UNION ALL SELECT seg, i2 AS item FROM t) u
+               GROUP BY seg, item),
+        p AS (SELECT seg, i1 AS a, i2 AS b, COUNT(*) AS c FROM t GROUP BY seg, i1, i2),
+        r1 AS (
+          SELECT p.seg, p.a AS lhs, p.b AS rhs, p.c AS pc, sa.c AS ac
+          FROM p JOIN s1 sa ON sa.seg = p.seg AND sa.item = p.a
+                 JOIN nn ON nn.seg = p.seg
+          WHERE p.c >= nn.minc
+          UNION ALL
+          SELECT p.seg, p.b AS lhs, p.a AS rhs, p.c AS pc, sb.c AS ac
+          FROM p JOIN s1 sb ON sb.seg = p.seg AND sb.item = p.b
+                 JOIN nn ON nn.seg = p.seg
+          WHERE p.c >= nn.minc)
+        SELECT r1.seg AS segment, lhs, rhs,
+               CAST(pc AS DOUBLE) / ac AS confidence,
+               (pc * 1000000 // nn.n) / 1e6 AS support
+        FROM r1 JOIN nn ON nn.seg = r1.seg
+        WHERE CAST(pc AS DOUBLE) / ac >= CAST(0.25 AS DOUBLE)
+        ORDER BY segment, lhs, rhs"""
+
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables(s, d, "embeddings")
       .withColumn("f", transform(col("embedding"), _.cast("double")))
@@ -570,35 +604,34 @@ object MLQueries {
               expr(s"(__pc * 1000000L div ${n}L) / 1e6").as("support"))
         }.reduce(_.unionByName(_)).orderBy("segment", "lhs", "rhs")
       },
-      oracle = Some("""
-        WITH t AS (
-          SELECT c_mktsegment AS seg,
-                 'o_orderstatus=' || o_orderstatus AS i1,
-                 'o_orderpriority=' || o_orderpriority AS i2
-          FROM orders JOIN customer ON o_custkey = c_custkey
-          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
-        nn AS (SELECT seg, COUNT(*) AS n, CEIL(CAST(0.05 AS DOUBLE) * COUNT(*)) AS minc
-               FROM t GROUP BY seg),
-        s1 AS (SELECT seg, item, COUNT(*) AS c FROM (
-                 SELECT seg, i1 AS item FROM t UNION ALL SELECT seg, i2 AS item FROM t) u
-               GROUP BY seg, item),
-        p AS (SELECT seg, i1 AS a, i2 AS b, COUNT(*) AS c FROM t GROUP BY seg, i1, i2),
-        r1 AS (
-          SELECT p.seg, p.a AS lhs, p.b AS rhs, p.c AS pc, sa.c AS ac
-          FROM p JOIN s1 sa ON sa.seg = p.seg AND sa.item = p.a
-                 JOIN nn ON nn.seg = p.seg
-          WHERE p.c >= nn.minc
-          UNION ALL
-          SELECT p.seg, p.b AS lhs, p.a AS rhs, p.c AS pc, sb.c AS ac
-          FROM p JOIN s1 sb ON sb.seg = p.seg AND sb.item = p.b
-                 JOIN nn ON nn.seg = p.seg
-          WHERE p.c >= nn.minc)
-        SELECT r1.seg AS segment, lhs, rhs,
-               CAST(pc AS DOUBLE) / ac AS confidence,
-               (pc * 1000000 // nn.n) / 1e6 AS support
-        FROM r1 JOIN nn ON nn.seg = r1.seg
-        WHERE CAST(pc AS DOUBLE) / ac >= CAST(0.25 AS DOUBLE)
-        ORDER BY segment, lhs, rhs""")),
+      oracle = Some(perSegmentRulesOracle)),
+
+    // ----------------------------------------------------------------
+    // q82: SAME result as q69 through the SCALE path — one segment-encoded
+    // FP-Growth fit over all segments (Rules.segmentEncodedMine) instead
+    // of one fit per segment. Shares q69's oracle verbatim: the driver
+    // hash-compares both to the same enumerated rule set, proving the
+    // single-fit factorization end-to-end.
+    "q82_rules_segment_onefit" -> QueryDef(
+      fn = (s, d) => {
+        val segs = Seq("BUILDING", "MACHINERY")
+        val o = Tables(s, d, "orders").join(broadcast(Tables(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment").isin(segs: _*))
+        val mined = Rules.segmentEncodedMine(o, "c_mktsegment",
+          Seq("o_orderstatus", "o_orderpriority"),
+          minSupport = 0.05, minConfidence = 0.25)
+        val nDf = o.groupBy(col("c_mktsegment").as("segment"))
+          .count().withColumnRenamed("count", "__n")
+        mined.join(broadcast(nDf), "segment")
+          .select(col("segment"),
+            concat_ws(",", sort_array(col("antecedent"))).as("lhs"),
+            concat_ws(",", sort_array(col("consequent"))).as("rhs"),
+            col("confidence"),
+            expr("(`count` * 1000000L div __n) / 1e6").as("support"))
+          .orderBy("segment", "lhs", "rhs")
+      },
+      oracle = Some(perSegmentRulesOracle)),
 
     // ----------------------------------------------------------------
     // q62: RBF-SVR stand-in (M8): random Fourier features + linear model

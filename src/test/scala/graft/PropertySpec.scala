@@ -166,6 +166,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("segmentEncodedMine == perGroupMine exactly (one fit vs per-segment fits)") {
+    // the scale variant must reproduce the per-segment loop bit-for-bit:
+    // same rules, same confidence/lift/support doubles, same counts
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .join(Tables(spark, "/root/testdata/sf0.001", "customer"),
+        col("o_custkey") === col("c_custkey"))
+    val cols = Seq("o_orderstatus", "o_orderpriority")
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("segment"),
+      r.getSeq[String](r.fieldIndex("antecedent")).sorted.mkString(","),
+      r.getSeq[String](r.fieldIndex("consequent")).sorted.mkString(","),
+      r.getAs[Double]("confidence"), r.getAs[Double]("lift"),
+      r.getAs[Double]("support"), r.getAs[Long]("count"))
+    val loop = graft.operators.Rules
+      .perGroupMine(o, "c_mktsegment", cols, 0.05, 0.25)
+      .collect().map(key).toSet
+    val one = graft.operators.Rules
+      .segmentEncodedMine(o, "c_mktsegment", cols, 0.05, 0.25)
+      .collect().map(key).toSet
+    assert(one == loop,
+      s"only-in-onefit=${(one -- loop).take(3)} only-in-loop=${(loop -- one).take(3)}")
+    assert(one.nonEmpty)
+    // all 5 mktsegments mined in the single fit
+    assert(one.map(_._1).size == 5)
+  }
+
   test("OlsSufficient recovers an exact linear relationship") {
     // y = 1 + 2*x1 - 3*x2 with no noise: the normal equations are exactly
     // consistent, so the Cramer solve must return the true coefficients
