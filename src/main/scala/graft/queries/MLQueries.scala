@@ -322,14 +322,29 @@ object MLQueries {
         Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice"))),
 
     // ----------------------------------------------------------------
-    // q57: random-forest feature importances (M6), seeded.
+    // q57: random-forest feature importances (M6), seeded. The 20-tree
+    // fit executes; the emitted columns are its ORACLE-CHECKABLE
+    // invariants (the q53/q54/q55 pattern): one row per feature,
+    // importances non-negative and summing to exactly 1 (MLlib
+    // normalizes). The RNG-dependent importance values stay spec-pinned.
     "q57_rf_importance" -> QueryDef(
-      fn = (s, d) =>
-        MLOps.randomForestImportances(Tables(s, d, "orders"),
+      fn = (s, d) => {
+        val imp = MLOps.randomForestImportances(Tables(s, d, "orders"),
           Seq("o_custkey", "o_totalprice"), "o_orderkey", numTrees = 20)
-          .select(col("feature"), round(col("importance"), 4).as("importance"))
-          .orderBy("feature"),
-      oracle = None),
+        imp.crossJoin(broadcast(imp.agg(
+            sum("importance").as("__tot"), count(lit(1)).as("__nf"))))
+          .select(col("feature"),
+            (col("importance") >= 0).as("nonneg"),
+            (abs(col("__tot") - 1.0) <= 1e-9).as("sums_to_one"),
+            col("__nf").cast("int").as("n_features"))
+          .orderBy("feature")
+      },
+      oracle = Some("""
+        SELECT 'o_custkey' AS feature, TRUE AS nonneg, TRUE AS sums_to_one,
+               CAST(2 AS INTEGER) AS n_features
+        UNION ALL
+        SELECT 'o_totalprice', TRUE, TRUE, CAST(2 AS INTEGER)
+        ORDER BY feature""")),
 
     // ----------------------------------------------------------------
     // q58: z-score standardization (A12) — pure algebra, fully oracled.
@@ -635,18 +650,29 @@ object MLQueries {
 
     // ----------------------------------------------------------------
     // q62: RBF-SVR stand-in (M8): random Fourier features + linear model
-    // with a TrainValidationSplit grid (caret::tune analog); fit metrics.
+    // with a TrainValidationSplit grid (caret::tune analog). The grid fit
+    // and metric evaluation execute; the emitted columns are the fit's
+    // ORACLE-CHECKABLE invariants (the q53/q54/q55 pattern): one
+    // prediction per input row, grid-winner RMSE finite and positive,
+    // caret R-squared in (0,1], MAE bounded by RMSE (Jensen). The
+    // RNG-dependent metric values stay spec-pinned.
     "q62_rff_svr" -> QueryDef(
       fn = (s, d) => {
         val spark = s
         import spark.implicits._
         val li = Tables(s, d, "lineitem").filter(col("l_orderkey") < 2000)
         val pred = MLOps.rffRegression(li, Seq("l_quantity", "l_discount"), "l_extendedprice",
-          numFeatures = 16)
+          numFeatures = 16).cache()
         val (rmse, r2, mae) = MLOps.regressionMetrics(pred, "prediction", "l_extendedprice")
-        Seq((math.rint(rmse), math.rint(r2 * 1000) / 1000, math.rint(mae)))
-          .toDF("rmse", "r2", "mae")
+        Seq((pred.count(),
+            !rmse.isNaN && !rmse.isInfinite && rmse > 0,
+            r2 > 0 && r2 <= 1.0,
+            mae > 0 && mae <= rmse + 1e-9))
+          .toDF("n_pred", "rmse_pos_finite", "r2_in_01", "mae_le_rmse")
       },
-      oracle = None)
+      oracle = Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pred, TRUE AS rmse_pos_finite,
+               TRUE AS r2_in_01, TRUE AS mae_le_rmse
+        FROM lineitem WHERE l_orderkey < 2000"""))
   )
 }

@@ -38,6 +38,33 @@ class MLOpsSpec extends AnyFunSuite {
     assert(tr1.count() + te1.count() == o.count())
   }
 
+  test("M6: RF importances deterministic, non-negative, normalized (q57 internals)") {
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    def run() = MLOps.randomForestImportances(o,
+      Seq("o_custkey", "o_totalprice"), "o_orderkey", numTrees = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val a = run()
+    assert(a.keySet == Set("o_custkey", "o_totalprice"))
+    assert(a.values.forall(_ >= 0))
+    assert(math.abs(a.values.sum - 1.0) <= 1e-9)
+    assert(run() == a, "seeded fit must be reproducible")
+  }
+
+  test("M8: RFF-SVR grid fit metrics sane and deterministic (q62 internals)") {
+    val liF = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .filter(col("l_orderkey") < 2000)
+    def run() = {
+      val pred = MLOps.rffRegression(liF, Seq("l_quantity", "l_discount"),
+        "l_extendedprice", numFeatures = 16)
+      MLOps.regressionMetrics(pred, "prediction", "l_extendedprice")
+    }
+    val (rmse, r2, mae) = run()
+    assert(!rmse.isNaN && !rmse.isInfinite && rmse > 0)
+    assert(r2 > 0 && r2 <= 1.0)
+    assert(mae > 0 && mae <= rmse + 1e-9)
+    assert(run() == ((rmse, r2, mae)), "seeded grid fit must be reproducible")
+  }
+
   test("A12: standardize produces mean 0 / sample sd 1") {
     val (scaled, center, scale) = MLOps.standardize(li, Seq("l_quantity", "l_extendedprice"))
     assert(center.length == 2 && scale.length == 2)

@@ -37,12 +37,13 @@ class QueriesSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.catalog.collect {
       case (n, q) if q.oracle.isEmpty => n
     }.toSet
-    // q53/q54/q55 were moved to the oracled set in round 3: their outputs
-    // are now the fits' deterministic invariants (assignment totals, the
-    // WSS(1) identity, the exact-integer covariance matrix + ratio-sum
-    // sentinel); the RNG-dependent internals remain spec-pinned.
-    val known = Set("q33_minhash_lsh", "q34_simhash", "q44_ann_lsh", "q46_ann_ivf",
-      "q57_rf_importance", "q62_rff_svr")
+    // q53/q54/q55 were moved to the oracled set in round 3, q57/q62 in
+    // round 4: their outputs are the fits' deterministic invariants
+    // (assignment totals, the WSS(1) identity, the exact-integer
+    // covariance matrix, importance non-negativity/normalization, metric
+    // bounds); the RNG-dependent internals remain spec-pinned. The four
+    // left are seeded-hash internals DuckDB genuinely cannot reproduce.
+    val known = Set("q33_minhash_lsh", "q34_simhash", "q44_ann_lsh", "q46_ann_ivf")
     assert(rowsOnly == known,
       s"unexpected rows-only queries: ${(rowsOnly -- known) ++ (known -- rowsOnly)}")
   }
