@@ -55,22 +55,24 @@ object MLOps {
     * maxIter; CarClusteringPipeline.elbow opts into that. */
   def elbow(df: DataFrame, cols: Seq[String], ks: Seq[Int],
             seed: Long = 123L, restarts: Int = 1, maxIter: Int = 8): DataFrame = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    import graft.operators.FitPool.ec
     val spark = df.sparkSession
     val (prepped, _, _) = standardize(df, cols)
     val cached = prepped.cache()
     cached.count() // materialize once before concurrent fits share it
     try {
       // every (k, restart) fit is an independent Spark job over the same
-      // cached frame — submit them concurrently and let the scheduler
-      // interleave stages. On a sweep this turns sum-of-fits wall time
-      // into ~max-of-fits (each tiny fit underutilizes the cluster; the
-      // reference's own loop is serial). Results are seed-deterministic
-      // and order-independent.
+      // cached frame — submit them concurrently on the BOUNDED FitPool and
+      // let the scheduler interleave stages. On a sweep this turns
+      // sum-of-fits wall time into ~max-of-fits (each tiny fit
+      // underutilizes the cluster; the reference's own loop is serial),
+      // while the in-flight cap keeps a huge ks×restarts grid from
+      // occupying one blocked thread per fit. Results are
+      // seed-deterministic and order-independent.
       val futs = ks.map {
-        case 1 => Future {
+        case 1 => FitPool.submit {
           // Spark KMeans requires k >= 2; WSS(1) is the total sum of
           // squares about the mean, computed directly (R kmeans allows 1)
           val Row(vars: org.apache.spark.ml.linalg.Vector, n: Long) = cached.select(
@@ -78,7 +80,7 @@ object MLOps {
             count(lit(1))).head()
           (1, vars.toArray.sum * (n - 1))
         }
-        case k => Future.sequence((0 until restarts).map { i => Future {
+        case k => Future.sequence((0 until restarts).map { i => FitPool.submit {
             // random init for the sweep: the elbow needs the WSS(k) shape,
             // not each fit's global optimum, and k-means|| init is several
             // extra data passes per k; capped iterations for the same

@@ -128,15 +128,16 @@ object Rules {
     * (identity pinned in PropertySpec). */
   def perGroupMine(df: DataFrame, groupCol: String, itemCols: Seq[String],
                    minSupport: Double, minConfidence: Double): DataFrame = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    import FitPool.ec
     val groups = df.select(groupCol).distinct().collect().map(_.get(0).toString).sorted
-    // one FPGrowth fit per segment, submitted concurrently: each fit is an
-    // independent job chain and single fits underutilize the cluster
-    // (union order stays deterministic — futures are collected in the
-    // sorted-group order they were created)
-    Await.result(Future.sequence(groups.toSeq.map { g => Future {
+    // one FPGrowth fit per segment, submitted concurrently on the BOUNDED
+    // FitPool: each fit is an independent job chain and single fits
+    // underutilize the cluster, but in-flight fits are capped so many
+    // segments queue as runnables, not blocked threads (union order stays
+    // deterministic — futures are collected in sorted-group order)
+    Await.result(Future.sequence(groups.toSeq.map { g => FitPool.submit {
       val tx = toTransactions(df.filter(col(groupCol) === g), itemCols)
       mine(tx, "items", minSupport, minConfidence)
         .withColumn("segment", lit(g))

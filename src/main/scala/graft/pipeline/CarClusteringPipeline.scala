@@ -64,9 +64,9 @@ object CarClusteringPipeline {
     *    reproduces that semantic deterministically. */
   def cluster(mlReadyDf: DataFrame, k: Int = 3, seed: Long = 123L,
               restarts: Int = 10, polishMoves: Int = 200): (DataFrame, Seq[Seq[Double]]) = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    import graft.operators.FitPool.ec
     val mlReady = safeNames(mlReadyDf)
     val featCols = mlReady.drop("price").columns.toSeq
     val (scaled0, center, scale) = MLOps.standardize(mlReady, featCols)
@@ -76,11 +76,13 @@ object CarClusteringPipeline {
     // as centers, run to convergence, keep best); k-means|| restarts all
     // land in the same wider basin here and miss the 11-car luxury cluster.
     // Restarts are independent jobs over the cached frame — run them
-    // concurrently (min-by-cost is order-independent and seed-pinned).
+    // concurrently on the bounded FitPool (min-by-cost is
+    // order-independent and seed-pinned).
     val model = Await.result(Future.sequence((0 until restarts).map { i =>
-      Future(new KMeans().setK(k).setSeed(seed + i).setFeaturesCol("scaled")
-        .setPredictionCol("cluster0").setInitMode("random")
-        .setMaxIter(100).setTol(1e-9).fit(scaled))
+      graft.operators.FitPool.submit(
+        new KMeans().setK(k).setSeed(seed + i).setFeaturesCol("scaled")
+          .setPredictionCol("cluster0").setInitMode("random")
+          .setMaxIter(100).setTol(1e-9).fit(scaled))
     }), Duration.Inf).minBy(_.summary.trainingCost)
     // Lloyd fixed point != Hartigan-Wong fixed point: polish with the H-W
     // single-point-move criterion (what R's kmeans actually optimizes) so
