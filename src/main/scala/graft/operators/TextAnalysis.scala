@@ -180,6 +180,25 @@ object TextAnalysis {
           .as("dedup_md5"))
   }
 
+  /** Stateless twin of [[dedupLines]]: the same per-document outputs as
+    * pure array expressions — no explode, no aggregation, no shuffle —
+    * so it runs VERBATIM under readStream in append mode (q81's
+    * streaming twin, pinned stream==batch in StreamingSpec). First-
+    * occurrence selection is `array_position(lines, x) = i + 1` inside
+    * an indexed filter: O(L²) per document worst-case versus the batch
+    * aggregate's O(L), the right trade for micro-batches and bounded
+    * line counts; the batch path stays the 100-TB shape for deep docs.
+    * `__lines` is staged as a real column so the HOFs evaluate the
+    * split once (the q37 langid lesson). */
+  def dedupLinesStateless(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .select(col(idCol),
+        size(col("__lines")).as("n_lines"),
+        size(array_distinct(col("__lines"))).as("n_unique"),
+        md5(concat_ws("\n",
+          expr("filter(__lines, (x, i) -> array_position(__lines, x) = i + 1)")))
+          .as("dedup_md5"))
+
   /** Document fingerprint: md5 of the first n tokens (prefix fingerprint
     * for near-head-duplicate grouping). */
   def prefixFingerprint(textCol: String, n: Int = 5): Column =

@@ -97,6 +97,25 @@ object EventStream {
       .select(col("doc_id"), col("fp"), col("n_tokens"))
   }
 
+  /** Streaming PII scrub — q80's gate VERBATIM under readStream: pure
+    * regexp projections (per-pattern counts over the original text +
+    * sequential redaction), stateless, no watermark, fully codegen'd.
+    * The canonical shape of a scrub pass at the training-data front
+    * door: whatever throughput the source sustains, this keeps up. */
+  def scrubDocs(docs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis
+    val counts = TextAnalysis.piiCounts(col("text"))
+    docs.select(col("doc_id") +: (counts.map { case (n, c) => c.as(n) } :+
+      md5(TextAnalysis.scrubPii(col("text"))).as("scrub_md5")): _*)
+  }
+
+  /** Streaming boilerplate line-dedup — q81's semantics under
+    * readStream via [[graft.operators.TextAnalysis.dedupLinesStateless]]
+    * (per-document array expressions instead of the batch explode +
+    * aggregate, which would need stateful aggregation in a stream). */
+  def dedupDocLines(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.dedupLinesStateless(docs, "doc_id", "text")
+
   /** Stream-static enrichment — the canonical streaming dimension
     * lookup: every micro-batch joins the static frame (broadcast — at
     * scale the dim is the small side by construction); stateless, no

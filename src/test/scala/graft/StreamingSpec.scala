@@ -102,6 +102,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(matched == n, s"only $matched of $n streamed sessions match batch sessionization")
   }
 
+  test("streaming PII scrub matches batch q80 row-for-row") {
+    // q80's augmented corpus (synthetic emails/IPs/phones appended),
+    // staged as a parquet drop and scrubbed under readStream — counts
+    // and scrubbed-text md5 must equal the batch gate exactly
+    val aug = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), expr(
+        "text || ' contact user' || CAST(doc_id AS STRING) || " +
+          "'@example.com from +14155550' || CAST(doc_id % 100 AS STRING) || " +
+          "' at 10.0.' || CAST(doc_id % 256 AS STRING) || '.7'").as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("docs_scrub").toString
+    aug.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    EventStream.runToMemory(EventStream.scrubDocs(stream), "scrubbed", OutputMode.Append())
+    val streamed = spark.table("scrubbed")
+    val batch = EventStream.scrubDocs(aug)
+    assert(streamed.count() == aug.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming scrub diverges from the batch gate")
+  }
+
+  test("streaming line-dedup matches batch q81's explode+aggregate outputs") {
+    // q81's 3-line documents (text twice + unique tail) through the
+    // STATELESS array-expression twin under readStream, compared with
+    // the batch explode + hash-aggregate path: both must agree on
+    // n_lines / n_unique / first-occurrence-ordered md5 per document
+    val aug = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), expr(
+        "text || char(10) || text || char(10) || 'tail marker ' || " +
+          "CAST(doc_id AS STRING)").as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("docs_linededup").toString
+    aug.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    EventStream.runToMemory(EventStream.dedupDocLines(stream), "linededup", OutputMode.Append())
+    val streamed = spark.table("linededup")
+      .select(col("doc_id"), col("n_lines").cast("int"),
+        col("n_unique").cast("int"), col("dedup_md5"))
+    val batch = graft.operators.TextAnalysis.dedupLines(aug, "doc_id", "text")
+    assert(streamed.count() == aug.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "stateless streaming line-dedup diverges from the batch aggregate")
+  }
+
   test("streaming corpus curation survives the same fingerprint set as batch") {
     // stage documents + an exact-duplicate wave (re-crawl analog) with
     // ingest timestamps; the stream must keep exactly one survivor per
