@@ -139,6 +139,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected edge frame — the step that
+    * turns near-dup PAIRS (from [[minhashLshPairs]], [[simhashPairs]] or
+    * the exact tiers) into duplicate GROUPS so a pipeline can keep one
+    * canonical document per group. Transitivity matters: A~B and B~C put
+    * A and C in one group even when A~C itself is below threshold.
+    *
+    * Algorithm: iterative hash-min label propagation — every node starts
+    * labelled with its own id and repeatedly takes the minimum label in
+    * its closed neighborhood until a fixpoint. Each iteration is one
+    * equi-join of the edge list with the label frame plus one hash
+    * aggregate (both shuffle on node id and co-partition after the first
+    * pass), and the iteration count is the component DIAMETER — small by
+    * construction for near-dup graphs (chains of similar docs are short).
+    * This is the "hash-min" baseline of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC 2014); their alternating
+    * large-star/small-star variant only wins on adversarially deep graphs
+    * (diameter >> log n), which duplicate clusters are not. Labels are
+    * `localCheckpoint`ed each round so the plan does not deepen with the
+    * iteration count (at cluster scale use a reliable checkpoint dir).
+    *
+    * Returns (id, component) for every node incident to an edge, where
+    * component = smallest node id in the component. Isolated rows never
+    * appear in `pairs`; callers union them back as their own singleton
+    * groups if needed.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    // sum(comp) strictly decreases whenever any label improves (labels
+    // only ever decrease), so fixpoint == unchanged sum: one aggregate
+    // per round instead of a change-count join.
+    var prevSum = labels.agg(sum(col("comp")).cast("decimal(38,0)")).head.getDecimal(0)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = edges.join(labels.select(col("id").as("u"), col("comp")), "u")
+        .select(col("v").as("id"), col("comp"))
+        .union(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("comp")).cast("decimal(38,0)")).head.getDecimal(0)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Near-dup dedup survivors: every id in `df` except non-canonical
+    * members of a duplicate component (canonical = min id). */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String, bCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    df.join(comps.filter(col("id") =!= col("component"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over a token array column: per-bit vote of token
     * hashes, sign → bit. Token hashing is one transform pass; the 64-bit
     * vote/fold runs in the native codegen'd SimHash64 expression (the

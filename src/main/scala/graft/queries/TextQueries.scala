@@ -543,6 +543,82 @@ object TextQueries {
                 ROUND(list_dot_product(a.v, b.v) /
                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        SELECT a_id, b_id, cos FROM p WHERE cos >= 0.9 ORDER BY a_id, b_id"""))
+        SELECT a_id, b_id, cos FROM p WHERE cos >= 0.9 ORDER BY a_id, b_id""")),
+
+    // ----------------------------------------------------------------
+    // q83: near-dup GROUPS — connected components over a verified
+    // near-dup pair set, the step that turns pairwise similarity into
+    // "keep one canonical doc per duplicate cluster". Transitivity is
+    // exercised by construction: each doc gets two derived variants
+    // (30% / 60% appended novel tokens, the 60% extending the 30% pad)
+    // so orig~v1 and v1~v2 clear the 0.7 Jaccard threshold while
+    // orig~v2 lands below it — the 3-node component only exists through
+    // the chain. Edge generation is keyed by family (linear, no
+    // all-pairs); the component operator is the general hash-min
+    // propagation loop. The DuckDB oracle computes the FULLY GENERAL
+    // closure via a recursive CTE, so any propagation bug — not just on
+    // this graph shape — would hash-mismatch.
+    "q83_dup_components" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        def variant(mult: Int, shift: Long) = base.select(
+          (col("doc_id") + shift).as("doc_id"),
+          expr(s"""CASE WHEN size(split(text, ' ')) * $mult DIV 10 >= 1
+                   THEN concat(text, ' ', concat_ws(' ',
+                     transform(sequence(1, size(split(text, ' ')) * $mult DIV 10),
+                               i -> concat('zq', i))))
+                   ELSE text END""").as("text"))
+        val corpus = base.union(variant(3, 1000000L)).union(variant(6, 2000000L))
+        val sh = corpus.withColumn("fam", col("doc_id") % 1000000L)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("sh", Dedup.shingleExpr("toks"))
+          .select(col("doc_id"), col("fam"), col("sh"))
+        val a = sh.select(col("doc_id").as("a_id"), col("fam"), col("sh").as("a_sh"))
+        val b = sh.select(col("doc_id").as("b_id"), col("fam"), col("sh").as("b_sh"))
+        val edges = a.join(b, Seq("fam")).filter(col("b_id") > col("a_id"))
+          .filter(Dedup.jaccard(col("a_sh"), col("b_sh")) >= 0.7)
+          .select("a_id", "b_id")
+        val comps = Dedup.connectedComponents(edges, "a_id", "b_id")
+        comps
+          .withColumn("csize",
+            count(lit(1)).over(Window.partitionBy("component")).cast("int"))
+          .select(col("id").as("doc_id"), col("component"), col("csize"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, text, len(string_split(text, ' ')) AS m FROM documents),
+        corpus AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 CASE WHEN m * 3 // 10 >= 1 THEN text || ' ' ||
+                   array_to_string(list_transform(range(1, m * 3 // 10 + 1), i -> 'zq' || i), ' ')
+                 ELSE text END
+          FROM base
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 CASE WHEN m * 6 // 10 >= 1 THEN text || ' ' ||
+                   array_to_string(list_transform(range(1, m * 6 // 10 + 1), i -> 'zq' || i), ' ')
+                 ELSE text END
+          FROM base),
+        sh AS (SELECT doc_id, doc_id % 1000000 AS fam,
+                 list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+               FROM corpus),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.fam = b.fam AND b.doc_id > a.doc_id
+          WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+                (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.7),
+        edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        reach AS (
+          SELECT u AS id, u AS r FROM edges
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+        cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        SELECT id AS doc_id, component,
+               CAST(COUNT(*) OVER (PARTITION BY component) AS INTEGER) AS csize
+        FROM cc ORDER BY doc_id"""))
   )
 }

@@ -264,7 +264,59 @@ object OracleEmu {
                i -> CAST(ascii(substring(text, ((i * 31) % length(text)) + 1, 1)) AS BIGINT)),
                0L, (acc, x) -> acc + x) AS byte_sum,
              8 AS feature_dim
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id""",
+    // Spark's recursive CTE only accepts UNION ALL, which cannot close a
+    // cyclic reachability set, so the closure is UNROLLED min-label
+    // propagation. Exact here, not approximate: q83's edges live inside
+    // {id, id+1M, id+2M} families, so every component has diameter <= 2
+    // and two propagation rounds already reach the fixpoint (four kept
+    // for margin). The DuckDB oracle stays fully general.
+    "q83_dup_components" -> {
+      val step = (t: Int) =>
+        s"""l$t AS (SELECT id, MIN(comp) AS comp FROM (
+              SELECT l.id, l.comp FROM l${t - 1} l
+              UNION ALL
+              SELECT e.u AS id, l.comp FROM edges e JOIN l${t - 1} l ON l.id = e.v) cand
+            GROUP BY id)"""
+      s"""
+      WITH base AS (SELECT doc_id, text, size(split(text, ' ')) AS m FROM documents),
+      corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000,
+               CASE WHEN m * 3 DIV 10 >= 1 THEN concat(text, ' ',
+                 concat_ws(' ', transform(sequence(1, m * 3 DIV 10), i -> concat('zq', i))))
+               ELSE text END
+        FROM base
+        UNION ALL
+        SELECT doc_id + 2000000,
+               CASE WHEN m * 6 DIV 10 >= 1 THEN concat(text, ' ',
+                 concat_ws(' ', transform(sequence(1, m * 6 DIV 10), i -> concat('zq', i))))
+               ELSE text END
+        FROM base),
+      sh AS (SELECT doc_id, doc_id % 1000000 AS fam,
+               array_distinct(IF(size(split(text, ' ')) >= 3,
+                 transform(sequence(1, size(split(text, ' ')) - 2),
+                   i -> concat_ws(' ', element_at(split(text, ' '), i),
+                                  element_at(split(text, ' '), i + 1),
+                                  element_at(split(text, ' '), i + 2))),
+                 CAST(array() AS ARRAY<STRING>))) AS sh
+             FROM corpus),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.fam = b.fam AND b.doc_id > a.doc_id
+        WHERE CASE WHEN size(a.sh) + size(b.sh) - size(filter(a.sh, x -> array_contains(b.sh, x))) = 0
+                   THEN false
+                   ELSE CAST(size(filter(a.sh, x -> array_contains(b.sh, x))) AS DOUBLE) /
+                        (size(a.sh) + size(b.sh) - size(filter(a.sh, x -> array_contains(b.sh, x)))) >= 0.7
+              END),
+      edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+      l0 AS (SELECT DISTINCT u AS id, u AS comp FROM edges),
+      ${(1 to 4).map(step).mkString(",\n      ")}
+      SELECT id AS doc_id, comp AS component,
+             CAST(COUNT(*) OVER (PARTITION BY comp) AS INT) AS csize
+      FROM l4 ORDER BY doc_id"""
+    })
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

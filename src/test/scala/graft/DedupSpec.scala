@@ -139,4 +139,29 @@ class DedupSpec extends AnyFunSuite {
     val f2 = graft.operators.Multimodal.decodeFeatures(bin, "doc_id", "bytes").collect()
     assert(f.map(_.toString).sorted.sameElements(f2.map(_.toString).sorted))
   }
+
+  test("connectedComponents: chain, star, singleton-pair, deep path") {
+    // components: {1,2,3,4} via chain 1-2-3-4 (diameter 3, needs real
+    // propagation); {10,11,12} star centered on 12; {20,21} pair;
+    // {30..39} a 10-node path — diameter 9 exercises the iteration loop
+    // well past the trivial 1-2 rounds.
+    val edges = (Seq((1L, 2L), (3L, 2L), (3L, 4L), (12L, 10L), (12L, 11L), (20L, 21L)) ++
+      (30L until 39L).map(i => (i + 1, i))).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L).forall(got(_) == 20L))
+    assert((30L to 39L).forall(got(_) == 30L))
+    assert(got.size == 19)
+  }
+
+  test("keepCanonical over LSH pairs drops all but one doc per dup cluster") {
+    // corpus: 1==2 exact, 3 near-dup of both -> component {1,2,3}; 4 and
+    // 5 unrelated singletons (never in pairs) survive untouched.
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
+    val kept = Dedup.keepCanonical(corpus, "doc_id", pairs, "a_id", "b_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
 }
