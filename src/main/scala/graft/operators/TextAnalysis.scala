@@ -207,4 +207,109 @@ object TextAnalysis {
   /** Normalized full-text fingerprint: lowercase, collapse whitespace. */
   def normalizedFingerprint(textCol: String): Column =
     md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+
+  /** Repetition profile — the Gopher-style repetitiousness filters
+    * (Rae et al., "Scaling Language Models: Methods, Analysis & Insights
+    * from Training Gopher", 2021, §A1.1): per document,
+    *
+    *  - `dup_line_frac`       fraction of lines that are repeats of an
+    *                          earlier line
+    *  - `dup_line_char_frac`  fraction of line characters inside lines
+    *                          occurring more than once
+    *  - `top_2gram_frac`      share of the most frequent word 2-gram
+    *  - `rep_3gram_frac`      share of word 3-grams occurring >= 2 times
+    *  - `pass_gate`           1 when all four clear the curation
+    *                          thresholds (0.3 / 0.3 / 0.2 / 0.18)
+    *
+    * Shape for scale: ONE explode emits (doc, kind, key) for lines,
+    * 2-grams and 3-grams together, then two hash aggregates — both
+    * map-side combinable, shuffling only (doc, kind, key) tuples and the
+    * per-doc conditional sums. No per-row O(G·distinct-G) lambda scans:
+    * per-doc n-gram mode needs a count per distinct gram, which is an
+    * aggregation, not an expression. All fractions are exact BIGINT
+    * ratios cast to double — bit-identical across engines, no rounding.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // lines/tokens staged as REAL columns: element_at inside the gram
+    // lambdas then reads a bound reference instead of re-running split()
+    // per element (the HOF re-evaluation trap — see withLangId).
+    val kv = df
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__toks", split(regexp_replace(col(textCol), "\n", " "), " "))
+      .select(col(idCol), explode(expr(
+        """concat(
+            transform(__lines, l -> named_struct('kind', 'line', 'key', l)),
+            IF(size(__toks) >= 2,
+              transform(sequence(1, size(__toks) - 1),
+                i -> named_struct('kind', 'g2', 'key',
+                  concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1)))),
+              CAST(array() AS ARRAY<STRUCT<kind: STRING, key: STRING>>)),
+            IF(size(__toks) >= 3,
+              transform(sequence(1, size(__toks) - 2),
+                i -> named_struct('kind', 'g3', 'key',
+                  concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1),
+                            element_at(__toks, i + 2)))),
+              CAST(array() AS ARRAY<STRUCT<kind: STRING, key: STRING>>)))""")).as("kv"))
+      .select(col(idCol), col("kv.kind").as("kind"), col("kv.key").as("key"))
+    val counts = kv.groupBy(col(idCol), col("kind"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val line = col("kind") === "line"
+    val prof = counts.groupBy(col(idCol)).agg(
+      sum(when(line, col("cnt"))).as("n_l"),
+      count(when(line, lit(1))).as("u_l"),
+      sum(when(line, col("cnt") * length(col("key")))).as("lc"),
+      sum(when(line && col("cnt") >= 2, col("cnt") * length(col("key")))).as("dlc"),
+      max(when(col("kind") === "g2", col("cnt"))).as("g2m"),
+      sum(when(col("kind") === "g2", col("cnt"))).as("g2t"),
+      sum(when(col("kind") === "g3" && col("cnt") >= 2, col("cnt"))).as("g3r"),
+      sum(when(col("kind") === "g3", col("cnt"))).as("g3t"))
+    def ratio(num: Column, den: Column): Column =
+      when(den.isNull || den === 0, lit(0.0))
+        .otherwise(coalesce(num, lit(0L)).cast("double") / den)
+    prof.select(
+      col(idCol),
+      col("n_l").cast("int").as("n_lines"),
+      ratio(col("n_l") - col("u_l"), col("n_l")).as("dup_line_frac"),
+      ratio(col("dlc"), col("lc")).as("dup_line_char_frac"),
+      ratio(col("g2m"), col("g2t")).as("top_2gram_frac"),
+      ratio(col("g3r"), col("g3t")).as("rep_3gram_frac"))
+      .withColumn("pass_gate",
+        (col("dup_line_frac") <= 0.3 && col("dup_line_char_frac") <= 0.3 &&
+          col("top_2gram_frac") <= 0.2 && col("rep_3gram_frac") <= 0.18).cast("int"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a benchmark/eval set (the n-gram-overlap decontamination
+    * of Brown et al., "Language Models are Few-Shot Learners", 2020,
+    * §C). Returns (id, n_hits, n_grams) for contaminated docs only —
+    * n_hits = distinct shared n-grams, n_grams = the doc's distinct
+    * n-gram count.
+    *
+    * Shape for scale: benchmark suites are tiny next to a training
+    * corpus, so the benchmark gram set is BROADCAST — the corpus side is
+    * exploded (distinct per doc via one per-row array_distinct, no
+    * shuffle), hash-joined against the broadcast set, and aggregated on
+    * doc id: exactly one shuffle, of hit rows only. */
+  def contaminationHits(df: DataFrame, benchmark: DataFrame, idCol: String,
+                        textCol: String, n: Int = 5): DataFrame = {
+    // tokens staged as a real column before the gram lambda (HOF
+    // re-evaluation trap — see repetitionProfile)
+    val gramArr =
+      s"""array_distinct(IF(size(__toks) >= $n,
+            transform(sequence(1, size(__toks) - ${n - 1}),
+              i -> concat_ws(' ', ${(0 until n).map(k => s"element_at(__toks, i + $k)").mkString(", ")})),
+            CAST(array() AS ARRAY<STRING>)))"""
+    val benchGrams = benchmark
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(explode(expr(gramArr)).as("gram")).distinct()
+    val docGrams = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__gs", expr(gramArr))
+      .select(col(idCol), size(col("__gs")).as("n_grams"),
+        explode(col("__gs")).as("gram"))
+    docGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_hits"),
+        first(col("n_grams")).cast("int").as("n_grams"))
+  }
 }

@@ -619,6 +619,105 @@ object TextQueries {
         cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
         SELECT id AS doc_id, component,
                CAST(COUNT(*) OVER (PARTITION BY component) AS INTEGER) AS csize
-        FROM cc ORDER BY doc_id"""))
+        FROM cc ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q84: repetition profile — the Gopher repetitiousness battery
+    // (dup-line fraction, dup-line char fraction, top-2-gram share,
+    // repeated-3-gram share, combined gate). Docs are single-line, so
+    // both engines build the same 3-line document with id-dependent
+    // variation: every third doc repeats its body line; every doc gets a
+    // distinct tail pair. All fractions are exact BIGINT ratios cast to
+    // double — bit-identical, no rounding.
+    "q84_repetition_profile" -> QueryDef(
+      fn = (s, d) => {
+        val aug = docs(s, d).select(col("doc_id"), expr(
+          "concat(text, char(10), " +
+            "CASE WHEN doc_id % 3 = 0 THEN text " +
+            "ELSE concat('tail marker ', CAST(doc_id AS STRING)) END, " +
+            "char(10), 'end ', CAST(doc_id % 7 AS STRING))").as("t"))
+        TextAnalysis.repetitionProfile(aug, "doc_id", "t").orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH aug AS (SELECT doc_id,
+            text || chr(10) ||
+            CASE WHEN doc_id % 3 = 0 THEN text
+                 ELSE 'tail marker ' || CAST(doc_id AS VARCHAR) END ||
+            chr(10) || 'end ' || CAST(doc_id % 7 AS VARCHAR) AS t
+          FROM documents),
+        lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS key FROM aug),
+        lcnt AS (SELECT doc_id, key, COUNT(*) AS cnt FROM lines GROUP BY doc_id, key),
+        lagg AS (SELECT doc_id, SUM(cnt) AS n_l, COUNT(*) AS u_l,
+                        SUM(cnt * len(key)) AS lch,
+                        SUM(CASE WHEN cnt >= 2 THEN cnt * len(key) ELSE 0 END) AS dlch
+                 FROM lcnt GROUP BY doc_id),
+        toks AS (SELECT doc_id, string_split(replace(t, chr(10), ' '), ' ') AS tk FROM aug),
+        g2 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS key FROM toks),
+        g2c AS (SELECT doc_id, key, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, key),
+        g2a AS (SELECT doc_id, MAX(cnt) AS g2m, SUM(cnt) AS g2t FROM g2c GROUP BY doc_id),
+        g3 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS key FROM toks),
+        g3c AS (SELECT doc_id, key, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, key),
+        g3a AS (SELECT doc_id, SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS g3r,
+                       SUM(cnt) AS g3t FROM g3c GROUP BY doc_id),
+        m AS (SELECT l.doc_id, CAST(n_l AS INTEGER) AS n_lines,
+                     CAST(n_l - u_l AS DOUBLE) / n_l AS dup_line_frac,
+                     CAST(dlch AS DOUBLE) / lch AS dup_line_char_frac,
+                     coalesce(CAST(g2m AS DOUBLE) / g2t, 0) AS top_2gram_frac,
+                     coalesce(CAST(g3r AS DOUBLE) / g3t, 0) AS rep_3gram_frac
+              FROM lagg l LEFT JOIN g2a USING (doc_id) LEFT JOIN g3a USING (doc_id))
+        SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+               top_2gram_frac, rep_3gram_frac,
+               CAST(dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.3 AND
+                    top_2gram_frac <= 0.2 AND rep_3gram_frac <= 0.18 AS INTEGER) AS pass_gate
+        FROM m ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q85: benchmark decontamination — flag corpus docs sharing any word
+    // 5-gram with the benchmark set (doc_id % 50 = 0 stands in for an
+    // eval suite). Contamination is PLANTED deterministically: docs with
+    // doc_id % 7 = 3 append the first 5 tokens of their nearest benchmark
+    // doc, so hits exist at every scale; natural overlaps count too. The
+    // benchmark gram set is broadcast — the corpus side shuffles only its
+    // hit rows.
+    "q85_decontaminate" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val bench = base.filter(col("doc_id") % 50 === 0)
+        val aug = base
+          .withColumn("bkey", expr("(doc_id DIV 50) * 50"))
+          .join(bench.select(col("doc_id").as("bkey"), col("text").as("btext")),
+            Seq("bkey"))
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 3,
+              concat(col("text"), lit(" "),
+                concat_ws(" ", slice(split(col("btext"), " "), 1, 5))))
+              .otherwise(col("text")).as("t"))
+          .filter(col("doc_id") % 50 =!= 0)
+        TextAnalysis.contaminationHits(aug,
+          bench.select(col("text").as("t")), "doc_id", "t", n = 5)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        btok AS (SELECT string_split(text, ' ') AS tk FROM bench),
+        bg AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(tk) - 3, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS gram
+               FROM btok),
+        aug AS (SELECT d.doc_id,
+                  CASE WHEN d.doc_id % 7 = 3
+                       THEN d.text || ' ' || array_to_string(string_split(b.text, ' ')[1:5], ' ')
+                       ELSE d.text END AS t
+                FROM documents d JOIN bench b ON b.doc_id = (d.doc_id // 50) * 50
+                WHERE d.doc_id % 50 <> 0),
+        dtok AS (SELECT doc_id, string_split(t, ' ') AS tk FROM aug),
+        dg AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 3, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS gs
+               FROM dtok),
+        x AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM dg)
+        SELECT x.doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits,
+               CAST(MIN(n_grams) AS INTEGER) AS n_grams
+        FROM x JOIN bg USING (gram) GROUP BY x.doc_id ORDER BY x.doc_id"""))
   )
 }

@@ -265,6 +265,74 @@ object OracleEmu {
                0L, (acc, x) -> acc + x) AS byte_sum,
              8 AS feature_dim
       FROM documents ORDER BY doc_id""",
+    "q84_repetition_profile" -> """
+      WITH aug AS (SELECT doc_id,
+          concat(text, char(10),
+                 CASE WHEN doc_id % 3 = 0 THEN text
+                      ELSE concat('tail marker ', CAST(doc_id AS STRING)) END,
+                 char(10), 'end ', CAST(doc_id % 7 AS STRING)) AS t
+        FROM documents),
+      lines AS (SELECT doc_id, line AS key FROM aug
+                LATERAL VIEW explode(split(t, char(10))) x AS line),
+      lcnt AS (SELECT doc_id, key, COUNT(*) AS cnt FROM lines GROUP BY doc_id, key),
+      lagg AS (SELECT doc_id, SUM(cnt) AS n_l, COUNT(*) AS u_l,
+                      SUM(cnt * length(key)) AS lch,
+                      SUM(CASE WHEN cnt >= 2 THEN cnt * length(key) ELSE 0L END) AS dlch
+               FROM lcnt GROUP BY doc_id),
+      toks AS (SELECT doc_id, split(replace(t, char(10), ' '), ' ') AS tk FROM aug),
+      g2 AS (SELECT doc_id, g AS key FROM toks
+             LATERAL VIEW explode(IF(size(tk) >= 2,
+               transform(sequence(1, size(tk) - 1),
+                 i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1))),
+               CAST(array() AS ARRAY<STRING>))) x AS g),
+      g2c AS (SELECT doc_id, key, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, key),
+      g2a AS (SELECT doc_id, MAX(cnt) AS g2m, SUM(cnt) AS g2t FROM g2c GROUP BY doc_id),
+      g3 AS (SELECT doc_id, g AS key FROM toks
+             LATERAL VIEW explode(IF(size(tk) >= 3,
+               transform(sequence(1, size(tk) - 2),
+                 i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))),
+               CAST(array() AS ARRAY<STRING>))) x AS g),
+      g3c AS (SELECT doc_id, key, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, key),
+      g3a AS (SELECT doc_id, SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0L END) AS g3r,
+                     SUM(cnt) AS g3t FROM g3c GROUP BY doc_id),
+      m AS (SELECT l.doc_id, CAST(n_l AS INT) AS n_lines,
+                   CAST(n_l - u_l AS DOUBLE) / n_l AS dup_line_frac,
+                   CAST(dlch AS DOUBLE) / lch AS dup_line_char_frac,
+                   coalesce(CAST(g2m AS DOUBLE) / g2t, 0D) AS top_2gram_frac,
+                   coalesce(CAST(g3r AS DOUBLE) / g3t, 0D) AS rep_3gram_frac
+            FROM lagg l LEFT JOIN g2a USING (doc_id) LEFT JOIN g3a USING (doc_id))
+      SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+             top_2gram_frac, rep_3gram_frac,
+             CAST(dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.3 AND
+                  top_2gram_frac <= 0.2 AND rep_3gram_frac <= 0.18 AS INT) AS pass_gate
+      FROM m ORDER BY doc_id""",
+    "q85_decontaminate" -> """
+      WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      btok AS (SELECT split(text, ' ') AS tk FROM bench),
+      bg AS (SELECT DISTINCT g AS gram FROM btok
+             LATERAL VIEW explode(IF(size(tk) >= 5,
+               transform(sequence(1, size(tk) - 4),
+                 i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+                                element_at(tk, i + 2), element_at(tk, i + 3), element_at(tk, i + 4))),
+               CAST(array() AS ARRAY<STRING>))) x AS g),
+      aug AS (SELECT d.doc_id,
+                CASE WHEN d.doc_id % 7 = 3
+                     THEN concat(d.text, ' ', concat_ws(' ', slice(split(b.text, ' '), 1, 5)))
+                     ELSE d.text END AS t
+              FROM documents d JOIN bench b ON b.doc_id = (d.doc_id DIV 50) * 50
+              WHERE d.doc_id % 50 <> 0),
+      dtok AS (SELECT doc_id, split(t, ' ') AS tk FROM aug),
+      dg AS (SELECT doc_id, array_distinct(IF(size(tk) >= 5,
+               transform(sequence(1, size(tk) - 4),
+                 i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+                                element_at(tk, i + 2), element_at(tk, i + 3), element_at(tk, i + 4))),
+               CAST(array() AS ARRAY<STRING>))) AS gs
+             FROM dtok),
+      x AS (SELECT doc_id, size(gs) AS n_grams, gram FROM dg
+            LATERAL VIEW explode(gs) e AS gram)
+      SELECT x.doc_id, CAST(COUNT(*) AS INT) AS n_hits,
+             CAST(MIN(n_grams) AS INT) AS n_grams
+      FROM x JOIN bg USING (gram) GROUP BY x.doc_id ORDER BY x.doc_id""",
     // Spark's recursive CTE only accepts UNION ALL, which cannot close a
     // cyclic reachability set, so the closure is UNROLLED min-label
     // propagation. Exact here, not approximate: q83's edges live inside

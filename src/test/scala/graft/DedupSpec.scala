@@ -156,6 +156,41 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 19)
   }
 
+  test("repetitionProfile: hand-computed fractions on a known document") {
+    // lines: [a b a b, x, x] -> n=3, unique=2, dup_line_frac=1/3,
+    // chars 7+1+1=9 of which the duplicated x lines cover 2 -> 2/9
+    // toks: [a,b,a,b,x,x] -> 2-grams {a b:2, b a:1, b x:1, x x:1} ->
+    // top 2/5; 3-grams all unique -> rep 0
+    val df = Seq((1L, "a b a b\nx\nx")).toDF("doc_id", "t")
+    val r = TextAnalysis.repetitionProfile(df, "doc_id", "t").collect()(0)
+    assert(r.getAs[Int]("n_lines") == 3)
+    assert(r.getAs[Double]("dup_line_frac") == 1.0 / 3)
+    assert(r.getAs[Double]("dup_line_char_frac") == 2.0 / 9)
+    assert(r.getAs[Double]("top_2gram_frac") == 2.0 / 5)
+    assert(r.getAs[Double]("rep_3gram_frac") == 0.0)
+    assert(r.getAs[Int]("pass_gate") == 0)
+    // a clean document passes the gate
+    val clean = Seq((2L, "one two three four five\nsix seven eight nine ten"))
+      .toDF("doc_id", "t")
+    val c = TextAnalysis.repetitionProfile(clean, "doc_id", "t").collect()(0)
+    assert(c.getAs[Int]("pass_gate") == 1)
+    assert(c.getAs[Double]("dup_line_frac") == 0.0)
+  }
+
+  test("contaminationHits: only docs sharing a 5-gram with the benchmark") {
+    val bench = Seq(("alpha beta gamma delta epsilon zeta")).toDF("t")
+    val docsDf = Seq(
+      (1L, "intro words then alpha beta gamma delta epsilon closing"), // hit
+      (2L, "completely unrelated text with many different words here"),
+      (3L, "beta gamma delta epsilon zeta trailing tail")               // hit
+    ).toDF("doc_id", "t")
+    val hits = TextAnalysis.contaminationHits(docsDf, bench, "doc_id", "t")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_hits")).toMap
+    assert(hits.keySet == Set(1L, 3L))
+    assert(hits(1L) == 1) // "alpha beta gamma delta epsilon"
+    assert(hits(3L) == 1) // "beta gamma delta epsilon zeta"
+  }
+
   test("keepCanonical over LSH pairs drops all but one doc per dup cluster") {
     // corpus: 1==2 exact, 3 near-dup of both -> component {1,2,3}; 4 and
     // 5 unrelated singletons (never in pairs) survive untouched.
