@@ -278,6 +278,71 @@ object TextAnalysis {
           col("top_2gram_frac") <= 0.2 && col("rep_3gram_frac") <= 0.18).cast("int"))
   }
 
+  /** Stateless twin of [[repetitionProfile]]: identical per-document
+    * outputs as pure array expressions — no explode, no aggregation, no
+    * shuffle — so the repetition gate runs VERBATIM under `readStream`
+    * in append mode. Per-gram counts come from SORTED-RUN folds: sort
+    * the gram array once, then one `aggregate` pass tracks the current
+    * run length (a run of length r means a gram occurring r times), so
+    * mode and repeat totals cost O(G log G) per document instead of the
+    * O(G·distinct-G) nested-lambda scan. Fractions are the same exact
+    * integer ratios as the batch aggregate — bit-identical outputs,
+    * pinned in StreamingSpec. The batch path remains the 100-TB shape
+    * for deep documents; this is the micro-batch gate. */
+  def repetitionProfileStateless(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // run folds over a sorted array: when a run reaches 2, credit both
+    // members; each further member credits 1 — no finish-pass needed
+    def maxRun(arr: String) =
+      s"""aggregate(array_sort($arr),
+           named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+           (a, x) -> named_struct('prev', x,
+                       'run', IF(a.prev <=> x, a.run + 1, 1),
+                       'best', greatest(a.best, IF(a.prev <=> x, a.run + 1, 1))),
+           a -> a.best)"""
+    def repTotal(arr: String) =
+      s"""aggregate(array_sort($arr),
+           named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'rep', 0),
+           (a, x) -> named_struct('prev', x,
+                       'run', IF(a.prev <=> x, a.run + 1, 1),
+                       'rep', a.rep + IF(a.prev <=> x, IF(a.run = 1, 2, 1), 0)),
+           a -> a.rep)"""
+    def dupChars(arr: String) =
+      s"""aggregate(array_sort($arr),
+           named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'dc', 0L),
+           (a, x) -> named_struct('prev', x,
+                       'run', IF(a.prev <=> x, a.run + 1, 1),
+                       'dc', a.dc + IF(a.prev <=> x,
+                               IF(a.run = 1, 2L, 1L) * length(x), 0L)),
+           a -> a.dc)"""
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__toks", split(regexp_replace(col(textCol), "\n", " "), " "))
+      .withColumn("__g2", expr(
+        """IF(size(__toks) >= 2, transform(sequence(1, size(__toks) - 1),
+             i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))),
+           CAST(array() AS ARRAY<STRING>))"""))
+      .withColumn("__g3", expr(
+        """IF(size(__toks) >= 3, transform(sequence(1, size(__toks) - 2),
+             i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1),
+                            element_at(__toks, i + 2))),
+           CAST(array() AS ARRAY<STRING>))"""))
+      .select(col(idCol),
+        size(col("__lines")).as("n_lines"),
+        expr("""CAST(size(__lines) - size(array_distinct(__lines)) AS DOUBLE) /
+                size(__lines)""").as("dup_line_frac"),
+        expr(s"""CAST(${dupChars("__lines")} AS DOUBLE) /
+                 aggregate(__lines, 0L, (a, x) -> a + length(x))""")
+          .as("dup_line_char_frac"),
+        expr(s"""CASE WHEN size(__g2) = 0 THEN 0D
+                 ELSE CAST(${maxRun("__g2")} AS DOUBLE) / size(__g2) END""")
+          .as("top_2gram_frac"),
+        expr(s"""CASE WHEN size(__g3) = 0 THEN 0D
+                 ELSE CAST(${repTotal("__g3")} AS DOUBLE) / size(__g3) END""")
+          .as("rep_3gram_frac"))
+      .withColumn("pass_gate",
+        (col("dup_line_frac") <= 0.3 && col("dup_line_char_frac") <= 0.3 &&
+          col("top_2gram_frac") <= 0.2 && col("rep_3gram_frac") <= 0.18).cast("int"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a benchmark/eval set (the n-gram-overlap decontamination
     * of Brown et al., "Language Models are Few-Shot Learners", 2020,
@@ -311,5 +376,26 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_hits"),
         first(col("n_grams")).cast("int").as("n_grams"))
+  }
+
+  /** Stateless twin of [[contaminationHits]] for streams: the benchmark
+    * gram set rides along as a LITERAL array (benchmark suites are tiny
+    * and static by nature), so per-document hit counting is one
+    * `array_intersect` — no join, no aggregation, runs VERBATIM under
+    * `readStream` in append mode. Same (id, n_hits, n_grams) rows as
+    * the batch join, pinned in StreamingSpec. */
+  def contaminationHitsStateless(df: DataFrame, idCol: String, textCol: String,
+                                 benchGrams: Seq[String], n: Int = 5): DataFrame = {
+    val gramArr =
+      s"""array_distinct(IF(size(__toks) >= $n,
+            transform(sequence(1, size(__toks) - ${n - 1}),
+              i -> concat_ws(' ', ${(0 until n).map(k => s"element_at(__toks, i + $k)").mkString(", ")})),
+            CAST(array() AS ARRAY<STRING>)))"""
+    df.withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__gs", expr(gramArr))
+      .select(col(idCol),
+        size(array_intersect(col("__gs"), typedlit(benchGrams))).as("n_hits"),
+        size(col("__gs")).as("n_grams"))
+      .filter(col("n_hits") >= 1)
   }
 }

@@ -116,6 +116,21 @@ object EventStream {
   def dedupDocLines(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.dedupLinesStateless(docs, "doc_id", "text")
 
+  /** Streaming repetition gate — q84's Gopher repetitiousness battery
+    * under readStream via
+    * [[graft.operators.TextAnalysis.repetitionProfileStateless]]
+    * (sorted-run array folds instead of the batch explode + two hash
+    * aggregates, which would be stateful in a stream). */
+  def repetitionGate(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.repetitionProfileStateless(docs, "doc_id", "text")
+
+  /** Streaming decontamination gate — q85's benchmark n-gram screen
+    * with the (tiny, static) benchmark gram set as a literal array:
+    * per-document `array_intersect`, stateless, no join state. */
+  def contaminationGate(docs: DataFrame, benchGrams: Seq[String]): DataFrame =
+    graft.operators.TextAnalysis.contaminationHitsStateless(
+      docs, "doc_id", "text", benchGrams)
+
   /** Stream-static enrichment — the canonical streaming dimension
     * lookup: every micro-batch joins the static frame (broadcast — at
     * scale the dim is the small side by construction); stateless, no

@@ -61,6 +61,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(1200))
   }
 
+  test("q85: benchmark gram set is broadcast; corpus side never shuffles pre-join") {
+    val p = finalPlan("q85_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "decontamination degenerated into a shuffle join:\n" + p.take(1200))
+  }
+
   test("q37: langId evaluates each stopword HOF once (no when-branch re-expansion)") {
     // the round-2 regression: the argmax when-chain inlined every score
     // expression into every branch — ~20 interpreted `filter` HOFs per

@@ -183,4 +183,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedFps.sameElements(batchFps),
       s"survivor sets differ: stream=${streamedFps.length} batch=${batchFps.length}")
   }
+
+  test("streaming repetition gate matches batch q84's explode+aggregate profile") {
+    // q84's 3-line documents through the STATELESS sorted-run-fold twin
+    // under readStream, compared with the batch explode + two hash
+    // aggregates: every metric is an exact integer ratio, so the rows
+    // must agree bit-for-bit
+    val aug = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), expr(
+        "concat(text, char(10), " +
+          "CASE WHEN doc_id % 3 = 0 THEN text " +
+          "ELSE concat('tail marker ', CAST(doc_id AS STRING)) END, " +
+          "char(10), 'end ', CAST(doc_id % 7 AS STRING))").as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("docs_rep").toString
+    aug.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    EventStream.runToMemory(EventStream.repetitionGate(stream), "repgate", OutputMode.Append())
+    val streamed = spark.table("repgate")
+    val batch = graft.operators.TextAnalysis.repetitionProfile(aug, "doc_id", "text")
+    assert(streamed.count() == aug.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "stateless streaming repetition profile diverges from the batch aggregate")
+  }
+
+  test("streaming contamination gate matches batch q85's broadcast join") {
+    // benchmark grams collected once (static, tiny) and shipped as a
+    // literal array; the per-row intersect under readStream must flag
+    // exactly the docs the batch join+aggregate flags
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val bench = base.filter(col("doc_id") % 50 === 0)
+    val corpus = base.filter(col("doc_id") % 50 =!= 0)
+    val grams = bench.withColumn("__toks", split(col("text"), " "))
+      .select(explode(expr(
+        """array_distinct(IF(size(__toks) >= 5,
+             transform(sequence(1, size(__toks) - 4),
+               i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1),
+                              element_at(__toks, i + 2), element_at(__toks, i + 3),
+                              element_at(__toks, i + 4))),
+             CAST(array() AS ARRAY<STRING>)))""")).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("docs_contam").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    EventStream.runToMemory(EventStream.contaminationGate(stream, grams), "contam", OutputMode.Append())
+    val streamed = spark.table("contam")
+    val batch = graft.operators.TextAnalysis.contaminationHits(
+      corpus, bench, "doc_id", "text")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "stateless streaming contamination gate diverges from the batch join")
+  }
 }
