@@ -33,6 +33,17 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate adds a redundant `size(arr) > 0` below
+      // every explode; PushDownPredicates then substitutes the full
+      // array-building expression into whatever sits below (a join
+      // condition in q85, a scan filter in q33/q44) with NO cost guard —
+      // for gram/signature arrays built via element_at(__toks, i)
+      // lambdas, the inlined copy re-evaluates split() per element:
+      // O(tokens²) per row, measured 17.6 s -> ~3 s on q85 at sf0.1.
+      // The rule is a prune-empty-rows nicety, never a correctness
+      // requirement; excluding it restores the staged-column contract.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

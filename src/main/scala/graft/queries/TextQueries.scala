@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -718,6 +718,36 @@ object TextQueries {
         x AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM dg)
         SELECT x.doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits,
                CAST(MIN(n_grams) AS INTEGER) AS n_grams
-        FROM x JOIN bg USING (gram) GROUP BY x.doc_id ORDER BY x.doc_id"""))
+        FROM x JOIN bg USING (gram) GROUP BY x.doc_id ORDER BY x.doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q86: source mixing — cap every source at a fixed budget with the
+    // deterministic hash-threshold sampler (Sampling.capPerKeyHash: one
+    // count aggregate + broadcast join + integer comparison; no window,
+    // no skew exposure). kept_id_sum pins EXACT membership, not just the
+    // kept count — a selection-hash drift of a single row mismatches.
+    "q86_source_mixing" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d)
+        val kept = Sampling.capPerKeyHash(base, "source", "doc_id", cap = 50L)
+        val all = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        kept.groupBy("source")
+          .agg(count(lit(1)).cast("int").as("kept"),
+            sum("doc_id").as("kept_id_sum"))
+          .join(all, Seq("source"))
+          .select("source", "n_docs", "kept", "kept_id_sum")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY source),
+        k AS (SELECT d.doc_id, d.source
+              FROM documents d JOIN n USING (source)
+              WHERE (d.doc_id * 2654435761) % 4294967296 < (50 * 4294967296) // n_docs),
+        g AS (SELECT source, CAST(COUNT(*) AS INTEGER) AS kept,
+                     CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+              FROM k GROUP BY source)
+        SELECT source, n_docs, kept, kept_id_sum
+        FROM g JOIN n USING (source) ORDER BY source"""))
   )
 }

@@ -191,6 +191,35 @@ class DedupSpec extends AnyFunSuite {
     assert(hits(3L) == 1) // "beta gamma delta epsilon zeta"
   }
 
+  test("capPerKeyExact keeps exactly min(n, cap) per key; reruns pick identical rows") {
+    import graft.operators.Sampling
+    val df = (1L to 100L).map(i => (if (i <= 80) "big" else "small", i))
+      .toDF("src", "id")
+    val kept = Sampling.capPerKeyExact(df, "src", "id", cap = 10)
+    val byKey = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("big" -> 10L, "small" -> 10L)) // small has 20 > cap
+    val again = Sampling.capPerKeyExact(df, "src", "id", cap = 10)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(kept.select("id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("capPerKeyHash: deterministic subset, close to cap, all-kept when under cap") {
+    import graft.operators.Sampling
+    val df = (1L to 1000L).map(i => (if (i <= 900) "big" else "small", i))
+      .toDF("src", "id")
+    val kept = Sampling.capPerKeyHash(df, "src", "id", cap = 100)
+    val byKey = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small (100 rows) is under the cap -> threshold covers the whole
+    // range -> all kept; big is binomial(900, 1/9) around 100
+    assert(byKey("small") == 100L)
+    assert(byKey("big") > 60L && byKey("big") < 140L, s"got ${byKey("big")}")
+    val again = Sampling.capPerKeyHash(df, "src", "id", cap = 100)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(kept.select("id").collect().map(_.getLong(0)).sorted))
+  }
+
   test("keepCanonical over LSH pairs drops all but one doc per dup cluster") {
     // corpus: 1==2 exact, 3 near-dup of both -> component {1,2,3}; 4 and
     // 5 unrelated singletons (never in pairs) survive untouched.
