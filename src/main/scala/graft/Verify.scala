@@ -15,6 +15,10 @@ object Verify {
       // without this (arrives as Long epoch-nanos; see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // see Tables.session: inferred size()>0 filters inline staged
+      // gram/signature builders into join conditions (q85: 17.6 -> ~3 s)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
