@@ -145,24 +145,27 @@ object Dedup {
     * canonical document per group. Transitivity matters: A~B and B~C put
     * A and C in one group even when A~C itself is below threshold.
     *
-    * Algorithm: iterative hash-min label propagation — every node starts
-    * labelled with its own id and repeatedly takes the minimum label in
-    * its closed neighborhood until a fixpoint. Each iteration is one
-    * equi-join of the edge list with the label frame plus one hash
-    * aggregate (both shuffle on node id and co-partition after the first
-    * pass), and the iteration count is the component DIAMETER — small by
-    * construction for near-dup graphs (chains of similar docs are short).
-    * This is the "hash-min" baseline of Kiveris et al., "Connected
-    * Components in MapReduce and Beyond" (SoCC 2014); their alternating
-    * large-star/small-star variant only wins on adversarially deep graphs
-    * (diameter >> log n), which duplicate clusters are not. Labels are
-    * `localCheckpoint`ed each round so the plan does not deepen with the
-    * iteration count (at cluster scale use a reliable checkpoint dir).
+    * Algorithm: hash-min label propagation WITH PATH COMPRESSION —
+    * every node starts labelled with its own id; each round it takes the
+    * minimum over its own label, its neighbors' labels, and its label's
+    * label (pointer jumping: comp(v) is always itself a node id, so one
+    * self-join looks up comp(comp(v)) and halves remaining path lengths).
+    * Rounds to fixpoint are O(log diameter) — a 1000-node path closes in
+    * ~10 rounds, and near-dup graphs (short chains) in 2-3. Each round
+    * is two equi-joins + one hash aggregate, all shuffling on node id;
+    * this is the hash-min family of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC 2014) with their
+    * path-splitting acceleration. Labels are `localCheckpoint`ed each
+    * round so the plan does not deepen with the iteration count (at
+    * cluster scale use a reliable checkpoint dir).
     *
     * Returns (id, component) for every node incident to an edge, where
     * component = smallest node id in the component. Isolated rows never
     * appear in `pairs`; callers union them back as their own singleton
-    * groups if needed.
+    * groups if needed. Throws if `maxIter` rounds do not reach the
+    * fixpoint (2^maxIter exceeds any real diameter — hitting this means
+    * the input, not the budget, is wrong) rather than returning a
+    * silently-incomplete grouping.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
@@ -178,9 +181,19 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = edges.join(labels.select(col("id").as("u"), col("comp")), "u")
+      val neighborMin = edges
+        .join(labels.select(col("id").as("u"), col("comp")), "u")
         .select(col("v").as("id"), col("comp"))
-        .union(labels)
+      // pointer jumping only engages from round 3: near-dup graphs
+      // (diameter <= 2) have converged by then and never pay the extra
+      // self-join; deep graphs still close in O(log diameter) rounds
+      val candidates =
+        if (it < 2) neighborMin.union(labels)
+        else neighborMin.union(labels).union(
+          labels.select(col("id"), col("comp").as("__via"))
+            .join(labels.select(col("id").as("__via"), col("comp")), "__via")
+            .select(col("id"), col("comp")))
+      val next = candidates
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
       val s = next.agg(sum(col("comp")).cast("decimal(38,0)")).head.getDecimal(0)
@@ -189,6 +202,9 @@ object Dedup {
       labels = next
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("comp").as("component"))
   }
 

@@ -156,6 +156,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 19)
   }
 
+  test("connectedComponents closes a 200-node path within the log-round budget") {
+    // diameter 199: plain hash-min would need ~199 rounds; path
+    // compression must land well inside maxIter = 12 (2^12 >> 199)
+    val edges = (1000L until 1199L).map(i => (i + 1, i)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 1000L))
+  }
+
   test("repetitionProfile: hand-computed fractions on a known document") {
     // lines: [a b a b, x, x] -> n=3, unique=2, dup_line_frac=1/3,
     // chars 7+1+1=9 of which the duplicated x lines cover 2 -> 2/9
