@@ -168,6 +168,32 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Symmetric per-vector int8 quantization — the storage/serving format
+    * a 100-TB embedding pipeline actually ships (4× smaller than float32,
+    * 8× smaller than the double intermediate). scale = max|v_i| / 127;
+    * q_i = clamp(floor(v_i / scale + 0.5), -127, 127) — floor(x + 0.5) is
+    * written out explicitly (not round()) so both engines share one
+    * rounding rule at .5 boundaries. Pure per-row projection: no shuffle,
+    * every step an IEEE-deterministic codegen expression, so a DuckDB
+    * oracle reproduces it bit-for-bit. All-zero vectors (scale = 0) keep
+    * a zero code vector rather than dividing by zero.
+    *
+    * Returns (idCol, qvec array<int>, scale double, max_err double) where
+    * max_err = max_i |v_i - q_i * scale| ≤ scale/2 by construction — the
+    * reconstruction-error bound callers assert on. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), toDoubleArray(col(vecCol)).as("__v"))
+      .withColumn("__scale",
+        array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
+      .withColumn("qvec", expr(
+        """IF(__scale > 0,
+             transform(__v, x -> CAST(greatest(least(floor(x / __scale + 0.5D),
+                                                     127D), -127D) AS INT)),
+             transform(__v, x -> 0))"""))
+      .withColumn("max_err", expr(
+        "array_max(zip_with(__v, qvec, (x, q) -> abs(x - q * __scale)))"))
+      .select(col(idCol), col("qvec"), col("__scale").as("scale"), col("max_err"))
+
   /** Bucketed near-duplicate pairs: sign-LSH banding (Charikar 2002
     * random-hyperplane bits, banded into `numTables` keys of
     * `bitsPerTable` bits) generates candidates from shared buckets only;

@@ -131,14 +131,17 @@ object RelationalQueries {
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("l_extendedprice"), col("l_returnflag"),
             date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
-          .orderBy("l_orderkey", "l_linenumber"),
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+          // lineitem — extend the sort to a total order or the emitted
+          // tie order is engine luck
+          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "ship_date"),
       oracle = Some("""
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
                strftime(l_shipdate, '%Y-%m-%d') AS ship_date
         FROM lineitem
         WHERE l_returnflag IN ('A','R') AND l_discount BETWEEN 0.02 AND 0.08
           AND l_shipdate >= TIMESTAMP '1999-01-01'
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, l_extendedprice, ship_date""")),
 
     // ----------------------------------------------------------------
     // q04: value counts + top-n WITH ties (A6+A7: rank, not limit).

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -748,6 +748,120 @@ object TextQueries {
                      CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
               FROM k GROUP BY source)
         SELECT source, n_docs, kept, kept_id_sum
-        FROM g JOIN n USING (source) ORDER BY source"""))
+        FROM g JOIN n USING (source) ORDER BY source""")),
+
+    // ----------------------------------------------------------------
+    // q87: sequence packing — greedy first-fit of docs into 512-token
+    // training sequences, segment-parallel (Packing.packGreedy: the
+    // sequential fold is bounded to 64-doc segments; one shuffle on the
+    // segment key, the greedy scan is an aggregate HOF over a bounded
+    // array). The DuckDB oracle replays the identical greedy recurrence
+    // as a recursive CTE, so any drift in the fold rule (overflow
+    // condition, oversized-doc handling, bin numbering) hash-mismatches.
+    // All output columns are exact integers.
+    "q87_sequence_packing" -> QueryDef(
+      fn = (s, d) => {
+        val toks = docs(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).as("tok"))
+        Packing.packGreedy(toks, "doc_id", "tok", budget = 512, segSize = 64)
+          .select("doc_id", "seq_id", "n_tokens", "seq_fill", "seq_docs")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, doc_id // 64 AS seg,
+                 len(string_split(text, ' ')) AS tok
+          FROM documents),
+        o AS (SELECT doc_id, seg, tok,
+                     ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id) AS rn
+              FROM d),
+        packed AS (
+          SELECT doc_id, seg, tok, rn, 0 AS bin, tok AS fill
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.doc_id, o.seg, o.tok, o.rn,
+                 CASE WHEN p.fill > 0 AND p.fill + o.tok > 512
+                      THEN p.bin + 1 ELSE p.bin END,
+                 CASE WHEN p.fill > 0 AND p.fill + o.tok > 512
+                      THEN o.tok ELSE p.fill + o.tok END
+          FROM packed p JOIN o ON o.seg = p.seg AND o.rn = p.rn + 1),
+        asg AS (SELECT doc_id, seg * 64 + bin AS seq_id,
+                       CAST(tok AS INTEGER) AS n_tokens
+                FROM packed)
+        SELECT doc_id, seq_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY seq_id) AS INTEGER) AS seq_fill,
+               CAST(COUNT(*) OVER (PARTITION BY seq_id) AS INTEGER) AS seq_docs
+        FROM asg ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q88: embedding int8 quantization — the storage format an embedding
+    // pipeline ships. Pure per-row codegen projection (no shuffle);
+    // every arithmetic step is an IEEE-deterministic double op with an
+    // explicit floor(x + 0.5) rounding rule, so DuckDB reproduces the
+    // code vector bit-for-bit. qsum/qnorm are exact integer projections
+    // of the full code vector (any single code drift mismatches); the
+    // max reconstruction error must stay ≤ scale/2 by construction.
+    "q88_embed_quantize" -> QueryDef(
+      fn = (s, d) => {
+        val q = Similarity.quantizeInt8(embs(s, d), "vec_id", "embedding")
+        q.filter(col("scale") > 0)
+          .select(col("vec_id"),
+            size(col("qvec")).as("dim"),
+            expr("aggregate(qvec, 0L, (a, x) -> a + x)").as("qsum"),
+            expr("aggregate(qvec, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)")
+              .as("qnorm"),
+            round(col("scale"), 6).as("scale_r"),
+            round(col("max_err"), 6).as("max_err_r"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+              FROM e),
+        q AS (SELECT vec_id, v, scale,
+                     list_transform(v, x ->
+                       CAST(greatest(least(floor(x / scale + 0.5), 127.0), -127.0)
+                            AS BIGINT)) AS qv
+              FROM s WHERE scale > 0)
+        SELECT vec_id, CAST(len(v) AS INTEGER) AS dim,
+               CAST(list_sum(qv) AS BIGINT) AS qsum,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm,
+               ROUND(scale, 6) AS scale_r,
+               ROUND(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - qv[i] * scale))), 6) AS max_err_r
+        FROM q ORDER BY vec_id""")),
+
+    // ----------------------------------------------------------------
+    // q89: leakage-safe train/eval split — split membership is keyed by
+    // the DUPLICATE GROUP's canonical id (min doc_id per prefix
+    // fingerprint), not the doc id, so near-identical docs can never
+    // straddle train and eval (the classic eval-contamination bug a
+    // row-hash split has). Every group member shares its canonical's
+    // Knuth-hash verdict by construction; the fingerprint groupBy is one
+    // 16-byte-key shuffle and the group join shuffles on the same key —
+    // no window, no broadcast of data-sized frames.
+    "q89_leakage_split" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d).select(col("doc_id"),
+          TextAnalysis.prefixFingerprint("text").as("fp"))
+        val canon = base.groupBy("fp").agg(min("doc_id").as("canon"))
+        base.join(canon, Seq("fp"))
+          // 90% of the hash range → train; threshold = floor(0.9 * 2^32)
+          .withColumn("split",
+            when(Sampling.selectionHash(col("canon")) < lit(3865470566L),
+              lit("train")).otherwise(lit("eval")))
+          .select("doc_id", "fp", "canon", "split")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH fp AS (SELECT doc_id,
+                 md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+               FROM documents),
+        c AS (SELECT fp, MIN(doc_id) AS canon FROM fp GROUP BY fp)
+        SELECT doc_id, fp, canon,
+               CASE WHEN (canon * 2654435761) % 4294967296 < 3865470566
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM fp JOIN c USING (fp) ORDER BY doc_id"""))
   )
 }

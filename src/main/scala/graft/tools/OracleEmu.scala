@@ -127,6 +127,24 @@ object OracleEmu {
       SELECT md5(concat_ws(' ', slice(split(text, ' '), 1, 5))) AS fp,
              CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY fp""",
+    "q88_embed_quantize" -> """
+      WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s AS (SELECT vec_id, v, array_max(transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+      q AS (SELECT vec_id, v, scale,
+                   transform(v, x -> CAST(greatest(least(floor(x / scale + 0.5D), 127D), -127D) AS BIGINT)) AS qv
+            FROM s WHERE scale > 0)
+      SELECT vec_id, CAST(size(v) AS INT) AS dim,
+             aggregate(qv, 0L, (a, x) -> a + x) AS qsum,
+             aggregate(qv, 0L, (a, x) -> a + x * x) AS qnorm,
+             ROUND(scale, 6) AS scale_r,
+             ROUND(array_max(zip_with(v, qv, (x, qq) -> abs(x - qq * scale))), 6) AS max_err_r
+      FROM q ORDER BY vec_id""",
+    "q89_leakage_split" -> """
+      WITH fp AS (SELECT doc_id, md5(concat_ws(' ', slice(split(text, ' '), 1, 5))) AS fp FROM documents),
+      c AS (SELECT fp, MIN(doc_id) AS canon FROM fp GROUP BY fp)
+      SELECT doc_id, fp, canon,
+             CASE WHEN (canon * 2654435761) % 4294967296 < 3865470566 THEN 'train' ELSE 'eval' END AS split
+      FROM fp JOIN c USING (fp) ORDER BY doc_id""",
     "q48_asof_join" -> """
       WITH ords AS (
         SELECT o_orderkey, o_custkey, unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS ord_sec, o_totalprice,

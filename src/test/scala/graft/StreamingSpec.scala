@@ -235,4 +235,25 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0,
       "stateless streaming contamination gate diverges from the batch join")
   }
+
+  test("streaming int8 quantization matches batch q88 verbatim") {
+    // quantizeInt8 is a pure per-row projection (no shuffle, no state),
+    // so the OPERATOR ITSELF runs under readStream — same code path as
+    // batch, pinned row-for-row on codes, scale, and error
+    val embs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("embs_quant").toString
+    embs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(dir)
+    EventStream.runToMemory(
+      graft.operators.Similarity.quantizeInt8(stream, "vec_id", "embedding"),
+      "quant", OutputMode.Append())
+    val streamed = spark.table("quant")
+    val batch = graft.operators.Similarity.quantizeInt8(embs, "vec_id", "embedding")
+    assert(streamed.count() == embs.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming quantization diverges from batch")
+  }
 }
