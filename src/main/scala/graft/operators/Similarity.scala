@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -167,6 +167,26 @@ object Similarity {
         round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Chunk → document mean-pooling with L2 normalization — the step that
+    * turns per-chunk embeddings (a long doc embedded in windows) into one
+    * document vector. The aggregation is `Summarizer.mean` over an ML
+    * Vector column: a map-side-combinable vector aggregate, so the only
+    * shuffle carries one (group, partial-sum, count) buffer per group per
+    * partition — never the n×dim row explosion a posexplode+groupBy(pos)
+    * formulation would shuffle. Zero-norm groups pass through unnormalized
+    * (no NaN). Returns (groupCol, n_chunks, pooled array<double>,
+    * norm, unit array<double>). */
+  def meanPoolNormalize(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(org.apache.spark.ml.stat.Summarizer
+          .mean(array_to_vector(toDoubleArray(col(vecCol)))).as("__m"),
+        count(lit(1)).as("n_chunks"))
+      .withColumn("pooled", vector_to_array(col("__m")))
+      .withColumn("norm", l2norm(col("pooled")))
+      .withColumn("unit",
+        expr("IF(norm > 0, transform(pooled, x -> x / norm), pooled)"))
+      .select(col(groupCol), col("n_chunks"), col("pooled"), col("norm"), col("unit"))
 
   /** Symmetric per-vector int8 quantization — the storage/serving format
     * a 100-TB embedding pipeline actually ships (4× smaller than float32,

@@ -862,6 +862,43 @@ object TextQueries {
         SELECT doc_id, fp, canon,
                CASE WHEN (canon * 2654435761) % 4294967296 < 3865470566
                     THEN 'train' ELSE 'eval' END AS split
-        FROM fp JOIN c USING (fp) ORDER BY doc_id"""))
+        FROM fp JOIN c USING (fp) ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q90: chunk → doc embedding pooling — mean-pool each group of 4
+    // consecutive chunk vectors into one document vector, L2-normalize
+    // (Similarity.meanPoolNormalize: Summarizer.mean vector aggregate,
+    // map-side combinable, ONE shuffle of per-group partial-sum buffers —
+    // never an n×dim row explosion). The output pin posexplodes the
+    // normalized vector AFTER aggregation (output-sized, 64 rows/group)
+    // so every dimension of every pooled vector is hash-compared; values
+    // round at 6 digits to absorb summation-order ulps.
+    "q90_embed_pool" -> QueryDef(
+      fn = (s, d) => {
+        val grouped = embs(s, d)
+          .select(expr("vec_id DIV 4").as("group_id"), col("embedding"))
+        Similarity.meanPoolNormalize(grouped, "group_id", "embedding")
+          .select(col("group_id"), col("n_chunks"),
+            round(col("norm"), 6).as("norm_r"),
+            posexplode(col("unit")).as(Seq("pos0", "uval")))
+          .select(col("group_id"), (col("pos0") + 1).cast("int").as("pos"),
+            round(col("uval"), 6).as("uval_r"),
+            col("n_chunks"), col("norm_r"))
+          .orderBy("group_id", "pos")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id // 4 AS g, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        x AS (SELECT g, unnest(v) AS val,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM e),
+        m AS (SELECT g, pos, AVG(val) AS mv FROM x GROUP BY g, pos),
+        n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM e GROUP BY g),
+        nrm AS (SELECT g, sqrt(SUM(mv * mv)) AS nm FROM m GROUP BY g)
+        SELECT m.g AS group_id, CAST(m.pos AS INTEGER) AS pos,
+               ROUND(CASE WHEN nrm.nm > 0 THEN m.mv / nrm.nm ELSE m.mv END, 6) AS uval_r,
+               n.n_chunks, ROUND(nrm.nm, 6) AS norm_r
+        FROM m JOIN nrm ON m.g = nrm.g JOIN n ON m.g = n.g
+        ORDER BY group_id, pos"""))
   )
 }

@@ -145,6 +145,17 @@ object OracleEmu {
       SELECT doc_id, fp, canon,
              CASE WHEN (canon * 2654435761) % 4294967296 < 3865470566 THEN 'train' ELSE 'eval' END AS split
       FROM fp JOIN c USING (fp) ORDER BY doc_id""",
+    "q90_embed_pool" -> """
+      WITH e AS (SELECT vec_id div 4 AS g, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      x AS (SELECT g, p + 1 AS pos, val FROM e LATERAL VIEW posexplode(v) t AS p, val),
+      m AS (SELECT g, pos, AVG(val) AS mv FROM x GROUP BY g, pos),
+      n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM e GROUP BY g),
+      nrm AS (SELECT g, sqrt(SUM(mv * mv)) AS nm FROM m GROUP BY g)
+      SELECT m.g AS group_id, CAST(m.pos AS INT) AS pos,
+             ROUND(CASE WHEN nrm.nm > 0 THEN m.mv / nrm.nm ELSE m.mv END, 6) AS uval_r,
+             n.n_chunks, ROUND(nrm.nm, 6) AS norm_r
+      FROM m JOIN nrm ON m.g = nrm.g JOIN n ON m.g = n.g
+      ORDER BY group_id, pos""",
     "q48_asof_join" -> """
       WITH ords AS (
         SELECT o_orderkey, o_custkey, unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS ord_sec, o_totalprice,

@@ -73,6 +73,32 @@ class PackingSpec extends AnyFunSuite {
     assert(rows(1).getDouble(rows(1).fieldIndex("max_err")) == 0.0)
   }
 
+  test("mean-pool + normalize pins: hand-computed pooled vector, unit norm") {
+    // two groups: group 0 pools [1,0] and [0,1] -> [0.5,0.5], norm
+    // sqrt(0.5), unit [1/sqrt(2), 1/sqrt(2)]; group 1 is a single
+    // all-zero chunk -> passes through unnormalized (no NaN)
+    val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+                 (4L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(expr("vec_id DIV 4").as("g"), col("embedding"))
+    val rows = Similarity.meanPoolNormalize(df, "g", "embedding")
+      .orderBy("g").collect()
+    val u0 = rows(0).getSeq[Double](rows(0).fieldIndex("unit"))
+    assert(rows(0).getLong(rows(0).fieldIndex("n_chunks")) == 2)
+    assert(math.abs(rows(0).getDouble(rows(0).fieldIndex("norm")) - math.sqrt(0.5)) < 1e-15)
+    assert(u0.forall(x => math.abs(x - 1.0 / math.sqrt(2)) < 1e-15))
+    assert(rows(1).getSeq[Double](rows(1).fieldIndex("unit")) == Seq(0.0, 0.0))
+    assert(rows(1).getDouble(rows(1).fieldIndex("norm")) == 0.0)
+    // corpus-wide invariant: every non-degenerate unit vector has norm 1
+    val embs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(expr("vec_id DIV 4").as("g"), col("embedding"))
+    val bad = Similarity.meanPoolNormalize(embs, "g", "embedding")
+      .filter(col("norm") > 0)
+      .filter(abs(graft.operators.Similarity.l2norm(col("unit")) - 1.0) > 1e-12)
+      .count()
+    assert(bad == 0)
+  }
+
   test("quantizer error bound holds corpus-wide on real embeddings") {
     val embs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val bad = Similarity.quantizeInt8(embs, "vec_id", "embedding")
