@@ -398,4 +398,50 @@ object TextAnalysis {
         size(col("__gs")).as("n_grams"))
       .filter(col("n_hits") >= 1)
   }
+
+  /** Linear text-classifier INFERENCE with the hashing trick — the shape
+    * of a fastText-style quality model scoring a 100-TB corpus
+    * (Weinberger et al., "Feature Hashing for Large Scale Multitask
+    * Learning", ICML 2009; Joulin et al., "Bag of Tricks for Efficient
+    * Text Classification", 2016). Each token hashes to one of `dim`
+    * buckets; the document score is the mean bucket weight; the gate
+    * keeps score > 0. Pure per-row expression pipeline — no shuffle, no
+    * UDF, no model object: the weight lookup is arithmetic on the bucket
+    * id, so model inference IS a projection.
+    *
+    * Cross-engine determinism is the design constraint: the token hash
+    * is positional-weighted ascii arithmetic over the first 8 hex chars
+    * of md5(token) (both engines share md5/substring/ascii exactly), and
+    * the "trained" weights are the Knuth multiplicative hash of the
+    * bucket id mapped to [-0.5, 0.5) — every step exact integer or IEEE
+    * double math a DuckDB oracle reproduces bit-for-bit. A real
+    * deployment swaps `weightOf` for a broadcast weight-array lookup
+    * (`element_at(typedlit(weights), bucket + 1)`) — same plan shape.
+    *
+    * Stages each array as a REAL column (one HOF evaluation each — the
+    * q37 langid lesson). Returns (idCol, n_tokens, bucket_sum,
+    * score, pred). bucket_sum is an exact-integer projection of every
+    * token's bucket — any hash drift mismatches even if scores round the
+    * same. */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 4096): DataFrame = {
+    // b(t) = (sum_{i=1..8} ascii(md5(t)[i]) * 31^(i-1)) mod dim
+    val poly = (1 to 8).map { i =>
+      val pow = Seq.fill(i - 1)(31L).foldLeft(1L)(_ * _)
+      s"ascii(substring(h, $i, 1)) * ${pow}L"
+    }.mkString(" + ")
+    df.withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__bs", expr(
+        s"transform(transform(__toks, t -> md5(t)), h -> ($poly) % $dim)"))
+      .withColumn("__ws", expr(
+        // w(b) = knuth(b+1) / 2^32 - 0.5  in [-0.5, 0.5)
+        """transform(__bs, b -> ((b + 1) * 2654435761L) % 4294967296L
+             / 4294967296.0D - 0.5D)"""))
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        expr("aggregate(__bs, 0L, (a, b) -> a + b)").as("bucket_sum"),
+        expr("aggregate(__ws, 0D, (a, w) -> a + w)")
+          .divide(size(col("__toks"))).as("score"))
+      .withColumn("pred", when(col("score") > 0, lit("keep")).otherwise(lit("drop")))
+  }
 }

@@ -899,6 +899,42 @@ object TextQueries {
                ROUND(CASE WHEN nrm.nm > 0 THEN m.mv / nrm.nm ELSE m.mv END, 6) AS uval_r,
                n.n_chunks, ROUND(nrm.nm, 6) AS norm_r
         FROM m JOIN nrm ON m.g = nrm.g JOIN n ON m.g = n.g
-        ORDER BY group_id, pos"""))
+        ORDER BY group_id, pos""")),
+
+    // ----------------------------------------------------------------
+    // q91: linear classifier inference with the hashing trick — a
+    // fastText-style quality gate scored as a PURE PROJECTION (no
+    // shuffle, no UDF, no model object; TextAnalysis.hashedLinearScore).
+    // Token buckets are md5-char arithmetic and weights the Knuth hash
+    // of the bucket id, so DuckDB reproduces the whole inference
+    // bit-for-bit; bucket_sum pins every token's bucket exactly.
+    "q91_hashed_classifier" -> QueryDef(
+      fn = (s, d) =>
+        TextAnalysis.hashedLinearScore(docs(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("bucket_sum"),
+            round(col("score"), 6).as("score_r"), col("pred"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        b AS (SELECT doc_id, len(toks) AS n_tokens,
+                list_transform(list_transform(toks, t -> md5(t)),
+                  h -> (CAST(ascii(substring(h, 1, 1)) AS BIGINT) * 1 +
+                        CAST(ascii(substring(h, 2, 1)) AS BIGINT) * 31 +
+                        CAST(ascii(substring(h, 3, 1)) AS BIGINT) * 961 +
+                        CAST(ascii(substring(h, 4, 1)) AS BIGINT) * 29791 +
+                        CAST(ascii(substring(h, 5, 1)) AS BIGINT) * 923521 +
+                        CAST(ascii(substring(h, 6, 1)) AS BIGINT) * 28629151 +
+                        CAST(ascii(substring(h, 7, 1)) AS BIGINT) * 887503681 +
+                        CAST(ascii(substring(h, 8, 1)) AS BIGINT) * 27512614111) % 4096) AS bs
+              FROM t),
+        w AS (SELECT doc_id, n_tokens, bs,
+                list_transform(bs, x ->
+                  ((x + 1) * 2654435761) % 4294967296 / 4294967296.0 - 0.5) AS ws
+              FROM b)
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(list_sum(bs) AS BIGINT) AS bucket_sum,
+               ROUND(list_sum(ws) / n_tokens, 6) AS score_r,
+               CASE WHEN list_sum(ws) / n_tokens > 0 THEN 'keep' ELSE 'drop' END AS pred
+        FROM w ORDER BY doc_id"""))
   )
 }

@@ -156,6 +156,27 @@ object OracleEmu {
              n.n_chunks, ROUND(nrm.nm, 6) AS norm_r
       FROM m JOIN nrm ON m.g = nrm.g JOIN n ON m.g = n.g
       ORDER BY group_id, pos""",
+    "q91_hashed_classifier" -> """
+      WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+      b AS (SELECT doc_id, size(toks) AS n_tokens,
+              transform(transform(toks, t -> md5(t)),
+                h -> (ascii(substring(h, 1, 1)) * 1L +
+                      ascii(substring(h, 2, 1)) * 31L +
+                      ascii(substring(h, 3, 1)) * 961L +
+                      ascii(substring(h, 4, 1)) * 29791L +
+                      ascii(substring(h, 5, 1)) * 923521L +
+                      ascii(substring(h, 6, 1)) * 28629151L +
+                      ascii(substring(h, 7, 1)) * 887503681L +
+                      ascii(substring(h, 8, 1)) * 27512614111L) % 4096) AS bs
+            FROM t),
+      w AS (SELECT doc_id, n_tokens, bs,
+              transform(bs, x -> ((x + 1) * 2654435761L) % 4294967296L / 4294967296.0D - 0.5D) AS ws
+            FROM b)
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             aggregate(bs, 0L, (a, x) -> a + x) AS bucket_sum,
+             ROUND(aggregate(ws, 0D, (a, x) -> a + x) / n_tokens, 6) AS score_r,
+             CASE WHEN aggregate(ws, 0D, (a, x) -> a + x) / n_tokens > 0 THEN 'keep' ELSE 'drop' END AS pred
+      FROM w ORDER BY doc_id""",
     "q48_asof_join" -> """
       WITH ords AS (
         SELECT o_orderkey, o_custkey, unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS ord_sec, o_totalprice,

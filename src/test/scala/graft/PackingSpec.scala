@@ -99,6 +99,38 @@ class PackingSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("hashed linear scorer matches an independent plain-Scala reimplementation") {
+    // the whole inference re-derived outside Spark: md5 via MessageDigest,
+    // the same ascii polynomial, Knuth weights — every doc must agree on
+    // bucket_sum exactly and on score to double precision
+    val pows = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 8).map(i => hex(i).toInt * pows(i)).sum % 4096
+    }
+    def weight(b: Long): Double =
+      ((b + 1) * 2654435761L) % 4294967296L / 4294967296.0 - 0.5
+    val docsDf = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val expected = docsDf.collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val bs = toks.map(bucket)
+      (r.getLong(0), (toks.length, bs.sum, bs.map(weight).sum / toks.length))
+    }.toMap
+    val got = graft.operators.TextAnalysis
+      .hashedLinearScore(docsDf, "doc_id", "text").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, bsum, score) = expected(r.getLong(0))
+      assert(r.getInt(r.fieldIndex("n_tokens")) == n)
+      assert(r.getLong(r.fieldIndex("bucket_sum")) == bsum,
+        s"bucket drift at doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(r.fieldIndex("score")) - score) < 1e-12)
+      assert(r.getString(r.fieldIndex("pred")) == (if (score > 0) "keep" else "drop"))
+    }
+  }
+
   test("quantizer error bound holds corpus-wide on real embeddings") {
     val embs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val bad = Similarity.quantizeInt8(embs, "vec_id", "embedding")
