@@ -52,6 +52,39 @@ object EventStream {
       }
   }
 
+  final case class PackDoc(doc_id: Long, tok: Int)
+  final case class PackState(bin: Int, fill: Int)
+  final case class PackOut(doc_id: Long, seg: Long, bin: Int, seq_id: Long,
+                           n_tokens: Int)
+
+  /** INCREMENTAL sequence packing — the stateful streaming twin of
+    * `Packing.packGreedy`. Each segment keeps O(1) state (the open
+    * sequence's bin index and fill level); every micro-batch continues
+    * the greedy first-fit fold over its arrivals in id order and emits
+    * their assignments immediately. When documents arrive id-ordered
+    * across micro-batches (the ingest contract — a crawl shard is
+    * written append-only), the assignments are IDENTICAL to the batch
+    * operator's, pinned in StreamingSpec including a two-micro-batch
+    * split. State never grows with corpus size: one (bin, fill) pair per
+    * open segment. */
+  def packGate(docs: Dataset[PackDoc], budget: Int, segSize: Int): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.doc_id / segSize)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (seg, rows, state: GroupState[PackState]) =>
+          var st = state.getOption.getOrElse(PackState(0, 0))
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            st =
+              if (st.fill > 0 && st.fill + d.tok > budget) PackState(st.bin + 1, d.tok)
+              else PackState(st.bin, st.fill + d.tok)
+            PackOut(d.doc_id, seg, st.bin, seg * segSize + st.bin, d.tok)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming ingest dedup — the training-pipeline front door: duplicate
     * records (re-delivered events, re-crawled documents) are dropped by
     * key while the watermark bounds the dedup state, so state size is

@@ -256,4 +256,62 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0,
       "streaming quantization diverges from batch")
   }
+
+  test("streaming classifier inference matches batch q91 verbatim") {
+    // hashedLinearScore is a pure projection — the gate scores documents
+    // under readStream with the identical code path
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("docs_clf").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    EventStream.runToMemory(
+      graft.operators.TextAnalysis.hashedLinearScore(stream, "doc_id", "text"),
+      "clf", OutputMode.Append())
+    val streamed = spark.table("clf")
+    val batch = graft.operators.TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+    assert(streamed.count() == docs.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming classifier inference diverges from batch")
+  }
+
+  test("incremental streaming packer matches batch q87 across two micro-batches") {
+    import spark.implicits._
+    // stage two files processed as SEPARATE micro-batches (mod-time order,
+    // maxFilesPerTrigger=1): ids < 250 arrive first, the rest second, so
+    // the segment at the boundary continues its greedy fold FROM STATE
+    val toks = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("tok"))
+    val streamDir = java.nio.file.Files.createTempDirectory("docs_pack").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("pack_part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(streamDir, name))
+    }
+    stage(toks.filter(col("doc_id") < 250), "a.parquet")
+    Thread.sleep(1100) // distinct mod-time second so batch order is a then b
+    stage(toks.filter(col("doc_id") >= 250), "b.parquet")
+    val stream = spark.readStream.schema("doc_id LONG, tok INT")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .as[EventStream.PackDoc]
+    val q = EventStream.runToMemory(
+      EventStream.packGate(stream, budget = 512, segSize = 64).toDF(),
+      "packed", OutputMode.Append())
+    // prove the state-continuation path ran: the two files must have been
+    // processed as at least two separate micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected >= 2 micro-batches (maxFilesPerTrigger=1 not honored?)")
+    val streamed = spark.table("packed")
+    val batch = graft.operators.Packing
+      .packGreedy(toks, "doc_id", "tok", budget = 512, segSize = 64)
+      .select("doc_id", "seg", "bin", "seq_id", "n_tokens")
+    assert(streamed.count() == toks.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "incremental streaming packing diverges from the batch fold")
+  }
 }
