@@ -114,15 +114,21 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numPerms: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
+    // both frames staged once (localCheckpoint): the band self-join's two
+    // legs would otherwise re-run the signature kernel over the corpus
+    // twice, and the two verification joins would re-shingle it twice
+    // more — the "write the signature table before the pair join" step a
+    // production dedup pass performs anyway
     val withSh = df
       .withColumn("__toks", split(col(textCol), " "))
       .withColumn("__sh", shingleExpr("__toks"))
-    val sh = withSh.select(col(idCol), col("__sh"))
+    val sh = withSh.select(col(idCol), col("__sh")).localCheckpoint(true)
     val bands = withSh
       .withColumn("__sig", minhashSignature(col("__sh"), numPerms))
       .select(col(idCol),
         explode(lshBands(col("__sig"), numPerms, rowsPerBand)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint(true)
     // dedupe candidate PAIRS first (ids only — cheap shuffle), then fetch
     // shingles and verify once per unique pair: a pair can collide in up
     // to numPerms/rowsPerBand bands and exact Jaccard on large shingle
@@ -236,10 +242,13 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigd = df.withColumn("__sig", simhash64(s"split($textCol, ' ')"))
+    // staged once: the chunk-bucket self-join's two legs would otherwise
+    // re-run the 64-bit vote kernel over the corpus twice
     val chunked = sigd.select(col(idCol), col("__sig"),
       explode(expr("transform(sequence(0, 3), c -> " +
         "named_struct('chunk', c, 'ckey', shiftright(`__sig`, c * 16) & 65535))")).as("cb"))
       .select(col(idCol), col("__sig"), col("cb.chunk").as("chunk"), col("cb.ckey").as("ckey"))
+      .localCheckpoint(true)
     val a = chunked.select(col(idCol).as("a_id"), col("__sig").as("a_sig"), col("chunk"), col("ckey"))
     val b = chunked.select(col(idCol).as("b_id"), col("__sig").as("b_sig"), col("chunk"), col("ckey"))
     a.join(b, Seq("chunk", "ckey"))

@@ -231,8 +231,14 @@ object Similarity {
   def lshDupPairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, bitsPerTable: Int = 10, numTables: Int = 8,
                   seed: Long = 42L, dim: Int = -1): DataFrame = {
+    // staged once: the (id, arr, nrm) frame feeds the two bucket-join
+    // legs AND the two re-score joins — without the checkpoint Spark
+    // recasts + renorms the corpus four times (self-join recompute); the
+    // checkpoint is the "write the signature/norm table first" step of a
+    // production dedup pass
     val vecs = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
       .withColumn("nrm", l2norm(col("arr")))
+      .localCheckpoint(true)
     val vecDim =
       if (dim > 0) dim
       else df.select(size(col(vecCol))).limit(1).head.getInt(0)
@@ -246,8 +252,11 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("t"), key.cast("int").as("h"))
     }
+    // triples staged too: each self-join leg would otherwise re-run all
+    // numTables × bitsPerTable hyperplane dot products over the corpus
     val hashed = vecs.select(col("id"), explode(array(tableKeys: _*)).as("tb"))
       .select(col("id"), col("tb.t").as("t"), col("tb.h").as("h"))
+      .localCheckpoint(true)
     val cand = hashed.as("a").join(hashed.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))

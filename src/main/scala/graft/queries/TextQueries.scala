@@ -569,10 +569,17 @@ object TextQueries {
                                i -> concat('zq', i))))
                    ELSE text END""").as("text"))
         val corpus = base.union(variant(3, 1000000L)).union(variant(6, 2000000L))
+        // stage the shingled corpus ONCE: both legs of the family
+        // self-join read it, and without the checkpoint Spark recomputes
+        // the variant build + split + shingling per leg (the classic
+        // self-join recompute; at cluster scale this is the "write the
+        // signature table before the pair join" step every dedup
+        // pipeline performs anyway)
         val sh = corpus.withColumn("fam", col("doc_id") % 1000000L)
           .withColumn("toks", split(col("text"), " "))
           .withColumn("sh", Dedup.shingleExpr("toks"))
           .select(col("doc_id"), col("fam"), col("sh"))
+          .localCheckpoint(true)
         val a = sh.select(col("doc_id").as("a_id"), col("fam"), col("sh").as("a_sh"))
         val b = sh.select(col("doc_id").as("b_id"), col("fam"), col("sh").as("b_sh"))
         val edges = a.join(b, Seq("fam")).filter(col("b_id") > col("a_id"))
