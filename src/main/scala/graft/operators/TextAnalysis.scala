@@ -399,6 +399,37 @@ object TextAnalysis {
       .filter(col("n_hits") >= 1)
   }
 
+  /** Unigram language-model perplexity scoring — train the LM on the
+    * corpus itself (add-one smoothed token frequencies), then score every
+    * document by its mean negative log2-likelihood: the classic
+    * LM-quality filter (high NLL = tokens the corpus finds surprising —
+    * gibberish, boilerplate codes, wrong-language fragments).
+    *
+    * Two aggregation passes + one join, all map-side combinable:
+    *   1. explode → groupBy(token) count (the LM fit — ONE shuffle on
+    *      token; the vocab frame is the small side at corpus scale after
+    *      any frequency cutoff),
+    *   2. re-explode → equi-join token→count (shuffle on token; only
+    *      (doc, token) pairs flow) → groupBy(doc) mean NLL.
+    * p(t) = (cnt(t) + 1) / (N + V); trained-on-itself means no OOV path
+    * is needed (every scored token is in the vocab by construction —
+    * callers scoring a DIFFERENT corpus add the unseen-token branch with
+    * the same +1 numerator). log2 via ln/ln2 in double; callers round
+    * (last-ulp libm differences across engines are real). */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum("cnt").as("n_total"),
+      count(lit(1)).as("n_vocab")).head()
+    val (nTotal, nVocab) = (totals.getLong(0), totals.getLong(1))
+    toks.join(vocab, Seq("tok"))
+      .withColumn("nll",
+        -log(2.0, (col("cnt") + 1).cast("double") / lit((nTotal + nVocab).toDouble)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        avg(col("nll")).as("avg_nll"))
+  }
+
   /** Linear text-classifier INFERENCE with the hashing trick — the shape
     * of a fastText-style quality model scoring a 100-TB corpus
     * (Weinberger et al., "Feature Hashing for Large Scale Multitask

@@ -942,6 +942,30 @@ object TextQueries {
                CAST(list_sum(bs) AS BIGINT) AS bucket_sum,
                ROUND(list_sum(ws) / n_tokens, 6) AS score_r,
                CASE WHEN list_sum(ws) / n_tokens > 0 THEN 'keep' ELSE 'drop' END AS pred
-        FROM w ORDER BY doc_id"""))
+        FROM w ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q92: unigram-LM perplexity gate — fit the language model ON the
+    // corpus (add-one smoothed token counts: one token-key shuffle),
+    // score every doc by mean -log2 p(token) (token join + doc
+    // aggregate). The classic LM quality filter; surprising docs score
+    // high. n_tokens is exact; the NLL rounds at 6 (ln() differs in the
+    // last ulp across libm implementations).
+    "q92_unigram_ppl" -> QueryDef(
+      fn = (s, d) =>
+        TextAnalysis.unigramNll(docs(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("avg_nll"), 6).as("nll_r"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS n_vocab FROM vocab),
+        sc AS (SELECT t.doc_id,
+                 -ln((v.cnt + 1) / CAST(tot.n_total + tot.n_vocab AS DOUBLE)) / ln(2) AS nll
+               FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot)
+        SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+               ROUND(AVG(nll), 6) AS nll_r
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
