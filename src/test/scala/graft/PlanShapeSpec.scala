@@ -68,6 +68,43 @@ class PlanShapeSpec extends AnyFunSuite {
       "decontamination degenerated into a shuffle join:\n" + p.take(1200))
   }
 
+  test("q88/q91: quantization and classifier inference are shuffle-free projections") {
+    // the operator-level claim (before any presentation orderBy): model
+    // inference and quantization must never introduce an Exchange
+    import org.apache.spark.sql.functions.col
+    for ((name, df) <- Seq(
+        "quantizeInt8" -> graft.operators.Similarity.quantizeInt8(
+          Tables(spark, dir, "embeddings"), "vec_id", "embedding"),
+        "hashedLinearScore" -> graft.operators.TextAnalysis.hashedLinearScore(
+          Tables(spark, dir, "documents"), "doc_id", "text"))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"$name grew a shuffle:\n" + p.take(1200))
+    }
+  }
+
+  test("q87/q90: packing and pooling shuffle exactly once (the group key)") {
+    import org.apache.spark.sql.functions.{col, expr, size, split}
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("tok"))
+    // AQE plan strings print the final AND initial plans — count
+    // exchanges in the final section only
+    def finalSection(s: String): String = s.split("== Initial Plan ==")(0)
+    val packed = graft.operators.Packing.packGreedy(toks, "doc_id", "tok", 512, 64)
+    packed.collect()
+    val p1 = finalSection(packed.queryExecution.executedPlan.toString)
+    assert("Exchange".r.findAllIn(p1).length == 1,
+      "packGreedy must shuffle exactly once (segment key):\n" + p1.take(1200))
+    val pooled = graft.operators.Similarity.meanPoolNormalize(
+      Tables(spark, dir, "embeddings")
+        .select(expr("vec_id DIV 4").as("g"), col("embedding")), "g", "embedding")
+    pooled.collect()
+    val p2 = finalSection(pooled.queryExecution.executedPlan.toString)
+    assert("Exchange".r.findAllIn(p2).length == 1,
+      "meanPoolNormalize must shuffle exactly once (group key):\n" + p2.take(1200))
+  }
+
   test("q37: langId evaluates each stopword HOF once (no when-branch re-expansion)") {
     // the round-2 regression: the argmax when-chain inlined every score
     // expression into every branch — ~20 interpreted `filter` HOFs per
