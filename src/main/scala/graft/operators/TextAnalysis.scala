@@ -399,6 +399,60 @@ object TextAnalysis {
       .filter(col("n_hits") >= 1)
   }
 
+  /** Cross-document repeated-SPAN removal — the gram-approximated form of
+    * exact-substring deduplication (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", 2021: drop any span that occurs
+    * verbatim elsewhere in the corpus; here a token is dropped when ANY
+    * n-gram covering it occurs >= 2 times corpus-wide, the
+    * suffix-array-free formulation).
+    *
+    * Scale shape: one gram-key shuffle for the duplicate-gram set (hash
+    * aggregate with map-side combine), one equi-join of per-doc distinct
+    * grams against that set (only hit rows aggregate into the per-doc hit
+    * list), one id join back. The coverage test is a per-row expression:
+    * position i is covered iff some gram starting in [i-n+1, i] is in the
+    * doc's hit list — O(m · n · |hits|) array ops per doc, no extra
+    * shuffle. Docs shorter than n have no grams, an empty hit list, and
+    * pass through unchanged. Returns (idCol, n_tokens, n_removed,
+    * cleaned_md5) where cleaned_md5 fingerprints the surviving tokens in
+    * order (md5('') when everything was removed). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame = {
+    // staged once: read by the gram explode AND the final re-join (the
+    // signature-staging rule from the pair-join dedup operators)
+    val base = df.withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__m", size(col("__toks")))
+      .withColumn("__g", expr(
+        s"""IF(__m >= $n,
+              transform(sequence(1, __m - ${n - 1}),
+                        j -> concat_ws(' ', slice(__toks, j, $n))),
+              CAST(array() AS ARRAY<STRING>))"""))
+      .select(col(idCol), col("__toks"), col("__m"), col("__g"))
+      .localCheckpoint(true)
+    val ex = base.select(col(idCol), explode(col("__g")).as("gram"))
+    val dup = ex.groupBy("gram").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("gram")
+    val hits = ex.distinct().join(dup, Seq("gram"))
+      .groupBy(col(idCol)).agg(collect_set(col("gram")).as("__hs"))
+    base.join(hits, Seq(idCol), "left")
+      .withColumn("__hs",
+        coalesce(col("__hs"), expr("CAST(array() AS ARRAY<STRING>)")))
+      // the outer IF guards docs shorter than n: Spark's sequence(a, b)
+      // DESCENDS when b < a (it would probe gram index 0, an ANSI error)
+      // — such docs have no grams and keep every token by definition
+      .withColumn("__keep", expr(
+        s"""IF(__m < $n, sequence(1, __m),
+              filter(sequence(1, __m),
+                i -> size(filter(sequence(greatest(1, i - ${n - 1}),
+                                          least(i, __m - ${n - 1})),
+                          j -> array_contains(__hs, element_at(__g, j)))) = 0))"""))
+      .select(col(idCol),
+        col("__m").cast("int").as("n_tokens"),
+        (col("__m") - size(col("__keep"))).cast("int").as("n_removed"),
+        md5(concat_ws(" ", expr("transform(__keep, i -> element_at(__toks, i))")))
+          .as("cleaned_md5"))
+  }
+
   /** Unigram language-model perplexity scoring — train the LM on the
     * corpus itself (add-one smoothed token frequencies), then score every
     * document by its mean negative log2-likelihood: the classic

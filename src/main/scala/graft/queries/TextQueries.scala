@@ -966,6 +966,57 @@ object TextQueries {
                FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot)
         SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
                ROUND(AVG(nll), 6) AS nll_r
-        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q93: repeated-span removal — the gram-approximated exact-substring
+    // dedup (Lee et al. 2021): drop every token covered by an 8-gram
+    // occurring >= 2 times corpus-wide. Two planted boilerplate tails
+    // (newsletter / rights-reserved, by doc_id % 4) guarantee cross-doc
+    // spans at every scale; the corpus's own near-dup families are
+    // removed too. cleaned_md5 pins the exact surviving token sequence.
+    "q93_span_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val aug = docs(s, d).select(col("doc_id"), expr(
+          """CASE WHEN doc_id % 4 = 1
+                  THEN concat(text, ' subscribe to our newsletter now for daily updates and offers')
+                  WHEN doc_id % 4 = 3
+                  THEN concat(text, ' all rights reserved terms of service apply to this content')
+                  ELSE text END""").as("text"))
+        TextAnalysis.removeDupSpans(aug, "doc_id", "text", n = 8)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 1 THEN text || ' subscribe to our newsletter now for daily updates and offers'
+                      WHEN doc_id % 4 = 3 THEN text || ' all rights reserved terms of service apply to this content'
+                      ELSE text END AS t
+          FROM documents),
+        tk AS (SELECT doc_id, string_split(t, ' ') AS toks,
+                      len(string_split(t, ' ')) AS m FROM aug),
+        g AS (SELECT doc_id, toks, m,
+                CASE WHEN m >= 8 THEN list_transform(range(1, m - 6),
+                  j -> array_to_string(toks[j:j+7], ' '))
+                ELSE [] END AS grams
+              FROM tk),
+        ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        dup AS (SELECT gram FROM ex GROUP BY gram HAVING COUNT(*) >= 2),
+        hits AS (SELECT e.doc_id, list(DISTINCT e.gram) AS hs
+                 FROM (SELECT DISTINCT doc_id, gram FROM ex) e JOIN dup USING (gram)
+                 GROUP BY e.doc_id),
+        cov AS (SELECT g.doc_id, g.toks, g.m, g.grams, coalesce(h.hs, []) AS hs
+                FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id),
+        cl AS (SELECT doc_id, m,
+                 list_filter(range(1, m + 1),
+                   i -> len(list_filter(range(greatest(1, i - 7), least(i, m - 7) + 1),
+                            j -> list_contains(hs, grams[j]))) = 0) AS keep_pos
+               FROM cov)
+        SELECT cl.doc_id, CAST(cl.m AS INTEGER) AS n_tokens,
+               CAST(cl.m - len(keep_pos) AS INTEGER) AS n_removed,
+               md5(coalesce(array_to_string(
+                 list_transform(keep_pos, i -> cov.toks[i]), ' '), '')) AS cleaned_md5
+        FROM cl JOIN cov ON cl.doc_id = cov.doc_id
+        ORDER BY cl.doc_id"""))
   )
 }

@@ -85,6 +85,30 @@ object EventStream {
       }
   }
 
+  /** Stateless streaming twin of the q92 perplexity gate: the unigram LM
+    * is fit OFFLINE (batch `TextAnalysis.unigramNll` pass 1) and shipped
+    * to the stream as a literal token→count map — the readStream analog
+    * of a broadcast model. Scoring is then a pure per-row expression
+    * (one map lookup per token inside a HOF), so it runs in append mode
+    * with zero state. Trained-on-corpus semantics mean every token is in
+    * the map when scoring the same corpus; unseen tokens (scoring NEW
+    * data with an old LM) take the +1/(N+V) smoothing mass via the
+    * coalesce. */
+  def perplexityGate(docs: DataFrame, vocab: Map[String, Long],
+                     nTotal: Long, nVocab: Long): DataFrame = {
+    val denom = (nTotal + nVocab).toDouble
+    docs.withColumn("__toks", split(col("text"), " "))
+      .withColumn("__m", typedlit(vocab))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("int").as("n_tokens"),
+        expr(
+          s"""aggregate(
+                transform(__toks,
+                  t -> -(ln((coalesce(element_at(__m, t), 0L) + 1) / ${denom}D) / ln(2.0D))),
+                0D, (a, x) -> a + x)""")
+          .divide(size(col("__toks"))).as("avg_nll"))
+  }
+
   /** Streaming ingest dedup — the training-pipeline front door: duplicate
     * records (re-delivered events, re-crawled documents) are dropped by
     * key while the watermark bounds the dedup state, so state size is

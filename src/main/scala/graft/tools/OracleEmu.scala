@@ -177,6 +177,37 @@ object OracleEmu {
              ROUND(aggregate(ws, 0D, (a, x) -> a + x) / n_tokens, 6) AS score_r,
              CASE WHEN aggregate(ws, 0D, (a, x) -> a + x) / n_tokens > 0 THEN 'keep' ELSE 'drop' END AS pred
       FROM w ORDER BY doc_id""",
+    "q93_span_dedup" -> """
+      WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 1 THEN concat(text, ' subscribe to our newsletter now for daily updates and offers')
+                    WHEN doc_id % 4 = 3 THEN concat(text, ' all rights reserved terms of service apply to this content')
+                    ELSE text END AS t
+        FROM documents),
+      tk AS (SELECT doc_id, split(t, ' ') AS toks, size(split(t, ' ')) AS m FROM aug),
+      g AS (SELECT doc_id, toks, m,
+              IF(m >= 8, transform(sequence(1, m - 7), j -> concat_ws(' ', slice(toks, j, 8))),
+                 CAST(array() AS ARRAY<STRING>)) AS grams
+            FROM tk),
+      ex AS (SELECT doc_id, explode(grams) AS gram FROM g),
+      dup AS (SELECT gram FROM ex GROUP BY gram HAVING COUNT(*) >= 2),
+      hits AS (SELECT e.doc_id, collect_set(e.gram) AS hs
+               FROM (SELECT DISTINCT doc_id, gram FROM ex) e JOIN dup USING (gram)
+               GROUP BY e.doc_id),
+      cov AS (SELECT g.doc_id, g.toks, g.m, g.grams,
+                     coalesce(h.hs, CAST(array() AS ARRAY<STRING>)) AS hs
+              FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id),
+      cl AS (SELECT doc_id, m,
+               IF(m < 8, sequence(1, m),
+                 filter(sequence(1, m),
+                   i -> size(filter(sequence(greatest(1, i - 7), least(i, m - 7)),
+                            j -> array_contains(hs, element_at(grams, j)))) = 0)) AS keep_pos
+             FROM cov)
+      SELECT cl.doc_id, CAST(cl.m AS INT) AS n_tokens,
+             CAST(cl.m - size(keep_pos) AS INT) AS n_removed,
+             md5(concat_ws(' ', transform(keep_pos, i -> element_at(cov.toks, i)))) AS cleaned_md5
+      FROM cl JOIN cov ON cl.doc_id = cov.doc_id
+      ORDER BY cl.doc_id""",
     "q48_asof_join" -> """
       WITH ords AS (
         SELECT o_orderkey, o_custkey, unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS ord_sec, o_totalprice,

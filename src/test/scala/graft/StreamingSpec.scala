@@ -276,6 +276,35 @@ class StreamingSpec extends AnyFunSuite {
       "streaming classifier inference diverges from batch")
   }
 
+  test("streaming perplexity gate with a shipped LM matches batch q92") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // fit the LM batch-side (the offline pass), ship it as a literal map
+    val vocabRows = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt")).collect()
+    val vocab = vocabRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTotal = vocab.values.sum
+    val nVocab = vocab.size.toLong
+    val dir = java.nio.file.Files.createTempDirectory("docs_ppl").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    EventStream.runToMemory(
+      EventStream.perplexityGate(stream, vocab, nTotal, nVocab),
+      "ppl", OutputMode.Append())
+    val streamed = spark.table("ppl")
+      .select(col("doc_id"), col("n_tokens").as("s_ntok"), col("avg_nll").as("s_nll"))
+    val batch = graft.operators.TextAnalysis.unigramNll(docs, "doc_id", "text")
+    val joined = streamed.join(batch, "doc_id")
+    assert(joined.count() == docs.count())
+    // summation ORDER differs (join-row aggregate vs left-to-right HOF):
+    // equal to 1e-9, not bit-equal
+    val bad = joined.filter(
+      col("s_ntok") =!= col("n_tokens") ||
+        abs(col("s_nll") - col("avg_nll")) > 1e-9).count()
+    assert(bad == 0, "shipped-LM streaming scores diverge from the batch fit")
+  }
+
   test("incremental streaming packer matches batch q87 across two micro-batches") {
     import spark.implicits._
     // stage two files processed as SEPARATE micro-batches (mod-time order,
