@@ -58,4 +58,65 @@ object Sampling {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor, pick `k` pseudo-uniform documents from the candidate pool,
+    * never the anchor itself, with NO RNG — the picks are a pure function
+    * of (anchor, slot), so a re-run (or a DuckDB oracle) selects the SAME
+    * negatives.
+    *
+    * Scale shape — sampling as an equi-join, no global sort anywhere:
+    *  1. Every candidate hashes to a bucket (`selectionHash(id) mod B`)
+    *     and gets a rank within its bucket (row_number partitioned by
+    *     bucket — B-way parallel, each partition ~N/B rows). `B` is the
+    *     parallelism/size knob: size it ~N/50k so per-bucket sorts stay
+    *     in-memory at 100 TB.
+    *  2. Bucket sizes are a B-row aggregate over the id column only
+    *     (column-pruned scan, map-side combined) — broadcast to probes.
+    *  3. A probe (anchor, slot) hashes to (bucket, rank): bucket from the
+    *     low bits, rank from the high bits mod the bucket size. The pick
+    *     is then a plain shuffle equi-join on (bucket, rank) — one
+    *     corpus-wide shuffle, one probe-side shuffle, both on uniform
+    *     keys (the hash ring is skew-free by construction).
+    *  4. Self-collisions (the probe drew its own anchor) take the NEXT
+    *     candidate in bucket (pos, id) order — `lead` with wrap to the
+    *     bucket's first, precomputed per candidate in the same window, so
+    *     the skip costs nothing per probe. A 1-candidate bucket whose
+    *     only member IS the anchor drops the probe (deterministic on both
+    *     engines; vanishing probability once N/B >> 1).
+    *
+    * Hash domain: probe mixing computes (anchor*131 + slot) mod 2^31
+    * before the Knuth multiply, keeping every intermediate < 2^63 —
+    * anchor ids up to 2^63/131 are safe. Candidate ids must stay below
+    * ~3.4e9 (the [[selectionHash]] caveat).
+    *
+    * Returns (anchor, slot, neg_id), at most k rows per anchor. */
+  def negativeSample(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                     k: Int, buckets: Int = 64): DataFrame = {
+    val b = buckets.toLong
+    val cand0 = corpus.select(col(idCol).cast("long").as("neg_id"))
+      .withColumn("__pos", selectionHash(col("neg_id")))
+      .withColumn("__b", pmod(col("__pos"), lit(b)))
+    val w = Window.partitionBy("__b").orderBy(col("__pos"), col("neg_id"))
+    val cand = cand0
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      // successor in bucket order, wrapping to the bucket's first member
+      .withColumn("__next", coalesce(lead(col("neg_id"), 1).over(w),
+        first(col("neg_id")).over(w)))
+      .drop("__pos")
+    val sizes = cand0.groupBy("__b").agg(count(lit(1)).as("__n"))
+    val probes = anchors.select(col(idCol).cast("long").as("anchor"))
+      .withColumn("slot", explode(expr(s"sequence(1, $k)")))
+      .withColumn("__h", selectionHash(
+        pmod(col("anchor") * lit(131L) + col("slot"), lit(2147483648L))))
+      .withColumn("__b", pmod(col("__h"), lit(b)))
+      .join(broadcast(sizes), Seq("__b"))
+      .withColumn("__rn", pmod(expr(s"__h DIV $b"), col("__n")) + lit(1L))
+    probes.join(cand, Seq("__b", "__rn"))
+      .withColumn("__pick",
+        when(col("neg_id") === col("anchor"), col("__next")).otherwise(col("neg_id")))
+      .filter(col("__pick") =!= col("anchor"))
+      .select(col("anchor"), col("slot").cast("int").as("slot"),
+        col("__pick").as("neg_id"))
+  }
 }

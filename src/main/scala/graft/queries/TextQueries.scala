@@ -1018,5 +1018,49 @@ object TextQueries {
                  list_transform(keep_pos, i -> cov.toks[i]), ' '), '')) AS cleaned_md5
         FROM cl JOIN cov ON cl.doc_id = cov.doc_id
         ORDER BY cl.doc_id"""))
+
+    // ----------------------------------------------------------------
+    // q94: deterministic negative sampling — contrastive-training
+    // negatives with no RNG (Sampling.negativeSample): candidates hash
+    // onto a bucketed ring (bucket + in-bucket rank), probes hash to a
+    // (bucket, rank) address, and the pick is a plain equi-join — no
+    // global sort, no per-probe scan; self-collisions take the
+    // precomputed in-bucket successor. Anchors = every 5th doc, k=3.
+    ,
+    "q94_negative_sample" -> QueryDef(
+      fn = (s, d) => {
+        val corpus = docs(s, d)
+        val anchors = corpus.filter(col("doc_id") % 5 === 0)
+        Sampling.negativeSample(corpus, anchors, "doc_id", k = 3, buckets = 16)
+          .orderBy("anchor", "slot")
+      },
+      oracle = Some("""
+        WITH cb AS (
+          SELECT doc_id AS neg_id,
+                 (doc_id * 2654435761) % 4294967296 AS pos,
+                 ((doc_id * 2654435761) % 4294967296) % 16 AS b
+          FROM documents),
+        ranked AS (
+          SELECT neg_id, b,
+                 CAST(row_number() OVER (PARTITION BY b ORDER BY pos, neg_id) AS BIGINT) AS rn,
+                 coalesce(lead(neg_id) OVER (PARTITION BY b ORDER BY pos, neg_id),
+                          first_value(neg_id) OVER (PARTITION BY b ORDER BY pos, neg_id)) AS nxt
+          FROM cb),
+        sizes AS (SELECT b, COUNT(*) AS n FROM cb GROUP BY b),
+        probes AS (
+          SELECT d.doc_id AS anchor, s.slot,
+                 (((d.doc_id * 131 + s.slot) % 2147483648) * 2654435761) % 4294967296 AS h
+          FROM documents d CROSS JOIN (SELECT unnest(range(1, 4)) AS slot) s
+          WHERE d.doc_id % 5 = 0),
+        pr AS (
+          SELECT p.anchor, p.slot, p.h % 16 AS b, (p.h // 16) % z.n + 1 AS rn
+          FROM probes p JOIN sizes z ON z.b = p.h % 16),
+        sel AS (
+          SELECT pr.anchor, pr.slot,
+                 CASE WHEN r.neg_id = pr.anchor THEN r.nxt ELSE r.neg_id END AS neg_id
+          FROM pr JOIN ranked r ON r.b = pr.b AND r.rn = pr.rn)
+        SELECT anchor, CAST(slot AS INTEGER) AS slot, neg_id
+        FROM sel WHERE neg_id <> anchor
+        ORDER BY anchor, slot"""))
   )
 }

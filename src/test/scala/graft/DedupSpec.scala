@@ -230,6 +230,36 @@ class DedupSpec extends AnyFunSuite {
     assert(again.sameElements(kept.select("id").collect().map(_.getLong(0)).sorted))
   }
 
+  test("negativeSample: k deterministic negatives per anchor, never self, pool-closed") {
+    import graft.operators.Sampling
+    val pool = (0L until 1000L).toDF("id")
+    val anchors = pool.filter($"id" % 7 === 0)
+    val out = Sampling.negativeSample(pool, anchors, "id", k = 3, buckets = 16)
+    val rows = out.collect()
+    // 143 anchors x 3 slots; no bucket of ~62 members can drop a probe
+    assert(rows.length == 143 * 3)
+    assert(rows.forall(r => r.getAs[Long]("neg_id") != r.getAs[Long]("anchor")))
+    assert(rows.forall(r => (0L until 1000L).contains(r.getAs[Long]("neg_id"))))
+    // pseudo-uniform spread: picks cover a wide slice of the pool
+    assert(rows.map(_.getAs[Long]("neg_id")).distinct.length > 250)
+    val again = Sampling.negativeSample(pool, anchors, "id", k = 3, buckets = 16)
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(rows.map(_.toString).sorted))
+  }
+
+  test("negativeSample self-collision resolves to the in-bucket successor") {
+    import graft.operators.Sampling
+    // precomputed: on pool 0..39 with 4 buckets, anchor 0 / slot 24
+    // addresses its OWN (bucket 0, rank 1); the successor in bucket
+    // (pos, id) order is 36 — the skip path must pick it, never self
+    val pool = (0L until 40L).toDF("id")
+    val anchors = Seq(0L).toDF("id")
+    val out = Sampling.negativeSample(pool, anchors, "id", k = 24, buckets = 4)
+      .collect().map(r => r.getAs[Int]("slot") -> r.getAs[Long]("neg_id")).toMap
+    assert(out.size == 24) // no probe dropped
+    assert(out(24) == 36L)
+  }
+
   test("keepCanonical over LSH pairs drops all but one doc per dup cluster") {
     // corpus: 1==2 exact, 3 near-dup of both -> component {1,2,3}; 4 and
     // 5 unrelated singletons (never in pairs) survive untouched.
