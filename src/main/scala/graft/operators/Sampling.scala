@@ -59,6 +59,52 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Inverse-sqrt source flattening — temperature resampling of a skewed
+    * source mixture toward the rarest source (the T5/XLM-R style
+    * mixture-flattening step, fixed at temperature 2): each key keeps a
+    * deterministic sqrt(n_min / n_key) fraction of its rows, so a source
+    * 100x over-represented ends up only 10x over-represented, and the
+    * rarest source is kept whole.
+    *
+    * Temperature is FIXED at 2 because IEEE-754 `sqrt` is correctly
+    * rounded — the keep-threshold is bit-identical on every engine (a
+    * general n^(1/T) needs `pow`, whose last ulp is libm-specific; a
+    * boundary-sitting row could then flip between engines).
+    *
+    * Scale shape: one count aggregate on the key column (map-side
+    * combined, key-cardinality rows), checkpointed so its single-row min
+    * and the per-key thresholds don't re-scan the corpus, then one
+    * broadcast join + a codegen'd integer comparison per row. No sort,
+    * no window, no second corpus scan. */
+  def inverseSqrtFlatten(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val thr = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__m"))))
+      .withColumn("__t",
+        floor(lit(4294967296L) * sqrt(col("__m").cast("double") / col("__n"))).cast("long"))
+      .select(col(keyCol), col("__t"))
+    df.join(broadcast(thr), Seq(keyCol))
+      .filter(selectionHash(col(idCol)) < col("__t"))
+      .drop("__t")
+  }
+
+  /** Deterministic shard assignment for training data loaders: every row
+    * gets a (shard, ord) address — shard from the selection hash's low
+    * bits, ord a dense 1..n_shard rank in hash order — so S readers can
+    * each scan their shard in a stable pseudo-random order, and a re-run
+    * (or a resumed job) sees the IDENTICAL order. No RNG, no global
+    * sort: the only wide op is a row_number window PARTITIONED BY shard
+    * (S-way parallel; size S so shards fit a partition — thousands at
+    * corpus scale). */
+  def shardAssign(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("__pos"), col(idCol))
+    df.withColumn("__pos", selectionHash(col(idCol)))
+      .withColumn("shard", pmod(col("__pos"), lit(shards.toLong)).cast("int"))
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .drop("__pos")
+  }
+
   /** Deterministic negative sampling for contrastive training: for each
     * anchor, pick `k` pseudo-uniform documents from the candidate pool,
     * never the anchor itself, with NO RNG — the picks are a pure function

@@ -1061,6 +1061,48 @@ object TextQueries {
           FROM pr JOIN ranked r ON r.b = pr.b AND r.rn = pr.rn)
         SELECT anchor, CAST(slot AS INTEGER) AS slot, neg_id
         FROM sel WHERE neg_id <> anchor
-        ORDER BY anchor, slot"""))
+        ORDER BY anchor, slot""")),
+
+    // ----------------------------------------------------------------
+    // q95: inverse-sqrt source flattening — temperature-2 resampling of
+    // a skewed mixture toward its rarest source (Sampling
+    // .inverseSqrtFlatten): each group keeps a deterministic
+    // sqrt(n_min/n) fraction via the hash threshold. The group key
+    // (substring of source) makes one group 11x the others, so the big
+    // group is cut to ~30% while small groups pass whole. sqrt is
+    // IEEE-correctly-rounded => thresholds bit-match across engines.
+    "q95_source_flatten" -> QueryDef(
+      fn = (s, d) => {
+        val grouped = docs(s, d)
+          .select(col("doc_id"), substring(col("source"), 4, 1).as("src_group"))
+        Sampling.inverseSqrtFlatten(grouped, "src_group", "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, substring(source, 4, 1) AS src_group FROM documents),
+        c AS (SELECT src_group, COUNT(*) AS n FROM d GROUP BY src_group),
+        m AS (SELECT MIN(n) AS mn FROM c),
+        t AS (SELECT src_group,
+                     CAST(floor(4294967296 * sqrt(CAST(mn AS DOUBLE) / n)) AS BIGINT) AS thr
+              FROM c CROSS JOIN m)
+        SELECT d.doc_id, d.src_group
+        FROM d JOIN t USING (src_group)
+        WHERE (d.doc_id * 2654435761) % 4294967296 < t.thr
+        ORDER BY d.doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q96: deterministic shard assignment — every doc gets a (shard,
+    // ord) data-loader address from the selection hash (Sampling
+    // .shardAssign): S-way-parallel row_number window, stable
+    // pseudo-random within-shard order, re-runs identical.
+    "q96_shard_assign" -> QueryDef(
+      fn = (s, d) =>
+        Sampling.shardAssign(docs(s, d).select("doc_id"), "doc_id", shards = 8)
+          .orderBy("shard", "ord"),
+      oracle = Some("""
+        WITH p AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS pos FROM documents)
+        SELECT doc_id, CAST(pos % 8 AS INTEGER) AS shard,
+               CAST(row_number() OVER (PARTITION BY pos % 8 ORDER BY pos, doc_id) AS BIGINT) AS ord
+        FROM p ORDER BY shard, ord"""))
   )
 }

@@ -188,6 +188,21 @@ object EventStream {
     graft.operators.TextAnalysis.contaminationHitsStateless(
       docs, "doc_id", "text", benchGrams)
 
+  /** Streaming source-flattening gate — q95's inverse-sqrt mixture
+    * resample under readStream: the per-key thresholds are fit OFFLINE
+    * (the tiny count aggregate of
+    * [[graft.operators.Sampling.inverseSqrtFlatten]]) and ship as a
+    * literal map, the broadcast-model analog of [[perplexityGate]]; the
+    * gate itself is a stateless codegen hash-threshold comparison per
+    * row. Keys absent from the map are dropped — the same inner-join
+    * semantics as the batch operator. */
+  def flattenGate(docs: DataFrame, keyCol: String, idCol: String,
+                  thresholds: Map[String, Long]): DataFrame =
+    docs.withColumn("__thr", element_at(typedlit(thresholds), col(keyCol)))
+      .filter(col("__thr").isNotNull &&
+        graft.operators.Sampling.selectionHash(col(idCol)) < col("__thr"))
+      .drop("__thr")
+
   /** Stream-static enrichment — the canonical streaming dimension
     * lookup: every micro-batch joins the static frame (broadcast — at
     * scale the dim is the small side by construction); stateless, no

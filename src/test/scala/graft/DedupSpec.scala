@@ -260,6 +260,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out(24) == 36L)
   }
 
+  test("inverseSqrtFlatten keeps rarest source whole, cuts big source ~sqrt, reruns identical") {
+    import graft.operators.Sampling
+    // 1000 "big" rows vs 40 "small" -> big keeps ~sqrt(40/1000) = 20%
+    val df = (1L to 1040L).map(i => (if (i <= 1000) "big" else "small", i))
+      .toDF("src", "id")
+    val kept = Sampling.inverseSqrtFlatten(df, "src", "id")
+    val byKey = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey("small") == 40L) // rarest: threshold = full hash range
+    assert(byKey("big") > 120L && byKey("big") < 280L, s"got ${byKey("big")}") // ~200
+    val again = Sampling.inverseSqrtFlatten(df, "src", "id")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(kept.select("id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("shardAssign: dense 1..n per shard, stable order, balanced-ish shards") {
+    import graft.operators.Sampling
+    val df = (0L until 800L).toDF("id")
+    val out = Sampling.shardAssign(df, "id", shards = 8).collect()
+    assert(out.length == 800)
+    val byShard = out.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keySet == (0 until 8).toSet)
+    byShard.foreach { case (_, rows) =>
+      val ords = rows.map(_.getAs[Long]("ord")).sorted
+      assert(ords.sameElements(1L to rows.length)) // dense, gap-free rank
+      assert(rows.length > 60 && rows.length < 140) // hash-balanced
+    }
+    val again = Sampling.shardAssign(df, "id", shards = 8).collect()
+      .map(_.toString).sorted
+    assert(again.sameElements(out.map(_.toString).sorted))
+  }
+
   test("keepCanonical over LSH pairs drops all but one doc per dup cluster") {
     // corpus: 1==2 exact, 3 near-dup of both -> component {1,2,3}; 4 and
     // 5 unrelated singletons (never in pairs) survive untouched.

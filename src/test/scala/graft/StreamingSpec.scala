@@ -305,6 +305,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad == 0, "shipped-LM streaming scores diverge from the batch fit")
   }
 
+  test("streaming flatten gate with shipped thresholds matches batch q95") {
+    import graft.operators.Sampling
+    // fit the thresholds batch-side (tiny count aggregate), ship as map
+    val grouped = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), substring(col("source"), 4, 1).as("src_group"))
+    val counts = grouped.groupBy("src_group").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val thresholds = counts.map { case (k, n) =>
+      k -> math.floor(4294967296L * math.sqrt(nMin.toDouble / n)).toLong
+    }
+    val dir = java.nio.file.Files.createTempDirectory("docs_flatten").toString
+    grouped.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, src_group STRING").parquet(dir)
+    EventStream.runToMemory(
+      EventStream.flattenGate(stream, "src_group", "doc_id", thresholds),
+      "flattened", OutputMode.Append())
+    val streamed = spark.table("flattened").select("doc_id", "src_group")
+    val batch = Sampling.inverseSqrtFlatten(grouped, "src_group", "doc_id")
+      .select("doc_id", "src_group")
+    assert(batch.count() > 0 && batch.count() < grouped.count()) // gate engaged
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming flatten gate diverges from the batch operator")
+  }
+
   test("incremental streaming packer matches batch q87 across two micro-batches") {
     import spark.implicits._
     // stage two files processed as SEPARATE micro-batches (mod-time order,
