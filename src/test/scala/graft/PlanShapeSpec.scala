@@ -105,6 +105,47 @@ class PlanShapeSpec extends AnyFunSuite {
       "meanPoolNormalize must shuffle exactly once (group key):\n" + p2.take(1200))
   }
 
+  test("q94/q96: sampling windows are bucket-partitioned, never single-partition") {
+    // the scale property: negativeSample's rank/lead window and
+    // shardAssign's ord window must parallelize by bucket/shard — a
+    // global (unpartitioned) window would show an Exchange
+    // SinglePartition, the one shape that cannot survive 100 TB
+    for (name <- Seq("q94_negative_sample", "q96_shard_assign")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the final presentation orderBy is a rangepartitioning exchange;
+      // SinglePartition must not appear anywhere
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name grew a single-partition exchange:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated into a cross join:\n" + p.take(1500))
+    }
+  }
+
+  test("q95: flatten gate is broadcast-threshold + filter, no corpus shuffle") {
+    import org.apache.spark.sql.functions.col
+    // operator-level (before the presentation orderBy): the corpus leg
+    // must see ONLY a broadcast join + codegen filter — the count
+    // aggregate runs once against the checkpointed tiny frame, never
+    // re-scanning or re-shuffling the corpus in the output plan
+    val grouped = Tables(spark, dir, "documents")
+      .select(col("doc_id"), org.apache.spark.sql.functions
+        .substring(col("source"), 4, 1).as("g"))
+    val kept = graft.operators.Sampling.inverseSqrtFlatten(grouped, "g", "doc_id")
+    kept.collect()
+    val p = kept.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // no hash/range repartition anywhere (a SinglePartition exchange
+    // over the checkpointed ~key-cardinality counts frame is fine — it
+    // feeds the global min of a tiny Scan ExistingRDD, not the corpus)
+    assert("Exchange (hash|range)partitioning".r.findFirstIn(p).isEmpty,
+      "inverseSqrtFlatten shuffled the corpus:\n" + p.take(1500))
+    assert("FileScan".r.findAllIn(p).length == 1,
+      "corpus scanned more than once:\n" + p.take(1500))
+  }
+
   test("q37: langId evaluates each stopword HOF once (no when-branch re-expansion)") {
     // the round-2 regression: the argmax when-chain inlined every score
     // expression into every branch — ~20 interpreted `filter` HOFs per
