@@ -484,6 +484,38 @@ object TextAnalysis {
         avg(col("nll")).as("avg_nll"))
   }
 
+  /** Per-source distribution divergence — KL(P_source ‖ P_corpus) over
+    * unigram distributions: the domain-shift / outlier-source detector a
+    * curation stack runs before mixing sources (a source whose token
+    * distribution diverges hard from the corpus is boilerplate, spam, or
+    * mislabeled-language). KL needs no smoothing here because
+    * support(P_s) ⊆ support(P_corpus) by construction.
+    *
+    * Scale shape: ONE corpus scan into a (source, token) count aggregate
+    * (map-side combined), checkpointed; everything downstream — the
+    * global token counts, the per-source totals, the final join +
+    * source aggregate — runs over that distinct-pair frame, which is
+    * vocabulary-sized, not corpus-sized. KL is factored as
+    * (1/n_s)·Σ c_st·ln(c_st·N / (c_t·n_s)) so both engines evaluate the
+    * identical double op tree per term; callers round (summation order
+    * ulps are real but ~1e-13 relative). */
+  def sourceDivergence(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val st = df.select(col(keyCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(keyCol), col("tok")).agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
+    val glob = st.groupBy("tok").agg(sum("c_st").as("c_t"))
+    val srcTot = st.groupBy(col(keyCol)).agg(sum("c_st").as("n_s"))
+    val n = st.agg(sum("c_st")).head().getLong(0)
+    st.join(glob, Seq("tok"))
+      .join(broadcast(srcTot), Seq(keyCol))
+      .withColumn("__term", col("c_st") *
+        log((col("c_st").cast("double") * lit(n.toDouble)) /
+          (col("c_t").cast("double") * col("n_s").cast("double"))))
+      .groupBy(col(keyCol))
+      .agg(min("n_s").as("n_tokens"),
+        (sum("__term") / min("n_s")).as("kl"))
+  }
+
   /** Linear text-classifier INFERENCE with the hashing trick — the shape
     * of a fastText-style quality model scoring a 100-TB corpus
     * (Weinberger et al., "Feature Hashing for Large Scale Multitask

@@ -1103,6 +1103,34 @@ object TextQueries {
         WITH p AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS pos FROM documents)
         SELECT doc_id, CAST(pos % 8 AS INTEGER) AS shard,
                CAST(row_number() OVER (PARTITION BY pos % 8 ORDER BY pos, doc_id) AS BIGINT) AS ord
-        FROM p ORDER BY shard, ord"""))
+        FROM p ORDER BY shard, ord""")),
+
+    // ----------------------------------------------------------------
+    // q97: per-source distribution divergence — KL(P_source || P_corpus)
+    // over unigram distributions (TextAnalysis.sourceDivergence): the
+    // domain-shift detector run before mixing sources. One corpus scan
+    // into a checkpointed (source, token) count frame; all downstream
+    // aggregates are vocabulary-sized. KL factored so both engines
+    // evaluate the identical double op tree per term; round-6 absorbs
+    // summation-order ulps.
+    "q97_source_divergence" -> QueryDef(
+      fn = (s, d) =>
+        TextAnalysis.sourceDivergence(docs(s, d), "source", "text")
+          .select(col("source"), col("n_tokens"),
+            round(col("kl"), 6).as("kl_r"))
+          .orderBy("source"),
+      oracle = Some("""
+        WITH st AS (SELECT source, tok, COUNT(*) AS c_st
+                    FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    GROUP BY source, tok),
+        g AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY tok),
+        s AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+        n AS (SELECT SUM(c_st) AS n FROM st)
+        SELECT st.source, CAST(MIN(s.n_s) AS BIGINT) AS n_tokens,
+               ROUND(SUM(st.c_st * ln((CAST(st.c_st AS DOUBLE) * n.n) /
+                                      (CAST(g.c_t AS DOUBLE) * s.n_s))) / MIN(s.n_s), 6) AS kl_r
+        FROM st JOIN g USING (tok) JOIN s USING (source) CROSS JOIN n
+        GROUP BY st.source ORDER BY st.source"""))
   )
 }

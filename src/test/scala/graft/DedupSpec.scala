@@ -292,6 +292,23 @@ class DedupSpec extends AnyFunSuite {
     assert(again.sameElements(out.map(_.toString).sorted))
   }
 
+  test("sourceDivergence: zero for a single source, positive for divergent ones") {
+    // single source: P_s == P_corpus, every ln term is exactly ln(1) = 0
+    val one = Seq(("s1", "a b a c"), ("s1", "b c a")).toDF("source", "text")
+    val kl1 = TextAnalysis.sourceDivergence(one, "source", "text").collect()
+    assert(kl1.length == 1 && kl1.head.getAs[Double]("kl") == 0.0)
+    assert(kl1.head.getAs[Long]("n_tokens") == 7L)
+    // matched vs divergent: s3 shares no tokens with s2 -> both diverge
+    // from the pooled corpus, and the skewed one diverges MORE
+    val two = Seq(
+      ("s2", "a b a b a b a b"), ("s2", "a b a b"),
+      ("s3", "z q z q")).toDF("source", "text")
+    val m = TextAnalysis.sourceDivergence(two, "source", "text").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("kl")).toMap
+    assert(m("s2") > 0 && m("s3") > 0)
+    assert(m("s3") > m("s2")) // minority source is farther from the pool
+  }
+
   test("keepCanonical over LSH pairs drops all but one doc per dup cluster") {
     // corpus: 1==2 exact, 3 near-dup of both -> component {1,2,3}; 4 and
     // 5 unrelated singletons (never in pairs) survive untouched.
