@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions.expr
   *
   * Every stage is a list of SQL expression strings used BOTH by the Spark
   * plan (selectExpr) and by the DuckDB oracle (CTE chain) — identical
-  * operation trees, so the resulting doubles are bit-identical and need
-  * no rounding for hash parity.
+  * operation trees over exact DECIMAL sums, so the intermediate doubles
+  * are bit-identical up to the determinant polynomials; the emitted
+  * estimate/t columns round at 6dp (see the rowExprs comment).
   *
   * Determinant expansion is O(p!) in expression size — fine for the
   * handful of regressors lm-style summaries are used with; beyond that
@@ -96,9 +97,15 @@ object OlsSufficient {
     // makes x/0 an error, and the CASE must guard BOTH engines)
     def tExpr(j: Int): String =
       s"CASE WHEN s2 > 0 THEN est$j / sqrt(s2 * inv$j) ELSE NULL END"
-    val rowExprs = ("'(intercept)'", "est0", tExpr(0)) +:
+    // outputs round at 6dp: the DECIMAL sums are exact and order-free,
+    // but the O(p!) determinant POLYNOMIAL over them evaluates with
+    // engine-specific last-ulp behavior once the summed magnitudes grow
+    // (sf0.1 cross-engine probe: estimates bit-equal, t-values off by
+    // one ulp) — 6dp is far above the ulp band and far below any
+    // statistical meaning
+    val rowExprs = ("'(intercept)'", "round(est0, 6)", s"round(${tExpr(0)}, 6)") +:
       features.zipWithIndex.map { case (f, i) =>
-        (s"'$f'", s"est${i + 1}", tExpr(i + 1))
+        (s"'$f'", s"round(est${i + 1}, 6)", s"round(${tExpr(i + 1)}, 6)")
       }
     (aggExprs.toSeq, castExprs.toSeq, detExprs, estExprs, rowExprs)
   }

@@ -111,6 +111,12 @@ object Sampling {
     * of (anchor, slot), so a re-run (or a DuckDB oracle) selects the SAME
     * negatives.
     *
+    * Draws are WITH replacement (slots are independent — the word2vec
+    * negative-sampling semantic): two slots of one anchor can land on
+    * the same negative with probability ~k²/2N, so an anchor gets k
+    * draws, not necessarily k DISTINCT negatives. Consumers needing
+    * distinct sets oversample (k' > k) and dedupe downstream.
+    *
     * Scale shape — sampling as an equi-join, no global sort anywhere:
     *  1. Every candidate hashes to a bucket (`selectionHash(id) mod B`)
     *     and gets a rank within its bucket (row_number partitioned by

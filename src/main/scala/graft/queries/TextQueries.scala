@@ -888,8 +888,11 @@ object TextQueries {
           .select(col("group_id"), col("n_chunks"),
             round(col("norm"), 6).as("norm_r"),
             posexplode(col("unit")).as(Seq("pos0", "uval")))
+          // + 0.0 normalizes IEEE -0.0: a dimension whose chunk values
+          // cancel to ~±1e-13 rounds to a SIGNED zero whose sign is
+          // summation-order luck (seen at sf0.1: DuckDB -0.0 vs Spark 0.0)
           .select(col("group_id"), (col("pos0") + 1).cast("int").as("pos"),
-            round(col("uval"), 6).as("uval_r"),
+            (round(col("uval"), 6) + lit(0.0)).as("uval_r"),
             col("n_chunks"), col("norm_r"))
           .orderBy("group_id", "pos")
       },
@@ -903,7 +906,7 @@ object TextQueries {
         n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM e GROUP BY g),
         nrm AS (SELECT g, sqrt(SUM(mv * mv)) AS nm FROM m GROUP BY g)
         SELECT m.g AS group_id, CAST(m.pos AS INTEGER) AS pos,
-               ROUND(CASE WHEN nrm.nm > 0 THEN m.mv / nrm.nm ELSE m.mv END, 6) AS uval_r,
+               ROUND(CASE WHEN nrm.nm > 0 THEN m.mv / nrm.nm ELSE m.mv END, 6) + 0 AS uval_r,
                n.n_chunks, ROUND(nrm.nm, 6) AS norm_r
         FROM m JOIN nrm ON m.g = nrm.g JOIN n ON m.g = n.g
         ORDER BY group_id, pos""")),

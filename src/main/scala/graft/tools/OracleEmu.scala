@@ -152,7 +152,7 @@ object OracleEmu {
       n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM e GROUP BY g),
       nrm AS (SELECT g, sqrt(SUM(mv * mv)) AS nm FROM m GROUP BY g)
       SELECT m.g AS group_id, CAST(m.pos AS INT) AS pos,
-             ROUND(CASE WHEN nrm.nm > 0 THEN m.mv / nrm.nm ELSE m.mv END, 6) AS uval_r,
+             ROUND(CASE WHEN nrm.nm > 0 THEN m.mv / nrm.nm ELSE m.mv END, 6) + 0 AS uval_r,
              n.n_chunks, ROUND(nrm.nm, 6) AS norm_r
       FROM m JOIN nrm ON m.g = nrm.g JOIN n ON m.g = n.g
       ORDER BY group_id, pos""",
