@@ -16,9 +16,16 @@ object QueryDef {
   /** Exact, order-independent money sum: cast to DECIMAL before summing so
     * Spark's and DuckDB's different accumulation orders cannot produce
     * different doubles (double summation of 60k ~1e5-sized values drifts
-    * ~1e-4 — enough to flip a round()). Decimal addition is exact; the
-    * final cast back to double is deterministic. DuckDB twin:
-    * CAST(SUM(CAST(x AS DECIMAL(18,s)) AS DOUBLE). */
+    * ~1e-4 — enough to flip a round()). Decimal addition is exact. DuckDB
+    * twin: CAST(SUM(CAST(x AS DECIMAL(18,s)) AS DOUBLE).
+    *
+    * CAVEAT (measured at 10x sf0.1): the final DECIMAL→DOUBLE cast is a
+    * rounding whose tie behavior differs across engines (Spark's
+    * BigDecimal path is correctly rounded; DuckDB's int128 conversion
+    * can land one ulp off) — the hazard zone is ~(decimal step / double
+    * ulp), i.e. acute once the summed magnitude's ulp exceeds the
+    * decimal's step. q02 emits its scale-6 charge sums AS DECIMAL for
+    * this reason; scale-2 sums below ~1e12 stay safely double. */
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 }

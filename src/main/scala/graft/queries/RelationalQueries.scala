@@ -94,13 +94,28 @@ object RelationalQueries {
         li(s, d)
           .filter(col("l_shipdate") < lit(java.time.LocalDateTime.parse("2000-01-01T00:00")))
           .groupBy("l_returnflag", "l_linestatus")
+          // money sums: exact DECIMAL accumulation, then the fixed-point
+          // route to double — scale the exact sum to an INTEGER, cast
+          // int→double (one correctly-rounded conversion, identical in
+          // both engines), divide by the power of ten (identical inputs
+          // → identical result). A direct DECIMAL→DOUBLE cast is NOT
+          // engine-stable: at 10x volume the scale-6 charge sums sit
+          // between adjacent doubles (decimal step 1e-6 < ulp 7.6e-6 at
+          // 4e10) and Spark's correctly-rounded BigDecimal path lands
+          // one ulp from DuckDB's int128 conversion.
+          // each sum is cast to a snug DECIMAL before the integer-scale
+          // multiply so Spark's decimal-precision cap (38) can never
+          // force a silent scale reduction
           .agg(
             sum("l_quantity").as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base_price"),
-            sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-              .cast("double").as("sum_disc_price"),
-            sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
-              * dec(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+            (sum(dec(col("l_extendedprice"))).cast(DecimalType(24, 2)) * lit(100))
+              .cast("long").cast("double").divide(lit(100)).as("sum_base_price"),
+            (sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+              .cast(DecimalType(24, 4)) * lit(10000))
+              .cast("long").cast("double").divide(lit(10000)).as("sum_disc_price"),
+            (sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+              * dec(lit(1) + col("l_tax"))).cast(DecimalType(24, 6)) * lit(1000000))
+              .cast("long").cast("double").divide(lit(1000000)).as("sum_charge"),
             round(avg("l_extendedprice"), 4).as("avg_price"),
             round(avg("l_discount"), 6).as("avg_disc"),
             count(lit(1)).as("cnt"))
@@ -109,9 +124,9 @@ object RelationalQueries {
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
                SUM(l_quantity) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / 100 AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT) AS DOUBLE) / 10000 AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS sum_charge,
                ROUND(AVG(l_extendedprice), 4) AS avg_price,
                ROUND(AVG(l_discount), 6) AS avg_disc,
                CAST(COUNT(*) AS BIGINT) AS cnt

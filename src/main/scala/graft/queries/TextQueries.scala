@@ -922,7 +922,9 @@ object TextQueries {
       fn = (s, d) =>
         TextAnalysis.hashedLinearScore(docs(s, d), "doc_id", "text")
           .select(col("doc_id"), col("n_tokens"), col("bucket_sum"),
-            round(col("score"), 6).as("score_r"), col("pred"))
+            // + 0.0: a tiny-negative score rounds to -0.0 in DuckDB but
+            // +0.0 through Spark's BigDecimal round (seen at 10x)
+            (round(col("score"), 6) + lit(0.0)).as("score_r"), col("pred"))
           .orderBy("doc_id"),
       oracle = Some("""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -943,7 +945,7 @@ object TextQueries {
               FROM b)
         SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
                CAST(list_sum(bs) AS BIGINT) AS bucket_sum,
-               ROUND(list_sum(ws) / n_tokens, 6) AS score_r,
+               ROUND(list_sum(ws) / n_tokens, 6) + 0 AS score_r,
                CASE WHEN list_sum(ws) / n_tokens > 0 THEN 'keep' ELSE 'drop' END AS pred
         FROM w ORDER BY doc_id""")),
 

@@ -174,7 +174,7 @@ object OracleEmu {
             FROM b)
       SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
              aggregate(bs, 0L, (a, x) -> a + x) AS bucket_sum,
-             ROUND(aggregate(ws, 0D, (a, x) -> a + x) / n_tokens, 6) AS score_r,
+             ROUND(aggregate(ws, 0D, (a, x) -> a + x) / n_tokens, 6) + 0 AS score_r,
              CASE WHEN aggregate(ws, 0D, (a, x) -> a + x) / n_tokens > 0 THEN 'keep' ELSE 'drop' END AS pred
       FROM w ORDER BY doc_id""",
     "q93_span_dedup" -> """
