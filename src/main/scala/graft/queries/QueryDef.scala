@@ -19,13 +19,22 @@ object QueryDef {
     * ~1e-4 — enough to flip a round()). Decimal addition is exact. DuckDB
     * twin: CAST(SUM(CAST(x AS DECIMAL(18,s)) AS DOUBLE).
     *
-    * CAVEAT (measured at 10x sf0.1): the final DECIMAL→DOUBLE cast is a
-    * rounding whose tie behavior differs across engines (Spark's
-    * BigDecimal path is correctly rounded; DuckDB's int128 conversion
-    * can land one ulp off) — the hazard zone is ~(decimal step / double
-    * ulp), i.e. acute once the summed magnitude's ulp exceeds the
-    * decimal's step. q02 emits its scale-6 charge sums AS DECIMAL for
-    * this reason; scale-2 sums below ~1e12 stay safely double. */
-  def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    * The exact sum reaches double via the FIXED-POINT route — scale up
+    * to an integer, cast int→double, divide by the power of ten — never
+    * a direct DECIMAL→DOUBLE cast: that cast's tie behavior differs
+    * across engines (Spark's BigDecimal path is correctly rounded;
+    * DuckDB's int128 conversion can land one ulp off — measured on
+    * q02's scale-6 sums at 10x sf0.1, where the decimal step 1e-6
+    * dropped below the 7.6e-6 double ulp at 4e10). Every step here is
+    * identically rounded on identical inputs in both engines. The snug
+    * DECIMAL(27,s) cast before the multiply keeps Spark's
+    * precision-38 cap from silently reducing scale; scaled values stay
+    * exact in BIGINT up to ~9e16 money units. DuckDB twin:
+    * CAST(CAST(SUM(CAST(x AS DECIMAL(18,s))) * 10^s AS BIGINT)
+    *   AS DOUBLE) / 10^s. */
+  def dsum(c: Column, scale: Int = 2): Column = {
+    val f = math.round(math.pow(10, scale)).toInt
+    (sum(c.cast(DecimalType(18, scale))).cast(DecimalType(27, scale)) * lit(f))
+      .cast("long").cast("double").divide(lit(f))
+  }
 }

@@ -304,7 +304,7 @@ object RelationalQueries {
       },
       oracle = Some("""
         SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100 AS revenue,
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
         FROM orders JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
@@ -351,7 +351,7 @@ object RelationalQueries {
       },
       oracle = Some("""
         SELECT n_nationkey, n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_customers,
-               COALESCE(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_acctbal
+               COALESCE(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100, 0.0) AS total_acctbal
         FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
         GROUP BY n_nationkey, n_name ORDER BY n_nationkey""")),
 
@@ -408,7 +408,7 @@ object RelationalQueries {
         SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
                CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
                CAST(COUNT(*) AS BIGINT) AS cnt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100 AS total
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY status, priority""")),
 
@@ -511,7 +511,7 @@ object RelationalQueries {
       oracle = Some("""
         SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start, event_type,
                CAST(COUNT(*) AS BIGINT) AS cnt,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100 / COUNT(*) AS avg_value,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 
@@ -677,7 +677,7 @@ object RelationalQueries {
         val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
         val cells = prios.zipWithIndex.map { case (p, i) =>
           s"""CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS p${i + 1}_cnt,
-             CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p${i + 1}_rev"""
+             CAST(CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS DOUBLE) / 100 AS p${i + 1}_rev"""
         }.mkString(",\n")
         s"""
         SELECT o_orderstatus, $cells
@@ -831,8 +831,8 @@ object RelationalQueries {
         s.sql("""
           SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big
           FROM __ord o
-          WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                                       / COUNT(*) FROM __ord)
+          WHERE o_totalprice > (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+                                       / 100 / COUNT(*) FROM __ord)
             AND EXISTS (SELECT 1 FROM __ord i
                         WHERE i.o_custkey = o.o_custkey AND i.o_orderpriority = '1-URGENT')
           GROUP BY o_custkey ORDER BY o_custkey""")
@@ -840,8 +840,8 @@ object RelationalQueries {
       oracle = Some("""
         SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big
         FROM orders o
-        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                                     / COUNT(*) FROM orders)
+        WHERE o_totalprice > (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+                                     / 100 / COUNT(*) FROM orders)
           AND EXISTS (SELECT 1 FROM orders i
                       WHERE i.o_custkey = o.o_custkey AND i.o_orderpriority = '1-URGENT')
         GROUP BY o_custkey ORDER BY o_custkey"""))

@@ -78,8 +78,8 @@ object StatsQueries {
         // full scans of the fact table
         val g = Tables(s, d, "events").groupBy("event_type").agg(
           count(lit(1)).as("n"),
-          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("s1"),
-          expr("CAST(SUM(CAST(value * value AS DECIMAL(22,4))) AS DOUBLE)").as("s2"))
+          expr("CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100").as("s1"),
+          expr("CAST(CAST(SUM(CAST(value * value AS DECIMAL(22,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000").as("s2"))
           .select(col("event_type"), col("n"),
             expr("s1 / n").as("m"),
             expr("(s2 - ((s1 * s1) / n)) / (n - 1)").as("v"))
@@ -98,8 +98,8 @@ object StatsQueries {
       },
       oracle = Some("""
         WITH g AS (SELECT event_type, COUNT(*) AS n,
-                          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-                          CAST(SUM(CAST(value * value AS DECIMAL(22,4))) AS DOUBLE) AS s2
+                          CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100 AS s1,
+                          CAST(CAST(SUM(CAST(value * value AS DECIMAL(22,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000 AS s2
                    FROM events GROUP BY event_type),
         gg AS (SELECT event_type, n, s1 / n AS m,
                       (s2 - ((s1 * s1) / n)) / (n - 1) AS v FROM g),

@@ -281,7 +281,7 @@ object TextQueries {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM m)
         SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                MIN(tsn) AS sess_start, MAX(tsn) AS sess_end,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100 AS sum_value
         FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
 
     // ----------------------------------------------------------------
