@@ -192,6 +192,37 @@ class PropertySpec extends AnyFunSuite {
     assert(one.map(_._1).size == 5)
   }
 
+  test("negativeSample invariants hold for any pool/bucket/k geometry") {
+    import graft.operators.Sampling
+    // geometry generator: tiny pools, 1-member buckets, k > pool size —
+    // every degenerate shape the bucketed ring must survive
+    val geoms: Gen[(Int, Int, Int)] = for {
+      n <- Gen.choose(1, 120)
+      b <- Gen.oneOf(1, 2, 4, 16)
+      k <- Gen.choose(1, 5)
+    } yield (n, b, k)
+    cases(geoms, 10).foreach { case (n, b, k) =>
+      val pool = (0L until n.toLong).toDF("id")
+      val anchors = pool.filter($"id" % 3 === 0)
+      val out = Sampling.negativeSample(pool, anchors, "id", k, b).collect()
+      // never self, always pool-closed, at most k rows per anchor
+      assert(out.forall(r => r.getAs[Long]("neg_id") != r.getAs[Long]("anchor")),
+        s"self pick at n=$n b=$b k=$k")
+      assert(out.forall(r => r.getAs[Long]("neg_id") >= 0 &&
+        r.getAs[Long]("neg_id") < n), s"escaped pool at n=$n b=$b k=$k")
+      assert(out.groupBy(_.getAs[Long]("anchor")).forall(_._2.length <= k))
+      // deterministic re-run
+      val again = Sampling.negativeSample(pool, anchors, "id", k, b)
+        .collect().map(_.toString).sorted
+      assert(again.sameElements(out.map(_.toString).sorted))
+    }
+    // the fully-degenerate pool: one doc that is its own anchor — every
+    // probe's bucket holds only the anchor, successor wraps to self,
+    // and the operator must emit NOTHING rather than a self pair
+    val one = Seq(0L).toDF("id")
+    assert(graft.operators.Sampling.negativeSample(one, one, "id", 3, 4).count() == 0)
+  }
+
   test("OlsSufficient recovers an exact linear relationship") {
     // y = 1 + 2*x1 - 3*x2 with no noise: the normal equations are exactly
     // consistent, so the Cramer solve must return the true coefficients
