@@ -484,6 +484,45 @@ object TextAnalysis {
         avg(col("nll")).as("avg_nll"))
   }
 
+  /** Bigram language-model perplexity — the conditional upgrade of
+    * [[unigramNll]] (KenLM-style filters start at n=2): score every
+    * document by mean −log2 p(w2 | w1) with add-one smoothing,
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Low-entropy boilerplate
+    * scores LOW (its transitions are predictable); gibberish scores
+    * high even when its unigrams look normal — the failure mode the
+    * unigram gate cannot see.
+    *
+    * Scale shape, all map-side combinable: one bigram-key shuffle (the
+    * LM fit), one unigram-key shuffle (the context counts), then the
+    * per-doc re-join of both count tables and one doc-key aggregate —
+    * the same linear join-chain as TF-IDF/BM25, one join deeper. Fit
+    * tables are vocabulary-sized. Docs with fewer than two tokens have
+    * no bigrams and are not emitted (inner-join semantics, mirrored by
+    * the oracle). */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__m", size(col("__toks")))
+    val bi = base.filter(col("__m") >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, __m - 1),
+             i -> struct(element_at(__toks, i) AS w1,
+                         concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1)) AS bg))"""))
+        .as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.bg").as("bg"))
+    val bgCounts = bi.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val uniCounts = base
+      .select(explode(col("__toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val v = uniCounts.count()
+    bi.join(bgCounts, Seq("bg"))
+      .join(uniCounts, Seq("w1"))
+      .withColumn("__nll", -log(2.0,
+        (col("c_bg") + 1).cast("double") / (col("c_w1") + lit(v)).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(col("__nll")).as("avg_nll"))
+  }
+
   /** Per-source distribution divergence — KL(P_source ‖ P_corpus) over
     * unigram distributions: the domain-shift / outlier-source detector a
     * curation stack runs before mixing sources (a source whose token

@@ -1136,6 +1136,37 @@ object TextQueries {
                ROUND(SUM(st.c_st * ln((CAST(st.c_st AS DOUBLE) * n.n) /
                                       (CAST(g.c_t AS DOUBLE) * s.n_s))) / MIN(s.n_s), 6) AS kl_r
         FROM st JOIN g USING (tok) JOIN s USING (source) CROSS JOIN n
-        GROUP BY st.source ORDER BY st.source"""))
+        GROUP BY st.source ORDER BY st.source""")),
+
+    // ----------------------------------------------------------------
+    // q98: bigram-LM perplexity gate — the conditional upgrade of q92
+    // (TextAnalysis.bigramNll): mean -log2 p(w2|w1), add-one smoothed
+    // over the corpus-fit bigram/context counts. Catches gibberish with
+    // normal unigrams; rewards predictable transitions. One bigram-key
+    // + one unigram-key shuffle, then the TF-IDF-style join chain.
+    "q98_bigram_ppl" -> QueryDef(
+      fn = (s, d) =>
+        TextAnalysis.bigramNll(docs(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("avg_nll"), 6).as("nll_r"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                           len(string_split(text, ' ')) AS m FROM documents),
+        bi AS (SELECT doc_id, p.w1, p.bg
+               FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, m),
+                         i -> {'w1': toks[i], 'bg': toks[i] || ' ' || toks[i + 1]})) AS p
+                     FROM tk WHERE m >= 2)),
+        bgc AS (SELECT bg, COUNT(*) AS c_bg FROM bi GROUP BY bg),
+        uc AS (SELECT unnest(toks) AS w1 FROM tk),
+        unic AS (SELECT w1, COUNT(*) AS c_w1 FROM uc GROUP BY w1),
+        v AS (SELECT COUNT(*) AS v FROM unic),
+        sc AS (SELECT bi.doc_id,
+                 -ln((bgc.c_bg + 1) / CAST(unic.c_w1 + v.v AS DOUBLE)) / ln(2) AS nll
+               FROM bi JOIN bgc USING (bg) JOIN unic USING (w1) CROSS JOIN v)
+        SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+               ROUND(AVG(nll), 6) AS nll_r
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -208,6 +208,22 @@ object OracleEmu {
              md5(concat_ws(' ', transform(keep_pos, i -> element_at(cov.toks, i)))) AS cleaned_md5
       FROM cl JOIN cov ON cl.doc_id = cov.doc_id
       ORDER BY cl.doc_id""",
+    "q98_bigram_ppl" -> """
+      WITH tk AS (SELECT doc_id, split(text, ' ') AS toks, size(split(text, ' ')) AS m FROM documents),
+      tk2 AS (SELECT * FROM tk WHERE m >= 2),
+      bi AS (SELECT doc_id, p.w1 AS w1, p.bg AS bg
+             FROM tk2 LATERAL VIEW explode(transform(sequence(1, m - 1),
+               i -> named_struct('w1', element_at(toks, i),
+                                 'bg', concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))))) x AS p),
+      bgc AS (SELECT bg, COUNT(*) AS c_bg FROM bi GROUP BY bg),
+      uc AS (SELECT explode(toks) AS w1 FROM tk),
+      unic AS (SELECT w1, COUNT(*) AS c_w1 FROM uc GROUP BY w1),
+      v AS (SELECT COUNT(*) AS v FROM unic),
+      sc AS (SELECT bi.doc_id,
+               -ln((bgc.c_bg + 1) / CAST(unic.c_w1 + v.v AS DOUBLE)) / ln(2) AS nll
+             FROM bi JOIN bgc USING (bg) JOIN unic USING (w1) CROSS JOIN v)
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams, ROUND(AVG(nll), 6) AS nll_r
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q48_asof_join" -> """
       WITH ords AS (
         SELECT o_orderkey, o_custkey, unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS ord_sec, o_totalprice,

@@ -309,6 +309,19 @@ class DedupSpec extends AnyFunSuite {
     assert(m("s3") > m("s2")) // minority source is farther from the pool
   }
 
+  test("bigramNll: predictable transitions score low, unique ones high, 1-token docs dropped") {
+    val c = Seq(
+      (1L, "a b a b a b a b a b"),   // one dominant transition, fit on itself
+      (2L, "p q r s t u v w x y"),   // every transition unique
+      (3L, "solo")                    // no bigrams -> not emitted
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(c, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 9 && out(2L)._1 == 9) // m - 1 bigrams each
+    assert(out(1L)._2 < out(2L)._2, s"predictable doc must score lower: $out")
+  }
+
   test("keepCanonical over LSH pairs drops all but one doc per dup cluster") {
     // corpus: 1==2 exact, 3 near-dup of both -> component {1,2,3}; 4 and
     // 5 unrelated singletons (never in pairs) survive untouched.
