@@ -188,6 +188,33 @@ object EventStream {
     graft.operators.TextAnalysis.contaminationHitsStateless(
       docs, "doc_id", "text", benchGrams)
 
+  /** Streaming bigram-perplexity gate — q98 under readStream with the
+    * SHIPPED-LM pattern of [[perplexityGate]]: bigram and context
+    * counts fit offline, shipped as literal maps; scoring is a pure
+    * per-row HOF chain (bigram extraction is per-document, stateless).
+    * Unseen bigrams take the +1 smoothing mass over their context;
+    * unseen contexts fall back to count 0 (the same formula the batch
+    * fit produces for them). Docs under two tokens emit nothing,
+    * matching the batch operator's inner-join contract. */
+  def bigramPerplexityGate(docs: DataFrame, bigrams: Map[String, Long],
+                           contexts: Map[String, Long], nVocab: Long): DataFrame =
+    docs.withColumn("__toks", split(col("text"), " "))
+      .withColumn("__m", size(col("__toks")))
+      .filter(col("__m") >= 2)
+      .withColumn("__bm", typedlit(bigrams))
+      .withColumn("__cm", typedlit(contexts))
+      .select(col("doc_id"),
+        (col("__m") - 1).cast("int").as("n_bigrams"),
+        expr(
+          s"""aggregate(
+                transform(sequence(1, __m - 1),
+                  i -> -(ln((coalesce(element_at(__bm,
+                          concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1))), 0L) + 1)
+                        / CAST(coalesce(element_at(__cm, element_at(__toks, i)), 0L) + ${nVocab}L AS DOUBLE))
+                     / ln(2.0D))),
+                0D, (a, x) -> a + x)""")
+          .divide(col("__m") - 1).as("avg_nll"))
+
   /** Streaming source-flattening gate — q95's inverse-sqrt mixture
     * resample under readStream: the per-key thresholds are fit OFFLINE
     * (the tiny count aggregate of

@@ -331,6 +331,38 @@ class StreamingSpec extends AnyFunSuite {
       "streaming flatten gate diverges from the batch operator")
   }
 
+  test("streaming bigram-perplexity gate with a shipped LM matches batch q98") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // fit both count tables batch-side, ship as literal maps
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bigrams = toks.select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+             i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))""")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val contexts = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("docs_bppl").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    EventStream.runToMemory(
+      EventStream.bigramPerplexityGate(stream, bigrams, contexts, contexts.size.toLong),
+      "bppl", OutputMode.Append())
+    val streamed = spark.table("bppl")
+      .select(col("doc_id"), col("n_bigrams").as("s_nb"), col("avg_nll").as("s_nll"))
+    val batch = graft.operators.TextAnalysis.bigramNll(docs, "doc_id", "text")
+    val joined = streamed.join(batch, "doc_id")
+    assert(joined.count() == batch.count() && joined.count() > 0)
+    // summation order differs (HOF fold vs join-row aggregate): 1e-9 tol
+    val bad = joined.filter(
+      col("s_nb") =!= col("n_bigrams") ||
+        abs(col("s_nll") - col("avg_nll")) > 1e-9).count()
+    assert(bad == 0, "shipped bigram-LM streaming scores diverge from the batch fit")
+  }
+
   test("incremental streaming packer matches batch q87 across two micro-batches") {
     import spark.implicits._
     // stage two files processed as SEPARATE micro-batches (mod-time order,
