@@ -32,9 +32,29 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth multiplicative hash of an id column into [0, 2^32). */
+  /** Knuth multiplicative hash of an id column into [0, 2^32).
+    *
+    * GOOD for threshold selection (`hash < t` consumes the whole value)
+    * — NOT for modulo bucketing: 2654435761 ≡ 1 (mod 16), so
+    * `selectionHash(id) mod B` collapses to `id mod B` for power-of-two
+    * B ≤ 16, and low bits stay poorly mixed for any small B (a multiply
+    * only propagates bits upward). Bucketing callers use [[mixedHash]]. */
   def selectionHash(id: Column): Column =
     pmod(id * lit(2654435761L), lit(4294967296L))
+
+  /** [[selectionHash]] plus a lowbias32-style finalizing mix (two
+    * xorshift-multiply rounds + a closing xorshift) so EVERY output bit
+    * depends on every input bit — `mixedHash(id) mod B` is uniform for
+    * power-of-two B, unlike the bare Knuth multiply (see above). All
+    * intermediates stay < 2^59, and xor/shift/multiply/mod on
+    * non-negative BIGINTs are bit-identical across engines (the DuckDB
+    * oracles spell the same rounds as `xor(h, h // 65536)`). */
+  def mixedHash(id: Column): Column = {
+    val h0 = selectionHash(id)
+    val h1 = pmod(h0.bitwiseXOR(shiftright(h0, 16)) * lit(73244475L), lit(4294967296L))
+    val h2 = pmod(h1.bitwiseXOR(shiftright(h1, 16)) * lit(73244475L), lit(4294967296L))
+    h2.bitwiseXOR(shiftright(h2, 16))
+  }
 
   /** Hash-threshold cap: keep rows whose selection hash falls below
     * cap/n_key of the range. Deterministic, one narrow shuffle (the
@@ -90,7 +110,7 @@ object Sampling {
   }
 
   /** Deterministic shard assignment for training data loaders: every row
-    * gets a (shard, ord) address — shard from the selection hash's low
+    * gets a (shard, ord) address — shard from the MIXED hash's low
     * bits, ord a dense 1..n_shard rank in hash order — so S readers can
     * each scan their shard in a stable pseudo-random order, and a re-run
     * (or a resumed job) sees the IDENTICAL order. No RNG, no global
@@ -99,7 +119,7 @@ object Sampling {
     * corpus scale). */
   def shardAssign(df: DataFrame, idCol: String, shards: Int): DataFrame = {
     val w = Window.partitionBy("shard").orderBy(col("__pos"), col(idCol))
-    df.withColumn("__pos", selectionHash(col(idCol)))
+    df.withColumn("__pos", mixedHash(col(idCol)))
       .withColumn("shard", pmod(col("__pos"), lit(shards.toLong)).cast("int"))
       .withColumn("ord", row_number().over(w).cast("long"))
       .drop("__pos")
@@ -147,7 +167,7 @@ object Sampling {
                      k: Int, buckets: Int = 64): DataFrame = {
     val b = buckets.toLong
     val cand0 = corpus.select(col(idCol).cast("long").as("neg_id"))
-      .withColumn("__pos", selectionHash(col("neg_id")))
+      .withColumn("__pos", mixedHash(col("neg_id")))
       .withColumn("__b", pmod(col("__pos"), lit(b)))
     val w = Window.partitionBy("__b").orderBy(col("__pos"), col("neg_id"))
     val cand = cand0
@@ -159,7 +179,7 @@ object Sampling {
     val sizes = cand0.groupBy("__b").agg(count(lit(1)).as("__n"))
     val probes = anchors.select(col(idCol).cast("long").as("anchor"))
       .withColumn("slot", explode(expr(s"sequence(1, $k)")))
-      .withColumn("__h", selectionHash(
+      .withColumn("__h", mixedHash(
         pmod(col("anchor") * lit(131L) + col("slot"), lit(2147483648L))))
       .withColumn("__b", pmod(col("__h"), lit(b)))
       .join(broadcast(sizes), Seq("__b"))

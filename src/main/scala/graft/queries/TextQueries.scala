@@ -1040,11 +1040,15 @@ object TextQueries {
           .orderBy("anchor", "slot")
       },
       oracle = Some("""
-        WITH cb AS (
+        WITH cb0 AS (
           SELECT doc_id AS neg_id,
-                 (doc_id * 2654435761) % 4294967296 AS pos,
-                 ((doc_id * 2654435761) % 4294967296) % 16 AS b
+                 (doc_id * 2654435761) % 4294967296 AS a0
           FROM documents),
+        cb1 AS (SELECT neg_id, (xor(a0, a0 // 65536) * 73244475) % 4294967296 AS a1 FROM cb0),
+        cb2 AS (SELECT neg_id, (xor(a1, a1 // 65536) * 73244475) % 4294967296 AS a2 FROM cb1),
+        cb AS (SELECT neg_id, xor(a2, a2 // 65536) AS pos,
+                      xor(a2, a2 // 65536) % 16 AS b
+               FROM cb2),
         ranked AS (
           SELECT neg_id, b,
                  CAST(row_number() OVER (PARTITION BY b ORDER BY pos, neg_id) AS BIGINT) AS rn,
@@ -1052,11 +1056,14 @@ object TextQueries {
                           first_value(neg_id) OVER (PARTITION BY b ORDER BY pos, neg_id)) AS nxt
           FROM cb),
         sizes AS (SELECT b, COUNT(*) AS n FROM cb GROUP BY b),
-        probes AS (
+        pb0 AS (
           SELECT d.doc_id AS anchor, s.slot,
-                 (((d.doc_id * 131 + s.slot) % 2147483648) * 2654435761) % 4294967296 AS h
+                 (((d.doc_id * 131 + s.slot) % 2147483648) * 2654435761) % 4294967296 AS a0
           FROM documents d CROSS JOIN (SELECT unnest(range(1, 4)) AS slot) s
           WHERE d.doc_id % 5 = 0),
+        pb1 AS (SELECT anchor, slot, (xor(a0, a0 // 65536) * 73244475) % 4294967296 AS a1 FROM pb0),
+        pb2 AS (SELECT anchor, slot, (xor(a1, a1 // 65536) * 73244475) % 4294967296 AS a2 FROM pb1),
+        probes AS (SELECT anchor, slot, xor(a2, a2 // 65536) AS h FROM pb2),
         pr AS (
           SELECT p.anchor, p.slot, p.h % 16 AS b, (p.h // 16) % z.n + 1 AS rn
           FROM probes p JOIN sizes z ON z.b = p.h % 16),
@@ -1105,7 +1112,10 @@ object TextQueries {
         Sampling.shardAssign(docs(s, d).select("doc_id"), "doc_id", shards = 8)
           .orderBy("shard", "ord"),
       oracle = Some("""
-        WITH p AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS pos FROM documents)
+        WITH h0 AS (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS a0 FROM documents),
+        h1 AS (SELECT doc_id, (xor(a0, a0 // 65536) * 73244475) % 4294967296 AS a1 FROM h0),
+        h2 AS (SELECT doc_id, (xor(a1, a1 // 65536) * 73244475) % 4294967296 AS a2 FROM h1),
+        p AS (SELECT doc_id, xor(a2, a2 // 65536) AS pos FROM h2)
         SELECT doc_id, CAST(pos % 8 AS INTEGER) AS shard,
                CAST(row_number() OVER (PARTITION BY pos % 8 ORDER BY pos, doc_id) AS BIGINT) AS ord
         FROM p ORDER BY shard, ord""")),

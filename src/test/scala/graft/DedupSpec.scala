@@ -249,15 +249,15 @@ class DedupSpec extends AnyFunSuite {
 
   test("negativeSample self-collision resolves to the in-bucket successor") {
     import graft.operators.Sampling
-    // precomputed: on pool 0..39 with 4 buckets, anchor 0 / slot 24
-    // addresses its OWN (bucket 0, rank 1); the successor in bucket
-    // (pos, id) order is 36 — the skip path must pick it, never self
+    // precomputed (mixedHash): on pool 0..39 with 4 buckets, anchor 1 /
+    // slot 11 addresses its OWN (bucket, rank); the successor in bucket
+    // (pos, id) order is 26 — the skip path must pick it, never self
     val pool = (0L until 40L).toDF("id")
-    val anchors = Seq(0L).toDF("id")
+    val anchors = Seq(1L).toDF("id")
     val out = Sampling.negativeSample(pool, anchors, "id", k = 24, buckets = 4)
       .collect().map(r => r.getAs[Int]("slot") -> r.getAs[Long]("neg_id")).toMap
     assert(out.size == 24) // no probe dropped
-    assert(out(24) == 36L)
+    assert(out(11) == 26L)
   }
 
   test("inverseSqrtFlatten keeps rarest source whole, cuts big source ~sqrt, reruns identical") {
