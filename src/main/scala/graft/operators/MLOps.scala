@@ -4,7 +4,7 @@ import org.apache.spark.ml.classification.NaiveBayes
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.{PCA, StandardScaler, VectorAssembler}
-import org.apache.spark.ml.regression.{DecisionTreeRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.ml.regression.{DecisionTreeRegressionModel, DecisionTreeRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, Row}
@@ -140,9 +140,19 @@ object MLOps {
     * from rpart — parity is metric-level). */
   def decisionTree(df: DataFrame, featureCols: Seq[String], labelCol: String,
                    maxDepth: Int = 5, seed: Long = 123L): DataFrame = {
+    val (model, assembled) = decisionTreeFit(df, featureCols, labelCol, maxDepth, seed)
+    model.transform(assembled)
+  }
+
+  /** M5 model-level form: returns (fitted tree, assembled input) so
+    * callers can inspect structure invariants (depth, numNodes) and
+    * exercise S4 save/load parity (q100). */
+  def decisionTreeFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                      maxDepth: Int = 5, seed: Long = 123L): (DecisionTreeRegressionModel, DataFrame) = {
     val dt = new DecisionTreeRegressor().setMaxDepth(maxDepth).setSeed(seed)
       .setFeaturesCol("features").setLabelCol(labelCol).setPredictionCol("prediction")
-    dt.fit(assemble(df, featureCols)).transform(assemble(df, featureCols))
+    val assembled = assemble(df, featureCols)
+    (dt.fit(assembled), assembled)
   }
 
   /** M6: random forest + feature importances. */

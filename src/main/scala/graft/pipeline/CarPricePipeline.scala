@@ -34,6 +34,29 @@ object CarPricePipeline {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** The raw file's 26 columns in header order with their true types —
+    * the explicit-schema S1 read (one scan, no inference pass; q99 and
+    * the reference's `read_csv` col_types contract). */
+  val rawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val str = Set("CarName", "fueltype", "aspiration", "doornumber", "carbody",
+      "drivewheel", "enginelocation", "enginetype", "cylindernumber", "fuelsystem")
+    val dbl = Set("wheelbase", "carlength", "carwidth", "carheight",
+      "boreratio", "stroke", "compressionratio", "price")
+    val order = Seq("car_ID", "symboling", "CarName", "fueltype", "aspiration",
+      "doornumber", "carbody", "drivewheel", "enginelocation", "wheelbase",
+      "carlength", "carwidth", "carheight", "curbweight", "enginetype",
+      "cylindernumber", "enginesize", "fuelsystem", "boreratio", "stroke",
+      "compressionratio", "horsepower", "peakrpm", "citympg", "highwaympg",
+      "price")
+    StructType(order.map(c => StructField(c,
+      if (str(c)) StringType else if (dbl(c)) DoubleType else IntegerType)))
+  }
+
+  /** S1 with the explicit [[rawSchema]] (no inference scan). */
+  def loadExplicit(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(rawSchema).csv(path)
+
   def numericCols(df: DataFrame): Seq[String] =
     df.schema.fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
 

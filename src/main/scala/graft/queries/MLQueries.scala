@@ -673,6 +673,60 @@ object MLQueries {
       oracle = Some("""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_pred, TRUE AS rmse_pos_finite,
                TRUE AS r2_in_01, TRUE AS mae_le_rmse
-        FROM lineitem WHERE l_orderkey < 2000"""))
+        FROM lineitem WHERE l_orderkey < 2000""")),
+
+    // ----------------------------------------------------------------
+    // q100: decision-tree regression (M5, BigDataProject.R:329-330) +
+    // model persistence (S4, :572 saveRDS) — the last two §2 operators
+    // without a catalog row. The q57/q62 fit-invariant pattern: the
+    // depth-5 tree fit and a save/load round-trip both EXECUTE; the
+    // emitted columns are their oracle-checkable invariants —
+    //   n_rows        every input row scored (count parity with DuckDB)
+    //   depth_le_max  fitted depth within the requested bound
+    //   binary_shape  numNodes odd (a proper binary tree has 2L-1 nodes)
+    //   preds_in_range leaf predictions are label means → inside
+    //                  [min(label), max(label)]
+    //   reload_parity the RELOADED model's predictions are bit-identical
+    //                  to the in-memory model's on every row (S4)
+    // Structure values themselves (split order, thresholds) stay
+    // spec-pinned in MLOpsSpec — MLlib's histogram binning makes them
+    // engine-specific, like q57's importances.
+    "q100_decision_tree" -> QueryDef(
+      fn = (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val feats = Seq("l_quantity", "l_discount", "l_tax")
+        val (model, assembled) = MLOps.decisionTreeFit(li, feats,
+          "l_extendedprice", maxDepth = 5)
+        val dir = java.nio.file.Files.createTempDirectory("q100_dt").toString + "/model"
+        model.write.overwrite().save(dir)
+        val reloaded = org.apache.spark.ml.regression.DecisionTreeRegressionModel.load(dir)
+        // full-corpus scoring: every row gets a prediction, and leaf
+        // means stay inside the label range
+        val stats = model.transform(assembled).agg(
+          count(lit(1)).as("n_rows"),
+          min(col("prediction")).as("__pmin"), max(col("prediction")).as("__pmax"),
+          min(col("l_extendedprice")).as("__lmin"),
+          max(col("l_extendedprice")).as("__lmax"))
+        // reload parity on the DISTINCT feature combinations — a tree's
+        // prediction is a pure function of the feature vector, so this
+        // covers every corpus row without needing a unique row key (the
+        // synthetic lineitem has duplicate (orderkey, linenumber) pairs)
+        val fc = MLOps.assemble(li.select(feats.map(col): _*).distinct(), feats)
+        val par = model.transform(fc).select(feats.map(col) :+ col("prediction").as("p1"): _*)
+          .join(reloaded.transform(fc)
+            .select(feats.map(col) :+ col("prediction").as("p2"): _*), feats)
+          .agg(max(abs(col("p1") - col("p2"))).as("__maxdiff"))
+        stats.crossJoin(broadcast(par))
+          .select(col("n_rows"),
+            lit(model.depth <= 5).as("depth_le_max"),
+            lit(model.numNodes % 2 == 1).as("binary_shape"),
+            (col("__pmin") >= col("__lmin") && col("__pmax") <= col("__lmax"))
+              .as("preds_in_range"),
+            (col("__maxdiff") === 0.0).as("reload_parity"))
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS depth_le_max,
+               TRUE AS binary_shape, TRUE AS preds_in_range, TRUE AS reload_parity
+        FROM lineitem"""))
   )
 }

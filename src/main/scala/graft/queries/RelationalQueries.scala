@@ -35,10 +35,13 @@ object RelationalQueries {
         // .75,1} quantiles equal the clamped raw quantiles (clamp is
         // monotone; the interior interpolation pairs sit strictly inside
         // the 1.5*IQR bounds, and min/max are single order stats) — so no
-        // second pass over the capped data is needed. Distributed
-        // sort-selection path: bit-identical to the percentile aggregate
-        // (CleaningSpec) but range-partitioned instead of one buffer —
-        // the formulation that survives 100 TB, and faster here too.
+        // second pass over the capped data is needed. Sketch-bracketed
+        // selection (Cleaning.bracketQuantiles since round 3): an
+        // approx_percentile sketch brackets each order statistic, then
+        // narrow conditional aggregates select the exact values in the
+        // bracket — no sort/shuffle of data,
+        // bit-identical to the percentile aggregate (CleaningSpec), and
+        // the formulation that survives 100 TB.
         val qs = Cleaning.sortedQuantiles(l, "l_extendedprice",
           Seq(0.0, 0.25, 0.5, 0.75, 1.0))
         val (q1, q3) = (qs(1), qs(3))
@@ -844,6 +847,70 @@ object RelationalQueries {
                                      / 100 / COUNT(*) FROM orders)
           AND EXISTS (SELECT 1 FROM orders i
                       WHERE i.o_custkey = o.o_custkey AND i.o_orderpriority = '1-URGENT')
-        GROUP BY o_custkey ORDER BY o_custkey"""))
+        GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ----------------------------------------------------------------
+    // q99: CSV lifecycle — the ONE catalog query that exercises the
+    // reference's actual file boundary end-to-end instead of the
+    // driver's parquet (BigDataProject.R:41 read_csv → :159 select(
+    // where(is.numeric)) → associationRules.R:48-51 cut(curbweight) →
+    // clustering.R:24 na.omit → :568 write_csv and re-load):
+    //   S1  explicit-schema header CSV scan of the reference's raw file
+    //   P1  rename-all-lowercase at the boundary (car_ID → car_id)
+    //   P6  select-by-type-predicate (numeric columns only)
+    //   C6  R cut() (a,b] binning — curbweight 4066 (cars 48/49) falls
+    //       outside the 4000 edge → null bucket
+    //   F3  na.omit: drop-any-null removes exactly those 2 rows
+    //   S3  CSV sink with header, then S2 re-load of the intermediate
+    //       with an explicit schema (Double.toString round-trips, so the
+    //       re-read values are bit-identical — which the oracle hash
+    //       verifies, since DuckDB computes from the RAW csv only).
+    // 203 rows x 17 cols, totally ordered by the unique car_id.
+    "q99_csv_lifecycle" -> QueryDef(
+      fn = (s, _) => {
+        import org.apache.spark.sql.types._
+        // S1: explicit schema (no inferSchema pass — one read, no extra scan)
+        val raw = graft.pipeline.CarPricePipeline.loadExplicit(s,
+          "/root/reference/CarPrice_Assignment.csv")
+        // P1 + P6: lowercase names, keep numeric columns only
+        val lowered = Cleaning.lowercaseColumns(raw)
+        val numeric = lowered.select(lowered.schema.fields
+          .filter(_.dataType.isInstanceOf[NumericType]).map(f => col(f.name)).toIndexedSeq: _*)
+        // C6 + F3: R cut() with the reference's curbweight breaks, drop nulls
+        val cleaned = numeric
+          .withColumn("weight_cat", Cleaning.cutLabels(col("curbweight"),
+            Seq[Double](0, 2000, 2500, 3000, 4000),
+            Seq("Light", "Medium", "Heavy", "VeryHeavy")))
+          .na.drop("any")
+        // S3 + S2: header CSV sink, explicit-schema re-load of the intermediate
+        val sink = java.nio.file.Files.createTempDirectory("q99_csv").toString + "/cleaned"
+        cleaned.coalesce(1).write.option("header", "true").mode("overwrite").csv(sink)
+        val interSchema = StructType(cleaned.schema.map(f => StructField(f.name, f.dataType)))
+        s.read.option("header", "true").schema(interSchema).csv(sink)
+          .orderBy("car_id")
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT * FROM read_csv('/root/reference/CarPrice_Assignment.csv', header=true,
+            columns={'car_ID':'INTEGER','symboling':'INTEGER','CarName':'VARCHAR','fueltype':'VARCHAR',
+                     'aspiration':'VARCHAR','doornumber':'VARCHAR','carbody':'VARCHAR','drivewheel':'VARCHAR',
+                     'enginelocation':'VARCHAR','wheelbase':'DOUBLE','carlength':'DOUBLE','carwidth':'DOUBLE',
+                     'carheight':'DOUBLE','curbweight':'INTEGER','enginetype':'VARCHAR','cylindernumber':'VARCHAR',
+                     'enginesize':'INTEGER','fuelsystem':'VARCHAR','boreratio':'DOUBLE','stroke':'DOUBLE',
+                     'compressionratio':'DOUBLE','horsepower':'INTEGER','peakrpm':'INTEGER','citympg':'INTEGER',
+                     'highwaympg':'INTEGER','price':'DOUBLE'})),
+        num AS (
+          SELECT car_ID AS car_id, symboling, wheelbase, carlength, carwidth, carheight,
+                 curbweight, enginesize, boreratio, stroke, compressionratio,
+                 horsepower, peakrpm, citympg, highwaympg, price
+          FROM raw),
+        binned AS (
+          SELECT *, CASE WHEN curbweight IS NULL OR curbweight < 0 OR curbweight > 4000 THEN NULL
+                         WHEN curbweight <= 2000 THEN 'Light'
+                         WHEN curbweight <= 2500 THEN 'Medium'
+                         WHEN curbweight <= 3000 THEN 'Heavy'
+                         ELSE 'VeryHeavy' END AS weight_cat
+          FROM num)
+        SELECT * FROM binned WHERE weight_cat IS NOT NULL ORDER BY car_id"""))
   )
 }

@@ -4,12 +4,13 @@ import graft.{SparkEntry, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Local oracle-logic check: DuckDB is not installed in this container, so
-  * run each query's oracle SQL in SPARK (after a minimal dialect rewrite)
-  * against the same tables and diff it with the query output. This cannot
-  * catch genuine DuckDB dialect/codegen divergence (the driver's real
-  * verify does), but it catches oracle LOGIC bugs — wrong enumeration,
-  * wrong formula, wrong ordering — before burning a driver round.
+/** Local oracle-logic check: run each query's oracle SQL in SPARK (after
+  * a minimal dialect rewrite) against the same tables and diff it with
+  * the query output. Real DuckDB IS also available to driver-side python
+  * (see the verify skill / BASELINE.md's four-scale sweeps) and catches
+  * genuine dialect/codegen divergence this replay can't; this tool stays
+  * useful as the fast in-JVM check for oracle LOGIC bugs — wrong
+  * enumeration, wrong formula, wrong ordering — without leaving sbt.
   *
   * Dialect rewrites are intentionally dumb textual substitutions, so only
   * queries whose oracles stay in the shared subset are checkable; list-
@@ -44,6 +45,8 @@ object OracleEmu {
     s = s.replaceAll("""\[([0-9][0-9eE+\-., ]*)\]""", "array($1)")
     // regex flags arg (Spark regexp_replace is global by default)
     s = s.replace(", 'g')", ")")
+    // DuckDB xor(a, b) -> Spark bitwise ^ (simple args only)
+    s = s.replaceAll("""\bxor\(([^,()]+),\s*([^()]+)\)""", "($1 ^ $2)")
     // digest/binary helpers
     s = s.replaceAll("""sha256\(([^()]*)\)""", "sha2(CAST($1 AS BINARY), 256)")
     s = s.replaceAll("""encode\(([^()]*)\)""", "CAST($1 AS BINARY)")
@@ -60,6 +63,20 @@ object OracleEmu {
   /** Oracles whose DuckDB form uses list functions get a hand-written
     * Spark-SQL equivalent here (same semantics, Spark dialect). */
   private val overrides: Map[String, String] = Map(
+    "q99_csv_lifecycle" -> """
+      WITH num AS (
+        SELECT car_ID AS car_id, symboling, wheelbase, carlength, carwidth, carheight,
+               curbweight, enginesize, boreratio, stroke, compressionratio,
+               horsepower, peakrpm, citympg, highwaympg, price
+        FROM carprice_raw),
+      binned AS (
+        SELECT *, CASE WHEN curbweight IS NULL OR curbweight < 0 OR curbweight > 4000 THEN NULL
+                       WHEN curbweight <= 2000 THEN 'Light'
+                       WHEN curbweight <= 2500 THEN 'Medium'
+                       WHEN curbweight <= 3000 THEN 'Heavy'
+                       ELSE 'VeryHeavy' END AS weight_cat
+        FROM num)
+      SELECT * FROM binned WHERE weight_cat IS NOT NULL ORDER BY car_id""",
     "q41_confusion_matrix" -> """
       WITH t AS (SELECT CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS pred,
                         CASE WHEN event_id % 2 = 0 THEN 'high' ELSE 'low' END AS actual
@@ -488,6 +505,10 @@ object OracleEmu {
     val wanted = args.drop(1).toSet
     val spark = Tables.session(8)
     Tables.names.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+    // q99's DuckDB oracle reads the reference CSV via read_csv(columns=…);
+    // the override replays it against this explicit-schema view instead
+    graft.pipeline.CarPricePipeline.loadExplicit(spark,
+      "/root/reference/CarPrice_Assignment.csv").createOrReplaceTempView("carprice_raw")
 
     val oracles = SparkEntry.oracleSql
     var pass = 0; var fail = 0; var skip = 0
