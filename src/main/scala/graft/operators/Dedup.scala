@@ -53,6 +53,30 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
   }
 
+  /** Contract guard for the exact quadratic tiers (q32 n-gram Jaccard,
+    * `Similarity.cosineDupPairs`): a block-local self-join emits up to
+    * Σ_blocks aₙ·bₙ candidate pairs — fine while blocks are bounded,
+    * catastrophic past that (1 M docs in one block → 10¹² pairs). This
+    * computes that sum EXACTLY with two narrow per-block count
+    * aggregates (block column only — column-pruned scans, no data
+    * shuffle) and fails loudly past `maxPairs`, naming the banded scale
+    * path, instead of letting a runaway join hang a cluster. The count
+    * is the pre-`b>a`-filter upper bound — the join must materialize
+    * those pairs either way. Deliberately an EAGER action: the whole
+    * point is to refuse before the expensive join is scheduled. */
+  def requirePairBudget(probe: DataFrame, corpus: DataFrame, blockCol: String,
+                        maxPairs: Long): Unit = {
+    val a = probe.groupBy(col(blockCol)).agg(count(lit(1)).as("__a"))
+    val b = corpus.groupBy(col(blockCol)).agg(count(lit(1)).as("__b"))
+    val total = a.join(b, Seq(blockCol))
+      .agg(coalesce(sum(col("__a") * col("__b")), lit(0L))).head().getLong(0)
+    require(total <= maxPairs,
+      s"exact-tier block join on '$blockCol' would emit $total candidate " +
+        s"pairs (budget $maxPairs). This tier is quadratic within blocks " +
+        "by contract; switch to the banded scale path " +
+        "(Dedup.minhashLshPairs / Dedup.simhashPairs / Similarity.lshDupPairs).")
+  }
+
   // MinHash: h_j(x) = (a_j * (xxhash64(x) mod p) + b_j) mod p with the
   // Mersenne prime p = 2^31 - 1 and fixed LCG-derived coefficients —
   // deterministic across runs and expressible in plain SQL (the two-step

@@ -157,9 +157,17 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold (exact,
     * blocked by the caller at scale or piped through lshTopK). Norms are
     * computed once per row, not per pair. The exact tier: O(n^2) pairs —
-    * use [[lshDupPairs]] for the bucketed scale path. */
+    * use [[lshDupPairs]] for the bucketed scale path. The n² contract is
+    * ENFORCED (the q32 guard discipline): one count() refuses past
+    * `maxPairs` candidate pairs instead of scheduling a runaway join. */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
+                     threshold: Double, maxPairs: Long = 1000000000L): DataFrame = {
+    val n = df.count()
+    val nCap = math.floor(math.sqrt(maxPairs.toDouble)).toLong
+    require(n <= nCap,
+      s"exact cosine tier is all-pairs: n=$n rows → ~n² candidate pairs " +
+        s"exceeds budget $maxPairs (n cap $nCap). Use the banded scale " +
+        "path (Similarity.lshDupPairs) past this size.")
     val a = withNorm(df, idCol, vecCol, "a_id", "av", "an")
     val b = withNorm(df, idCol, vecCol, "b_id", "bv", "bn")
     a.join(b, col("a_id") < col("b_id"))

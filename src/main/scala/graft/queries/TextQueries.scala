@@ -45,6 +45,10 @@ object TextQueries {
         val a = base.filter(col("doc_id") % 25 === 0)
           .select(col("doc_id").as("a_id"), col("source"), col("sh").as("a_sh"))
         val b = base.select(col("doc_id").as("b_id"), col("source"), col("sh").as("b_sh"))
+        // exact-tier contract ENFORCED, not just documented: refuse past
+        // the pair budget (two narrow count aggregates) instead of
+        // scheduling a quadratic join; q33 is the banded scale path
+        Dedup.requirePairBudget(a, b, "source", maxPairs = 2000000000L)
         val pairs = a.join(b, Seq("source")).filter(col("b_id") > col("a_id"))
           .select(col("a_id"), col("b_id"),
             round(Dedup.jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))

@@ -25,6 +25,30 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("requirePairBudget: exact count, passes at budget, refuses loudly past it") {
+    // 2 blocks: x has 3 probe x 4 corpus = 12, y has 1 x 2 = 2 -> 14 pairs
+    val probe = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("y", 4L)).toDF("src", "id")
+    val corp = (1L to 4L).map(("x", _)) ++ Seq(("y", 5L), ("y", 6L))
+    val corpDf = corp.toDF("src", "id")
+    Dedup.requirePairBudget(probe, corpDf, "src", maxPairs = 14L) // exact boundary passes
+    val e = intercept[IllegalArgumentException](
+      Dedup.requirePairBudget(probe, corpDf, "src", maxPairs = 13L))
+    assert(e.getMessage.contains("14 candidate pairs"))
+    assert(e.getMessage.contains("minhashLshPairs")) // names the scale path
+    // disjoint blocks -> zero pairs, any budget passes
+    Dedup.requirePairBudget(probe.filter($"src" === "y"),
+      corpDf.filter($"src" === "x"), "src", maxPairs = 0L)
+  }
+
+  test("cosineDupPairs refuses past its all-pairs budget, names lshDupPairs") {
+    val vecs = (0L until 10L).map(i => (i, Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.99).count() >= 0)
+    val e = intercept[IllegalArgumentException](
+      Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.99, maxPairs = 81L))
+    assert(e.getMessage.contains("lshDupPairs"))
+  }
+
   test("shingles + jaccard: identical docs 1.0, near-dups high, unrelated 0") {
     val sh = corpus.withColumn("toks", split(col("text"), " "))
       .withColumn("sh", Dedup.shingleExpr("toks"))
