@@ -19,6 +19,35 @@ object TextQueries {
   private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables(s, d, "embeddings")
 
+  /** q44/q46 contract row: ANN output vs the exact brute-force top-k on
+    * the same (q_id, c_id, cos, rn) geometry, reduced to the invariants
+    * DuckDB can oracle without reproducing seeded hash internals —
+    * query-count parity, per-query row bound, ANN-best-cosine ≤
+    * exact-best-cosine (identical 6-dp rounding on a candidate SUBSET,
+    * so any violation is a scoring bug), and a mean-recall@k floor. */
+  private def annContract(ann: org.apache.spark.sql.DataFrame,
+                          exact: org.apache.spark.sql.DataFrame,
+                          k: Int, minMeanRecall: Double): org.apache.spark.sql.DataFrame = {
+    val hits = ann.join(exact.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("__nh"))
+    val ex = exact.groupBy("q_id").agg(count(lit(1)).as("__ne"), max("cos").as("__ebest"))
+    val annAgg = ann.groupBy("q_id").agg(count(lit(1)).as("__na"), max("cos").as("__abest"))
+    ex.join(hits, Seq("q_id"), "left").join(annAgg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("__nh"), lit(0L)).cast("double") /
+          least(col("__ne"), lit(k.toLong))).as("__r"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        (coalesce(col("__abest"), lit(-1.0)) <= col("__ebest") + lit(1e-9)).as("__le"))
+      .agg(count(lit(1)).as("n_queries"),
+        max(col("__na")).as("__maxna"),
+        min(col("__le").cast("int")).as("__allle"),
+        avg(col("__r")).as("__mr"))
+      .select(col("n_queries"), lit(k).as("k"),
+        (col("__maxna") <= k).as("rows_le_k"),
+        (col("__allle") === 1).as("ann_never_beats_exact"),
+        (col("__mr") >= minMeanRecall).as("mean_recall_ok"))
+  }
+
   val entries: Seq[(String, QueryDef)] = Seq(
 
     // ----------------------------------------------------------------
@@ -234,25 +263,58 @@ object TextQueries {
 
     // ----------------------------------------------------------------
     // q44: LSH-bucketed ANN (seeded random projections, re-scored) — the
-    // scale path of q35. Deterministic for fixed seed; rows-only.
+    // scale path of q35. The seeded hyperplanes make the neighbor lists
+    // DuckDB-irreproducible, so (round-5) the query emits the ANN run's
+    // oracle-checkable CONTRACT against the exact tier instead of the
+    // lists themselves: both the LSH and the brute-force top-k EXECUTE
+    // on the same geometry, and the output row pins
+    //   n_queries        every vector queried (count parity with DuckDB)
+    //   k                the requested depth
+    //   rows_le_k        no query emits more than k neighbors
+    //   ann_never_beats_exact  per query, the ANN best cosine ≤ the
+    //                    exact best (ANN re-scores a candidate SUBSET
+    //                    with identical rounding, so a violation means
+    //                    a scoring bug, not a recall miss)
+    //   mean_recall_ok   recall@5 vs exact averaged over all queries
+    //                    ≥ 0.6 (measured 0.77–0.79 at sf0.001–10×;
+    //                    bound leaves seed/data margin)
+    // The neighbor lists themselves stay pinned in SessionIvfSpec.
     "q44_ann_lsh" -> QueryDef(
-      fn = (s, d) =>
-        Similarity.lshTopK(embs(s, d).filter(col("vec_id") < 500), "vec_id", "embedding", k = 5)
-          .orderBy("q_id", "rn"),
-      oracle = None),
+      fn = (s, d) => {
+        val c500 = embs(s, d).filter(col("vec_id") < 500)
+        val ann = Similarity.lshTopK(c500, "vec_id", "embedding", k = 5)
+          .localCheckpoint(true) // feeds 3 aggregates below; don't re-run LSH per leg
+        val exact = Similarity.bruteForceTopK(c500, c500, "vec_id", "embedding", k = 5)
+          .localCheckpoint(true)
+        annContract(ann, exact, k = 5, minMeanRecall = 0.6)
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS rows_le_k,
+               TRUE AS ann_never_beats_exact, TRUE AS mean_recall_ok
+        FROM embeddings WHERE vec_id < 500""")),
 
     // ----------------------------------------------------------------
     // q46: IVF ANN (k-means cells + nprobe probing + exact re-score) —
     // the third similarity-search tier next to q35 (exact) and q44 (LSH).
-    // Seeded k-means cells → rows-only check; recall vs exact is pinned
-    // in ScalaTest.
+    // Same round-5 contract shape as q44: seeded k-means cells make the
+    // lists DuckDB-irreproducible, so the query emits the recall/bound
+    // contract vs the exact tier (measured mean recall 0.68–0.98 at
+    // sf0.001–10× with nprobe=6; 0.55 bound leaves margin). 50 queries
+    // against the full corpus; lists pinned in SessionIvfSpec.
     "q46_ann_ivf" -> QueryDef(
       fn = (s, d) => {
         val e = embs(s, d)
-        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding")
-          .orderBy("q_id", "rn")
+        val q = e.filter(col("vec_id") < 50)
+        val ann = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10, nprobe = 6)
+          .localCheckpoint(true)
+        val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+          .localCheckpoint(true)
+        annContract(ann, exact, k = 10, minMeanRecall = 0.55)
       },
-      oracle = None),
+      oracle = Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 10 AS k, TRUE AS rows_le_k,
+               TRUE AS ann_never_beats_exact, TRUE AS mean_recall_ok
+        FROM embeddings WHERE vec_id < 50""")),
 
     // ----------------------------------------------------------------
     // q47: batch sessionization — lag + cumulative-sum session ids, the

@@ -1,0 +1,45 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Dev probe: measure q44 (LSH) and q46 (IVF) recall against the exact
+  * brute-force top-k at a given sf dir, to calibrate the recall bounds
+  * the catalog queries pin as oracle-checkable invariants. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Tables.session(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables(spark, dir, "embeddings")
+
+    def recall(ann: org.apache.spark.sql.DataFrame,
+               exact: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+      val hits = ann.join(exact, Seq("q_id", "c_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("nh"))
+      val ex = exact.groupBy("q_id").agg(count(lit(1)).as("ne"))
+      val rec = ex.join(hits, Seq("q_id"), "left")
+        .select((coalesce(col("nh"), lit(0L)).cast("double") /
+          least(col("ne"), lit(k.toLong))).as("r"))
+      val row = rec.agg(avg("r").as("mean"), min("r").as("min"),
+        count(lit(1)).as("nq")).head()
+      println(f"[probe] mean=${row.getDouble(0)}%.4f min=${row.getDouble(1)}%.4f nq=${row.getLong(2)}")
+    }
+
+    val c500 = e.filter(col("vec_id") < 500)
+    val annLsh = Similarity.lshTopK(c500, "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id")
+    val exact500 = Similarity.bruteForceTopK(c500, c500, "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id")
+    print("[probe] q44 lsh k=5: "); recall(annLsh, exact500, 5)
+
+    val q5 = e.filter(col("vec_id") < 50)
+    val annIvf = Similarity.ivfTopK(e, q5, "vec_id", "embedding", k = 10, nprobe = 6)
+      .select("q_id", "c_id")
+    val exactQ5 = Similarity.bruteForceTopK(e, q5, "vec_id", "embedding", k = 10)
+      .select("q_id", "c_id")
+    print("[probe] q46 ivf k=10: "); recall(annIvf, exactQ5, 10)
+    spark.stop()
+  }
+}
