@@ -137,22 +137,24 @@ object Dedup {
     * threshold. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numPerms: Int = 32, rowsPerBand: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
-    // both frames staged once (localCheckpoint): the band self-join's two
-    // legs would otherwise re-run the signature kernel over the corpus
-    // twice, and the two verification joins would re-shingle it twice
-    // more — the "write the signature table before the pair join" step a
-    // production dedup pass performs anyway
+                      threshold: Double = 0.5,
+                      staging: Staging.Mode = Staging.Local): DataFrame = {
+    // both frames staged once (Staging, default localCheckpoint): the
+    // band self-join's two legs would otherwise re-run the signature
+    // kernel over the corpus twice, and the two verification joins would
+    // re-shingle it twice more — the "write the signature table before
+    // the pair join" step a production dedup pass performs anyway.
+    // Callers on a real cluster pass Staging.Reliable(dir); composed/
+    // streaming callers pass Staging.None and own the staging themselves.
     val withSh = df
       .withColumn("__toks", split(col(textCol), " "))
       .withColumn("__sh", shingleExpr("__toks"))
-    val sh = withSh.select(col(idCol), col("__sh")).localCheckpoint(true)
-    val bands = withSh
+    val sh = staging(withSh.select(col(idCol), col("__sh")))
+    val bands = staging(withSh
       .withColumn("__sig", minhashSignature(col("__sh"), numPerms))
       .select(col(idCol),
         explode(lshBands(col("__sig"), numPerms, rowsPerBand)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .localCheckpoint(true)
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
     // dedupe candidate PAIRS first (ids only — cheap shuffle), then fetch
     // shingles and verify once per unique pair: a pair can collide in up
     // to numPerms/rowsPerBand bands and exact Jaccard on large shingle
@@ -185,9 +187,10 @@ object Dedup {
     * is two equi-joins + one hash aggregate, all shuffling on node id;
     * this is the hash-min family of Kiveris et al., "Connected
     * Components in MapReduce and Beyond" (SoCC 2014) with their
-    * path-splitting acceleration. Labels are `localCheckpoint`ed each
-    * round so the plan does not deepen with the iteration count (at
-    * cluster scale use a reliable checkpoint dir).
+    * path-splitting acceleration. Labels are staged each round so the
+    * plan does not deepen with the iteration count — `staging` selects
+    * how (default localCheckpoint; pass Staging.Reliable(dir) on a
+    * cluster so a lost executor cannot kill an hours-long sweep).
     *
     * Returns (id, component) for every node incident to an edge, where
     * component = smallest node id in the component. Isolated rows never
@@ -198,12 +201,13 @@ object Dedup {
     * silently-incomplete grouping.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          staging: Staging.Mode = Staging.Local): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    val edges = staging(fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct())
+    var labels = staging(edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")))
     // sum(comp) strictly decreases whenever any label improves (labels
     // only ever decrease), so fixpoint == unchanged sum: one aggregate
     // per round instead of a change-count join.
@@ -223,9 +227,8 @@ object Dedup {
           labels.select(col("id"), col("comp").as("__via"))
             .join(labels.select(col("id").as("__via"), col("comp")), "__via")
             .select(col("id"), col("comp")))
-      val next = candidates
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+      val next = staging(candidates
+        .groupBy("id").agg(min("comp").as("comp")))
       val s = next.agg(sum(col("comp")).cast("decimal(38,0)")).head.getDecimal(0)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -264,15 +267,15 @@ object Dedup {
     * signature chunks (guarantees recall for distance <= 3), verified by
     * exact Hamming distance. Chunk-bucket join, not O(n^2). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   staging: Staging.Mode = Staging.Local): DataFrame = {
     val sigd = df.withColumn("__sig", simhash64(s"split($textCol, ' ')"))
     // staged once: the chunk-bucket self-join's two legs would otherwise
     // re-run the 64-bit vote kernel over the corpus twice
-    val chunked = sigd.select(col(idCol), col("__sig"),
+    val chunked = staging(sigd.select(col(idCol), col("__sig"),
       explode(expr("transform(sequence(0, 3), c -> " +
         "named_struct('chunk', c, 'ckey', shiftright(`__sig`, c * 16) & 65535))")).as("cb"))
-      .select(col(idCol), col("__sig"), col("cb.chunk").as("chunk"), col("cb.ckey").as("ckey"))
-      .localCheckpoint(true)
+      .select(col(idCol), col("__sig"), col("cb.chunk").as("chunk"), col("cb.ckey").as("ckey")))
     val a = chunked.select(col(idCol).as("a_id"), col("__sig").as("a_sig"), col("chunk"), col("ckey"))
     val b = chunked.select(col(idCol).as("b_id"), col("__sig").as("b_sig"), col("chunk"), col("ckey"))
     a.join(b, Seq("chunk", "ckey"))

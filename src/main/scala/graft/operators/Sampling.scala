@@ -96,9 +96,9 @@ object Sampling {
     * and the per-key thresholds don't re-scan the corpus, then one
     * broadcast join + a codegen'd integer comparison per row. No sort,
     * no window, no second corpus scan. */
-  def inverseSqrtFlatten(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true)
+  def inverseSqrtFlatten(df: DataFrame, keyCol: String, idCol: String,
+                         staging: Staging.Mode = Staging.Local): DataFrame = {
+    val counts = staging(df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n")))
     val thr = counts
       .crossJoin(broadcast(counts.agg(min(col("__n")).as("__m"))))
       .withColumn("__t",

@@ -238,15 +238,15 @@ object Similarity {
     * ([[cosineDupPairs]]) stays for small blocks and oracles. */
   def lshDupPairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, bitsPerTable: Int = 10, numTables: Int = 8,
-                  seed: Long = 42L, dim: Int = -1): DataFrame = {
+                  seed: Long = 42L, dim: Int = -1,
+                  staging: Staging.Mode = Staging.Local): DataFrame = {
     // staged once: the (id, arr, nrm) frame feeds the two bucket-join
-    // legs AND the two re-score joins — without the checkpoint Spark
-    // recasts + renorms the corpus four times (self-join recompute); the
-    // checkpoint is the "write the signature/norm table first" step of a
-    // production dedup pass
-    val vecs = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
-      .withColumn("nrm", l2norm(col("arr")))
-      .localCheckpoint(true)
+    // legs AND the two re-score joins — without staging Spark recasts +
+    // renorms the corpus four times (self-join recompute); this is the
+    // "write the signature/norm table first" step of a production dedup
+    // pass. Staging.Reliable(dir) on clusters; Staging.None to compose.
+    val vecs = staging(df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
+      .withColumn("nrm", l2norm(col("arr"))))
     val vecDim =
       if (dim > 0) dim
       else df.select(size(col(vecCol))).limit(1).head.getInt(0)
@@ -262,9 +262,8 @@ object Similarity {
     }
     // triples staged too: each self-join leg would otherwise re-run all
     // numTables × bitsPerTable hyperplane dot products over the corpus
-    val hashed = vecs.select(col("id"), explode(array(tableKeys: _*)).as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.h").as("h"))
-      .localCheckpoint(true)
+    val hashed = staging(vecs.select(col("id"), explode(array(tableKeys: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.h").as("h")))
     val cand = hashed.as("a").join(hashed.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))

@@ -417,18 +417,19 @@ object TextAnalysis {
     * cleaned_md5) where cleaned_md5 fingerprints the surviving tokens in
     * order (md5('') when everything was removed). */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
-                     n: Int = 8): DataFrame = {
+                     n: Int = 8,
+                     staging: Staging.Mode = Staging.Local): DataFrame = {
     // staged once: read by the gram explode AND the final re-join (the
-    // signature-staging rule from the pair-join dedup operators)
-    val base = df.withColumn("__toks", split(col(textCol), " "))
+    // signature-staging rule from the pair-join dedup operators);
+    // Staging.Reliable(dir) on clusters, Staging.None to compose
+    val base = staging(df.withColumn("__toks", split(col(textCol), " "))
       .withColumn("__m", size(col("__toks")))
       .withColumn("__g", expr(
         s"""IF(__m >= $n,
               transform(sequence(1, __m - ${n - 1}),
                         j -> concat_ws(' ', slice(__toks, j, $n))),
               CAST(array() AS ARRAY<STRING>))"""))
-      .select(col(idCol), col("__toks"), col("__m"), col("__g"))
-      .localCheckpoint(true)
+      .select(col(idCol), col("__toks"), col("__m"), col("__g")))
     val ex = base.select(col(idCol), explode(col("__g")).as("gram"))
     val dup = ex.groupBy("gram").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("gram")
@@ -470,9 +471,14 @@ object TextAnalysis {
     * callers scoring a DIFFERENT corpus add the unseen-token branch with
     * the same +1 numerator). log2 via ln/ln2 in double; callers round
     * (last-ulp libm differences across engines are real). */
-  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+                 staging: Staging.Mode = Staging.Local): DataFrame = {
+    // the exploded token frame feeds BOTH the LM fit and the probe side
+    // of the scoring join — staged once so the corpus is tokenized once
+    // (the self-join staging rule); the vocab counts are staged too so
+    // the driver-side totals scan a vocab-sized frame, not the corpus
+    val toks = staging(df.select(col(idCol), explode(split(col(textCol), " ")).as("tok")))
+    val vocab = staging(toks.groupBy("tok").agg(count(lit(1)).as("cnt")))
     val totals = vocab.agg(sum("cnt").as("n_total"),
       count(lit(1)).as("n_vocab")).head()
     val (nTotal, nVocab) = (totals.getLong(0), totals.getLong(1))
@@ -499,20 +505,26 @@ object TextAnalysis {
     * tables are vocabulary-sized. Docs with fewer than two tokens have
     * no bigrams and are not emitted (inner-join semantics, mirrored by
     * the oracle). */
-  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .withColumn("__m", size(col("__toks")))
-    val bi = base.filter(col("__m") >= 2)
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+                staging: Staging.Mode = Staging.Local): DataFrame = {
+    // tokenized corpus staged once (it feeds the bigram explode AND the
+    // unigram context counts); the exploded bigram frame staged once (it
+    // feeds the LM fit AND the probe side of the scoring join); V derives
+    // from the staged vocab counts — one corpus scan end to end
+    val base = staging(df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__m", size(col("__toks"))))
+    val bi0 = base.filter(col("__m") >= 2)
       .select(col(idCol), explode(expr(
         """transform(sequence(1, __m - 1),
              i -> struct(element_at(__toks, i) AS w1,
                          concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1)) AS bg))"""))
         .as("__p"))
       .select(col(idCol), col("__p.w1").as("w1"), col("__p.bg").as("bg"))
+    val bi = staging(bi0)
     val bgCounts = bi.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-    val uniCounts = base
+    val uniCounts = staging(base
       .select(explode(col("__toks")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c_w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_w1")))
     val v = uniCounts.count()
     bi.join(bgCounts, Seq("bg"))
       .join(uniCounts, Seq("w1"))
@@ -538,10 +550,10 @@ object TextAnalysis {
     * (1/n_s)·Σ c_st·ln(c_st·N / (c_t·n_s)) so both engines evaluate the
     * identical double op tree per term; callers round (summation order
     * ulps are real but ~1e-13 relative). */
-  def sourceDivergence(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
-    val st = df.select(col(keyCol), explode(split(col(textCol), " ")).as("tok"))
-      .groupBy(col(keyCol), col("tok")).agg(count(lit(1)).as("c_st"))
-      .localCheckpoint(true)
+  def sourceDivergence(df: DataFrame, keyCol: String, textCol: String,
+                       staging: Staging.Mode = Staging.Local): DataFrame = {
+    val st = staging(df.select(col(keyCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(keyCol), col("tok")).agg(count(lit(1)).as("c_st")))
     val glob = st.groupBy("tok").agg(sum("c_st").as("c_t"))
     val srcTot = st.groupBy(col(keyCol)).agg(sum("c_st").as("n_s"))
     val n = st.agg(sum("c_st")).head().getLong(0)

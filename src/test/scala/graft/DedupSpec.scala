@@ -25,6 +25,29 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("Staging modes are result-identical: Local == Memory == Reliable == None") {
+    import graft.operators.Staging
+    val docs2 = corpus.union(corpus.withColumn("doc_id", col("doc_id") + 100))
+    def run(m: Staging.Mode) =
+      Dedup.minhashLshPairs(docs2, "doc_id", "text", threshold = 0.5, staging = m)
+        .orderBy("a_id", "b_id").collect().map(_.toString).toSeq
+    val local = run(Staging.Local)
+    assert(local.nonEmpty)
+    assert(run(Staging.None) == local)
+    assert(run(Staging.Memory) == local)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    assert(run(Staging.Reliable(ckpt)) == local)
+    // the reliable mode actually wrote checkpoint data
+    assert(new java.io.File(ckpt).listFiles().nonEmpty)
+    // connectedComponents accepts a mode too (iterative staging path)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val viaNone = Dedup.connectedComponents(pairs, "a", "b", staging = Staging.None)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val viaLocal = Dedup.connectedComponents(pairs, "a", "b")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(viaNone == viaLocal)
+  }
+
   test("requirePairBudget: exact count, passes at budget, refuses loudly past it") {
     // 2 blocks: x has 3 probe x 4 corpus = 12, y has 1 x 2 = 2 -> 14 pairs
     val probe = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("y", 4L)).toDF("src", "id")
