@@ -296,14 +296,37 @@ object Cleaning {
       .orderBy(desc("count"), asc(c))
       .limit(1).collect().headOption.map(_.get(0))
 
-  /** F8 via A3: impute nulls in categorical columns with the mode. */
-  def modeImpute(df: DataFrame, cols: Seq[String]): DataFrame =
+  /** F8 via A3: impute nulls in categorical columns with the mode — ONE
+    * job for all columns (round-5; A1/A2 were already one-pass, mode was
+    * the per-column-job straggler): stack (column, value) pairs with one
+    * generate, count in one hash aggregate, take each column's argmax
+    * with the R `table` tie-break (count desc, then value ascending
+    * LEXICALLY — R compares factor levels as strings, which the stacked
+    * string representation preserves exactly for the factor columns this
+    * operator exists for; [[mode]] keeps the native-ordering single-
+    * column form, parity pinned in CleaningSpec). The rank window
+    * partitions by column name — it sees the value-cardinality counts
+    * frame, never corpus rows. Non-string columns round-trip through
+    * their string form and are cast back. */
+  def modeImpute(df: DataFrame, cols: Seq[String]): DataFrame = {
+    if (cols.isEmpty) return df
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("__c"), col(c).cast("string").as("__v"))): _*)).as("__s"))
+      .select(col("__s.__c").as("__c"), col("__s.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+    val w = Window.partitionBy("__c").orderBy(desc("__cnt"), asc("__v"))
+    val modes = stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("__c", "__v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
     cols.foldLeft(df) { (d, c) =>
-      mode(d, c) match {
-        case Some(m) => d.withColumn(c, coalesce(col(c), lit(m)))
-        case None    => d
+      modes.get(c) match {
+        case Some(v) =>
+          d.withColumn(c, coalesce(col(c), lit(v).cast(df.schema(c).dataType)))
+        case None => d
       }
     }
+  }
 
   /** A4 + F8 (BigDataProject.R:99-115 cap_outliers_iqr): clamp each column
     * to [q1 - k*iqr, q3 + k*iqr]. Nulls stay null (R ifelse keeps NA —

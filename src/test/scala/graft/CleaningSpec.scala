@@ -64,6 +64,28 @@ class CleaningSpec extends AnyFunSuite {
     assert(counts == Map("Low" -> 25L, "Medium" -> 25L, "High" -> 25L, "VeryHigh" -> 25L))
   }
 
+  test("one-pass modeImpute == per-column mode() imputation (ties, nulls, all-null col)") {
+    val df = Seq[(Option[String], Option[String], Option[String], Option[Int])](
+      (Some("b"), Some("x"), None, Some(7)),
+      (Some("a"), Some("x"), None, Some(7)),
+      (Some("b"), Some("y"), None, None),
+      (Some("a"), None, None, Some(9)),
+      (None, Some("y"), None, Some(9))
+    ).toDF("f1", "f2", "f3", "n1") // f1 ties a/b -> a; f3 all-null stays null
+    val cols = Seq("f1", "f2", "f3", "n1")
+    val onePass = Cleaning.modeImpute(df, cols).collect().map(_.toString).sorted
+    val perCol = cols.foldLeft(df) { (d, c) =>
+      Cleaning.mode(d, c) match {
+        case Some(m) => d.withColumn(c, coalesce(col(c), lit(m)))
+        case None    => d
+      }
+    }.collect().map(_.toString).sorted
+    assert(onePass.sameElements(perCol))
+    // int column imputed with int mode (string round-trip cast back)
+    val schema = Cleaning.modeImpute(df, cols).schema
+    assert(schema("n1").dataType.typeName == "integer")
+  }
+
   test("sortedQuantiles (sketch-bracketed exact selection) == percentile aggregate exactly") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
