@@ -150,16 +150,19 @@ object RelationalQueries {
             col("l_extendedprice"), col("l_returnflag"),
             date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
           // (l_orderkey, l_linenumber) is NOT unique in the synthetic
-          // lineitem — extend the sort to a total order or the emitted
-          // tie order is engine luck
-          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "ship_date"),
+          // lineitem — the sort key is EVERY emitted column, so the
+          // order is total by construction (no tie can exist between
+          // rows that differ; identical rows are interchangeable)
+          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice",
+            "ship_date", "l_quantity", "l_returnflag"),
       oracle = Some("""
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
                strftime(l_shipdate, '%Y-%m-%d') AS ship_date
         FROM lineitem
         WHERE l_returnflag IN ('A','R') AND l_discount BETWEEN 0.02 AND 0.08
           AND l_shipdate >= TIMESTAMP '1999-01-01'
-        ORDER BY l_orderkey, l_linenumber, l_extendedprice, ship_date""")),
+        ORDER BY l_orderkey, l_linenumber, l_extendedprice, ship_date,
+                 l_quantity, l_returnflag""")),
 
     // ----------------------------------------------------------------
     // q04: value counts + top-n WITH ties (A6+A7: rank, not limit).
