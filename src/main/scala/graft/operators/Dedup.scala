@@ -131,22 +131,43 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup candidate pairs with exact-Jaccard
-    * verification. The only shuffle is the band-bucket self-join; at scale
-    * the bucket key distributes uniformly (xxhash64) and skewed buckets
-    * can be salted. Returns (a_id, b_id, jaccard) for pairs above the
-    * threshold. */
+    * verification. The only data shuffle is the band-bucket self-join
+    * over DISTINCT texts; at scale the bucket key distributes uniformly
+    * (xxhash64) and skewed buckets can be salted. Returns (a_id, b_id,
+    * jaccard) for every member pair above the threshold.
+    *
+    * EXACT duplicates are collapsed FIRST (round-5): identical texts
+    * share identical shingle sets, signatures and band buckets, so
+    * running every copy through banding re-does the same work per copy
+    * and floods the verify join — an exact-dup pair is a guaranteed
+    * candidate in EVERY band, and verify shuffles two shingle arrays
+    * per candidate. One md5 groupBy picks a representative (min id) per
+    * distinct text; the banded pipeline sees representatives only; the
+    * output is then expanded back to member pairs with id-only joins
+    * (no shingle arrays): within-group pairs at jaccard 1.0 (iff the
+    * text actually shingles — sub-n-token docs have empty shingle sets
+    * whose jaccard is defined 0 and never clears the threshold, exactly
+    * the uncollapsed behavior), cross-group pairs fanned out from each
+    * surviving representative pair. Row-identical to the uncollapsed
+    * formulation (DedupSpec exhaustive oracle); signature + verify work
+    * scales with DISTINCT texts, not copies — the production "exact
+    * dedup before near-dup" composition built in. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numPerms: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.5,
                       staging: Staging.Mode = Staging.Local): DataFrame = {
-    // both frames staged once (Staging, default localCheckpoint): the
-    // band self-join's two legs would otherwise re-run the signature
-    // kernel over the corpus twice, and the two verification joins would
-    // re-shingle it twice more — the "write the signature table before
-    // the pair join" step a production dedup pass performs anyway.
-    // Callers on a real cluster pass Staging.Reliable(dir); composed/
-    // streaming callers pass Staging.None and own the staging themselves.
-    val withSh = df
+    // membership table staged once: feeds the rep election and both
+    // sides of each expansion join. All other staged frames are
+    // rep-level (distinct texts).
+    val members = staging(df.select(col(idCol), md5(col(textCol)).as("__hash")))
+    val reps = members.groupBy("__hash").agg(min(col(idCol)).as(idCol))
+    val repDf = df.join(reps.select(col(idCol)), Seq(idCol), "left_semi")
+    // banded pipeline over representatives (staged: the band self-join's
+    // two legs would otherwise re-run the signature kernel twice, and
+    // the two verification joins would re-shingle twice more — the
+    // "write the signature table first" step of a production pass).
+    // Staging.Reliable(dir) on clusters; Staging.None to compose.
+    val withSh = repDf
       .withColumn("__toks", split(col(textCol), " "))
       .withColumn("__sh", shingleExpr("__toks"))
     val sh = staging(withSh.select(col(idCol), col("__sh")))
@@ -164,11 +185,32 @@ object Dedup {
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    cand
+    val repPairs = cand
       .join(sh.select(col(idCol).as("a_id"), col("__sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col(idCol).as("b_id"), col("__sh").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // expansion 1 — within-group: every member pair of a shinglable
+    // exact-dup group, jaccard exactly 1.0 (md5-key self-join, id-only)
+    val okGroups = reps.join(
+        sh.select(col(idCol), (size(col("__sh")) > 0).as("__ok")), Seq(idCol))
+      .filter(col("__ok") && lit(1.0) >= lit(threshold)).select("__hash")
+    val m1 = members.join(okGroups, Seq("__hash"))
+    val within = m1.select(col("__hash"), col(idCol).as("a_id"))
+      .join(m1.select(col("__hash"), col(idCol).as("b_id")), Seq("__hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    // expansion 2 — cross-group: each representative pair fans out to
+    // its two groups' member cross product (group id sets are disjoint
+    // but interleaved, so re-normalize with least/greatest)
+    val cross = repPairs
+      .join(reps.select(col("__hash").as("__ha"), col(idCol).as("a_id")), Seq("a_id"))
+      .join(reps.select(col("__hash").as("__hb"), col(idCol).as("b_id")), Seq("b_id"))
+      .join(members.select(col("__hash").as("__ha"), col(idCol).as("__ma")), Seq("__ha"))
+      .join(members.select(col("__hash").as("__hb"), col(idCol).as("__mb")), Seq("__hb"))
+      .select(least(col("__ma"), col("__mb")).as("a_id"),
+        greatest(col("__ma"), col("__mb")).as("b_id"), col("jaccard"))
+    within.union(cross)
   }
 
   /** Connected components over an undirected edge frame — the step that
