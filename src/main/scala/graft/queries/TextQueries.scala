@@ -76,8 +76,16 @@ object TextQueries {
         val b = base.select(col("doc_id").as("b_id"), col("source"), col("sh").as("b_sh"))
         // exact-tier contract ENFORCED, not just documented: refuse past
         // the pair budget (two narrow count aggregates) instead of
-        // scheduling a quadratic join; q33 is the banded scale path
-        Dedup.requirePairBudget(a, b, "source", maxPairs = 2000000000L)
+        // scheduling a quadratic join; q33 is the banded scale path.
+        // Budget sized for what this tier can actually MATERIALIZE, not
+        // a token bound: the verify join shuffles ~2 KB of shingle
+        // arrays per candidate pair, so 20 M pairs ≈ 40 GB of shuffle —
+        // the measured ceiling before a 78 GB-scratch box spills to
+        // death (the 100× fixture's ~500 M pairs did exactly that to
+        // pre-collapse q33). 10× data emits ~5 M pairs and passes;
+        // 30×+ correctly refuses with the q33 pointer. Cluster callers
+        // with real aggregate scratch raise it.
+        Dedup.requirePairBudget(a, b, "source", maxPairs = 20000000L)
         val pairs = a.join(b, Seq("source")).filter(col("b_id") > col("a_id"))
           .select(col("a_id"), col("b_id"),
             round(Dedup.jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))
