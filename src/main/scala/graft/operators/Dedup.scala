@@ -130,6 +130,89 @@ object Dedup {
     expr(bands.mkString("array(", ", ", ")"))
   }
 
+  /** A persisted-shape MinHash-LSH index over a document set: the two
+    * tables a production dedup pipeline writes once per corpus and
+    * reuses across ingestion batches —
+    *
+    *  - `shingles` (id, __sh): the distinct word-3-gram sets, fetched
+    *    during exact-Jaccard verification;
+    *  - `bands`    (id, band, bucket): the exploded LSH band buckets,
+    *    the join key of candidate generation.
+    *
+    * At cluster scale both frames would be real tables (write `bands`
+    * bucketed/partitioned by `bucket` so joining a new shard against it
+    * shuffles only the shard, not the corpus); locally they are staged
+    * per [[Staging.Mode]]. [[union]] folds a freshly-indexed shard into
+    * the corpus index for the next batch — ids must be disjoint across
+    * the two sides (caller contract, same as any id-keyed table). */
+  final case class MinHashIndex(idCol: String, shingles: DataFrame, bands: DataFrame) {
+    def union(other: MinHashIndex): MinHashIndex = {
+      require(other.idCol == idCol,
+        s"MinHashIndex id columns differ: '$idCol' vs '${other.idCol}'")
+      MinHashIndex(idCol, shingles.union(other.shingles), bands.union(other.bands))
+    }
+  }
+
+  /** Build the [[MinHashIndex]] for `df`: one pass computing shingle
+    * sets, signatures (native codegen kernel) and band buckets — no
+    * shuffle at all; both frames are narrow projections of the scan. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   numPerms: Int = 32, rowsPerBand: Int = 4,
+                   staging: Staging.Mode = Staging.Local): MinHashIndex = {
+    val withSh = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__sh", shingleExpr("__toks"))
+    val sh = staging(withSh.select(col(idCol), col("__sh")))
+    val bands = staging(withSh
+      .withColumn("__sig", minhashSignature(col("__sh"), numPerms))
+      .select(col(idCol),
+        explode(lshBands(col("__sig"), numPerms, rowsPerBand)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+    MinHashIndex(idCol, sh, bands)
+  }
+
+  /** Incremental MinHash-LSH: near-dup pairs TOUCHING A NEW SHARD —
+    * shard-vs-corpus plus shard-vs-shard — against a corpus whose
+    * [[MinHashIndex]] already exists. This is the 100-TB ingestion
+    * shape: a new batch never re-bands the corpus; it bands itself
+    * (linear in the shard) and joins its band table against the
+    * corpus's persisted one.
+    *
+    * Band-bucket collision is a PAIRWISE predicate (two docs share a
+    * bucket or not, independent of every other doc), so the output is
+    * row-identical to running [[minhashLshPairs]] over corpus ∪ shard
+    * and keeping the pairs with at least one shard id — pinned in
+    * DedupSpec and, slice-wise, by catalog query q101. Pair orientation
+    * follows the full run's `a_id < b_id` convention. */
+  def minhashLshPairsIncremental(shard: MinHashIndex, corpus: MinHashIndex,
+                                 threshold: Double = 0.5): DataFrame = {
+    val idCol = shard.idCol
+    require(corpus.idCol == idCol,
+      s"index id columns differ: '${corpus.idCol}' vs '$idCol'")
+    val nb = shard.bands
+    val cb = corpus.bands
+    val nn = nb.select(col(idCol).as("a_id"), col("band"), col("bucket"))
+      .join(nb.select(col(idCol).as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val nc = nb.select(col(idCol).as("n_id"), col("band"), col("bucket"))
+      .join(cb.select(col(idCol).as("c_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(least(col("n_id"), col("c_id")).as("a_id"),
+        greatest(col("n_id"), col("c_id")).as("b_id"))
+    // dedupe candidate pairs (ids only) before fetching shingle arrays:
+    // a pair can collide in up to numPerms/rowsPerBand bands
+    val cand = nn.union(nc).distinct()
+    val allSh = corpus.shingles.union(shard.shingles)
+    cand
+      .join(allSh.select(col(idCol).as("a_id"), col("__sh").as("a_sh")), Seq("a_id"))
+      .join(allSh.select(col(idCol).as("b_id"), col("__sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Full MinHash-LSH near-dup candidate pairs with exact-Jaccard
     * verification. The only data shuffle is the band-bucket self-join
     * over DISTINCT texts; at scale the bucket key distributes uniformly
@@ -162,20 +245,15 @@ object Dedup {
     val members = staging(df.select(col(idCol), md5(col(textCol)).as("__hash")))
     val reps = members.groupBy("__hash").agg(min(col(idCol)).as(idCol))
     val repDf = df.join(reps.select(col(idCol)), Seq(idCol), "left_semi")
-    // banded pipeline over representatives (staged: the band self-join's
-    // two legs would otherwise re-run the signature kernel twice, and
-    // the two verification joins would re-shingle twice more — the
-    // "write the signature table first" step of a production pass).
-    // Staging.Reliable(dir) on clusters; Staging.None to compose.
-    val withSh = repDf
-      .withColumn("__toks", split(col(textCol), " "))
-      .withColumn("__sh", shingleExpr("__toks"))
-    val sh = staging(withSh.select(col(idCol), col("__sh")))
-    val bands = staging(withSh
-      .withColumn("__sig", minhashSignature(col("__sh"), numPerms))
-      .select(col(idCol),
-        explode(lshBands(col("__sig"), numPerms, rowsPerBand)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+    // banded pipeline over representatives (staged via minhashIndex: the
+    // band self-join's two legs would otherwise re-run the signature
+    // kernel twice, and the two verification joins would re-shingle
+    // twice more — the "write the signature table first" step of a
+    // production pass). Staging.Reliable(dir) on clusters; Staging.None
+    // to compose.
+    val idx = minhashIndex(repDf, idCol, textCol, numPerms, rowsPerBand, staging)
+    val sh = idx.shingles
+    val bands = idx.bands
     // dedupe candidate PAIRS first (ids only — cheap shuffle), then fetch
     // shingles and verify once per unique pair: a pair can collide in up
     // to numPerms/rowsPerBand bands and exact Jaccard on large shingle
@@ -305,19 +383,39 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Persisted-shape SimHash index: one frame (id, __sig, chunk, ckey) —
+    * the 64-bit signature exploded into its four 16-bit chunk buckets,
+    * the candidate-join key of [[simhashPairs]]. Same reuse contract as
+    * [[MinHashIndex]]: write once per corpus (bucketed by `ckey` at
+    * cluster scale), [[union]] newly-indexed shards in, ids disjoint. */
+  final case class SimHashIndex(idCol: String, chunked: DataFrame) {
+    def union(other: SimHashIndex): SimHashIndex = {
+      require(other.idCol == idCol,
+        s"SimHashIndex id columns differ: '$idCol' vs '${other.idCol}'")
+      SimHashIndex(idCol, chunked.union(other.chunked))
+    }
+  }
+
+  /** Build the [[SimHashIndex]] for `df`: signature (native codegen
+    * vote kernel) + chunk explode — shuffle-free scan projection. */
+  def simhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   staging: Staging.Mode = Staging.Local): SimHashIndex = {
+    val sigd = df.withColumn("__sig", simhash64(s"split($textCol, ' ')"))
+    SimHashIndex(idCol, staging(sigd.select(col(idCol), col("__sig"),
+      explode(expr("transform(sequence(0, 3), c -> " +
+        "named_struct('chunk', c, 'ckey', shiftright(`__sig`, c * 16) & 65535))")).as("cb"))
+      .select(col(idCol), col("__sig"), col("cb.chunk").as("chunk"), col("cb.ckey").as("ckey"))))
+  }
+
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit
     * signature chunks (guarantees recall for distance <= 3), verified by
     * exact Hamming distance. Chunk-bucket join, not O(n^2). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    staging: Staging.Mode = Staging.Local): DataFrame = {
-    val sigd = df.withColumn("__sig", simhash64(s"split($textCol, ' ')"))
-    // staged once: the chunk-bucket self-join's two legs would otherwise
-    // re-run the 64-bit vote kernel over the corpus twice
-    val chunked = staging(sigd.select(col(idCol), col("__sig"),
-      explode(expr("transform(sequence(0, 3), c -> " +
-        "named_struct('chunk', c, 'ckey', shiftright(`__sig`, c * 16) & 65535))")).as("cb"))
-      .select(col(idCol), col("__sig"), col("cb.chunk").as("chunk"), col("cb.ckey").as("ckey")))
+    // staged once via simhashIndex: the chunk-bucket self-join's two legs
+    // would otherwise re-run the 64-bit vote kernel over the corpus twice
+    val chunked = simhashIndex(df, idCol, textCol, staging).chunked
     val a = chunked.select(col(idCol).as("a_id"), col("__sig").as("a_sig"), col("chunk"), col("ckey"))
     val b = chunked.select(col(idCol).as("b_id"), col("__sig").as("b_sig"), col("chunk"), col("ckey"))
     a.join(b, Seq("chunk", "ckey"))
@@ -325,5 +423,31 @@ object Dedup {
       .select(col("a_id"), col("b_id"), hamming(col("a_sig"), col("b_sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental SimHash near-dup pairs touching a new shard — same
+    * ingestion shape and pairwise-predicate equivalence argument as
+    * [[minhashLshPairsIncremental]] (chunk-bucket collision is pairwise;
+    * Hamming distance is symmetric, so orientation-normalizing the
+    * shard-vs-corpus ids with least/greatest leaves the verify intact).
+    * Row-identical to [[simhashPairs]] over corpus ∪ shard restricted to
+    * pairs with at least one shard id (DedupSpec). */
+  def simhashPairsIncremental(shard: SimHashIndex, corpus: SimHashIndex,
+                              maxHamming: Int = 3): DataFrame = {
+    val idCol = shard.idCol
+    require(corpus.idCol == idCol,
+      s"index id columns differ: '${corpus.idCol}' vs '$idCol'")
+    val sa = shard.chunked.select(col(idCol).as("a_id"), col("__sig").as("a_sig"), col("chunk"), col("ckey"))
+    val sb = shard.chunked.select(col(idCol).as("b_id"), col("__sig").as("b_sig"), col("chunk"), col("ckey"))
+    val nn = sa.join(sb, Seq("chunk", "ckey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), hamming(col("a_sig"), col("b_sig")).as("hamming"))
+    val nc = shard.chunked.select(col(idCol).as("n_id"), col("__sig").as("n_sig"), col("chunk"), col("ckey"))
+      .join(corpus.chunked.select(col(idCol).as("c_id"), col("__sig").as("c_sig"), col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"))
+      .select(least(col("n_id"), col("c_id")).as("a_id"),
+        greatest(col("n_id"), col("c_id")).as("b_id"),
+        hamming(col("n_sig"), col("c_sig")).as("hamming"))
+    nn.union(nc).distinct().filter(col("hamming") <= maxHamming)
   }
 }

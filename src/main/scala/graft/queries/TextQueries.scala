@@ -1355,6 +1355,70 @@ object TextQueries {
                FROM bi JOIN bgc USING (bg) JOIN unic USING (w1) CROSS JOIN v)
         SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
                ROUND(AVG(nll), 6) AS nll_r
-        FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q101: incremental near-dup ingestion — the 100-TB batch shape: a
+    // new shard (every-40th doc, id-shifted so each shard doc has an
+    // identical corpus twin) is banded against the corpus's persisted
+    // MinHashIndex (Dedup.minhashLshPairsIncremental); the corpus is
+    // NEVER re-banded. Contract outputs, q33-style:
+    //   n_identical_cross   (corpus, shard) md5-equal pairs over
+    //                       shinglable (>= 3 token) texts — a real
+    //                       data-derived number DuckDB reproduces
+    //   identical_all_found every such pair is emitted at jaccard
+    //                       exactly 1.0 (identical text -> identical
+    //                       signature -> collides in every band;
+    //                       theorem, deterministic)
+    //   inc_matches_full_slice  on a 250-doc slice sub-corpus, the
+    //                       incremental pair set EQUALS the full
+    //                       minhashLshPairs run restricted to
+    //                       shard-touching pairs, both containments —
+    //                       band collision is pairwise, so the
+    //                       incremental formulation is exact, not an
+    //                       approximation (full-set twin in DedupSpec)
+    "q101_incremental_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val corpusDf = docs(s, d).select(col("doc_id"), col("text"))
+        val shardDf = corpusDf.filter(pmod(col("doc_id"), lit(40)) === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+        val cIdx = Dedup.minhashIndex(corpusDf, "doc_id", "text")
+        val sIdx = Dedup.minhashIndex(shardDf, "doc_id", "text")
+        val inc = Dedup.minhashLshPairsIncremental(sIdx, cIdx, threshold = 0.8)
+          .localCheckpoint(true)
+        val shingleOk = (t: org.apache.spark.sql.Column) => size(split(t, " ")) >= 3
+        val identCross = corpusDf.filter(shingleOk(col("text")))
+          .select(col("doc_id").as("a_id"), md5(col("text")).as("__h"))
+          .join(shardDf.select(col("doc_id").as("b_id"), md5(col("text")).as("__h")),
+            Seq("__h"))
+          .select("a_id", "b_id").localCheckpoint(true)
+        val missed = identCross.join(
+          inc.filter(col("jaccard") === 1.0).select("a_id", "b_id"),
+          Seq("a_id", "b_id"), "left_anti")
+        val inSlice = (c: org.apache.spark.sql.Column) => pmod(c, lit(10000000L)) < 250
+        val fullSlice = Dedup.minhashLshPairs(
+            corpusDf.filter(inSlice(col("doc_id")))
+              .union(shardDf.filter(inSlice(col("doc_id")))),
+            "doc_id", "text", threshold = 0.8)
+          .filter(col("a_id") >= 10000000L || col("b_id") >= 10000000L)
+          .select("a_id", "b_id").localCheckpoint(true)
+        val incSlice = inc.filter(inSlice(col("a_id")) && inSlice(col("b_id")))
+          .select("a_id", "b_id").localCheckpoint(true)
+        val d1 = incSlice.join(fullSlice, Seq("a_id", "b_id"), "left_anti")
+        val d2 = fullSlice.join(incSlice, Seq("a_id", "b_id"), "left_anti")
+        identCross.agg(count(lit(1)).as("n_identical_cross"))
+          .crossJoin(broadcast(missed.agg(count(lit(1)).as("__nm"))))
+          .crossJoin(broadcast(d1.agg(count(lit(1)).as("__d1"))))
+          .crossJoin(broadcast(d2.agg(count(lit(1)).as("__d2"))))
+          .select(col("n_identical_cross"),
+            (col("__nm") === 0L).as("identical_all_found"),
+            (col("__d1") === 0L && col("__d2") === 0L).as("inc_matches_full_slice"))
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_cross,
+               TRUE AS identical_all_found, TRUE AS inc_matches_full_slice
+        FROM documents a JOIN documents b
+          ON b.doc_id % 40 = 0 AND md5(a.text) = md5(b.text)
+        WHERE len(string_split(a.text, ' ')) >= 3"""))
   )
 }

@@ -116,6 +116,75 @@ class DedupSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 10)
   }
 
+  // shared fixture for the incremental-ingestion tests: corpus ids < 100,
+  // shard ids >= 100; the shard carries exact dups of corpus docs (the
+  // +100 copies), a fresh near-dup of doc 1, unrelated content, and a
+  // sub-shingle short doc
+  private lazy val incAll = corpus
+    .union(corpus.withColumn("doc_id", col("doc_id") + 100))
+    .union(Seq(
+      (201L, "the quick brown fox jumps over the lazy dog near the river bank sunday"),
+      (202L, "totally fresh shard content about streaming watermarks and state stores"),
+      (203L, "ab")).toDF("doc_id", "text"))
+  private lazy val incCorpus = incAll.filter(col("doc_id") < 100)
+  private lazy val incShard = incAll.filter(col("doc_id") >= 100)
+
+  test("incremental MinHash-LSH == full run restricted to shard-touching pairs") {
+    val cIdx = Dedup.minhashIndex(incCorpus, "doc_id", "text")
+    val sIdx = Dedup.minhashIndex(incShard, "doc_id", "text")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = toSet(Dedup.minhashLshPairsIncremental(sIdx, cIdx, threshold = 0.5))
+    val fullTouching = toSet(
+      Dedup.minhashLshPairs(incAll, "doc_id", "text", threshold = 0.5)
+        .filter(col("a_id") >= 100 || col("b_id") >= 100))
+    assert(inc == fullTouching)
+    // cross (corpus, shard) exact dup found at jaccard exactly 1.0;
+    // shard-internal pair present; corpus-internal pairs absent
+    assert(inc.contains((1L, 101L, 1.0)))
+    assert(inc.contains((101L, 102L, 1.0)))
+    assert(!inc.exists(p => p._1 < 100 && p._2 < 100))
+    // the fresh shard near-dup of doc 1 is a cross pair, not 1.0
+    assert(inc.exists(p => p._2 == 201L && p._3 >= 0.5 && p._3 < 1.0))
+  }
+
+  test("MinHashIndex.union folds a shard in for the next batch") {
+    val folded = Dedup.minhashIndex(incCorpus, "doc_id", "text")
+      .union(Dedup.minhashIndex(incShard, "doc_id", "text"))
+    val batch2 = Seq(
+      (301L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (302L, "entirely new second batch text with no relatives anywhere")).toDF("doc_id", "text")
+    val b2Idx = Dedup.minhashIndex(batch2, "doc_id", "text")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc2 = toSet(Dedup.minhashLshPairsIncremental(b2Idx, folded, threshold = 0.5))
+    val full2 = toSet(
+      Dedup.minhashLshPairs(incAll.union(batch2), "doc_id", "text", threshold = 0.5)
+        .filter(col("a_id") >= 300 || col("b_id") >= 300))
+    assert(inc2 == full2)
+    // 301 is an exact dup of 1, 2 and 101, 102; 302 matches nothing
+    assert(inc2.contains((1L, 301L, 1.0)) && inc2.contains((101L, 301L, 1.0)))
+    assert(!inc2.exists(p => p._1 == 302L || p._2 == 302L))
+    // mismatched id columns refuse loudly
+    val eIdx = Dedup.minhashIndex(batch2.withColumnRenamed("doc_id", "other"), "other", "text")
+    intercept[IllegalArgumentException](Dedup.minhashLshPairsIncremental(eIdx, folded))
+    intercept[IllegalArgumentException](folded.union(eIdx))
+  }
+
+  test("incremental SimHash == full run restricted to shard-touching pairs") {
+    val cIdx = Dedup.simhashIndex(incCorpus, "doc_id", "text")
+    val sIdx = Dedup.simhashIndex(incShard, "doc_id", "text")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inc = toSet(Dedup.simhashPairsIncremental(sIdx, cIdx, maxHamming = 3))
+    val fullTouching = toSet(
+      Dedup.simhashPairs(incAll, "doc_id", "text", maxHamming = 3)
+        .filter(col("a_id") >= 100 || col("b_id") >= 100))
+    assert(inc == fullTouching)
+    assert(inc.contains((1L, 101L, 0))) // identical text -> Hamming 0 cross pair
+    assert(!inc.exists(p => p._1 < 100 && p._2 < 100))
+  }
+
   test("simhashPairs recovers identical pair via chunk buckets") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
