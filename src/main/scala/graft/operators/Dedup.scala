@@ -145,11 +145,16 @@ object Dedup {
     * per [[Staging.Mode]]. [[union]] folds a freshly-indexed shard into
     * the corpus index for the next batch — ids must be disjoint across
     * the two sides (caller contract, same as any id-keyed table). */
-  final case class MinHashIndex(idCol: String, shingles: DataFrame, bands: DataFrame) {
+  final case class MinHashIndex(idCol: String, shingles: DataFrame, bands: DataFrame,
+                                numPerms: Int = 32, rowsPerBand: Int = 4) {
     def union(other: MinHashIndex): MinHashIndex = {
       require(other.idCol == idCol,
         s"MinHashIndex id columns differ: '$idCol' vs '${other.idCol}'")
-      MinHashIndex(idCol, shingles.union(other.shingles), bands.union(other.bands))
+      require(other.numPerms == numPerms && other.rowsPerBand == rowsPerBand,
+        s"MinHashIndex LSH params differ: ($numPerms, $rowsPerBand) vs " +
+          s"(${other.numPerms}, ${other.rowsPerBand})")
+      MinHashIndex(idCol, shingles.union(other.shingles),
+        bands.union(other.bands), numPerms, rowsPerBand)
     }
   }
 
@@ -168,7 +173,57 @@ object Dedup {
       .select(col(idCol),
         explode(lshBands(col("__sig"), numPerms, rowsPerBand)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
-    MinHashIndex(idCol, sh, bands)
+    MinHashIndex(idCol, sh, bands, numPerms, rowsPerBand)
+  }
+
+  /** Online corpus-match gate: for each shard document — `shard` may be
+    * a STREAMING DataFrame — every corpus near-dup above `threshold`,
+    * as (n_id, c_id, jaccard). This is the shard-vs-corpus leg of
+    * [[minhashLshPairsIncremental]] in a fully STATELESS stream-static
+    * shape, the filter an ingestion service runs on each arriving
+    * batch: per-row shingles/signature/bands on the shard side, two
+    * stream-static equi-joins against the corpus's persisted band and
+    * shingle tables, no aggregation and no watermark state anywhere.
+    *
+    * The one batch op this forbids is the candidate `distinct` (a pair
+    * can collide in up to numPerms/rowsPerBand bands; distinct on a
+    * stream is stateful). Instead each pair is emitted from its FIRST
+    * colliding band only: both sides carry their full band-ordered
+    * bucket vector, so "the matched band is the pair's minimal
+    * colliding band" is a per-row predicate — exactly-once emission by
+    * construction. Batch-parity with the incremental cross leg is
+    * pinned in DedupSpec; the stream==batch twin in StreamingSpec. */
+  def minhashLshMatchCorpus(shard: DataFrame, idCol: String, textCol: String,
+                            corpus: MinHashIndex, threshold: Double = 0.5,
+                            staging: Staging.Mode = Staging.Local): DataFrame = {
+    val (numPerms, rowsPerBand) = (corpus.numPerms, corpus.rowsPerBand)
+    // static side, prepared once: band-ordered bucket vector per corpus
+    // doc, re-exploded so candidate generation stays an equi-join on
+    // (band, bucket). array_sort on (band, bucket) structs orders by
+    // band; staged so a streaming run does not redo the groupBy per
+    // micro-batch.
+    val cSide = staging(corpus.bands
+      .groupBy(col(corpus.idCol))
+      .agg(expr("transform(array_sort(collect_list(struct(band, bucket))), x -> x.bucket)")
+        .as("__cvec"))
+      .select(col(corpus.idCol).as("c_id"), col("__cvec"),
+        posexplode(col("__cvec")).as(Seq("band", "bucket"))))
+    val nSide = shard
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__sh", shingleExpr("__toks"))
+      .withColumn("__sig", minhashSignature(col("__sh"), numPerms))
+      .withColumn("__nvec",
+        transform(lshBands(col("__sig"), numPerms, rowsPerBand), b => b.getField("bucket")))
+      .select(col(idCol).as("n_id"), col("__sh"), col("__nvec"),
+        posexplode(col("__nvec")).as(Seq("band", "bucket")))
+    val cand = nSide.join(cSide, Seq("band", "bucket"))
+      .filter(col("band") ===
+        array_position(zip_with(col("__nvec"), col("__cvec"), (x, y) => x === y), true) - 1)
+    cand
+      .join(corpus.shingles.select(col(corpus.idCol).as("c_id"), col("__sh").as("__csh")),
+        Seq("c_id"))
+      .select(col("n_id"), col("c_id"), jaccard(col("__sh"), col("__csh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Incremental MinHash-LSH: near-dup pairs TOUCHING A NEW SHARD —

@@ -171,6 +171,27 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](folded.union(eIdx))
   }
 
+  test("minhashLshMatchCorpus == the incremental run's cross leg, one row per pair") {
+    val cIdx = Dedup.minhashIndex(incCorpus, "doc_id", "text")
+    val rows = Dedup.minhashLshMatchCorpus(incShard, "doc_id", "text", cIdx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly-once emission via the first-colliding-band predicate — no
+    // duplicate (n_id, c_id) rows despite multi-band collisions
+    assert(rows.length == rows.map(r => (r._1, r._2)).distinct.length)
+    val m = rows.toSet
+    // corpus ids < 100 <= shard ids, so the incremental cross pairs are
+    // exactly the (a < 100, b >= 100) rows, reoriented to (shard, corpus)
+    val sIdx = Dedup.minhashIndex(incShard, "doc_id", "text")
+    val cross = Dedup.minhashLshPairsIncremental(sIdx, cIdx, threshold = 0.5)
+      .filter(col("a_id") < 100 && col("b_id") >= 100)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(m == cross)
+    assert(m.contains((101L, 1L, 1.0))) // shard copy matched to its corpus twin
+    // LSH-parameter mismatch between shard call and corpus index refuses
+    val otherIdx = Dedup.minhashIndex(incCorpus, "doc_id", "text", numPerms = 16)
+    intercept[IllegalArgumentException](cIdx.union(otherIdx))
+  }
+
   test("incremental SimHash == full run restricted to shard-touching pairs") {
     val cIdx = Dedup.simhashIndex(incCorpus, "doc_id", "text")
     val sIdx = Dedup.simhashIndex(incShard, "doc_id", "text")

@@ -401,4 +401,32 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0,
       "incremental streaming packing diverges from the batch fold")
   }
+
+  test("streaming corpus-match dedup gate matches its batch run verbatim") {
+    // the online ingestion filter: corpus MinHashIndex built batch-side
+    // (static), arriving docs scored under readStream via the IDENTICAL
+    // operator code path — per-row signatures, two stream-static
+    // equi-joins, first-colliding-band dedup instead of a stateful
+    // distinct, so the query plan holds no state at all
+    import graft.operators.Dedup
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // shard = id-shifted copies of every 7th doc: every shard doc has an
+    // identical corpus twin, so matches are guaranteed non-empty
+    val shard = base.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+    val cIdx = Dedup.minhashIndex(base, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("docs_dedupgate").toString
+    shard.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    EventStream.runToMemory(
+      Dedup.minhashLshMatchCorpus(stream, "doc_id", "text", cIdx, threshold = 0.8),
+      "dedupgate", OutputMode.Append())
+    val streamed = spark.table("dedupgate")
+    val batch = Dedup.minhashLshMatchCorpus(shard, "doc_id", "text", cIdx, threshold = 0.8)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming corpus-match dedup gate diverges from its batch run")
+  }
 }
