@@ -250,15 +250,9 @@ object Similarity {
     val vecDim =
       if (dim > 0) dim
       else df.select(size(col(vecCol))).limit(1).head.getInt(0)
-    val rng = new java.util.Random(seed)
-    val planes = Array.fill(numTables, bitsPerTable)(
-      Array.fill(vecDim)(rng.nextGaussian()))
+    val planes = signPlanes(numTables, bitsPerTable, vecDim, seed)
     val tableKeys = (0 until numTables).map { t =>
-      val key = (0 until bitsPerTable).map { b =>
-        when(dot(col("arr"), typedLit(planes(t)(b).toSeq)) >= 0,
-          lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), key.cast("int").as("h"))
+      struct(lit(t).as("t"), tableKey(planes(t), col("arr")).as("h"))
     }
     // triples staged too: each self-join leg would otherwise re-run all
     // numTables × bitsPerTable hyperplane dot products over the corpus
@@ -273,6 +267,160 @@ object Similarity {
     cand.join(a, "a_id").join(b, "b_id")
       .select(col("a_id"), col("b_id"),
         round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Seeded sign-LSH hyperplanes, drawn in the fixed (table, bit, dim)
+    * order every caller shares — two indexes built with the same
+    * (numTables, bitsPerTable, dim, seed) hash any vector identically,
+    * which is what makes the incremental path exact. */
+  private def signPlanes(numTables: Int, bitsPerTable: Int, dim: Int,
+                         seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(numTables, bitsPerTable)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** One table's band key: bitsPerTable sign bits packed into an int. */
+  private def tableKey(planesT: Array[Array[Double]], arr: Column): Column =
+    planesT.zipWithIndex.map { case (p, b) =>
+      when(dot(arr, typedLit(p.toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+
+  /** Persisted sign-LSH index over an embedding corpus — the vector
+    * twin of `Dedup.MinHashIndex`, completing the incremental-ingestion
+    * trio (MinHash, SimHash, embeddings):
+    *  - `vecs`   (id, arr double[], nrm, __hvec int[numTables]) — the
+    *             exact-rescore side plus each vector's full band-key
+    *             vector (the stateless gate's first-collision predicate
+    *             needs it);
+    *  - `hashed` (id, t, h) — one row per (vector, table), the join key
+    *             of candidate generation.
+    * At cluster scale both are real tables (write `hashed` partitioned
+    * by (t, h-range) so a new shard joins against it shuffling only the
+    * shard); locally they are staged per [[Staging.Mode]]. `union`
+    * folds a freshly-indexed shard in for the next batch — ids must be
+    * disjoint across sides (caller contract). The LSH parameters
+    * INCLUDING dim and seed must match for two indexes to be joinable:
+    * the hyperplanes are a deterministic function of (numTables,
+    * bitsPerTable, dim, seed), so equality of those four IS equality of
+    * the hash family. */
+  final case class EmbedIndex(idCol: String, vecs: DataFrame, hashed: DataFrame,
+                              bitsPerTable: Int = 10, numTables: Int = 8,
+                              seed: Long = 42L, dim: Int = -1) {
+    def union(other: EmbedIndex): EmbedIndex = {
+      require(other.idCol == idCol,
+        s"EmbedIndex id columns differ: '$idCol' vs '${other.idCol}'")
+      require(other.bitsPerTable == bitsPerTable && other.numTables == numTables &&
+        other.seed == seed && other.dim == dim,
+        s"EmbedIndex LSH families differ: (bits=$bitsPerTable, tables=$numTables, " +
+          s"seed=$seed, dim=$dim) vs (bits=${other.bitsPerTable}, " +
+          s"tables=${other.numTables}, seed=${other.seed}, dim=${other.dim})")
+      EmbedIndex(idCol, vecs.union(other.vecs), hashed.union(other.hashed),
+        bitsPerTable, numTables, seed, dim)
+    }
+  }
+
+  /** Build the [[EmbedIndex]] for `df`: one projection computes the
+    * double cast, the norm and all numTables band keys (codegen dot
+    * kernel per hyperplane) — no shuffle; `hashed` is a narrow
+    * posexplode of the staged frame. */
+  def embedIndex(df: DataFrame, idCol: String, vecCol: String,
+                 bitsPerTable: Int = 10, numTables: Int = 8,
+                 seed: Long = 42L, dim: Int = -1,
+                 staging: Staging.Mode = Staging.Local): EmbedIndex = {
+    val vecDim =
+      if (dim > 0) dim
+      else df.select(size(col(vecCol))).limit(1).head.getInt(0)
+    val planes = signPlanes(numTables, bitsPerTable, vecDim, seed)
+    val hvec = array((0 until numTables).map(t => tableKey(planes(t), col("arr"))): _*)
+    val vecs = staging(df
+      .select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
+      .withColumn("nrm", l2norm(col("arr")))
+      .withColumn("__hvec", hvec))
+    val hashed = vecs.select(col("id"), posexplode(col("__hvec")).as(Seq("t", "h")))
+    EmbedIndex(idCol, vecs, hashed, bitsPerTable, numTables, seed, vecDim)
+  }
+
+  /** Incremental sign-LSH near-dup pairs TOUCHING A NEW SHARD —
+    * shard-vs-corpus plus shard-vs-shard — against a corpus whose
+    * [[EmbedIndex]] already exists. The 100-TB vector-ingestion shape:
+    * a new batch never re-hashes the corpus; it hashes itself (linear
+    * in the shard) and joins its band table against the corpus's
+    * persisted one. Band collision is a PAIRWISE predicate, so the
+    * output is row-identical to [[lshDupPairs]] over corpus ∪ shard
+    * restricted to shard-touching pairs (pinned in SessionIvfSpec;
+    * slice-wise by catalog query q102). Pair orientation follows the
+    * full run's `a_id < b_id` convention. */
+  def lshDupPairsIncremental(shard: EmbedIndex, corpus: EmbedIndex,
+                             threshold: Double): DataFrame = {
+    require(corpus.idCol == shard.idCol,
+      s"index id columns differ: '${corpus.idCol}' vs '${shard.idCol}'")
+    require(corpus.bitsPerTable == shard.bitsPerTable &&
+      corpus.numTables == shard.numTables && corpus.seed == shard.seed &&
+      corpus.dim == shard.dim,
+      s"EmbedIndex LSH families differ: shard (bits=${shard.bitsPerTable}, " +
+        s"tables=${shard.numTables}, seed=${shard.seed}, dim=${shard.dim}) vs " +
+        s"corpus (bits=${corpus.bitsPerTable}, tables=${corpus.numTables}, " +
+        s"seed=${corpus.seed}, dim=${corpus.dim})")
+    val nb = shard.hashed
+    val cb = corpus.hashed
+    val nn = nb.select(col("id").as("a_id"), col("t"), col("h"))
+      .join(nb.select(col("id").as("b_id"), col("t"), col("h")), Seq("t", "h"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val nc = nb.select(col("id").as("n_id"), col("t"), col("h"))
+      .join(cb.select(col("id").as("c_id"), col("t"), col("h")), Seq("t", "h"))
+      .select(least(col("n_id"), col("c_id")).as("a_id"),
+        greatest(col("n_id"), col("c_id")).as("b_id"))
+    // dedupe candidate ids before fetching vectors: a pair can collide
+    // in up to numTables bands
+    val cand = nn.union(nc).distinct()
+    val allV = corpus.vecs.union(shard.vecs)
+    cand
+      .join(allV.select(col("id").as("a_id"), col("arr").as("av"), col("nrm").as("an")),
+        Seq("a_id"))
+      .join(allV.select(col("id").as("b_id"), col("arr").as("bv"), col("nrm").as("bn")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Online corpus-match gate for vectors: for each shard embedding —
+    * `shard` may be a STREAMING DataFrame — every corpus near-dup with
+    * cosine ≥ `threshold`, as (n_id, c_id, cos). The vector twin of
+    * `Dedup.minhashLshMatchCorpus`, fully stateless stream-static: the
+    * shard side computes its band-key vector per row (pure projection),
+    * candidates come from one equi-join on (t, h) against the corpus's
+    * persisted band table, rescoring joins the corpus vector by id.
+    * The stateful candidate `distinct` is replaced by first-collision
+    * emission: both sides carry their full table-ordered key vector, so
+    * "this table is the pair's minimal colliding table" is a per-row
+    * predicate — exactly-once by construction. Batch parity with the
+    * incremental cross leg pinned in SessionIvfSpec; stream==batch in
+    * StreamingSpec. */
+  def lshDupMatchCorpus(shard: DataFrame, idCol: String, vecCol: String,
+                        corpus: EmbedIndex, threshold: Double): DataFrame = {
+    require(corpus.dim > 0,
+      "corpus EmbedIndex carries no dim; build it with Similarity.embedIndex")
+    val planes = signPlanes(corpus.numTables, corpus.bitsPerTable, corpus.dim, corpus.seed)
+    val cSide = corpus.vecs.select(col("id").as("c_id"), col("__hvec").as("__cvec"),
+      posexplode(col("__hvec")).as(Seq("t", "h")))
+    val hvec = array((0 until corpus.numTables).map(t => tableKey(planes(t), col("arr"))): _*)
+    val nSide = shard
+      .select(col(idCol).as("n_id"), toDoubleArray(col(vecCol)).as("arr"))
+      .withColumn("nrm", l2norm(col("arr")))
+      .withColumn("__nvec", hvec)
+      .select(col("n_id"), col("arr").as("nv"), col("nrm").as("nn"), col("__nvec"),
+        posexplode(col("__nvec")).as(Seq("t", "h")))
+    val cand = nSide.join(cSide, Seq("t", "h"))
+      .filter(col("t") ===
+        array_position(zip_with(col("__nvec"), col("__cvec"), (x, y) => x === y), true) - 1)
+    cand
+      .join(corpus.vecs.select(col("id").as("c_id"), col("arr").as("cv"), col("nrm").as("cn")),
+        Seq("c_id"))
+      .select(col("n_id"), col("c_id"),
+        round(dot(col("nv"), col("cv")) / (col("nn") * col("cn")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

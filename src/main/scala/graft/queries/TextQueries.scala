@@ -1419,6 +1419,70 @@ object TextQueries {
                TRUE AS identical_all_found, TRUE AS inc_matches_full_slice
         FROM documents a JOIN documents b
           ON b.doc_id % 40 = 0 AND md5(a.text) = md5(b.text)
-        WHERE len(string_split(a.text, ' ')) >= 3"""))
+        WHERE len(string_split(a.text, ' ')) >= 3""")),
+
+    // ----------------------------------------------------------------
+    // q102: incremental EMBEDDING near-dup ingestion — the vector twin
+    // of q101, completing the incremental trio (MinHash q101, SimHash
+    // spec-pinned, sign-LSH here): a new shard of vectors (every-40th,
+    // id-shifted so each has an identical corpus twin) is banded against
+    // the corpus's persisted EmbedIndex; the corpus is NEVER re-hashed.
+    // Contract outputs, q101-style:
+    //   n_identical_cross   (corpus, shard) vector-equal pairs over
+    //                       nonzero vectors — data-derived, DuckDB
+    //                       reproduces it with a list-equality join
+    //   identical_all_found every such pair is emitted at cos exactly
+    //                       1.0 (identical vector -> identical band key
+    //                       in EVERY table; theorem, deterministic)
+    //   inc_matches_full_slice  on a 250-vector slice sub-corpus, the
+    //                       incremental pair set EQUALS the full
+    //                       lshDupPairs run restricted to shard-touching
+    //                       pairs, both containments (full-set twin in
+    //                       SessionIvfSpec)
+    "q102_incremental_embed_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val corpusDf = embs(s, d).select(col("vec_id"), col("embedding"))
+        val shardDf = corpusDf.filter(pmod(col("vec_id"), lit(40)) === 0)
+          .withColumn("vec_id", col("vec_id") + 10000000L)
+        val cIdx = Similarity.embedIndex(corpusDf, "vec_id", "embedding", dim = 64)
+        val sIdx = Similarity.embedIndex(shardDf, "vec_id", "embedding", dim = 64)
+        val inc = Similarity.lshDupPairsIncremental(sIdx, cIdx, threshold = 0.9)
+          .localCheckpoint(true)
+        val nonzero = (v: org.apache.spark.sql.Column) =>
+          Similarity.l2norm(Similarity.toDoubleArray(v)) > 0
+        val identCross = corpusDf.filter(nonzero(col("embedding")))
+          .select(col("vec_id").as("a_id"), col("embedding").as("__v"))
+          .join(shardDf.select(col("vec_id").as("b_id"), col("embedding").as("__v")),
+            Seq("__v"))
+          .select("a_id", "b_id").localCheckpoint(true)
+        val missed = identCross.join(
+          inc.filter(col("cos") === 1.0).select("a_id", "b_id"),
+          Seq("a_id", "b_id"), "left_anti")
+        val inSlice = (c: org.apache.spark.sql.Column) => pmod(c, lit(10000000L)) < 250
+        val fullSlice = Similarity.lshDupPairs(
+            corpusDf.filter(inSlice(col("vec_id")))
+              .union(shardDf.filter(inSlice(col("vec_id")))),
+            "vec_id", "embedding", threshold = 0.9, dim = 64)
+          .filter(col("a_id") >= 10000000L || col("b_id") >= 10000000L)
+          .select("a_id", "b_id").localCheckpoint(true)
+        val incSlice = inc.filter(inSlice(col("a_id")) && inSlice(col("b_id")))
+          .select("a_id", "b_id").localCheckpoint(true)
+        val d1 = incSlice.join(fullSlice, Seq("a_id", "b_id"), "left_anti")
+        val d2 = fullSlice.join(incSlice, Seq("a_id", "b_id"), "left_anti")
+        identCross.agg(count(lit(1)).as("n_identical_cross"))
+          .crossJoin(broadcast(missed.agg(count(lit(1)).as("__nm"))))
+          .crossJoin(broadcast(d1.agg(count(lit(1)).as("__d1"))))
+          .crossJoin(broadcast(d2.agg(count(lit(1)).as("__d2"))))
+          .select(col("n_identical_cross"),
+            (col("__nm") === 0L).as("identical_all_found"),
+            (col("__d1") === 0L && col("__d2") === 0L).as("inc_matches_full_slice"))
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_identical_cross,
+               TRUE AS identical_all_found, TRUE AS inc_matches_full_slice
+        FROM embeddings a JOIN embeddings b
+          ON b.vec_id % 40 = 0 AND a.embedding = b.embedding
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(a.embedding AS DOUBLE[])) > 0"""))
   )
 }

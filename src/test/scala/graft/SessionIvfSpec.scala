@@ -72,6 +72,80 @@ class SessionIvfSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  // shared fixture for the incremental embedding-index tests: corpus ids
+  // < 10M; shard = id-shifted copies of every 5th vector (each has an
+  // identical corpus twin) plus nothing else — the q102 shape
+  private lazy val embCorpus =
+    Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+  private lazy val embShard = embCorpus.filter(col("vec_id") % 5 === 0)
+    .withColumn("vec_id", col("vec_id") + 10000000L)
+
+  test("incremental sign-LSH == full lshDupPairs restricted to shard-touching pairs") {
+    val cIdx = Similarity.embedIndex(embCorpus, "vec_id", "embedding", dim = 64)
+    val sIdx = Similarity.embedIndex(embShard, "vec_id", "embedding", dim = 64)
+    val inc = Similarity.lshDupPairsIncremental(sIdx, cIdx, threshold = 0.9)
+      .orderBy("a_id", "b_id").collect()
+    val full = Similarity.lshDupPairs(embCorpus.union(embShard), "vec_id", "embedding",
+        threshold = 0.9, dim = 64)
+      .filter(col("a_id") >= 10000000L || col("b_id") >= 10000000L)
+      .orderBy("a_id", "b_id").collect()
+    assert(inc.nonEmpty, "shard twins must produce cross pairs")
+    assert(inc.map(_.toString).sameElements(full.map(_.toString)),
+      s"incremental diverges from full: inc=${inc.length} full=${full.length}")
+    // every shard vector's corpus twin is found at cos exactly 1.0
+    val twins = inc.filter(r => r.getLong(1) - r.getLong(0) == 10000000L)
+    assert(twins.length == embShard.count() &&
+      twins.forall(_.getDouble(2) == 1.0))
+    // no corpus-internal pairs leak in
+    assert(inc.forall(r => r.getLong(0) >= 10000000L || r.getLong(1) >= 10000000L))
+    // hash-family mismatch refuses loudly (tables / seed / dim are the family)
+    val other = Similarity.embedIndex(embShard, "vec_id", "embedding",
+      numTables = 4, dim = 64)
+    intercept[IllegalArgumentException](
+      Similarity.lshDupPairsIncremental(other, cIdx, threshold = 0.9))
+    intercept[IllegalArgumentException](cIdx.union(other))
+  }
+
+  test("EmbedIndex.union folds a shard in; gate == incremental cross leg, once per pair") {
+    val cIdx = Similarity.embedIndex(embCorpus, "vec_id", "embedding", dim = 64)
+    val sIdx = Similarity.embedIndex(embShard, "vec_id", "embedding", dim = 64)
+    import spark.implicits._
+    // batch-2 ingestion against the folded corpus: a copy of vector 5
+    // (5 % 5 == 0, so its twin exists in BOTH generations) and a fresh
+    // vector unrelated to the corpus
+    val batch2 = embCorpus.filter(col("vec_id") === 5)
+      .withColumn("vec_id", lit(20000005L))
+      .union(Seq((20000007L, Array.fill(64)(0.123f)))
+        .toDF("vec_id", "embedding"))
+    val folded = cIdx.union(sIdx)
+    val b2Idx = Similarity.embedIndex(batch2, "vec_id", "embedding", dim = 64)
+    val inc2 = Similarity.lshDupPairsIncremental(b2Idx, folded, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 20000005 matches its corpus twin (5) and its shard twin (10000000+5)
+    assert(inc2.contains((5L, 20000005L, 1.0)))
+    assert(inc2.contains((10000005L, 20000005L, 1.0)))
+    // the incremental output == full run over all three generations,
+    // restricted to batch-2-touching pairs
+    val full2 = Similarity.lshDupPairs(
+        embCorpus.union(embShard).union(batch2), "vec_id", "embedding",
+        threshold = 0.9, dim = 64)
+      .filter(col("a_id") >= 20000000L || col("b_id") >= 20000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc2 == full2)
+    // the stateless gate equals the incremental run's cross leg,
+    // exactly one row per (shard, corpus) pair despite multi-table
+    // collisions
+    val gate = Similarity.lshDupMatchCorpus(embShard, "vec_id", "embedding",
+        cIdx, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(gate.length == gate.map(r => (r._1, r._2)).distinct.length,
+      "gate emitted a pair more than once")
+    val cross = Similarity.lshDupPairsIncremental(sIdx, cIdx, threshold = 0.9)
+      .filter(col("a_id") < 10000000L && col("b_id") >= 10000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(gate.toSet == cross)
+  }
+
   test("LSH ANN: candidate pruning with reasonable recall vs exact") {
     val e = Tables(spark, dir, "embeddings").cache()
     val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)

@@ -429,4 +429,32 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0,
       "streaming corpus-match dedup gate diverges from its batch run")
   }
+
+  test("streaming embedding corpus-match gate matches its batch run verbatim") {
+    // the vector twin of the dedup gate: corpus EmbedIndex built
+    // batch-side (static), arriving embeddings scored under readStream
+    // via the IDENTICAL operator code path — per-row band keys, one
+    // stream-static (t, h) equi-join, first-colliding-table dedup
+    // instead of a stateful distinct; no state anywhere
+    import graft.operators.Similarity
+    val base = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val shard = base.filter(col("vec_id") % 5 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000000L)
+    val cIdx = Similarity.embedIndex(base, "vec_id", "embedding", dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("emb_dupgate").toString
+    shard.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(dir)
+    EventStream.runToMemory(
+      Similarity.lshDupMatchCorpus(stream, "vec_id", "embedding", cIdx, threshold = 0.9),
+      "embdupgate", OutputMode.Append())
+    val streamed = spark.table("embdupgate")
+    val batch = Similarity.lshDupMatchCorpus(shard, "vec_id", "embedding", cIdx,
+      threshold = 0.9)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming embedding corpus-match gate diverges from its batch run")
+  }
 }
