@@ -235,39 +235,75 @@ object Similarity {
     * the plan shape that survives 100 TB: one codegen projection computes
     * all bits, only (id, t, h) triples shuffle to the bucket join, and
     * the O(n^2) explosion never happens — the exact tier
-    * ([[cosineDupPairs]]) stays for small blocks and oracles. */
+    * ([[cosineDupPairs]]) stays for small blocks and oracles.
+    *
+    * EXACT duplicates are collapsed FIRST (the q33 lesson applied to
+    * vectors): identical embeddings share identical band keys, so every
+    * copy re-pays the hyperplane hashing and an exact-dup pair is a
+    * guaranteed candidate in EVERY table, flooding the rescore join —
+    * on a copy-heavy corpus (the 100× fixture's ~100-member clone
+    * families) that is quadratic work per clique paid in full. One
+    * groupBy on the raw vector (exact equality — no hash-collision
+    * risk; Spark normalizes -0.0/NaN identically in group and join
+    * keys) elects a min-id representative; banding/rescore run over
+    * representatives only; member pairs are restored by id-only
+    * expansion joins. Within-group pairs carry the group's self-cosine
+    * (exactly 1.0 for nonzero vectors — and NaN for the all-zero
+    * vector, matching what the uncollapsed formulation emits), so the
+    * output is row-identical to the uncollapsed run (SessionIvfSpec
+    * pins it against exact cosineDupPairs; the incremental tests pin
+    * the shard-restriction equality). */
   def lshDupPairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, bitsPerTable: Int = 10, numTables: Int = 8,
                   seed: Long = 42L, dim: Int = -1,
                   staging: Staging.Mode = Staging.Local): DataFrame = {
-    // staged once: the (id, arr, nrm) frame feeds the two bucket-join
-    // legs AND the two re-score joins — without staging Spark recasts +
-    // renorms the corpus four times (self-join recompute); this is the
-    // "write the signature/norm table first" step of a production dedup
-    // pass. Staging.Reliable(dir) on clusters; Staging.None to compose.
-    val vecs = staging(df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
-      .withColumn("nrm", l2norm(col("arr"))))
-    val vecDim =
-      if (dim > 0) dim
-      else df.select(size(col(vecCol))).limit(1).head.getInt(0)
-    val planes = signPlanes(numTables, bitsPerTable, vecDim, seed)
-    val tableKeys = (0 until numTables).map { t =>
-      struct(lit(t).as("t"), tableKey(planes(t), col("arr")).as("h"))
-    }
-    // triples staged too: each self-join leg would otherwise re-run all
-    // numTables × bitsPerTable hyperplane dot products over the corpus
-    val hashed = staging(vecs.select(col("id"), explode(array(tableKeys: _*)).as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.h").as("h")))
+    // membership table staged once: feeds the rep election and both
+    // sides of each expansion join
+    val members = staging(df.select(col(idCol).as("id"), col(vecCol).as("__k")))
+    val reps = members.groupBy("__k").agg(min(col("id")).as("id"))
+    // the representative's vector IS its group key — rebuild the rep
+    // frame from `reps` instead of semi-joining (and re-scanning) df
+    val repDf = reps.select(col("id").as(idCol), col("__k").as(vecCol))
+    // banded pipeline over representatives, staged via embedIndex (the
+    // "write the signature table first" step of a production pass):
+    // vecs = (id, arr, nrm, band keys), hashed = (id, t, h)
+    val idx = embedIndex(repDf, idCol, vecCol, bitsPerTable, numTables, seed, dim, staging)
+    val hashed = idx.hashed
     val cand = hashed.as("a").join(hashed.as("b"),
         col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
-    val a = vecs.select(col("id").as("a_id"), col("arr").as("av"), col("nrm").as("an"))
-    val b = vecs.select(col("id").as("b_id"), col("arr").as("bv"), col("nrm").as("bn"))
-    cand.join(a, "a_id").join(b, "b_id")
+    val a = idx.vecs.select(col("id").as("a_id"), col("arr").as("av"), col("nrm").as("an"))
+    val b = idx.vecs.select(col("id").as("b_id"), col("arr").as("bv"), col("nrm").as("bn"))
+    val repPairs = cand.join(a, "a_id").join(b, "b_id")
       .select(col("a_id"), col("b_id"),
         round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+    // expansion 1 — within-group: every member pair of an exact-dup
+    // group, carrying the group's self-cosine (1.0 nonzero / NaN zero —
+    // NaN compares ≥ threshold in Spark, exactly as the uncollapsed
+    // rescore would emit it)
+    val selfCos = idx.vecs.select(col("id"),
+      round(dot(col("arr"), col("arr")) / (col("nrm") * col("nrm")), 6).as("cos"))
+    val okGroups = reps
+      .join(selfCos.filter(col("cos") >= threshold), Seq("id"))
+      .select(col("__k"), col("cos"))
+    val m1 = members.join(okGroups, Seq("__k"))
+    val within = m1.select(col("__k"), col("id").as("a_id"), col("cos"))
+      .join(m1.select(col("__k"), col("id").as("b_id")), Seq("__k"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("cos"))
+    // expansion 2 — cross-group: each surviving representative pair fans
+    // out to its two groups' member cross product (id sets are disjoint
+    // but interleaved, so re-normalize with least/greatest)
+    val cross = repPairs
+      .join(reps.select(col("__k").as("__ka"), col("id").as("a_id")), Seq("a_id"))
+      .join(reps.select(col("__k").as("__kb"), col("id").as("b_id")), Seq("b_id"))
+      .join(members.select(col("__k").as("__ka"), col("id").as("__ma")), Seq("__ka"))
+      .join(members.select(col("__k").as("__kb"), col("id").as("__mb")), Seq("__kb"))
+      .select(least(col("__ma"), col("__mb")).as("a_id"),
+        greatest(col("__ma"), col("__mb")).as("b_id"), col("cos"))
+    within.union(cross)
   }
 
   /** Seeded sign-LSH hyperplanes, drawn in the fixed (table, bit, dim)

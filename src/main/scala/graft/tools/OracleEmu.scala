@@ -50,7 +50,11 @@ object OracleEmu {
     // digest/binary helpers
     s = s.replaceAll("""sha256\(([^()]*)\)""", "sha2(CAST($1 AS BINARY), 256)")
     s = s.replaceAll("""encode\(([^()]*)\)""", "CAST($1 AS BINARY)")
-    // simple-arg dot product (oracle args are plain column refs)
+    // dot product: CAST-wrapped args first (one paren level), then the
+    // plain-column form (oracle args are otherwise plain refs)
+    s = s.replaceAll(
+      """list_dot_product\((CAST\([^()]+\)),\s*(CAST\([^()]+\))\)""",
+      "aggregate(zip_with($1, $2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     s = s.replaceAll("""list_dot_product\(([^,()]+), ([^()]+)\)""",
       "aggregate(zip_with($1, $2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     // range(a, b) is end-exclusive; sequence(a, b) is inclusive
