@@ -257,13 +257,17 @@ object Similarity {
                   threshold: Double, bitsPerTable: Int = 10, numTables: Int = 8,
                   seed: Long = 42L, dim: Int = -1,
                   staging: Staging.Mode = Staging.Local): DataFrame = {
-    // membership table staged once: feeds the rep election and both
-    // sides of each expansion join
+    // membership table staged once: feeds the rep election and the
+    // (id, gid) re-keying below
     val members = staging(df.select(col(idCol).as("id"), col(vecCol).as("__k")))
-    val reps = members.groupBy("__k").agg(min(col("id")).as("id"))
+    val reps = members.groupBy("__k").agg(min(col("id")).as("gid"))
     // the representative's vector IS its group key — rebuild the rep
     // frame from `reps` instead of semi-joining (and re-scanning) df
-    val repDf = reps.select(col("id").as(idCol), col("__k").as(vecCol))
+    val repDf = reps.select(col("gid").as(idCol), col("__k").as(vecCol))
+    // membership re-keyed to the representative's (narrow) id: the one
+    // array-keyed join happens here, once; every expansion join below
+    // shuffles (id, gid) scalars, never the raw vectors
+    val mem = staging(members.join(reps, Seq("__k")).select(col("id"), col("gid")))
     // banded pipeline over representatives, staged via embedIndex (the
     // "write the signature table first" step of a production pass):
     // vecs = (id, arr, nrm, band keys), hashed = (id, t, h)
@@ -283,24 +287,21 @@ object Similarity {
     // group, carrying the group's self-cosine (1.0 nonzero / NaN zero —
     // NaN compares ≥ threshold in Spark, exactly as the uncollapsed
     // rescore would emit it)
-    val selfCos = idx.vecs.select(col("id"),
-      round(dot(col("arr"), col("arr")) / (col("nrm") * col("nrm")), 6).as("cos"))
-    val okGroups = reps
-      .join(selfCos.filter(col("cos") >= threshold), Seq("id"))
-      .select(col("__k"), col("cos"))
-    val m1 = members.join(okGroups, Seq("__k"))
-    val within = m1.select(col("__k"), col("id").as("a_id"), col("cos"))
-      .join(m1.select(col("__k"), col("id").as("b_id")), Seq("__k"))
+    val okSelf = idx.vecs.select(col("id").as("gid"),
+        round(dot(col("arr"), col("arr")) / (col("nrm") * col("nrm")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+    val m1 = mem.join(okSelf, Seq("gid"))
+    val within = m1.select(col("gid"), col("id").as("a_id"), col("cos"))
+      .join(m1.select(col("gid"), col("id").as("b_id")), Seq("gid"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("cos"))
     // expansion 2 — cross-group: each surviving representative pair fans
-    // out to its two groups' member cross product (id sets are disjoint
-    // but interleaved, so re-normalize with least/greatest)
+    // out to its two groups' member cross product (repPairs' ids ARE
+    // gids; member id sets are disjoint but interleaved, so re-normalize
+    // with least/greatest)
     val cross = repPairs
-      .join(reps.select(col("__k").as("__ka"), col("id").as("a_id")), Seq("a_id"))
-      .join(reps.select(col("__k").as("__kb"), col("id").as("b_id")), Seq("b_id"))
-      .join(members.select(col("__k").as("__ka"), col("id").as("__ma")), Seq("__ka"))
-      .join(members.select(col("__k").as("__kb"), col("id").as("__mb")), Seq("__kb"))
+      .join(mem.select(col("gid").as("a_id"), col("id").as("__ma")), Seq("a_id"))
+      .join(mem.select(col("gid").as("b_id"), col("id").as("__mb")), Seq("b_id"))
       .select(least(col("__ma"), col("__mb")).as("a_id"),
         greatest(col("__ma"), col("__mb")).as("b_id"), col("cos"))
     within.union(cross)
