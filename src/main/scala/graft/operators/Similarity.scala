@@ -41,11 +41,20 @@ object Similarity {
 
   /** Precompute the L2 norm once per row — cosine per pair then costs one
     * dot product instead of three (norms recomputed per pair are the
-    * classic all-pairs perf trap; at 500k pairs it tripled the work). */
+    * classic all-pairs perf trap; at 500k pairs it tripled the work).
+    *
+    * ZERO-NORM vectors are excluded here — cosine is undefined for them,
+    * and under ANSI mode the 0/0 rescore throws DIVIDE_BY_ZERO mid-join
+    * (found by the collapse edge-case spec). Every cosine operator in
+    * this object shares the contract: an all-zero embedding never pairs
+    * with, or ranks against, anything; it simply drops out of the cosine
+    * universe (the quantize/pool operators keep their own explicit
+    * zero handling). */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
                        idAs: String, vAs: String, nAs: String): DataFrame =
     df.select(col(idCol).as(idAs), toDoubleArray(col(vecCol)).as(vAs))
       .withColumn(nAs, l2norm(col(vAs)))
+      .filter(col(nAs) > 0)
 
   /** Exact top-k cosine neighbors for each query vector. `queries` should
     * be small (it is broadcast). Rank on the rounded score with id
@@ -80,6 +89,7 @@ object Similarity {
               seed: Long = 42L, dim: Int = -1): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
       .withColumn("nrm", l2norm(col("arr")))
+      .filter(col("nrm") > 0) // zero-norm exclusion (withNorm contract)
     // Hyperplane width: caller-supplied, or probed from ONE row of the raw
     // input (LocalLimit short-circuits the scan after the first row) — not
     // a full-column job over the data before the real work starts.
@@ -248,10 +258,11 @@ object Similarity {
     * keys) elects a min-id representative; banding/rescore run over
     * representatives only; member pairs are restored by id-only
     * expansion joins. Within-group pairs carry the group's self-cosine
-    * (exactly 1.0 for nonzero vectors — and NaN for the all-zero
-    * vector, matching what the uncollapsed formulation emits), so the
-    * output is row-identical to the uncollapsed run (SessionIvfSpec
-    * pins it against exact cosineDupPairs; the incremental tests pin
+    * (exactly 1.0 — zero-norm vectors are excluded before hashing per
+    * the shared cosine contract, so no 0/0 arises), and the output is
+    * row-identical to the uncollapsed run (SessionIvfSpec pins it
+    * against exact cosineDupPairs, including a >2-member clone-family /
+    * zero-vector / cross-family edge corpus; the incremental tests pin
     * the shard-restriction equality). */
   def lshDupPairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, bitsPerTable: Int = 10, numTables: Int = 8,
@@ -284,9 +295,9 @@ object Similarity {
         round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos"))
       .filter(col("cos") >= threshold)
     // expansion 1 — within-group: every member pair of an exact-dup
-    // group, carrying the group's self-cosine (1.0 nonzero / NaN zero —
-    // NaN compares ≥ threshold in Spark, exactly as the uncollapsed
-    // rescore would emit it)
+    // group, carrying the group's self-cosine (exactly 1.0; zero-norm
+    // groups never reach here — embedIndex excluded them, so their gid
+    // is absent from idx.vecs and the join drops their members)
     val okSelf = idx.vecs.select(col("id").as("gid"),
         round(dot(col("arr"), col("arr")) / (col("nrm") * col("nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
@@ -373,6 +384,7 @@ object Similarity {
     val vecs = staging(df
       .select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
       .withColumn("nrm", l2norm(col("arr")))
+      .filter(col("nrm") > 0) // zero-norm exclusion (withNorm contract)
       .withColumn("__hvec", hvec))
     val hashed = vecs.select(col("id"), posexplode(col("__hvec")).as(Seq("t", "h")))
     EmbedIndex(idCol, vecs, hashed, bitsPerTable, numTables, seed, vecDim)

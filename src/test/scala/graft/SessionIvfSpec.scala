@@ -146,6 +146,48 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(gate.toSet == cross)
   }
 
+  test("lshDupPairs collapse edge cases: clone families > 2, zero vectors, cross-family fanout") {
+    import spark.implicits._
+    // hand-built corpus exercising exactly what the exact-dup collapse
+    // must preserve:
+    //  - ids 1..5: a 5-member clone family (within-group expansion must
+    //    emit all C(5,2)=10 pairs at cos 1.0, not just rep pairs)
+    //  - ids 11..13 vs 21..22: two DISTINCT near-dup families (cos just
+    //    under 1.0) — cross-group expansion must fan 3x2=6 member pairs
+    //    out of ONE representative pair
+    //  - ids 31..32: two all-zero vectors — cosine is undefined for
+    //    them, and before the shared zero-norm exclusion the ANSI 0/0
+    //    rescore threw DIVIDE_BY_ZERO mid-join (this test found that);
+    //    the contract is they drop out of the cosine universe entirely,
+    //    in BOTH tiers
+    //  - id 41: a singleton unique vector (no pairs)
+    val vA = Array.fill(64)(1.0f)
+    val vB = Array.tabulate(64)(i => if (i == 0) 1.2f else 1.0f) // cos ~0.9995 vs vA
+    val vZ = Array.fill(64)(0.0f)
+    val vU = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows = (1L to 5L).map(i => (i, vA)) ++
+      (11L to 13L).map(i => (i, vA)) ++ (21L to 22L).map(i => (i, vB)) ++
+      (31L to 32L).map(i => (i, vZ)) ++ Seq((41L, vU))
+    // note ids 1..5 and 11..13 share vA: ONE 8-member family — also
+    // checks that group identity is the vector, not id adjacency
+    val corpus = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    val bucketed = Similarity.lshDupPairs(corpus, "vec_id", "embedding",
+        0.9, dim = 64)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    assert(bucketed.sameElements(exact),
+      s"collapse diverges on edge corpus: exact=${exact.mkString(",")} bucketed=${bucketed.mkString(",")}")
+    // structure: C(8,2)=28 within the 8-member vA family, 8x2=16 cross
+    // to the 2-member vB family, 1 within vB; the zero-vector pair and
+    // the singleton contribute nothing
+    assert(exact.length == 28 + 16 + 1)
+    val ids = Similarity.cosineDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!ids.exists(Set(31L, 32L, 41L)),
+      "zero-norm or singleton ids leaked into the pair set")
+  }
+
   test("LSH ANN: candidate pruning with reasonable recall vs exact") {
     val e = Tables(spark, dir, "embeddings").cache()
     val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
