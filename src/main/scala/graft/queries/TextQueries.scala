@@ -254,7 +254,8 @@ object TextQueries {
           .orderBy("q_id", "rn")
       },
       oracle = Some("""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
         c AS (SELECT vec_id AS c_id, v AS cv FROM e),
         s AS (SELECT q_id, c_id,
@@ -403,7 +404,8 @@ object TextQueries {
       oracle = Some("""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS rows_le_k,
                TRUE AS ann_never_beats_exact, TRUE AS mean_recall_ok
-        FROM embeddings WHERE vec_id < 500""")),
+        FROM embeddings WHERE vec_id < 500
+          AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0""")),
 
     // ----------------------------------------------------------------
     // q46: IVF ANN (k-means cells + nprobe probing + exact re-score) —
@@ -426,7 +428,8 @@ object TextQueries {
       oracle = Some("""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 10 AS k, TRUE AS rows_le_k,
                TRUE AS ann_never_beats_exact, TRUE AS mean_recall_ok
-        FROM embeddings WHERE vec_id < 50""")),
+        FROM embeddings WHERE vec_id < 50
+          AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0""")),
 
     // ----------------------------------------------------------------
     // q47: batch sessionization — lag + cumulative-sum session ids, the
@@ -715,7 +718,8 @@ object TextQueries {
           .orderBy("a_id", "b_id")
       },
       oracle = Some("""
-        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000
+                    AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
         e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 10000000, v FROM e0),
         p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                 ROUND(list_dot_product(a.v, b.v) /
