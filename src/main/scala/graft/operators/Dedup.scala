@@ -505,4 +505,112 @@ object Dedup {
         hamming(col("n_sig"), col("c_sig")).as("hamming"))
     nn.union(nc).distinct().filter(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------------------------------
+  // Asymmetric n-gram CONTAINMENT — C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+  // (Broder 1997's second measure, next to resemblance/Jaccard): the
+  // quote / excerpt / subset detector. A short doc lifted verbatim from
+  // a long one has containment ≈ 1 while its Jaccard is tiny, so the
+  // MinHash-banded paths above (which target resemblance) structurally
+  // CANNOT find it — this needs its own candidate scheme.
+
+  /** Shared shingle prep for the containment tiers: (id, sh, m) with
+    * empty shingle sets excluded — containment is 0/0-undefined for a
+    * doc with fewer than `n` tokens, so (like zero-norm vectors in the
+    * cosine family) it drops out of the containment universe entirely,
+    * in both tiers and in the oracles. */
+  private def containmentBase(df: DataFrame, idCol: String, textCol: String,
+                              n: Int): DataFrame =
+    df.withColumn("__toks", split(col(textCol), " "))
+      .select(col(idCol).as("id"), shingleExpr("__toks", n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("m", size(col("sh")))
+
+  /** Fixed-point containment of a pre-sized pair: floor(|∩|·10⁶ / m)/10⁶
+    * — integer-exact on both engines (DuckDB computes it with `//`;
+    * here floor-of-double-division is exact because the quotient is
+    * ≥ 1/m ≈ 1e-6 away from any integer it doesn't hit exactly, five
+    * orders above double ulp at the 10⁶ scale), no double-rounding
+    * half-boundary risk (the q02 fixed-point rule applied to ratios). */
+  private def containmentExprFx(aSh: Column, bSh: Column, aM: Column): Column =
+    floor(size(array_intersect(aSh, bSh)).cast("double") * lit(1000000.0) /
+        aM.cast("double")) / lit(1000000.0)
+
+  /** Exact containment tier: ALL ordered pairs a ≠ b with
+    * C(a→b) ≥ tau. O(n²) BY CONTRACT and guarded like the other exact
+    * tiers — refuse past the pair budget, naming the scale path. */
+  def containmentPairsExact(df: DataFrame, idCol: String, textCol: String,
+                            tau: Double, n: Int = 3,
+                            maxPairs: Long = 20000000L): DataFrame = {
+    val base = containmentBase(df, idCol, textCol, n)
+    val rows = base.count()
+    require(rows * rows <= maxPairs,
+      s"exact containment tier is all-ordered-pairs: n=$rows rows → n² = " +
+        s"${rows * rows} candidates exceeds budget $maxPairs. Use the " +
+        "prefix-filtered scale path (Dedup.containmentJoin) past this size.")
+    val a = base.select(col("id").as("a_id"), col("sh").as("a_sh"), col("m").as("a_m"))
+    val b = base.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        containmentExprFx(col("a_sh"), col("b_sh"), col("a_m")).as("containment"))
+      .filter(col("containment") >= tau)
+  }
+
+  /** Prefix-filtered containment join — the scale path (the prefix-
+    * filtering principle of PPJoin: Xiao/Wang/Lin/Yu, WWW 2008, applied
+    * to the one-sided overlap bound). Ordered-pair output identical to
+    * [[containmentPairsExact]] (DedupSpec pins it).
+    *
+    * Candidate scheme: a pair with |A∩B| ≥ k must share at least one of
+    * A's (m − k + 1) GLOBALLY-RAREST shingles (pigeonhole over any fixed
+    * canonical order; frequency-ascending order makes those prefix
+    * shingles the ones with the shortest posting lists). So:
+    *   1. one aggregate computes global shingle frequencies,
+    *   2. one per-doc window ranks each doc's shingles by (freq, gram),
+    *   3. the probe side explodes ONLY the prefix (rare) shingles; the
+    *      index side is the full posting table,
+    *   4. the equi-join on gram yields candidates; exact fixed-point
+    *      containment re-scores them — banding-style: candidates control
+    *      recall (guaranteed ≥ required by the pigeonhole bound),
+    *      precision is exact.
+    * k is under-approximated (k_safe = max(1, ⌊τ·m + 1e-9⌋ − 1)) so
+    * float noise in τ·m and the 6-dp fixed-point floor can only LENGTHEN
+    * the prefix (recall-safe, never lossy). Hot shingles cannot explode
+    * the join: a globally-hot gram is by construction at the END of
+    * every doc's frequency order, outside any prefix, so it never enters
+    * the probe side — the candidate volume is Σ_gram prefix(g)·posting(g)
+    * over RARE grams, and [[requirePairBudget]] enforces a hard cap on
+    * exactly that sum before the join is scheduled.
+    *
+    * Shuffles at scale: freq aggregate (gram key), per-doc rank window
+    * (id key), candidate equi-join (gram key), verify joins (id keys) —
+    * all narrow-keyed, nothing quadratic in corpus size. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      tau: Double, n: Int = 3,
+                      maxCandidates: Long = 200000000L,
+                      staging: Staging.Mode = Staging.Local): DataFrame = {
+    require(tau > 0 && tau <= 1, s"containment threshold must be in (0,1], got $tau")
+    import org.apache.spark.sql.expressions.Window
+    val base = staging(containmentBase(df, idCol, textCol, n))
+    val posting = base.select(col("id"), explode(col("sh")).as("gram"))
+    val freq = posting.groupBy("gram").agg(count(lit(1)).as("__gf"))
+    val ranked = posting.join(freq, Seq("gram"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("id").orderBy(asc("__gf"), asc("gram"))))
+    val kSafe = greatest(lit(1L), floor(col("m") * lit(tau) + lit(1e-9)).cast("long") - 1L)
+    val prefix = ranked.join(base.select(col("id"), col("m")), Seq("id"))
+      .filter(col("__rk") <= col("m") - kSafe + 1L)
+      .select(col("id").as("a_id"), col("gram"))
+    requirePairBudget(prefix, posting, "gram", maxCandidates)
+    val cand = prefix
+      .join(posting.select(col("id").as("b_id"), col("gram")), Seq("gram"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val av = base.select(col("id").as("a_id"), col("sh").as("a_sh"), col("m").as("a_m"))
+    val bv = base.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    cand.join(av, "a_id").join(bv, "b_id")
+      .select(col("a_id"), col("b_id"),
+        containmentExprFx(col("a_sh"), col("b_sh"), col("a_m")).as("containment"))
+      .filter(col("containment") >= tau)
+  }
 }

@@ -1487,6 +1487,48 @@ object TextQueries {
         FROM embeddings a JOIN embeddings b
           ON b.vec_id % 40 = 0 AND a.embedding = b.embedding
         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                               CAST(a.embedding AS DOUBLE[])) > 0"""))
+                               CAST(a.embedding AS DOUBLE[])) > 0""")),
+
+    // ----------------------------------------------------------------
+    // q103: asymmetric n-gram CONTAINMENT via the prefix-filtered join
+    // (Dedup.containmentJoin) — the quote/excerpt detector Jaccard-based
+    // near-dup structurally misses (an excerpt has containment 1.0 into
+    // its source but tiny resemblance). Corpus = every-10th doc plus a
+    // first-half excerpt of each (id + 20M), so true containments exist
+    // at every scale in BOTH directions of construction. The scale path
+    // runs the frequency-ranked prefix-filter candidate scheme; DuckDB
+    // enumerates all ordered pairs outright and must match row for row —
+    // containment is exact fixed-point (floor(|∩|·10⁶/m)/10⁶, the q02
+    // integer rule applied to ratios), so no rounding divergence exists.
+    // Sub-n-token docs (empty shingle sets) are outside the containment
+    // universe in both engines.
+    "q103_containment" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val excerpts = base
+          .withColumn("__toks", split(col("text"), " "))
+          .withColumn("text",
+            expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        Dedup.containmentJoin(base.union(excerpts), "doc_id", "text", tau = 0.5)
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        ex AS (SELECT doc_id + 20000000 AS doc_id,
+                      array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) // 2], ' ') AS text
+               FROM b0),
+        u AS (SELECT doc_id, text FROM b0 UNION ALL SELECT doc_id, text FROM ex),
+        sh0 AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+                FROM u),
+        s AS (SELECT doc_id, sh, len(sh) AS m FROM sh0 WHERE len(sh) > 0),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1000000 // a.m AS DOUBLE) / 1000000 AS containment
+              FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+        SELECT a_id, b_id, containment FROM p WHERE containment >= 0.5
+        ORDER BY a_id, b_id"""))
   )
 }

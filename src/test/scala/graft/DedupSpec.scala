@@ -18,6 +18,57 @@ class DedupSpec extends AnyFunSuite {
     (5L, "another unrelated document discussing database optimizers and join plans")
   ).toDF("doc_id", "text")
 
+  test("containment: prefix-filtered join == exact tier; excerpts found; semantics") {
+    // excerpt of 4 (first half of its tokens): containment 1.0 into 4,
+    // while Jaccard(excerpt, 4) is far below any useful threshold — the
+    // case the resemblance-targeting MinHash paths structurally miss
+    val excerpt = Seq((104L, "completely different words about spark")).toDF("doc_id", "text")
+    val tiny = Seq((9L, "two words")).toDF("doc_id", "text") // < 3 tokens: no shingles
+    val docs = corpus.union(excerpt).union(tiny)
+    val exact = Dedup.containmentPairsExact(docs, "doc_id", "text", tau = 0.5)
+      .orderBy("a_id", "b_id").collect()
+    val pref = Dedup.containmentJoin(docs, "doc_id", "text", tau = 0.5)
+      .orderBy("a_id", "b_id").collect()
+    assert(pref.map(_.toString).sameElements(exact.map(_.toString)),
+      s"prefix join diverges: exact=${exact.mkString(";")} pref=${pref.mkString(";")}")
+    val asMap = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // excerpt → source: full containment, one direction only at tau 0.5
+    assert(asMap((104L, 4L)) == 1.0)
+    assert(!asMap.contains((4L, 104L)), "long doc is not contained in its excerpt")
+    // exact dups contain each other both ways at 1.0
+    assert(asMap((1L, 2L)) == 1.0 && asMap((2L, 1L)) == 1.0)
+    // sub-n-token doc is outside the containment universe
+    assert(!exact.exists(r => r.getLong(0) == 9L || r.getLong(1) == 9L))
+    // near-dup 1↔3: 11 shared of 12 distinct trigrams (only the final
+    // "river bank today/tonight" trigram differs), fixed-point floored
+    assert(asMap((1L, 3L)) == math.floor(11.0 / 12.0 * 1e6) / 1e6)
+  }
+
+  test("containment tiers agree on real documents with derived excerpts") {
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val excerpts = base.filter(col("doc_id") % 3 === 0)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("text",
+        expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val docs = base.union(excerpts)
+    val exact = Dedup.containmentPairsExact(docs, "doc_id", "text", tau = 0.5)
+      .orderBy("a_id", "b_id").collect()
+    val pref = Dedup.containmentJoin(docs, "doc_id", "text", tau = 0.5)
+      .orderBy("a_id", "b_id").collect()
+    assert(exact.length >= excerpts.count(), "every excerpt must hit its source")
+    assert(pref.map(_.toString).sameElements(exact.map(_.toString)),
+      s"tiers diverge on real docs: exact=${exact.length} pref=${pref.length}")
+    // budget guards refuse loudly, naming the scale path / the cap
+    val eBig = intercept[IllegalArgumentException](
+      Dedup.containmentPairsExact(docs, "doc_id", "text", 0.5, maxPairs = 10L))
+    assert(eBig.getMessage.contains("containmentJoin"))
+    val cBig = intercept[IllegalArgumentException](
+      Dedup.containmentJoin(docs, "doc_id", "text", 0.5, maxCandidates = 10L))
+    assert(cBig.getMessage.contains("budget"))
+  }
+
   test("exactGroups collapses exact duplicates to min id") {
     val g = Dedup.exactGroups(corpus, "doc_id", "text").collect()
     assert(g.length == 4)
