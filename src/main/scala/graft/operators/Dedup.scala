@@ -613,4 +613,105 @@ object Dedup {
         containmentExprFx(col("a_sh"), col("b_sh"), col("a_m")).as("containment"))
       .filter(col("containment") >= tau)
   }
+
+  /** Persisted-shape containment index — the ingestion twin of
+    * [[MinHashIndex]]/[[SimHashIndex]]/`Similarity.EmbedIndex` for the
+    * containment family: `base` = (id, sh, m) shingle table, `posting` =
+    * (id, gram) inverted index, both built ONCE per corpus. Carries the
+    * shingle width `n` so mismatched shingle families refuse loudly
+    * instead of silently missing overlaps. `union` folds an ingested
+    * shard in for the next batch. */
+  final case class ContainmentIndex(idCol: String, n: Int,
+                                    base: DataFrame, posting: DataFrame) {
+    def union(other: ContainmentIndex): ContainmentIndex = {
+      require(idCol == other.idCol,
+        s"ContainmentIndex id columns differ: '$idCol' vs '${other.idCol}'")
+      require(n == other.n,
+        s"ContainmentIndex shingle widths differ: n=$n vs n=${other.n}")
+      ContainmentIndex(idCol, n, base.union(other.base),
+        posting.union(other.posting))
+    }
+  }
+
+  /** Build the [[ContainmentIndex]] for `df` — one pass: shingle
+    * projection (per-row), empty-set exclusion, staged base, exploded
+    * posting. */
+  def containmentIndex(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3,
+                       staging: Staging.Mode = Staging.Local): ContainmentIndex = {
+    val base = staging(containmentBase(df, idCol, textCol, n))
+    ContainmentIndex(idCol, n, base,
+      base.select(col("id"), explode(col("sh")).as("gram")))
+  }
+
+  /** Incremental containment pairs TOUCHING A NEW SHARD — both
+    * directions of shard↔shard and shard↔corpus — against a corpus
+    * whose [[ContainmentIndex]] already exists. The ingestion shape of
+    * the trio applied to containment: the corpus is never re-shingled;
+    * the shard's posting joins the persisted one. Candidates are any
+    * pair sharing ≥ 1 shingle with a shard member (a superset of every
+    * qualifying pair for any tau > 0 — sound without prefix ranking,
+    * which would need corpus-wide re-ranking per batch); the exact
+    * fixed-point verify then scores BOTH directions of each candidate,
+    * so the output is row-identical to [[containmentJoin]] over
+    * corpus ∪ shard restricted to shard-touching ordered pairs
+    * (DedupSpec). Candidate volume is shard-activity × gram-hotness,
+    * hard-capped by [[requirePairBudget]] before the join is
+    * scheduled. */
+  def containmentJoinIncremental(shard: ContainmentIndex,
+                                 corpus: ContainmentIndex, tau: Double,
+                                 maxCandidates: Long = 200000000L): DataFrame = {
+    val idCol = shard.idCol
+    require(corpus.idCol == idCol,
+      s"index id columns differ: '${corpus.idCol}' vs '$idCol'")
+    require(corpus.n == shard.n,
+      s"shingle widths differ: corpus n=${corpus.n} vs shard n=${shard.n}")
+    require(tau > 0 && tau <= 1, s"containment threshold must be in (0,1], got $tau")
+    val allPost = corpus.posting.union(shard.posting)
+    requirePairBudget(shard.posting, allPost, "gram", maxCandidates)
+    val und = shard.posting.select(col("id").as("x_id"), col("gram"))
+      .join(allPost.select(col("id").as("y_id"), col("gram")), Seq("gram"))
+      .filter(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("u"),
+        greatest(col("x_id"), col("y_id")).as("v")).distinct()
+    val dirs = und.select(col("u").as("a_id"), col("v").as("b_id"))
+      .union(und.select(col("v").as("a_id"), col("u").as("b_id")))
+    val allBase = corpus.base.union(shard.base)
+    val av = allBase.select(col("id").as("a_id"), col("sh").as("a_sh"), col("m").as("a_m"))
+    val bv = allBase.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    dirs.join(av, "a_id").join(bv, "b_id")
+      .select(col("a_id"), col("b_id"),
+        containmentExprFx(col("a_sh"), col("b_sh"), col("a_m")).as("containment"))
+      .filter(col("containment") >= tau)
+  }
+
+  /** Fully STATELESS corpus-containment gate — "is this arriving doc an
+    * excerpt/quote of anything already in the corpus?", the online
+    * decontamination question. Emits (a_id, b_id, containment) with
+    * C(arriving a → corpus b) ≥ tau. Runs VERBATIM under `readStream`
+    * in append mode: per-row shingling, two stream-static joins
+    * (posting equi-join on gram, base join for the exact verify), and
+    * FIRST-SHARED-GRAM emission — a row survives only when its join
+    * gram is the lexicographically smallest shared shingle, so each
+    * (a, b) pair is emitted exactly once with no stateful distinct and
+    * no aggregation (the containment count comes from a per-row
+    * `array_intersect`, not a groupBy). Stream == batch pinned in
+    * StreamingSpec. */
+  def containmentMatchCorpus(shard: DataFrame, idCol: String, textCol: String,
+                             corpus: ContainmentIndex, tau: Double,
+                             n: Int = 3): DataFrame = {
+    require(corpus.n == n,
+      s"shingle widths differ: corpus n=${corpus.n} vs gate n=$n")
+    require(tau > 0 && tau <= 1, s"containment threshold must be in (0,1], got $tau")
+    val a = containmentBase(shard, idCol, textCol, n)
+    a.select(col("id").as("a_id"), col("sh").as("a_sh"), col("m").as("a_m"),
+        explode(col("sh")).as("gram"))
+      .join(corpus.posting.select(col("id").as("b_id"), col("gram")), Seq("gram"))
+      .join(corpus.base.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .filter(col("gram") ===
+        element_at(sort_array(array_intersect(col("a_sh"), col("b_sh"))), 1))
+      .select(col("a_id"), col("b_id"),
+        containmentExprFx(col("a_sh"), col("b_sh"), col("a_m")).as("containment"))
+      .filter(col("containment") >= tau)
+  }
 }

@@ -69,6 +69,57 @@ class DedupSpec extends AnyFunSuite {
     assert(cBig.getMessage.contains("budget"))
   }
 
+  test("incremental containment == full run restricted to shard-touching pairs; gate == corpus direction") {
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val shard = base.filter(col("doc_id") % 3 === 0)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("text",
+        expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val cIdx = Dedup.containmentIndex(base, "doc_id", "text")
+    val sIdx = Dedup.containmentIndex(shard, "doc_id", "text")
+    val inc = Dedup.containmentJoinIncremental(sIdx, cIdx, tau = 0.5)
+      .orderBy("a_id", "b_id").collect()
+    val full = Dedup.containmentJoin(base.union(shard), "doc_id", "text", tau = 0.5)
+      .filter(col("a_id") >= 20000000L || col("b_id") >= 20000000L)
+      .orderBy("a_id", "b_id").collect()
+    assert(inc.nonEmpty, "excerpt shard must contain into its sources")
+    assert(inc.map(_.toString).sameElements(full.map(_.toString)),
+      s"incremental diverges from full: inc=${inc.length} full=${full.length}")
+    // every excerpt contains fully into its source (containment 1.0)
+    val intoSource = inc.filter(r =>
+      r.getLong(0) >= 20000000L && r.getLong(0) - 20000000L == r.getLong(1))
+    assert(intoSource.nonEmpty && intoSource.forall(_.getDouble(2) == 1.0))
+    // no corpus-internal pairs leak in
+    assert(inc.forall(r => r.getLong(0) >= 20000000L || r.getLong(1) >= 20000000L))
+    // the stateless gate == the incremental run's shard→corpus direction
+    val gate = Dedup.containmentMatchCorpus(shard, "doc_id", "text", cIdx, tau = 0.5)
+      .orderBy("a_id", "b_id").collect()
+    val crossDir = inc.filter(r => r.getLong(0) >= 20000000L && r.getLong(1) < 20000000L)
+    assert(gate.map(_.toString).sameElements(crossDir.map(_.toString)),
+      s"gate diverges from incremental cross direction: gate=${gate.length} dir=${crossDir.length}")
+    // two-batch folding: a second batch against the folded index equals
+    // the full run over all three generations, restricted
+    val batch2 = base.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 40000000L)
+    val b2 = Dedup.containmentIndex(batch2, "doc_id", "text")
+    val inc2 = Dedup.containmentJoinIncremental(b2, cIdx.union(sIdx), tau = 0.5)
+      .orderBy("a_id", "b_id").collect()
+    val full2 = Dedup.containmentJoin(base.union(shard).union(batch2),
+        "doc_id", "text", tau = 0.5)
+      .filter(col("a_id") >= 40000000L || col("b_id") >= 40000000L)
+      .orderBy("a_id", "b_id").collect()
+    assert(inc2.map(_.toString).sameElements(full2.map(_.toString)))
+    // mismatched shingle families refuse loudly
+    val n4 = Dedup.containmentIndex(shard, "doc_id", "text", n = 4)
+    intercept[IllegalArgumentException](
+      Dedup.containmentJoinIncremental(n4, cIdx, tau = 0.5))
+    intercept[IllegalArgumentException](cIdx.union(n4))
+    intercept[IllegalArgumentException](
+      Dedup.containmentMatchCorpus(shard, "doc_id", "text", n4, tau = 0.5))
+  }
+
   test("exactGroups collapses exact duplicates to min id") {
     val g = Dedup.exactGroups(corpus, "doc_id", "text").collect()
     assert(g.length == 4)

@@ -430,6 +430,38 @@ class StreamingSpec extends AnyFunSuite {
       "streaming corpus-match dedup gate diverges from its batch run")
   }
 
+  test("streaming containment gate matches its batch run verbatim") {
+    // the online decontamination question — "is this arriving doc an
+    // excerpt of anything in the corpus?" — under readStream: per-row
+    // shingling, two stream-static joins against the persisted
+    // ContainmentIndex, first-shared-gram emission instead of a
+    // stateful distinct, per-row array_intersect instead of a count
+    // aggregate; no state anywhere
+    import graft.operators.Dedup
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // shard = first-half excerpts of every 3rd doc: every shard doc is
+    // fully contained in its source, so matches are guaranteed
+    val shard = base.filter(col("doc_id") % 3 === 0)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("text",
+        expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val cIdx = Dedup.containmentIndex(base, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("docs_containgate").toString
+    shard.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    EventStream.runToMemory(
+      Dedup.containmentMatchCorpus(stream, "doc_id", "text", cIdx, tau = 0.5),
+      "containgate", OutputMode.Append())
+    val streamed = spark.table("containgate")
+    val batch = Dedup.containmentMatchCorpus(shard, "doc_id", "text", cIdx, tau = 0.5)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming containment gate diverges from its batch run")
+  }
+
   test("streaming embedding corpus-match gate matches its batch run verbatim") {
     // the vector twin of the dedup gate: corpus EmbedIndex built
     // batch-side (static), arriving embeddings scored under readStream
