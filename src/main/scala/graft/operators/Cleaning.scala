@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.NumericType
 
 /** Cleaning / preparation operators mirroring the reference pipeline's
   * semantics (see SURVEY.md §2.2-2.6; reference: BigDataProject.R:41-130):
@@ -300,22 +301,33 @@ object Cleaning {
     * job for all columns (round-5; A1/A2 were already one-pass, mode was
     * the per-column-job straggler): stack (column, value) pairs with one
     * generate, count in one hash aggregate, take each column's argmax
-    * with the R `table` tie-break (count desc, then value ascending
-    * LEXICALLY — R compares factor levels as strings, which the stacked
-    * string representation preserves exactly for the factor columns this
-    * operator exists for; [[mode]] keeps the native-ordering single-
-    * column form, parity pinned in CleaningSpec). The rank window
-    * partitions by column name — it sees the value-cardinality counts
-    * frame, never corpus rows. Non-string columns round-trip through
-    * their string form and are cast back. */
+    * with [[mode]]'s native per-column tie-break (count desc, then value
+    * ascending in the COLUMN'S OWN type — lexical for string/factor
+    * columns exactly as R `table` sorts levels, numeric for numeric
+    * columns where lexical order diverges, e.g. a 9-vs-10 tie: lexical
+    * "10" < "9" would pick 10, native picks 9; parity with per-column
+    * [[mode]] pinned in CleaningSpec on exactly such a tie). The numeric
+    * sort key is a double re-cast of the stacked string — canonical for
+    * values that came FROM a numeric column — and null for non-numeric
+    * columns, where ordering falls through to the lexical key. The rank
+    * window partitions by column name — it sees the value-cardinality
+    * counts frame, never corpus rows. Non-string columns round-trip
+    * through their string form and are cast back. */
   def modeImpute(df: DataFrame, cols: Seq[String]): DataFrame = {
     if (cols.isEmpty) return df
+    val numericCols = cols.filter(c =>
+      df.schema(c).dataType.isInstanceOf[NumericType])
     val stacked = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("__c"), col(c).cast("string").as("__v"))): _*)).as("__s"))
       .select(col("__s.__c").as("__c"), col("__s.__v").as("__v"))
       .filter(col("__v").isNotNull)
-    val w = Window.partitionBy("__c").orderBy(desc("__cnt"), asc("__v"))
+    val nativeKey =
+      if (numericCols.isEmpty) lit(null).cast("double")
+      else when(col("__c").isin(numericCols: _*), col("__v").cast("double"))
+    val w = Window.partitionBy("__c")
+      .orderBy(desc("__cnt"), asc_nulls_first("__nk"), asc("__v"))
     val modes = stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__nk", nativeKey)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select("__c", "__v").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

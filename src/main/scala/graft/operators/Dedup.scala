@@ -544,9 +544,13 @@ object Dedup {
                             maxPairs: Long = 20000000L): DataFrame = {
     val base = containmentBase(df, idCol, textCol, n)
     val rows = base.count()
-    require(rows * rows <= maxPairs,
-      s"exact containment tier is all-ordered-pairs: n=$rows rows → n² = " +
-        s"${rows * rows} candidates exceeds budget $maxPairs. Use the " +
+    // compare against floor(sqrt(budget)), not rows*rows — the product
+    // overflows Long past ~3e9 rows, exactly the regime the guard
+    // exists to refuse (cosineDupPairs uses the same form)
+    val rowCap = math.floor(math.sqrt(maxPairs.toDouble)).toLong
+    require(rows <= rowCap,
+      s"exact containment tier is all-ordered-pairs: n=$rows rows exceeds " +
+        s"the n² pair budget $maxPairs (row cap $rowCap). Use the " +
         "prefix-filtered scale path (Dedup.containmentJoin) past this size.")
     val a = base.select(col("id").as("a_id"), col("sh").as("a_sh"), col("m").as("a_m"))
     val b = base.select(col("id").as("b_id"), col("sh").as("b_sh"))

@@ -459,6 +459,7 @@ object Similarity {
     val nSide = shard
       .select(col(idCol).as("n_id"), toDoubleArray(col(vecCol)).as("arr"))
       .withColumn("nrm", l2norm(col("arr")))
+      .filter(col("nrm") > 0) // zero-norm exclusion (withNorm contract)
       .withColumn("__nvec", hvec)
       .select(col("n_id"), col("arr").as("nv"), col("nrm").as("nn"), col("__nvec"),
         posexplode(col("__nvec")).as(Seq("t", "h")))

@@ -65,14 +65,16 @@ class CleaningSpec extends AnyFunSuite {
   }
 
   test("one-pass modeImpute == per-column mode() imputation (ties, nulls, all-null col)") {
-    val df = Seq[(Option[String], Option[String], Option[String], Option[Int])](
-      (Some("b"), Some("x"), None, Some(7)),
-      (Some("a"), Some("x"), None, Some(7)),
-      (Some("b"), Some("y"), None, None),
-      (Some("a"), None, None, Some(9)),
-      (None, Some("y"), None, Some(9))
-    ).toDF("f1", "f2", "f3", "n1") // f1 ties a/b -> a; f3 all-null stays null
-    val cols = Seq("f1", "f2", "f3", "n1")
+    // n2 ties 9/10: lexical "10" < "9" would impute 10, the native
+    // numeric tie-break must impute 9 (parity with per-column mode())
+    val df = Seq[(Option[String], Option[String], Option[String], Option[Int], Option[Int])](
+      (Some("b"), Some("x"), None, Some(7), Some(10)),
+      (Some("a"), Some("x"), None, Some(7), Some(9)),
+      (Some("b"), Some("y"), None, None, Some(10)),
+      (Some("a"), None, None, Some(9), Some(9)),
+      (None, Some("y"), None, Some(9), None)
+    ).toDF("f1", "f2", "f3", "n1", "n2") // f1 ties a/b -> a; f3 all-null stays null
+    val cols = Seq("f1", "f2", "f3", "n1", "n2")
     val onePass = Cleaning.modeImpute(df, cols).collect().map(_.toString).sorted
     val perCol = cols.foldLeft(df) { (d, c) =>
       Cleaning.mode(d, c) match {
@@ -81,6 +83,13 @@ class CleaningSpec extends AnyFunSuite {
       }
     }.collect().map(_.toString).sorted
     assert(onePass.sameElements(perCol))
+    // the numeric tie imputed 9, not the lexically-smaller "10" (the
+    // null-n2 row is the one with n1=9, f2="y"; f1/f2 nulls are imputed
+    // by the same call so they can't anchor the filter)
+    val n2 = Cleaning.modeImpute(df, cols)
+      .filter(col("n1") === 9 && col("f2") === "y")
+      .select("n2").head().getInt(0)
+    assert(n2 == 9, s"numeric tie-break imputed $n2, want 9")
     // int column imputed with int mode (string round-trip cast back)
     val schema = Cleaning.modeImpute(df, cols).schema
     assert(schema("n1").dataType.typeName == "integer")

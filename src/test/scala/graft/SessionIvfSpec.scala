@@ -134,10 +134,14 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(inc2 == full2)
     // the stateless gate equals the incremental run's cross leg,
     // exactly one row per (shard, corpus) pair despite multi-table
-    // collisions
-    val gate = Similarity.lshDupMatchCorpus(embShard, "vec_id", "embedding",
+    // collisions; a zero-norm shard vector must be dropped (withNorm
+    // contract), not crash the ANSI rescore or band to the all-ones key
+    val gateShard = embShard.union(
+      Seq((30000001L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val gate = Similarity.lshDupMatchCorpus(gateShard, "vec_id", "embedding",
         cIdx, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(!gate.exists(_._1 == 30000001L), "zero-norm vector leaked through gate")
     assert(gate.length == gate.map(r => (r._1, r._2)).distinct.length,
       "gate emitted a pair more than once")
     val cross = Similarity.lshDupPairsIncremental(sIdx, cIdx, threshold = 0.9)

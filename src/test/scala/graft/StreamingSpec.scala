@@ -469,10 +469,15 @@ class StreamingSpec extends AnyFunSuite {
     // stream-static (t, h) equi-join, first-colliding-table dedup
     // instead of a stateful distinct; no state anywhere
     import graft.operators.Similarity
+    import spark.implicits._
     val base = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding"))
+    // a zero-norm vector in the arriving shard must be dropped by the
+    // gate (withNorm contract), not crash the ANSI 0/0 rescore or band
+    // to the all-ones key and join real candidates
     val shard = base.filter(col("vec_id") % 5 === 0)
       .withColumn("vec_id", col("vec_id") + 10000000L)
+      .union(Seq((30000001L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
     val cIdx = Similarity.embedIndex(base, "vec_id", "embedding", dim = 64)
     val dir = java.nio.file.Files.createTempDirectory("emb_dupgate").toString
     shard.write.mode("overwrite").parquet(dir)
