@@ -37,10 +37,25 @@ object Bench {
       try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-name per-query line, opt-in (SPARK_GRAFT_BENCH_FULL=1): used
+    // when capturing the committed bench/r*_sf*.json pair.
+    if (sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")) {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    // The driver captures only the last ~2000 chars of stdout and parses
+    // the JSON line from that tail (BENCH_r06: rc=0 but parsed:null — the
+    // 103-query full-name line was ~4000 chars, so its opening brace fell
+    // outside the tail). Final line is therefore compact: short `qNN`
+    // keys (the catalog's unique numeric prefix, matching the contract's
+    // `{"q1":sec,…}` example) and 3-decimal seconds — ~1.6 kB for 105
+    // queries, inside the tail with room for sbt's closing lines.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qsShort = results.map { case (k, v) => s"\"" + k.split("_")(0) + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,14 +13,34 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(raw) else raw
+  }
 
-  /** events.ts is physically INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong so
-    * it arrives as Long (epoch nanos). This loader adds a proper
-    * timestamp column `ts_ts` (micros precision) alongside the raw nanos.
+  /** The engine-wide contract for events.ts is epoch-NANOS BIGINT: every
+    * consumer does integer `ts div …` arithmetic and every oracle says
+    * `epoch_ns(ts)`, which DuckDB evaluates identically for both physical
+    * encodings the driver has shipped — INT64 TIMESTAMP(NANOS) (rounds
+    * 1-6; arrives as Long under spark.sql.legacy.parquet.nanosAsLong) and
+    * timestamp[us] (round 7+; arrives as TIMESTAMP_NTZ). Normalize at the
+    * source so the physical flip never reaches query code: a timestamp ts
+    * becomes unix_micros * 1000 — exact, since epoch_ns of a micros
+    * timestamp is micros*1000. The NTZ→LTZ cast is wall-clock-preserving
+    * under the sessions' pinned UTC timezone, matching DuckDB's naive-
+    * as-UTC reading. Scan pushdown is unaffected: the projection sits
+    * above the scan and prunes/filters on other columns still reach it.
     */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) => df
+      case Some(_) =>
+        df.withColumn("ts", (unix_micros(col("ts").cast("timestamp")) * 1000L))
+      case None => df
+    }
+
+  /** Adds a proper timestamp column `ts_ts` (micros precision) alongside
+    * the raw nanos `ts` (see [[normalizeTs]] for the nanos contract). */
   def events(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "events")
       .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))

@@ -596,15 +596,21 @@ object Dedup {
     require(tau > 0 && tau <= 1, s"containment threshold must be in (0,1], got $tau")
     import org.apache.spark.sql.expressions.Window
     val base = staging(containmentBase(df, idCol, textCol, n))
-    val posting = base.select(col("id"), explode(col("sh")).as("gram"))
+    // carry m through the explode: the rank filter needs each doc's
+    // shingle count, and one extra int column on the posting rows is
+    // free where a posting⋈base re-join on id is a shuffle
+    val posting = base.select(col("id"), col("m"), explode(col("sh")).as("gram"))
     val freq = posting.groupBy("gram").agg(count(lit(1)).as("__gf"))
-    val ranked = posting.join(freq, Seq("gram"))
+    val kSafe = greatest(lit(1L), floor(col("m") * lit(tau) + lit(1e-9)).cast("long") - 1L)
+    // stage the prefix: the freq-aggregate + rank-window pipeline above
+    // it is the expensive half of this operator, and without staging it
+    // runs once for requirePairBudget's probe count and AGAIN for the
+    // candidate join (the q33 signature-staging recipe)
+    val prefix = staging(posting.join(freq, Seq("gram"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("id").orderBy(asc("__gf"), asc("gram"))))
-    val kSafe = greatest(lit(1L), floor(col("m") * lit(tau) + lit(1e-9)).cast("long") - 1L)
-    val prefix = ranked.join(base.select(col("id"), col("m")), Seq("id"))
       .filter(col("__rk") <= col("m") - kSafe + 1L)
-      .select(col("id").as("a_id"), col("gram"))
+      .select(col("id").as("a_id"), col("gram")))
     requirePairBudget(prefix, posting, "gram", maxCandidates)
     val cand = prefix
       .join(posting.select(col("id").as("b_id"), col("gram")), Seq("gram"))
