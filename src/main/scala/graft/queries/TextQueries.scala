@@ -1529,6 +1529,53 @@ object TextQueries {
                      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1000000 // a.m AS DOUBLE) / 1000000 AS containment
               FROM s a JOIN s b ON a.doc_id <> b.doc_id)
         SELECT a_id, b_id, containment FROM p WHERE containment >= 0.5
+        ORDER BY a_id, b_id""")),
+
+    // ----------------------------------------------------------------
+    // q104: INCREMENTAL containment ingestion — completes the ingestion
+    // quartet (MinHash q101, embedding q102, SimHash spec-pinned,
+    // containment here): a shard of excerpts (first half of every-40th
+    // doc, id + 30M) ingests against the corpus's persisted
+    // ContainmentIndex (Dedup.containmentJoinIncremental); the corpus
+    // (every-10th doc) is NEVER re-shingled. Unlike the banded families,
+    // incremental containment is DETERMINISTIC — a candidate is any pair
+    // sharing >= 1 shingle, a complete set for any tau > 0 — so instead
+    // of q101's boolean contract the oracle pins the ENTIRE pair output:
+    // DuckDB enumerates all ordered shard-touching pairs outright and
+    // must match row for row (exact fixed-point containment, the q103
+    // rule). Every excerpt's shingle set is a subset of its source's
+    // (contiguous n-grams of a token prefix are n-grams of the full
+    // list), so true containment-1.0 rows exist at every scale.
+    "q104_incremental_containment" -> QueryDef(
+      fn = (s, d) => {
+        val corpus = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val shard = corpus.filter(col("doc_id") % 40 === 0)
+          .withColumn("__toks", split(col("text"), " "))
+          .withColumn("text",
+            expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+          .select((col("doc_id") + 30000000L).as("doc_id"), col("text"))
+        val cIdx = Dedup.containmentIndex(corpus, "doc_id", "text")
+        val sIdx = Dedup.containmentIndex(shard, "doc_id", "text")
+        Dedup.containmentJoinIncremental(sIdx, cIdx, tau = 0.5)
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        ex AS (SELECT doc_id + 30000000 AS doc_id,
+                      array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) // 2], ' ') AS text
+               FROM b0 WHERE doc_id % 40 = 0),
+        u AS (SELECT doc_id, text FROM b0 UNION ALL SELECT doc_id, text FROM ex),
+        sh0 AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+                FROM u),
+        s AS (SELECT doc_id, sh, len(sh) AS m FROM sh0 WHERE len(sh) > 0),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1000000 // a.m AS DOUBLE) / 1000000 AS containment
+              FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+        SELECT a_id, b_id, containment FROM p
+        WHERE (a_id >= 30000000 OR b_id >= 30000000) AND containment >= 0.5
         ORDER BY a_id, b_id"""))
   )
 }
