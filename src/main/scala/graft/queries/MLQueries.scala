@@ -116,7 +116,9 @@ object MLQueries {
     fr AS (SELECT allr.*, nn.n FROM allr CROSS JOIN nn
            WHERE CAST(pc AS DOUBLE) / ac >= CAST(0.3 AS DOUBLE))"""
 
-  val entries: Seq[(String, QueryDef)] = Seq(
+  lazy val entries: Seq[(String, QueryDef)] = base ++ q105
+
+  private val base: Seq[(String, QueryDef)] = Seq(
 
     // ----------------------------------------------------------------
     // q50: FP-Growth rule mining (M12) over order-attribute baskets with
@@ -729,4 +731,47 @@ object MLQueries {
                TRUE AS binary_shape, TRUE AS preds_in_range, TRUE AS reload_parity
         FROM lineitem"""))
   )
+
+  // ------------------------------------------------------------------
+  // q105: driver-side CENTER UNSCALE (C11, clustering.R:85-87) — the
+  // last §2 operator without an oracle row. Runs the real pipeline
+  // cluster() (z-scale → restart fits → H-W polish → renumber → the k×d
+  // driver-side unscale center + z*scale), then pins the unscale by the
+  // linearity identity it must satisfy: the size-weighted mean of the
+  // UNSCALED centers equals the raw per-feature global mean (per-cluster
+  // z-means unscale to per-cluster raw means; weighting by size
+  // recovers the global mean). A wrong unscale — z*scale alone,
+  // center*z+scale, swapped vectors — breaks the identity at the first
+  // feature. q53's invariant recipe: data-derived numbers DuckDB
+  // reproduces (n_points, the raw f0 mean) + a theorem boolean carrying
+  // the fit-dependent check. The two collects are k sizes and one row
+  // of 8 means — the sanctioned driver round-trip.
+  private val q105: Seq[(String, QueryDef)] = Seq(
+    "q105_center_unscale" -> QueryDef(
+      fn = (s, d) => {
+        val e = emb(s, d).select((0 until 8).map(i => col(s"f$i")): _*)
+        val (labeled, centers) = graft.pipeline.CarClusteringPipeline.cluster(
+          e, k = 3, restarts = 2, polishMoves = 50)
+        val sizes = labeled.groupBy("cluster").agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val n = sizes.values.sum
+        val wmean = (0 until 8).map { j =>
+          (1 to 3).map(c => sizes(c).toDouble * centers(c - 1)(j)).sum / n }
+        val rawRow = e.agg(avg(col("f0")).as("a0"),
+          (1 until 8).map(i => avg(col(s"f$i")).as(s"a$i")): _*).head()
+        val maxRel = (0 until 8).map { j =>
+          val a = rawRow.getAs[Double](s"a$j")
+          math.abs(wmean(j) - a) / (1.0 + math.abs(a)) }.max
+        e.agg(count(lit(1)).as("n_points"),
+            round(avg(col("f0")), 6).as("mean_f0_r"))
+          .select(lit(3).cast("int").as("n_centers"), col("n_points"),
+            lit(maxRel <= 1e-9).as("unscale_recovers_raw_means"),
+            col("mean_f0_r"))
+      },
+      oracle = Some("""
+        SELECT CAST(3 AS INTEGER) AS n_centers,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               TRUE AS unscale_recovers_raw_means,
+               ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS mean_f0_r
+        FROM embeddings""")))
 }
