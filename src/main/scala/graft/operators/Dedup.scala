@@ -289,11 +289,38 @@ object Dedup {
     * surviving representative pair. Row-identical to the uncollapsed
     * formulation (DedupSpec exhaustive oracle); signature + verify work
     * scales with DISTINCT texts, not copies — the production "exact
-    * dedup before near-dup" composition built in. */
+    * dedup before near-dup" composition built in.
+    *
+    * The collapse is CONDITIONAL (round-7): it is a trade — what the
+    * uncollapsed run overpays is the WITHIN-FAMILY candidate blowup (a
+    * g-member exact-dup family is a guaranteed g²-ish collision clique
+    * in every band, so candidate volume inflates by Σ g(g−1)/2), while
+    * the collapse overpays five id-expansion joins that are pure
+    * overhead when families are small. One cheap aggregate over the md5
+    * groups measures the within-family pair mass up front: collapse
+    * only when it exceeds `collapsePairsPerDoc` pairs per corpus row.
+    * A corpus of pairs-of-twins (q33's base∪shifted shape: pair mass
+    * 0.5/doc) stays lean — banding a doc twice is linear work; the 100×
+    * fixture's ~100-member clone families (pair mass ~50/doc) collapse,
+    * which is what lets that run finish at all. Both branches are
+    * row-identical (DedupSpec pins them branch-forced on one corpus):
+    * an exact-dup pair is a guaranteed candidate in every band and
+    * verifies at jaccard exactly 1.0 on identical shingle sets. Pass 0
+    * to force the collapse on any dup mass, Double.PositiveInfinity to
+    * disable it. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numPerms: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.5,
-                      staging: Staging.Mode = Staging.Local): DataFrame = {
+                      staging: Staging.Mode = Staging.Local,
+                      collapsePairsPerDoc: Double = 2.0): DataFrame = {
+    val st = df.groupBy(md5(col(textCol)).as("__h")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
+    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
+    if (dupPairs <= collapsePairsPerDoc * nTotal)
+      return bandedJaccardPairs(
+        minhashIndex(df, idCol, textCol, numPerms, rowsPerBand, staging),
+        idCol, threshold)
     // membership table staged once: feeds the rep election and both
     // sides of each expansion join. All other staged frames are
     // rep-level (distinct texts).
@@ -308,21 +335,7 @@ object Dedup {
     // to compose.
     val idx = minhashIndex(repDf, idCol, textCol, numPerms, rowsPerBand, staging)
     val sh = idx.shingles
-    val bands = idx.bands
-    // dedupe candidate PAIRS first (ids only — cheap shuffle), then fetch
-    // shingles and verify once per unique pair: a pair can collide in up
-    // to numPerms/rowsPerBand bands and exact Jaccard on large shingle
-    // arrays is the expensive step
-    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bucket"))
-    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val repPairs = cand
-      .join(sh.select(col(idCol).as("a_id"), col("__sh").as("a_sh")), Seq("a_id"))
-      .join(sh.select(col(idCol).as("b_id"), col("__sh").as("b_sh")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val repPairs = bandedJaccardPairs(idx, idCol, threshold)
     // expansion 1 — within-group: every member pair of a shinglable
     // exact-dup group, jaccard exactly 1.0 (md5-key self-join, id-only)
     val okGroups = reps.join(
@@ -344,6 +357,29 @@ object Dedup {
       .select(least(col("__ma"), col("__mb")).as("a_id"),
         greatest(col("__ma"), col("__mb")).as("b_id"), col("jaccard"))
     within.union(cross)
+  }
+
+  /** Banded candidate generation + exact-Jaccard verification over a
+    * built [[MinHashIndex]] — the shared core of both
+    * [[minhashLshPairs]] branches. Candidate PAIRS are deduped first
+    * (ids only — cheap shuffle), then shingles are fetched and verified
+    * once per unique pair: a pair can collide in up to
+    * numPerms/rowsPerBand bands and exact Jaccard on large shingle
+    * arrays is the expensive step. */
+  private def bandedJaccardPairs(idx: MinHashIndex, idCol: String,
+                                 threshold: Double): DataFrame = {
+    val sh = idx.shingles
+    val bands = idx.bands
+    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bucket"))
+    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sh.select(col(idCol).as("a_id"), col("__sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col(idCol).as("b_id"), col("__sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Connected components over an undirected edge frame — the step that

@@ -263,11 +263,33 @@ object Similarity {
     * row-identical to the uncollapsed run (SessionIvfSpec pins it
     * against exact cosineDupPairs, including a >2-member clone-family /
     * zero-vector / cross-family edge corpus; the incremental tests pin
-    * the shard-restriction equality). */
+    * the shard-restriction equality).
+    *
+    * The collapse is CONDITIONAL (round-7, the minhashLshPairs trade):
+    * what the uncollapsed run overpays is the within-family candidate
+    * blowup (a g-member identical-vector family is a g²-ish collision
+    * clique in every table), while the collapse overpays its expansion
+    * joins when families are small. One aggregate over the vector
+    * groups measures the within-family pair mass Σ g(g−1)/2; collapse
+    * only when it exceeds `collapsePairsPerDoc` pairs per corpus row —
+    * pairs-of-twins corpora (q45's shape) stay lean, the 100× clone-
+    * family fixture collapses. Identical output either way (an
+    * exact-dup pair collides in every table and rescores at cos exactly
+    * 1.0; SessionIvfSpec pins both branches). Pass 0 to force the
+    * collapse on any dup mass, Double.PositiveInfinity to disable. */
   def lshDupPairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, bitsPerTable: Int = 10, numTables: Int = 8,
                   seed: Long = 42L, dim: Int = -1,
-                  staging: Staging.Mode = Staging.Local): DataFrame = {
+                  staging: Staging.Mode = Staging.Local,
+                  collapsePairsPerDoc: Double = 2.0): DataFrame = {
+    val st = df.groupBy(col(vecCol).as("__k")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
+    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
+    if (dupPairs <= collapsePairsPerDoc * nTotal)
+      return bandedCosinePairs(
+        embedIndex(df, idCol, vecCol, bitsPerTable, numTables, seed, dim, staging),
+        threshold)
     // membership table staged once: feeds the rep election and the
     // (id, gid) re-keying below
     val members = staging(df.select(col(idCol).as("id"), col(vecCol).as("__k")))
@@ -283,17 +305,7 @@ object Similarity {
     // "write the signature table first" step of a production pass):
     // vecs = (id, arr, nrm, band keys), hashed = (id, t, h)
     val idx = embedIndex(repDf, idCol, vecCol, bitsPerTable, numTables, seed, dim, staging)
-    val hashed = idx.hashed
-    val cand = hashed.as("a").join(hashed.as("b"),
-        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
-    val a = idx.vecs.select(col("id").as("a_id"), col("arr").as("av"), col("nrm").as("an"))
-    val b = idx.vecs.select(col("id").as("b_id"), col("arr").as("bv"), col("nrm").as("bn"))
-    val repPairs = cand.join(a, "a_id").join(b, "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+    val repPairs = bandedCosinePairs(idx, threshold)
     // expansion 1 — within-group: every member pair of an exact-dup
     // group, carrying the group's self-cosine (exactly 1.0; zero-norm
     // groups never reach here — embedIndex excluded them, so their gid
@@ -316,6 +328,24 @@ object Similarity {
       .select(least(col("__ma"), col("__mb")).as("a_id"),
         greatest(col("__ma"), col("__mb")).as("b_id"), col("cos"))
     within.union(cross)
+  }
+
+  /** Banded candidate generation + exact-cosine rescore over a built
+    * [[EmbedIndex]] — the shared core of both [[lshDupPairs]] branches.
+    * Candidate pairs are deduped on ids before the rescore joins fetch
+    * the two vectors. */
+  private def bandedCosinePairs(idx: EmbedIndex, threshold: Double): DataFrame = {
+    val hashed = idx.hashed
+    val cand = hashed.as("a").join(hashed.as("b"),
+        col("a.t") === col("b.t") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+    val a = idx.vecs.select(col("id").as("a_id"), col("arr").as("av"), col("nrm").as("an"))
+    val b = idx.vecs.select(col("id").as("b_id"), col("arr").as("bv"), col("nrm").as("bn"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Seeded sign-LSH hyperplanes, drawn in the fixed (table, bit, dim)

@@ -196,6 +196,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhashLshPairs collapse branches are row-identical on a dup-bearing corpus") {
+    // corpus docs 1 and 2 are exact duplicates, so the forced-collapse
+    // branch really elects a representative and expands, and the forced-
+    // lean branch really bands both copies; outputs must match row for row
+    val collapsed = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        threshold = 0.5, collapsePairsPerDoc = 0.0)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    val lean = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        threshold = 0.5, collapsePairsPerDoc = Double.PositiveInfinity)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    assert(collapsed.nonEmpty)
+    assert(collapsed.sameElements(lean),
+      s"branch divergence: collapsed=${collapsed.length} lean=${lean.length}")
+  }
+
   test("native minhash kernel == pure-expression formulation") {
     val sh = corpus
       .withColumn("__toks", split(col("text"), " "))

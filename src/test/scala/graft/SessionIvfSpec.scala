@@ -64,11 +64,23 @@ class SessionIvfSpec extends AnyFunSuite {
     val corpus = base.union(shifted).cache()
     val exact = Similarity.cosineDupPairs(corpus, "vec_id", "embedding", 0.9)
       .orderBy("a_id", "b_id").collect().map(_.toString)
-    val bucketed = Similarity.lshDupPairs(corpus, "vec_id", "embedding", 0.9)
+    // force the collapse branch: this 50%-duplicate corpus sits below
+    // the default pairs-per-doc threshold (pairs-of-twins = 0.5/doc),
+    // and the rep-election + expansion machinery is what needs pinning
+    val bucketed = Similarity.lshDupPairs(corpus, "vec_id", "embedding", 0.9,
+        collapsePairsPerDoc = 0.0)
       .orderBy("a_id", "b_id").collect().map(_.toString)
     assert(exact.nonEmpty, "corpus must contain duplicate pairs")
     assert(bucketed.sameElements(exact),
       s"bucketed plan diverges: exact=${exact.length} bucketed=${bucketed.length}")
+    // conditional-collapse parity: the forced-lean branch (bands every
+    // copy) must reproduce the forced-collapse branch row for row on
+    // this 50%-duplicate corpus
+    val lean = Similarity.lshDupPairs(corpus, "vec_id", "embedding", 0.9,
+        collapsePairsPerDoc = Double.PositiveInfinity)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    assert(lean.sameElements(exact),
+      s"lean branch diverges: exact=${exact.length} lean=${lean.length}")
     corpus.unpersist()
   }
 
