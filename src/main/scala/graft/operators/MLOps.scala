@@ -225,18 +225,39 @@ object MLOps {
   /** R factor level order: case-insensitive alphabetical, ties broken
     * lowercase-first (observed in the reference's golden headers:
     * "nissan" before "Nissan"). */
-  def rLevels(df: DataFrame, c: String): Seq[String] =
-    df.select(c).distinct().collect().map(_.getString(0)).toSeq
-      .sortBy(s => (s.toLowerCase,
-        // case-inverted tiebreak so lowercase sorts before uppercase
-        s.map(ch => if (ch.isLower) ch.toUpper else if (ch.isUpper) ch.toLower else ch)))
+  def rLevels(df: DataFrame, c: String, maxLevels: Int = 1024): Seq[String] = {
+    // cardinality guard (the requirePairBudget discipline): the collect
+    // is bounded by maxLevels+1 rows, and a high-cardinality column
+    // refuses loudly naming the scale twin instead of silently exploding
+    // the schema with one dummy column per level
+    val lv = df.select(c).distinct().limit(maxLevels + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(lv.length <= maxLevels,
+      s"rLevels('$c'): more than $maxLevels distinct levels — full-rank " +
+        "one-hot at this cardinality explodes the schema; use " +
+        "TextAnalysis.hashedLinearScore's hashing-trick encoding (q91) " +
+        "or raise maxLevels")
+    lv.sortBy(s => (s.toLowerCase,
+      // case-inverted tiebreak so lowercase sorts before uppercase
+      s.map(ch => if (ch.isLower) ch.toUpper else if (ch.isUpper) ch.toLower else ch)))
+  }
 
   /** M2: stratified sampling on outcome quartiles (createDataPartition
     * analog) — deterministic for a fixed seed; `idCol` must be unique. */
   def stratifiedSplit(df: DataFrame, idCol: String, outcomeCol: String,
-                      frac: Double, seed: Long = 123L): (DataFrame, DataFrame) = {
+                      frac: Double, seed: Long = 123L,
+                      maxStrata: Int = 64): (DataFrame, DataFrame) = {
     val bucketed = Cleaning.quantileBucket(df, outcomeCol, "__stratum")
-    val strata = bucketed.select("__stratum").distinct().collect().map(_.getString(0))
+    // quantile bucketing produces a handful of strata by construction;
+    // the guard makes that contract explicit (bounded collect, loud
+    // refusal) for callers who swap in their own stratum column
+    val strata = bucketed.select("__stratum").distinct().limit(maxStrata + 1)
+      .collect().map(_.getString(0))
+    require(strata.length <= maxStrata,
+      s"stratifiedSplit: more than $maxStrata distinct strata over " +
+        s"'$outcomeCol' — sampleBy's fraction map is driver-side; use a " +
+        "hash-bucket stratifier for high-cardinality outcomes or raise " +
+        "maxStrata")
     val fractions = strata.map(_ -> frac).toMap
     val train = bucketed.stat.sampleBy("__stratum", fractions, seed)
     val test = bucketed.join(train.select(idCol), Seq(idCol), "left_anti")

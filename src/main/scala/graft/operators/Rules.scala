@@ -127,11 +127,22 @@ object Rules {
     * ALL segments in one fit and matches this operator's output exactly
     * (identity pinned in PropertySpec). */
   def perGroupMine(df: DataFrame, groupCol: String, itemCols: Seq[String],
-                   minSupport: Double, minConfidence: Double): DataFrame = {
+                   minSupport: Double, minConfidence: Double,
+                   maxGroups: Int = 256): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import FitPool.ec
-    val groups = df.select(groupCol).distinct().collect().map(_.get(0).toString).sorted
+    // cardinality guard (the requirePairBudget discipline): the driver
+    // collect below is bounded by maxGroups+1 rows, and past the cap the
+    // operator refuses loudly naming its scale twin instead of silently
+    // scheduling thousands of serial fits
+    val groups = df.select(groupCol).distinct().limit(maxGroups + 1)
+      .collect().map(_.get(0).toString).sorted
+    require(groups.length <= maxGroups,
+      s"perGroupMine: more than $maxGroups distinct '$groupCol' groups — " +
+        "one FPGrowth fit per group is a wall-clock multiplier that does " +
+        "not scale to that; use segmentEncodedMine (one fit, identical " +
+        "output) or raise maxGroups")
     // one FPGrowth fit per segment, submitted concurrently on the BOUNDED
     // FitPool: each fit is an independent job chain and single fits
     // underutilize the cluster, but in-flight fits are capped so many

@@ -28,6 +28,23 @@ class MLOpsSpec extends AnyFunSuite {
     assert(rmse > 0 && mae > 0)
   }
 
+  test("cardinality guards refuse loudly past injected caps, naming the scale twin") {
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val e1 = intercept[IllegalArgumentException](
+      MLOps.stratifiedSplit(o, "o_orderkey", "o_totalprice", 0.8, maxStrata = 1))
+    assert(e1.getMessage.contains("hash-bucket stratifier"))
+    val e2 = intercept[IllegalArgumentException](
+      MLOps.rLevels(o, "o_orderpriority", maxLevels = 2))
+    assert(e2.getMessage.contains("hashing-trick"))
+    val cu = Tables(spark, "/root/testdata/sf0.001", "customer")
+    val e3 = intercept[IllegalArgumentException](
+      graft.operators.Rules.perGroupMine(cu, "c_mktsegment",
+        Seq("c_nationkey"), 0.05, 0.25, maxGroups = 1))
+    assert(e3.getMessage.contains("segmentEncodedMine"))
+    // at-the-cap passes: the boundary itself is admissible
+    assert(MLOps.rLevels(o, "o_orderstatus", maxLevels = 3).nonEmpty)
+  }
+
   test("M2: stratified split is deterministic and ~80/20 per stratum") {
     val o = Tables(spark, "/root/testdata/sf0.001", "orders")
     val (tr1, te1) = MLOps.stratifiedSplit(o, "o_orderkey", "o_totalprice", 0.8)
