@@ -176,6 +176,43 @@ object Dedup {
     MinHashIndex(idCol, sh, bands, numPerms, rowsPerBand)
   }
 
+  /** Persist a [[MinHashIndex]] as bucketed Parquet tables — the claim
+    * the index Scaladoc makes ("write `bands` bucketed by `bucket`")
+    * made real: `<prefix>_bands` is hash-bucketed (and sorted) on the
+    * candidate join's EXACT key set (band, bucket) — Spark only
+    * co-partitions a bucketed scan when the join keys equal the bucket
+    * keys (requireAllClusterKeysForCoPartition), a subset match gets
+    * "disabled by query planner" — so an incremental batch reads the
+    * corpus side co-located and only the (small) shard side shuffles.
+    * `<prefix>_shingles` is bucketed on the id for the same reason in
+    * the verify join. LSH parameters ride in `<prefix>_meta` so a
+    * mismatched load refuses via the [[MinHashIndex.union]] checks.
+    * IndexPersistSpec pins the reload round-trip (incremental output
+    * identical, zero corpus-side exchanges). */
+  def saveMinhashIndex(idx: MinHashIndex, prefix: String,
+                       buckets: Int = 64): Unit = {
+    val spark = idx.bands.sparkSession
+    idx.bands.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(s"${prefix}_bands")
+    idx.shingles.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, idx.idCol).sortBy(idx.idCol).saveAsTable(s"${prefix}_shingles")
+    import spark.implicits._
+    Seq((idx.idCol, idx.numPerms, idx.rowsPerBand))
+      .toDF("id_col", "num_perms", "rows_per_band")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Load a [[saveMinhashIndex]]-persisted index by catalog name — a new
+    * session (same warehouse) ingests shards against it without touching
+    * the original corpus texts. */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String): MinHashIndex = {
+    val m = spark.table(s"${prefix}_meta").head()
+    MinHashIndex(m.getString(0), spark.table(s"${prefix}_shingles"),
+      spark.table(s"${prefix}_bands"), m.getInt(1), m.getInt(2))
+  }
+
   /** Online corpus-match gate: for each shard document — `shard` may be
     * a STREAMING DataFrame — every corpus near-dup above `threshold`,
     * as (n_id, c_id, jaccard). This is the shard-vs-corpus leg of
@@ -688,6 +725,33 @@ object Dedup {
     val base = staging(containmentBase(df, idCol, textCol, n))
     ContainmentIndex(idCol, n, base,
       base.select(col("id"), explode(col("sh")).as("gram")))
+  }
+
+  /** Persist a [[ContainmentIndex]] as bucketed Parquet tables:
+    * `<prefix>_posting` hash-bucketed (and sorted) on `gram` — the
+    * candidate join key of [[containmentJoinIncremental]] — so an
+    * incremental batch reads the corpus posting co-located and only the
+    * shard side shuffles; `<prefix>_base` bucketed on `id` for the
+    * verify joins. The shingle width rides in `<prefix>_meta` so
+    * mismatched families refuse on load-and-join. */
+  def saveContainmentIndex(idx: ContainmentIndex, prefix: String,
+                           buckets: Int = 64): Unit = {
+    val spark = idx.posting.sparkSession
+    idx.posting.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "gram").sortBy("gram").saveAsTable(s"${prefix}_posting")
+    idx.base.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${prefix}_base")
+    import spark.implicits._
+    Seq((idx.idCol, idx.n)).toDF("id_col", "n")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Load a [[saveContainmentIndex]]-persisted index by catalog name. */
+  def loadContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                           prefix: String): ContainmentIndex = {
+    val m = spark.table(s"${prefix}_meta").head()
+    ContainmentIndex(m.getString(0), m.getInt(1),
+      spark.table(s"${prefix}_base"), spark.table(s"${prefix}_posting"))
   }
 
   /** Incremental containment pairs TOUCHING A NEW SHARD — both

@@ -348,6 +348,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Persist an [[EmbedIndex]] as bucketed Parquet tables:
+    * `<prefix>_hashed` hash-bucketed (and sorted) on the candidate
+    * join's exact (t, h) key set (Spark requires all cluster keys for
+    * bucket co-partitioning), so an incremental batch reads the corpus
+    * side co-located, shuffling only the shard; `<prefix>_vecs`
+    * bucketed on `id` for the rescore joins. The full LSH family
+    * (bits, tables, seed, dim) rides in `<prefix>_meta` — equality of
+    * those four IS equality of the hash family, so a mismatched load
+    * refuses via the [[EmbedIndex.union]] checks. */
+  def saveEmbedIndex(idx: EmbedIndex, prefix: String,
+                     buckets: Int = 64): Unit = {
+    val spark = idx.hashed.sparkSession
+    idx.hashed.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "t", "h").sortBy("t", "h")
+      .saveAsTable(s"${prefix}_hashed")
+    idx.vecs.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${prefix}_vecs")
+    import spark.implicits._
+    Seq((idx.idCol, idx.bitsPerTable, idx.numTables, idx.seed, idx.dim))
+      .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Load a [[saveEmbedIndex]]-persisted index by catalog name. */
+  def loadEmbedIndex(spark: org.apache.spark.sql.SparkSession,
+                     prefix: String): EmbedIndex = {
+    val m = spark.table(s"${prefix}_meta").head()
+    EmbedIndex(m.getString(0), spark.table(s"${prefix}_vecs"),
+      spark.table(s"${prefix}_hashed"), m.getInt(1), m.getInt(2),
+      m.getLong(3), m.getInt(4))
+  }
+
   /** Seeded sign-LSH hyperplanes, drawn in the fixed (table, bit, dim)
     * order every caller shares — two indexes built with the same
     * (numTables, bitsPerTable, dim, seed) hash any vector identically,
