@@ -355,7 +355,7 @@ object MLQueries {
         val o = Tables(s, d, "orders")
         val stats = o.agg(avg("o_totalprice").as("m"),
           stddev_samp(col("o_totalprice")).as("sd"))
-        o.crossJoin(stats)
+        o.crossJoin(broadcast(stats))
           .select(col("o_orderkey"),
             round((col("o_totalprice") - col("m")) / col("sd"), 4).as("z"))
           .orderBy("o_orderkey")
