@@ -306,28 +306,46 @@ object Cleaning {
     * columns exactly as R `table` sorts levels, numeric for numeric
     * columns where lexical order diverges, e.g. a 9-vs-10 tie: lexical
     * "10" < "9" would pick 10, native picks 9; parity with per-column
-    * [[mode]] pinned in CleaningSpec on exactly such a tie). The numeric
-    * sort key is a double re-cast of the stacked string — canonical for
-    * values that came FROM a numeric column — and null for non-numeric
-    * columns, where ordering falls through to the lexical key. The rank
-    * window partitions by column name — it sees the value-cardinality
-    * counts frame, never corpus rows. Non-string columns round-trip
-    * through their string form and are cast back. */
+    * [[mode]] pinned in CleaningSpec on exactly such a tie). Two typed
+    * sort keys re-cast the stacked string faithfully per column family:
+    * integral and decimal columns get decimal(38,18) — exact over the
+    * FULL Long range, where a double key would collapse distinct values
+    * beyond 2^53 and fall back to lexical order that diverges from
+    * per-column [[mode]]'s native ordering (tied large negative longs
+    * sort reversed lexically; pinned in CleaningSpec) — float/double
+    * columns get a double key (their strings round-trip exactly);
+    * non-numeric columns leave both keys null and order by the lexical
+    * key alone. Within one window partition (= one column) only that
+    * column's key is ever non-null, so the three-key orderBy is the
+    * per-column native order. The rank window partitions by column
+    * name — it sees the value-cardinality counts frame, never corpus
+    * rows. Non-string columns round-trip through their string form and
+    * are cast back. */
   def modeImpute(df: DataFrame, cols: Seq[String]): DataFrame = {
     if (cols.isEmpty) return df
-    val numericCols = cols.filter(c =>
-      df.schema(c).dataType.isInstanceOf[NumericType])
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    val exactCols = cols.filter(c => df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    })
+    val fpCols = cols.filter(c =>
+      df.schema(c).dataType.isInstanceOf[NumericType] && !exactCols.contains(c))
     val stacked = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("__c"), col(c).cast("string").as("__v"))): _*)).as("__s"))
       .select(col("__s.__c").as("__c"), col("__s.__v").as("__v"))
       .filter(col("__v").isNotNull)
-    val nativeKey =
-      if (numericCols.isEmpty) lit(null).cast("double")
-      else when(col("__c").isin(numericCols: _*), col("__v").cast("double"))
+    val exactKey =
+      if (exactCols.isEmpty) lit(null).cast("decimal(38,18)")
+      else when(col("__c").isin(exactCols: _*), col("__v").cast("decimal(38,18)"))
+    val fpKey =
+      if (fpCols.isEmpty) lit(null).cast("double")
+      else when(col("__c").isin(fpCols: _*), col("__v").cast("double"))
     val w = Window.partitionBy("__c")
-      .orderBy(desc("__cnt"), asc_nulls_first("__nk"), asc("__v"))
+      .orderBy(desc("__cnt"), asc_nulls_first("__nke"),
+        asc_nulls_first("__nkf"), asc("__v"))
     val modes = stacked.groupBy("__c", "__v").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__nk", nativeKey)
+      .withColumn("__nke", exactKey).withColumn("__nkf", fpKey)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select("__c", "__v").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap

@@ -617,14 +617,15 @@ object Dedup {
                             maxPairs: Long = 20000000L): DataFrame = {
     val base = containmentBase(df, idCol, textCol, n)
     val rows = base.count()
-    // compare against floor(sqrt(budget)), not rows*rows — the product
-    // overflows Long past ~3e9 rows, exactly the regime the guard
-    // exists to refuse (cosineDupPairs uses the same form)
-    val rowCap = math.floor(math.sqrt(maxPairs.toDouble)).toLong
-    require(rows <= rowCap,
+    // overflow-safe integer form: rows*rows would overflow Long past
+    // ~3e9 rows (exactly the regime this guard refuses), and the
+    // floor(sqrt(budget.toDouble)) form is off-by-one-able for budgets
+    // near Long.MaxValue (53-bit mantissa rounding) — rows <= budget/rows
+    // is exact at every magnitude (cosineDupPairs uses the same form)
+    require(rows == 0 || rows <= maxPairs / rows,
       s"exact containment tier is all-ordered-pairs: n=$rows rows exceeds " +
-        s"the n² pair budget $maxPairs (row cap $rowCap). Use the " +
-        "prefix-filtered scale path (Dedup.containmentJoin) past this size.")
+        s"the n² pair budget $maxPairs. Use the prefix-filtered scale " +
+        "path (Dedup.containmentJoin) past this size.")
     val a = base.select(col("id").as("a_id"), col("sh").as("a_sh"), col("m").as("a_m"))
     val b = base.select(col("id").as("b_id"), col("sh").as("b_sh"))
     a.join(b, col("a_id") =!= col("b_id"))

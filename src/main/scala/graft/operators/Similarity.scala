@@ -173,10 +173,12 @@ object Similarity {
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, maxPairs: Long = 1000000000L): DataFrame = {
     val n = df.count()
-    val nCap = math.floor(math.sqrt(maxPairs.toDouble)).toLong
-    require(n <= nCap,
+    // overflow-safe integer form (n*n overflows Long past ~3e9 rows and
+    // sqrt(budget.toDouble) rounds near Long.MaxValue): exact at every
+    // magnitude, same form as containmentPairsExact
+    require(n == 0 || n <= maxPairs / n,
       s"exact cosine tier is all-pairs: n=$n rows → ~n² candidate pairs " +
-        s"exceeds budget $maxPairs (n cap $nCap). Use the banded scale " +
+        s"exceeds budget $maxPairs. Use the banded scale " +
         "path (Similarity.lshDupPairs) past this size.")
     val a = withNorm(df, idCol, vecCol, "a_id", "av", "an")
     val b = withNorm(df, idCol, vecCol, "b_id", "bv", "bn")

@@ -95,6 +95,26 @@ class CleaningSpec extends AnyFunSuite {
     assert(schema("n1").dataType.typeName == "integer")
   }
 
+  test("modeImpute long tie-break stays exact beyond 2^53 (decimal key, not double)") {
+    // -(2^53+1) and -(2^53+2) collapse to the same double; a double sort
+    // key would fall through to lexical order and impute ...93 — the
+    // native numeric order (what per-column mode() returns) is ...94
+    val a = -9007199254740993L
+    val b = -9007199254740994L
+    val df = Seq[(Option[Long], Option[String])](
+      (Some(a), Some("x")), (Some(a), Some("x")),
+      (Some(b), Some("x")), (Some(b), Some("x")),
+      (None, Some("x"))
+    ).toDF("big", "pad")
+    val out = Cleaning.modeImpute(df, Seq("big"))
+    assert(out.filter(col("big").isNull).count() == 0)
+    // the null row took b: b now appears 3 times, a still 2
+    val nB = out.filter(col("big") === b).count()
+    val nA = out.filter(col("big") === a).count()
+    assert((nA, nB) == (2L, 3L), s"big-long tie imputed wrong: a×$nA b×$nB")
+    assert(Cleaning.mode(df, "big").contains(b)) // parity with per-column mode
+  }
+
   test("sortedQuantiles (sketch-bracketed exact selection) == percentile aggregate exactly") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
