@@ -666,10 +666,51 @@ object Dedup {
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
                       tau: Double, n: Int = 3,
                       maxCandidates: Long = 200000000L,
-                      staging: Staging.Mode = Staging.Local): DataFrame = {
+                      staging: Staging.Mode = Staging.Local,
+                      collapsePairsPerDoc: Double = 2.0): DataFrame = {
     require(tau > 0 && tau <= 1, s"containment threshold must be in (0,1], got $tau")
-    import org.apache.spark.sql.expressions.Window
     val base = staging(containmentBase(df, idCol, textCol, n))
+    // conditional exact-dup collapse on the SHINGLE-SET key (the
+    // minhashLshPairs trade; see containmentJoinIncremental): clone
+    // families would re-pay the prefix pipeline per copy and flood the
+    // candidate join with within-family pairs, so past the pair-mass
+    // threshold the pipeline runs over set-representatives only and
+    // member pairs are restored by id-only expansions (1.0 within a
+    // group — identical sets — and the rep score across groups,
+    // direction-preserved because containment is a pure function of
+    // the two sets). Both branches row-identical (DedupSpec).
+    val keyed = base.withColumn("__k", md5(concat_ws("\u0001", sort_array(col("sh")))))
+    val st = keyed.groupBy("__k").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
+    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
+    if (dupPairs <= collapsePairsPerDoc * nTotal)
+      return containmentPrefixPairs(base, tau, maxCandidates, staging)
+    val members = Staging.Local(keyed.select(col("id"), col("__k")))
+    val reps = members.groupBy("__k").agg(min(col("id")).as("gid"))
+    val mem = Staging.Local(members.join(reps, Seq("__k"))
+      .select(col("id"), col("gid")))
+    val repBase = staging(base.join(reps.select(col("gid").as("id")),
+      Seq("id"), "left_semi"))
+    val repPairs = containmentPrefixPairs(repBase, tau, maxCandidates, staging)
+    val within = mem.select(col("gid"), col("id").as("a_id"))
+      .join(mem.select(col("gid"), col("id").as("b_id")), Seq("gid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("containment"))
+    val cross = repPairs
+      .join(mem.select(col("gid").as("a_id"), col("id").as("__ma")), Seq("a_id"))
+      .join(mem.select(col("gid").as("b_id"), col("id").as("__mb")), Seq("b_id"))
+      .select(col("__ma").as("a_id"), col("__mb").as("b_id"), col("containment"))
+    within.union(cross)
+  }
+
+  /** The prefix-filtered candidate + exact-verify pipeline of
+    * [[containmentJoin]] over a prepared (id, sh, m) base — shared by
+    * both collapse branches. */
+  private def containmentPrefixPairs(base: DataFrame, tau: Double,
+                                     maxCandidates: Long,
+                                     staging: Staging.Mode): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // carry m through the explode: the rank filter needs each doc's
     // shingle count, and one extra int column on the posting rows is
     // free where a posting⋈base re-join on id is a shuffle
@@ -768,20 +809,76 @@ object Dedup {
     * corpus ∪ shard restricted to shard-touching ordered pairs
     * (DedupSpec). Candidate volume is shard-activity × gram-hotness,
     * hard-capped by [[requirePairBudget]] before the join is
-    * scheduled. */
+    * scheduled.
+    *
+    * The conditional exact-dup collapse (the [[minhashLshPairs]] trade,
+    * round-7) applies here on the SHINGLE-SET key: containment is a
+    * pure function of the two shingle sets, so docs with identical sets
+    * (md5 of the sorted set) form groups whose every member pair scores
+    * identically — 1.0 within a group, the rep-pair score across
+    * groups. One aggregate measures the within-group pair mass over
+    * corpus ∪ shard; past `collapsePairsPerDoc` pairs per row the
+    * candidate join runs over group REPRESENTATIVES only (clone
+    * families of size g would otherwise inflate candidates g²-ish) and
+    * member pairs are restored by id-only expansion joins, keeping only
+    * shard-touching ones. Both branches are row-identical (DedupSpec
+    * pins them branch-forced); the group key lives on narrow columns,
+    * so the per-batch keying is one linear pass, not a corpus re-index. */
   def containmentJoinIncremental(shard: ContainmentIndex,
                                  corpus: ContainmentIndex, tau: Double,
-                                 maxCandidates: Long = 200000000L): DataFrame = {
+                                 maxCandidates: Long = 200000000L,
+                                 collapsePairsPerDoc: Double = 2.0): DataFrame = {
     val idCol = shard.idCol
     require(corpus.idCol == idCol,
       s"index id columns differ: '${corpus.idCol}' vs '$idCol'")
     require(corpus.n == shard.n,
       s"shingle widths differ: corpus n=${corpus.n} vs shard n=${shard.n}")
     require(tau > 0 && tau <= 1, s"containment threshold must be in (0,1], got $tau")
+    val keyed = corpus.base.withColumn("__shard", lit(false))
+      .union(shard.base.withColumn("__shard", lit(true)))
+      // \u0001 separator: grams are space-joined token n-grams from a
+      // single-space split, so no gram contains it and the sorted-set
+      // concatenation is prefix-unambiguous
+      .withColumn("__k", md5(concat_ws("\u0001", sort_array(col("sh")))))
+    val st = keyed.groupBy("__k").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
+    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
+    if (dupPairs <= collapsePairsPerDoc * nTotal) {
+      val allPost = corpus.posting.union(shard.posting)
+      requirePairBudget(shard.posting, allPost, "gram", maxCandidates)
+      val und = shard.posting.select(col("id").as("x_id"), col("gram"))
+        .join(allPost.select(col("id").as("y_id"), col("gram")), Seq("gram"))
+        .filter(col("x_id") =!= col("y_id"))
+        .select(least(col("x_id"), col("y_id")).as("u"),
+          greatest(col("x_id"), col("y_id")).as("v")).distinct()
+      val dirs = und.select(col("u").as("a_id"), col("v").as("b_id"))
+        .union(und.select(col("v").as("a_id"), col("u").as("b_id")))
+      val allBase = corpus.base.union(shard.base)
+      val av = allBase.select(col("id").as("a_id"), col("sh").as("a_sh"), col("m").as("a_m"))
+      val bv = allBase.select(col("id").as("b_id"), col("sh").as("b_sh"))
+      return dirs.join(av, "a_id").join(bv, "b_id")
+        .select(col("a_id"), col("b_id"),
+          containmentExprFx(col("a_sh"), col("b_sh"), col("a_m")).as("containment"))
+        .filter(col("containment") >= tau)
+    }
+    // collapse branch: membership and reps on narrow (id, __k, __shard)
+    // columns; the one array-keyed op was the md5 above
+    val members = Staging.Local(keyed.select(col("id"), col("__k"), col("__shard")))
+    val reps = members.groupBy("__k").agg(min(col("id")).as("gid"))
+    val mem = Staging.Local(members.join(reps, Seq("__k"))
+      .select(col("id"), col("gid"), col("__shard")))
+    val repIds = reps.select(col("gid").as("id"))
     val allPost = corpus.posting.union(shard.posting)
-    requirePairBudget(shard.posting, allPost, "gram", maxCandidates)
-    val und = shard.posting.select(col("id").as("x_id"), col("gram"))
-      .join(allPost.select(col("id").as("y_id"), col("gram")), Seq("gram"))
+    val repPost = allPost.join(repIds, Seq("id"), "left_semi")
+    // probe side: representatives of groups with >= 1 shard member (the
+    // und join is symmetric, so corpus-only groups are still reachable
+    // as the y side)
+    val probeGroups = mem.filter(col("__shard")).select(col("gid").as("id")).distinct()
+    val probePost = repPost.join(probeGroups, Seq("id"), "left_semi")
+    requirePairBudget(probePost, repPost, "gram", maxCandidates)
+    val und = probePost.select(col("id").as("x_id"), col("gram"))
+      .join(repPost.select(col("id").as("y_id"), col("gram")), Seq("gram"))
       .filter(col("x_id") =!= col("y_id"))
       .select(least(col("x_id"), col("y_id")).as("u"),
         greatest(col("x_id"), col("y_id")).as("v")).distinct()
@@ -790,10 +887,30 @@ object Dedup {
     val allBase = corpus.base.union(shard.base)
     val av = allBase.select(col("id").as("a_id"), col("sh").as("a_sh"), col("m").as("a_m"))
     val bv = allBase.select(col("id").as("b_id"), col("sh").as("b_sh"))
-    dirs.join(av, "a_id").join(bv, "b_id")
+    val repPairs = dirs.join(av, "a_id").join(bv, "b_id")
       .select(col("a_id"), col("b_id"),
         containmentExprFx(col("a_sh"), col("b_sh"), col("a_m")).as("containment"))
       .filter(col("containment") >= tau)
+    // expansion 1 — within-group: every ORDERED member pair of a group
+    // (identical shingle sets -> containment exactly 1.0, which clears
+    // any tau <= 1; base rows are shinglable by construction), kept
+    // only when a side is in the shard
+    val within = mem.select(col("gid"), col("id").as("a_id"), col("__shard").as("__sa"))
+      .join(mem.select(col("gid"), col("id").as("b_id"), col("__shard").as("__sb")),
+        Seq("gid"))
+      .filter(col("a_id") =!= col("b_id") && (col("__sa") || col("__sb")))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("containment"))
+    // expansion 2 — cross-group, DIRECTION-PRESERVING (containment is
+    // asymmetric): each qualifying rep direction fans out to the a-side
+    // group's members × b-side group's members, shard-touching only
+    val cross = repPairs
+      .join(mem.select(col("gid").as("a_id"), col("id").as("__ma"),
+        col("__shard").as("__sa")), Seq("a_id"))
+      .join(mem.select(col("gid").as("b_id"), col("id").as("__mb"),
+        col("__shard").as("__sb")), Seq("b_id"))
+      .filter(col("__sa") || col("__sb"))
+      .select(col("__ma").as("a_id"), col("__mb").as("b_id"), col("containment"))
+    within.union(cross)
   }
 
   /** Fully STATELESS corpus-containment gate — "is this arriving doc an

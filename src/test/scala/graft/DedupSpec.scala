@@ -69,6 +69,44 @@ class DedupSpec extends AnyFunSuite {
     assert(cBig.getMessage.contains("budget"))
   }
 
+  test("incremental containment collapse branches are row-identical on a clone-bearing corpus") {
+    // groups of 3 identical texts (identical shingle sets) so the
+    // forced-collapse branch really elects representatives and expands;
+    // the forced-lean branch scores every member pair directly
+    val b0 = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 120)
+    val clones = b0
+      .union(b0.withColumn("doc_id", col("doc_id") + 1000000L))
+      .union(b0.withColumn("doc_id", col("doc_id") + 2000000L))
+    val shard = b0.filter(col("doc_id") % 3 === 0)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("text",
+        expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val cIdx = Dedup.containmentIndex(clones, "doc_id", "text")
+    val sIdx = Dedup.containmentIndex(shard, "doc_id", "text")
+    val lean = Dedup.containmentJoinIncremental(sIdx, cIdx, tau = 0.5,
+        collapsePairsPerDoc = Double.PositiveInfinity)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    val coll = Dedup.containmentJoinIncremental(sIdx, cIdx, tau = 0.5,
+        collapsePairsPerDoc = 0.0)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    assert(lean.nonEmpty, "excerpt shard must contain into its clone sources")
+    assert(coll.sameElements(lean),
+      s"branch divergence: collapsed=${coll.length} lean=${lean.length}")
+    // the FULL operator's branches on the same clone corpus ∪ shard
+    val all = clones.union(shard)
+    val fullLean = Dedup.containmentJoin(all, "doc_id", "text", tau = 0.5,
+        collapsePairsPerDoc = Double.PositiveInfinity)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    val fullColl = Dedup.containmentJoin(all, "doc_id", "text", tau = 0.5,
+        collapsePairsPerDoc = 0.0)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    assert(fullLean.nonEmpty)
+    assert(fullColl.sameElements(fullLean),
+      s"full-operator branch divergence: collapsed=${fullColl.length} lean=${fullLean.length}")
+  }
+
   test("incremental containment == full run restricted to shard-touching pairs; gate == corpus direction") {
     val base = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
