@@ -537,13 +537,53 @@ object Dedup {
 
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit
     * signature chunks (guarantees recall for distance <= 3), verified by
-    * exact Hamming distance. Chunk-bucket join, not O(n^2). */
+    * exact Hamming distance. Chunk-bucket join, not O(n^2).
+    *
+    * Conditional exact-dup collapse (round-7, the family-wide trade): an
+    * exact-dup family shares one signature, so every member pair is a
+    * guaranteed candidate in ALL FOUR chunks — clone-heavy corpora
+    * inflate the candidate join g²·4-ish. Past `collapsePairsPerDoc`
+    * within-family pairs per row the chunk join runs over md5-elected
+    * representatives and member pairs are restored by id-only
+    * expansions: hamming exactly 0 within a group (identical text →
+    * identical signature — every text has a signature, so no
+    * shinglability carve-out), the rep pair's hamming across groups
+    * (least/greatest re-normalized; Hamming is symmetric). Branch
+    * row-identity pinned in DedupSpec. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   staging: Staging.Mode = Staging.Local): DataFrame = {
-    // staged once via simhashIndex: the chunk-bucket self-join's two legs
-    // would otherwise re-run the 64-bit vote kernel over the corpus twice
-    val chunked = simhashIndex(df, idCol, textCol, staging).chunked
+                   staging: Staging.Mode = Staging.Local,
+                   collapsePairsPerDoc: Double = 2.0): DataFrame = {
+    val st = df.groupBy(md5(col(textCol)).as("__h")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
+    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
+    if (dupPairs <= collapsePairsPerDoc * nTotal)
+      return simhashChunkPairs(
+        simhashIndex(df, idCol, textCol, staging).chunked, idCol, maxHamming)
+    val members = staging(df.select(col(idCol), md5(col(textCol)).as("__hash")))
+    val reps = members.groupBy("__hash").agg(min(col(idCol)).as(idCol))
+    val repDf = df.join(reps.select(col(idCol)), Seq(idCol), "left_semi")
+    val repPairs = simhashChunkPairs(
+      simhashIndex(repDf, idCol, textCol, staging).chunked, idCol, maxHamming)
+    val within = members.select(col("__hash"), col(idCol).as("a_id"))
+      .join(members.select(col("__hash"), col(idCol).as("b_id")), Seq("__hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0).cast("int").as("hamming"))
+    val cross = repPairs
+      .join(reps.select(col("__hash").as("__ha"), col(idCol).as("a_id")), Seq("a_id"))
+      .join(reps.select(col("__hash").as("__hb"), col(idCol).as("b_id")), Seq("b_id"))
+      .join(members.select(col("__hash").as("__ha"), col(idCol).as("__ma")), Seq("__ha"))
+      .join(members.select(col("__hash").as("__hb"), col(idCol).as("__mb")), Seq("__hb"))
+      .select(least(col("__ma"), col("__mb")).as("a_id"),
+        greatest(col("__ma"), col("__mb")).as("b_id"), col("hamming"))
+    within.union(cross)
+  }
+
+  /** Chunk-bucket candidate join + exact-Hamming verify over a built
+    * chunk table — the shared core of both [[simhashPairs]] branches. */
+  private def simhashChunkPairs(chunked: DataFrame, idCol: String,
+                                maxHamming: Int): DataFrame = {
     val a = chunked.select(col(idCol).as("a_id"), col("__sig").as("a_sig"), col("chunk"), col("ckey"))
     val b = chunked.select(col(idCol).as("b_id"), col("__sig").as("b_sig"), col("chunk"), col("ckey"))
     a.join(b, Seq("chunk", "ckey"))

@@ -247,6 +247,17 @@ class DedupSpec extends AnyFunSuite {
     assert(collapsed.nonEmpty)
     assert(collapsed.sameElements(lean),
       s"branch divergence: collapsed=${collapsed.length} lean=${lean.length}")
+    // the SimHash twin on the same corpus (docs 1/2 identical -> the
+    // collapse branch really elects and expands; hamming 0 within group)
+    val shColl = Dedup.simhashPairs(corpus, "doc_id", "text",
+        collapsePairsPerDoc = 0.0)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    val shLean = Dedup.simhashPairs(corpus, "doc_id", "text",
+        collapsePairsPerDoc = Double.PositiveInfinity)
+      .orderBy("a_id", "b_id").collect().map(_.toString)
+    assert(shColl.nonEmpty)
+    assert(shColl.sameElements(shLean),
+      s"simhash branch divergence: collapsed=${shColl.length} lean=${shLean.length}")
   }
 
   test("native minhash kernel == pure-expression formulation") {
