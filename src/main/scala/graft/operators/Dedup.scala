@@ -726,9 +726,9 @@ object Dedup {
     val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
     if (dupPairs <= collapsePairsPerDoc * nTotal)
       return containmentPrefixPairs(base, tau, maxCandidates, staging)
-    val members = Staging.Local(keyed.select(col("id"), col("__k")))
+    val members = staging(keyed.select(col("id"), col("__k")))
     val reps = members.groupBy("__k").agg(min(col("id")).as("gid"))
-    val mem = Staging.Local(members.join(reps, Seq("__k"))
+    val mem = staging(members.join(reps, Seq("__k"))
       .select(col("id"), col("gid")))
     val repBase = staging(base.join(reps.select(col("gid").as("id")),
       Seq("id"), "left_semi"))
