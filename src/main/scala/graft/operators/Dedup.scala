@@ -601,22 +601,74 @@ object Dedup {
     * Row-identical to [[simhashPairs]] over corpus ∪ shard restricted to
     * pairs with at least one shard id (DedupSpec). */
   def simhashPairsIncremental(shard: SimHashIndex, corpus: SimHashIndex,
-                              maxHamming: Int = 3): DataFrame = {
+                              maxHamming: Int = 3,
+                              collapsePairsPerDoc: Double = 2.0): DataFrame = {
     val idCol = shard.idCol
     require(corpus.idCol == idCol,
       s"index id columns differ: '${corpus.idCol}' vs '$idCol'")
-    val sa = shard.chunked.select(col(idCol).as("a_id"), col("__sig").as("a_sig"), col("chunk"), col("ckey"))
-    val sb = shard.chunked.select(col(idCol).as("b_id"), col("__sig").as("b_sig"), col("chunk"), col("ckey"))
-    val nn = sa.join(sb, Seq("chunk", "ckey"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), hamming(col("a_sig"), col("b_sig")).as("hamming"))
-    val nc = shard.chunked.select(col(idCol).as("n_id"), col("__sig").as("n_sig"), col("chunk"), col("ckey"))
-      .join(corpus.chunked.select(col(idCol).as("c_id"), col("__sig").as("c_sig"), col("chunk"), col("ckey")),
-        Seq("chunk", "ckey"))
-      .select(least(col("n_id"), col("c_id")).as("a_id"),
-        greatest(col("n_id"), col("c_id")).as("b_id"),
-        hamming(col("n_sig"), col("c_sig")).as("hamming"))
-    nn.union(nc).distinct().filter(col("hamming") <= maxHamming)
+    // conditional collapse on the SIGNATURE key (round-7, the family
+    // trade applied at the index level): identical signatures — which
+    // is what exact-dup texts produce — collide in all four chunks, so
+    // clone families inflate both candidate legs g²·4-ish. The group
+    // key is `__sig` itself (no text access needed: equal sigs ⇔
+    // hamming 0, and every cross pair's hamming equals its rep pair's).
+    // One narrow row per id (the chunk-0 slice) feeds the mass
+    // aggregate and the membership frames.
+    val keyed = corpus.chunked.filter(col("chunk") === 0)
+      .select(col(idCol).as("id"), col("__sig"), lit(false).as("__shard"))
+      .union(shard.chunked.filter(col("chunk") === 0)
+        .select(col(idCol).as("id"), col("__sig"), lit(true).as("__shard")))
+    val st = keyed.groupBy("__sig").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
+    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
+    if (dupPairs <= collapsePairsPerDoc * nTotal) {
+      val sa = shard.chunked.select(col(idCol).as("a_id"), col("__sig").as("a_sig"), col("chunk"), col("ckey"))
+      val sb = shard.chunked.select(col(idCol).as("b_id"), col("__sig").as("b_sig"), col("chunk"), col("ckey"))
+      val nn = sa.join(sb, Seq("chunk", "ckey"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), hamming(col("a_sig"), col("b_sig")).as("hamming"))
+      val nc = shard.chunked.select(col(idCol).as("n_id"), col("__sig").as("n_sig"), col("chunk"), col("ckey"))
+        .join(corpus.chunked.select(col(idCol).as("c_id"), col("__sig").as("c_sig"), col("chunk"), col("ckey")),
+          Seq("chunk", "ckey"))
+        .select(least(col("n_id"), col("c_id")).as("a_id"),
+          greatest(col("n_id"), col("c_id")).as("b_id"),
+          hamming(col("n_sig"), col("c_sig")).as("hamming"))
+      return nn.union(nc).distinct().filter(col("hamming") <= maxHamming)
+    }
+    val members = Staging.Local(keyed)
+    val reps = members.groupBy("__sig").agg(min(col("id")).as("gid"))
+    val mem = Staging.Local(members.join(reps, Seq("__sig"))
+      .select(col("id"), col("gid"), col("__shard")))
+    val repIds = reps.select(col("gid").as(idCol))
+    val allChunked = corpus.chunked.union(shard.chunked)
+    val repChunked = allChunked.join(repIds, Seq(idCol), "left_semi")
+    val probeGroups = mem.filter(col("__shard")).select(col("gid").as(idCol)).distinct()
+    val probeChunked = repChunked.join(probeGroups, Seq(idCol), "left_semi")
+    val repPairs = probeChunked
+      .select(col(idCol).as("x_id"), col("__sig").as("x_sig"), col("chunk"), col("ckey"))
+      .join(repChunked.select(col(idCol).as("y_id"), col("__sig").as("y_sig"),
+        col("chunk"), col("ckey")), Seq("chunk", "ckey"))
+      .filter(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("u"),
+        greatest(col("x_id"), col("y_id")).as("v"),
+        hamming(col("x_sig"), col("y_sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val within = mem.select(col("gid"), col("id").as("a_id"), col("__shard").as("__sa"))
+      .join(mem.select(col("gid"), col("id").as("b_id"), col("__shard").as("__sb")),
+        Seq("gid"))
+      .filter(col("a_id") < col("b_id") && (col("__sa") || col("__sb")))
+      .select(col("a_id"), col("b_id"), lit(0).cast("int").as("hamming"))
+    val cross = repPairs
+      .join(mem.select(col("gid").as("u"), col("id").as("__ma"),
+        col("__shard").as("__sa")), Seq("u"))
+      .join(mem.select(col("gid").as("v"), col("id").as("__mb"),
+        col("__shard").as("__sb")), Seq("v"))
+      .filter(col("__sa") || col("__sb"))
+      .select(least(col("__ma"), col("__mb")).as("a_id"),
+        greatest(col("__ma"), col("__mb")).as("b_id"), col("hamming"))
+    within.union(cross)
   }
 
   // ------------------------------------------------------------------

@@ -370,6 +370,14 @@ class DedupSpec extends AnyFunSuite {
     assert(inc == fullTouching)
     assert(inc.contains((1L, 101L, 0))) // identical text -> Hamming 0 cross pair
     assert(!inc.exists(p => p._1 < 100 && p._2 < 100))
+    // sig-keyed collapse branch parity (the corpus/shard share identical
+    // texts, so forced collapse really elects and expands)
+    val coll = toSet(Dedup.simhashPairsIncremental(sIdx, cIdx, maxHamming = 3,
+      collapsePairsPerDoc = 0.0))
+    val lean = toSet(Dedup.simhashPairsIncremental(sIdx, cIdx, maxHamming = 3,
+      collapsePairsPerDoc = Double.PositiveInfinity))
+    assert(coll == lean && lean == inc,
+      s"branch divergence: collapsed=${coll.size} lean=${lean.size}")
   }
 
   test("simhashPairs recovers identical pair via chunk buckets") {
