@@ -12,8 +12,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS), unreadable by Spark 4
-      // without this (arrives as Long epoch-nanos; see Tables.events)
+      // events.ts physical type is driver-controlled and has shipped as
+      // both INT64 TIMESTAMP(NANOS) (needs this setting or the read
+      // throws) and timestamp[us]; Tables.normalizeTs maps either to
+      // the engine-wide epoch-nanos BIGINT contract
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // see Tables.session: inferred size()>0 filters inline staged
