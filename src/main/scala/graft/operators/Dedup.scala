@@ -524,6 +524,30 @@ object Dedup {
     }
   }
 
+  /** Persist a [[SimHashIndex]] as a bucketed Parquet table, hash-
+    * bucketed (and sorted) on the candidate join's exact (chunk, ckey)
+    * key set — the family's persistence contract (see
+    * [[saveMinhashIndex]]): an incremental batch reads the corpus side
+    * co-located and only the shard shuffles. The id column name rides
+    * in `<prefix>_meta`. */
+  def saveSimhashIndex(idx: SimHashIndex, prefix: String,
+                       buckets: Int = 64): Unit = {
+    val spark = idx.chunked.sparkSession
+    idx.chunked.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "chunk", "ckey").sortBy("chunk", "ckey")
+      .saveAsTable(s"${prefix}_chunked")
+    import spark.implicits._
+    Seq(Tuple1(idx.idCol)).toDF("id_col")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Load a [[saveSimhashIndex]]-persisted index by catalog name. */
+  def loadSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String): SimHashIndex = {
+    val m = spark.table(s"${prefix}_meta").head()
+    SimHashIndex(m.getString(0), spark.table(s"${prefix}_chunked"))
+  }
+
   /** Build the [[SimHashIndex]] for `df`: signature (native codegen
     * vote kernel) + chunk explode — shuffle-free scan projection. */
   def simhashIndex(df: DataFrame, idCol: String, textCol: String,

@@ -80,6 +80,29 @@ class IndexPersistSpec extends AnyFunSuite {
     } finally drop("em_rt_hashed", "em_rt_vecs", "em_rt_meta")
   }
 
+  test("SimHashIndex: bucketed save/load round-trip, shard-only shuffle") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val shard = docs.filter(col("doc_id") % 2 === 1)
+    val cIdx = Dedup.simhashIndex(corpus, "doc_id", "text")
+    Dedup.saveSimhashIndex(cIdx, "sh_rt", buckets = 8)
+    try {
+      val loaded = Dedup.loadSimhashIndex(spark, "sh_rt")
+      assert(loaded.idCol == "doc_id")
+      val sIdx = Dedup.simhashIndex(shard, "doc_id", "text")
+      val mem = Dedup.simhashPairsIncremental(sIdx, cIdx, maxHamming = 3)
+        .orderBy("a_id", "b_id").collect().map(_.toString)
+      val rel = Dedup.simhashPairsIncremental(sIdx, loaded, maxHamming = 3)
+        .orderBy("a_id", "b_id").collect().map(_.toString)
+      assert(rel.sameElements(mem),
+        s"reloaded ingest diverges: mem=${mem.length} reloaded=${rel.length}")
+      assertOneShardExchange(
+        sIdx.chunked.select(col("doc_id").as("s_id"), col("chunk"), col("ckey"))
+          .join(spark.table("sh_rt_chunked").select(col("doc_id").as("c_id"),
+            col("chunk"), col("ckey")), Seq("chunk", "ckey")))
+    } finally drop("sh_rt_chunked", "sh_rt_meta")
+  }
+
   test("ContainmentIndex: bucketed save/load round-trip, shard-only shuffle") {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 2 === 0)
