@@ -53,6 +53,11 @@ object Bench {
     // `{"q1":sec,…}` example) and 3-decimal seconds — ~1.6 kB for 105
     // queries, inside the tail with room for sbt's closing lines.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // the short keys are only valid while every catalog name has a
+    // unique numeric prefix — a silent collision would drop a query's
+    // timing from the JSON, so fail loudly instead
+    require(results.keySet.map(_.split("_")(0)).size == results.size,
+      "bench short-key collision: two catalog entries share a qNN prefix")
     val qsShort = results.map { case (k, v) => s"\"" + k.split("_")(0) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")

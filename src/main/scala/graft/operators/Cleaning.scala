@@ -308,7 +308,7 @@ object Cleaning {
     * "10" < "9" would pick 10, native picks 9; parity with per-column
     * [[mode]] pinned in CleaningSpec on exactly such a tie). Two typed
     * sort keys re-cast the stacked string faithfully per column family:
-    * integral and decimal columns get decimal(38,18) — exact over the
+    * integral and in-range decimal columns get decimal(38,18) — exact over the
     * FULL Long range, where a double key would collapse distinct values
     * beyond 2^53 and fall back to lexical order that diverges from
     * per-column [[mode]]'s native ordering (tied large negative longs
@@ -324,9 +324,19 @@ object Cleaning {
   def modeImpute(df: DataFrame, cols: Seq[String]): DataFrame = {
     if (cols.isEmpty) return df
     import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    // DecimalType bound: the shared exact key is decimal(38,18), which
+    // holds 20 integer digits. A wider decimal (p−s > 20) would OVERFLOW
+    // the cast to null — and asc_nulls_first would then sort the
+    // overflowed values ahead of valid ones, diverging from the
+    // per-column native order — and s > 18 would silently collapse
+    // values differing past 18 fractional digits. Such columns fall to
+    // the double key instead: monotone over the full decimal range
+    // (never null), with ties beyond double's 53-bit mantissa resolved
+    // by the final lexical key — a documented approximation only for
+    // decimals outside (p−s ≤ 20, s ≤ 18).
     val exactCols = cols.filter(c => df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
-      case _: DecimalType => true
+      case d: DecimalType => d.precision - d.scale <= 20 && d.scale <= 18
       case _ => false
     })
     val fpCols = cols.filter(c =>

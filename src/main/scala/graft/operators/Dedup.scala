@@ -66,6 +66,10 @@ object Dedup {
     * point is to refuse before the expensive join is scheduled. */
   def requirePairBudget(probe: DataFrame, corpus: DataFrame, blockCol: String,
                         maxPairs: Long): Unit = {
+    // a stream cannot be counted at build time; the per-micro-batch
+    // volume is bounded by the trigger, so the budget contract moves to
+    // the caller's trigger sizing
+    if (probe.isStreaming || corpus.isStreaming) return
     val a = probe.groupBy(col(blockCol)).agg(count(lit(1)).as("__a"))
     val b = corpus.groupBy(col(blockCol)).agg(count(lit(1)).as("__b"))
     val total = a.join(b, Seq(blockCol))
@@ -75,6 +79,28 @@ object Dedup {
         s"pairs (budget $maxPairs). This tier is quadratic within blocks " +
         "by contract; switch to the banded scale path " +
         "(Dedup.minhashLshPairs / Dedup.simhashPairs / Similarity.lshDupPairs).")
+  }
+
+  /** Conditional-collapse probe shared by the pair families: does the
+    * exact-dup pair mass Σ c(c−1)/2 of `keyed` grouped by `key` exceed
+    * `ratio` pairs per row? Deliberately an EAGER aggregate at
+    * plan-construction time — the answer gates WHICH plan gets built —
+    * which is exactly why it must NOT run under [[Staging.None]] (the
+    * documented streaming-safe / lazy-composition pass-through: no
+    * action may fire at build time) or on a streaming input (`.head()`
+    * on a streaming plan throws). In those cases the probe is skipped
+    * and the LEAN branch is taken unconditionally: the lean plan is the
+    * only one whose candidate joins stay stream-composable, and a
+    * caller that knows its corpus is clone-heavy can still stage the
+    * input and use a materializing mode. */
+  private[graft] def heavyDupMass(keyed: DataFrame, key: Column,
+                                  staging: Staging.Mode,
+                                  ratio: Double): Boolean = {
+    if (staging == Staging.None || keyed.isStreaming) return false
+    val st = keyed.groupBy(key.as("__h")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
+    st.getLong(1) / 2 > ratio * st.getLong(0)
   }
 
   // MinHash: h_j(x) = (a_j * (xxhash64(x) mod p) + b_j) mod p with the
@@ -350,11 +376,7 @@ object Dedup {
                       threshold: Double = 0.5,
                       staging: Staging.Mode = Staging.Local,
                       collapsePairsPerDoc: Double = 2.0): DataFrame = {
-    val st = df.groupBy(md5(col(textCol)).as("__h")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
-        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
-    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
-    if (dupPairs <= collapsePairsPerDoc * nTotal)
+    if (!heavyDupMass(df, md5(col(textCol)), staging, collapsePairsPerDoc))
       return bandedJaccardPairs(
         minhashIndex(df, idCol, textCol, numPerms, rowsPerBand, staging),
         idCol, threshold)
@@ -578,11 +600,7 @@ object Dedup {
                    maxHamming: Int = 3,
                    staging: Staging.Mode = Staging.Local,
                    collapsePairsPerDoc: Double = 2.0): DataFrame = {
-    val st = df.groupBy(md5(col(textCol)).as("__h")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
-        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
-    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
-    if (dupPairs <= collapsePairsPerDoc * nTotal)
+    if (!heavyDupMass(df, md5(col(textCol)), staging, collapsePairsPerDoc))
       return simhashChunkPairs(
         simhashIndex(df, idCol, textCol, staging).chunked, idCol, maxHamming)
     val members = staging(df.select(col(idCol), md5(col(textCol)).as("__hash")))
@@ -626,7 +644,8 @@ object Dedup {
     * pairs with at least one shard id (DedupSpec). */
   def simhashPairsIncremental(shard: SimHashIndex, corpus: SimHashIndex,
                               maxHamming: Int = 3,
-                              collapsePairsPerDoc: Double = 2.0): DataFrame = {
+                              collapsePairsPerDoc: Double = 2.0,
+                              staging: Staging.Mode = Staging.Local): DataFrame = {
     val idCol = shard.idCol
     require(corpus.idCol == idCol,
       s"index id columns differ: '${corpus.idCol}' vs '$idCol'")
@@ -642,11 +661,7 @@ object Dedup {
       .select(col(idCol).as("id"), col("__sig"), lit(false).as("__shard"))
       .union(shard.chunked.filter(col("chunk") === 0)
         .select(col(idCol).as("id"), col("__sig"), lit(true).as("__shard")))
-    val st = keyed.groupBy("__sig").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
-        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
-    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
-    if (dupPairs <= collapsePairsPerDoc * nTotal) {
+    if (!heavyDupMass(keyed, col("__sig"), staging, collapsePairsPerDoc)) {
       val sa = shard.chunked.select(col(idCol).as("a_id"), col("__sig").as("a_sig"), col("chunk"), col("ckey"))
       val sb = shard.chunked.select(col(idCol).as("b_id"), col("__sig").as("b_sig"), col("chunk"), col("ckey"))
       val nn = sa.join(sb, Seq("chunk", "ckey"))
@@ -660,9 +675,9 @@ object Dedup {
           hamming(col("n_sig"), col("c_sig")).as("hamming"))
       return nn.union(nc).distinct().filter(col("hamming") <= maxHamming)
     }
-    val members = Staging.Local(keyed)
+    val members = staging(keyed)
     val reps = members.groupBy("__sig").agg(min(col("id")).as("gid"))
-    val mem = Staging.Local(members.join(reps, Seq("__sig"))
+    val mem = staging(members.join(reps, Seq("__sig"))
       .select(col("id"), col("gid"), col("__shard")))
     val repIds = reps.select(col("gid").as(idCol))
     val allChunked = corpus.chunked.union(shard.chunked)
@@ -796,11 +811,7 @@ object Dedup {
     // direction-preserved because containment is a pure function of
     // the two sets). Both branches row-identical (DedupSpec).
     val keyed = base.withColumn("__k", md5(concat_ws("\u0001", sort_array(col("sh")))))
-    val st = keyed.groupBy("__k").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
-        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
-    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
-    if (dupPairs <= collapsePairsPerDoc * nTotal)
+    if (!heavyDupMass(keyed, col("__k"), staging, collapsePairsPerDoc))
       return containmentPrefixPairs(base, tau, maxCandidates, staging)
     val members = staging(keyed.select(col("id"), col("__k")))
     val reps = members.groupBy("__k").agg(min(col("id")).as("gid"))
@@ -943,7 +954,8 @@ object Dedup {
   def containmentJoinIncremental(shard: ContainmentIndex,
                                  corpus: ContainmentIndex, tau: Double,
                                  maxCandidates: Long = 200000000L,
-                                 collapsePairsPerDoc: Double = 2.0): DataFrame = {
+                                 collapsePairsPerDoc: Double = 2.0,
+                                 staging: Staging.Mode = Staging.Local): DataFrame = {
     val idCol = shard.idCol
     require(corpus.idCol == idCol,
       s"index id columns differ: '${corpus.idCol}' vs '$idCol'")
@@ -956,11 +968,7 @@ object Dedup {
       // single-space split, so no gram contains it and the sorted-set
       // concatenation is prefix-unambiguous
       .withColumn("__k", md5(concat_ws("\u0001", sort_array(col("sh")))))
-    val st = keyed.groupBy("__k").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
-        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
-    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
-    if (dupPairs <= collapsePairsPerDoc * nTotal) {
+    if (!heavyDupMass(keyed, col("__k"), staging, collapsePairsPerDoc)) {
       val allPost = corpus.posting.union(shard.posting)
       requirePairBudget(shard.posting, allPost, "gram", maxCandidates)
       val und = shard.posting.select(col("id").as("x_id"), col("gram"))
@@ -980,9 +988,9 @@ object Dedup {
     }
     // collapse branch: membership and reps on narrow (id, __k, __shard)
     // columns; the one array-keyed op was the md5 above
-    val members = Staging.Local(keyed.select(col("id"), col("__k"), col("__shard")))
+    val members = staging(keyed.select(col("id"), col("__k"), col("__shard")))
     val reps = members.groupBy("__k").agg(min(col("id")).as("gid"))
-    val mem = Staging.Local(members.join(reps, Seq("__k"))
+    val mem = staging(members.join(reps, Seq("__k"))
       .select(col("id"), col("gid"), col("__shard")))
     val repIds = reps.select(col("gid").as("id"))
     val allPost = corpus.posting.union(shard.posting)

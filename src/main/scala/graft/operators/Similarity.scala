@@ -284,11 +284,7 @@ object Similarity {
                   seed: Long = 42L, dim: Int = -1,
                   staging: Staging.Mode = Staging.Local,
                   collapsePairsPerDoc: Double = 2.0): DataFrame = {
-    val st = df.groupBy(col(vecCol).as("__k")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
-        coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2")).head()
-    val (nTotal, dupPairs) = (st.getLong(0), st.getLong(1) / 2)
-    if (dupPairs <= collapsePairsPerDoc * nTotal)
+    if (!Dedup.heavyDupMass(df, col(vecCol), staging, collapsePairsPerDoc))
       return bandedCosinePairs(
         embedIndex(df, idCol, vecCol, bitsPerTable, numTables, seed, dim, staging),
         threshold)

@@ -755,8 +755,10 @@ object MLQueries {
         val sizes = labeled.groupBy("cluster").agg(count(lit(1)).as("__n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val n = sizes.values.sum
+        // getOrElse: an empty cluster (absent from `sizes`) must degrade
+        // to a failed recovery boolean, not a NoSuchElementException
         val wmean = (0 until 8).map { j =>
-          (1 to 3).map(c => sizes(c).toDouble * centers(c - 1)(j)).sum / n }
+          (1 to 3).map(c => sizes.getOrElse(c, 0L).toDouble * centers(c - 1)(j)).sum / n }
         val rawRow = e.agg(avg(col("f0")).as("a0"),
           (1 until 8).map(i => avg(col(s"f$i")).as(s"a$i")): _*).head()
         val maxRel = (0 until 8).map { j =>

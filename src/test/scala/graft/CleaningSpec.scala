@@ -115,6 +115,27 @@ class CleaningSpec extends AnyFunSuite {
     assert(Cleaning.mode(df, "big").contains(b)) // parity with per-column mode
   }
 
+  test("modeImpute wide-decimal tie keys stay monotone (no decimal(38,18) overflow-to-null)") {
+    // decimal(38,0) has 38 integer digits — the exact decimal(38,18) key
+    // holds only 20, so the old cast overflowed BOTH tied values to null
+    // and the lexical fallback would impute 1e37 ("10…" sorts before
+    // "90…") where the native numeric order (per-column mode) imputes
+    // 9e36. Such columns now take the monotone double key instead.
+    val small = BigDecimal("9" + "0" * 36) // 9e36, 37 digits
+    val big = BigDecimal("1" + "0" * 37)   // 1e37, 38 digits
+    // build via strings: the Scala BigDecimal ENCODER itself targets
+    // decimal(38,18), which can't hold these either
+    val df = Seq(Some(small.toString), Some(big.toString), Some(small.toString),
+        Some(big.toString), None).toDF("wide")
+      .select(col("wide").cast("decimal(38,0)").as("wide"))
+    val out = Cleaning.modeImpute(df, Seq("wide"))
+    assert(out.filter(col("wide").isNull).count() == 0)
+    assert(out.schema("wide").dataType.typeName == "decimal(38,0)")
+    val nSmall = out.filter(col("wide") === lit(small.bigDecimal)).count()
+    assert(nSmall == 3L, s"wide-decimal tie imputed wrong value (9e36 appears ×$nSmall, want 3)")
+    assert(Cleaning.mode(df, "wide").map(_.toString).contains(small.bigDecimal.toPlainString))
+  }
+
   test("sortedQuantiles (sketch-bracketed exact selection) == percentile aggregate exactly") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)

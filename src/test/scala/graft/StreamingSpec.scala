@@ -494,4 +494,47 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0,
       "streaming embedding corpus-match gate diverges from its batch run")
   }
+
+  test("pair families build lazily under Staging.None (pair-mass probe skipped)") {
+    // the conditional-collapse probe is an eager .head() at
+    // plan-construction time; under Staging.None (the documented
+    // streaming-safe pass-through) it must be skipped — previously mere
+    // CONSTRUCTION of these ops over a streaming input threw
+    import graft.operators.{Dedup, Similarity, Staging}
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    val dir = java.nio.file.Files.createTempDirectory("docs_lazyprobe").toString
+    base.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    // collapsePairsPerDoc = 0 would force the collapse branch on any dup
+    // mass — Staging.None must win and take the lean branch without
+    // running a probe job
+    val m = Dedup.minhashLshPairs(stream, "doc_id", "text",
+      staging = Staging.None, collapsePairsPerDoc = 0.0)
+    val s = Dedup.simhashPairs(stream, "doc_id", "text",
+      staging = Staging.None, collapsePairsPerDoc = 0.0)
+    val c = Dedup.containmentJoin(stream, "doc_id", "text", tau = 0.5,
+      staging = Staging.None, collapsePairsPerDoc = 0.0)
+    assert(m.isStreaming && s.isStreaming && c.isStreaming)
+    val embBase = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(50)
+    val edir = java.nio.file.Files.createTempDirectory("emb_lazyprobe").toString
+    embBase.write.mode("overwrite").parquet(edir)
+    val estream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(edir)
+    val e = Similarity.lshDupPairs(estream, "vec_id", "embedding", threshold = 0.9,
+      dim = 64, staging = Staging.None, collapsePairsPerDoc = 0.0)
+    assert(e.isStreaming)
+    // batch side: Staging.None still takes the lean branch (probe
+    // skipped), and the lean output is row-identical to the collapse
+    // branch per the families' branch-identity contract
+    val clones = base.union(base.withColumn("doc_id", col("doc_id") + 1000000L))
+    val lean = Dedup.minhashLshPairs(clones, "doc_id", "text",
+      staging = Staging.None, collapsePairsPerDoc = 0.0)
+    val collapsed = Dedup.minhashLshPairs(clones, "doc_id", "text",
+      collapsePairsPerDoc = 0.0)
+    assert(lean.exceptAll(collapsed).count() == 0 &&
+      collapsed.exceptAll(lean).count() == 0,
+      "Staging.None lean branch diverges from the collapse branch")
+  }
 }
