@@ -45,10 +45,14 @@ object Tables {
     apply(spark, dir, "events")
       .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
 
-  /** Session builder used by tests/tools: mirrors Verify/Bench configs. */
+  /** Session builder used by tests/tools: mirrors Verify/Bench configs.
+    * SPARK_GRAFT_MASTER overrides the master (the local-cluster
+    * distribution-realism drives run every tool against separate
+    * executor JVMs this way; see Verify). */
   def session(threads: Int = 8): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$threads]")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$threads]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -65,7 +69,9 @@ object Tables {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

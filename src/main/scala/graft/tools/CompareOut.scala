@@ -11,6 +11,7 @@ object CompareOut {
     spark.sparkContext.setLogLevel("ERROR")
     val names = new java.io.File(a).listFiles().filter(_.isDirectory).map(_.getName).sorted
     var bad = 0
+    var errs = 0
     names.foreach { q =>
       try {
         val da = spark.read.parquet(s"$a/$q")
@@ -18,9 +19,10 @@ object CompareOut {
         val d1 = da.exceptAll(db).count()
         val d2 = db.exceptAll(da).count()
         if (d1 != 0 || d2 != 0) { bad += 1; println(s"DIFF $q: a-b=$d1 b-a=$d2") }
-      } catch { case e: Exception => println(s"ERR $q: ${e.getMessage.take(100)}") }
+      } catch { case e: Exception => errs += 1; println(s"ERR $q: ${e.getMessage.take(100)}") }
     }
-    println(s"compared ${names.length} queries, $bad diffs")
+    // errs != 0 means a side was missing/unreadable — NOT a clean compare
+    println(s"compared ${names.length} queries, $bad diffs, $errs errors")
     spark.stop()
   }
 }
