@@ -116,7 +116,7 @@ object MLQueries {
     fr AS (SELECT allr.*, nn.n FROM allr CROSS JOIN nn
            WHERE CAST(pc AS DOUBLE) / ac >= CAST(0.3 AS DOUBLE))"""
 
-  lazy val entries: Seq[(String, QueryDef)] = base ++ q105
+  lazy val entries: Seq[(String, QueryDef)] = base ++ q105 ++ q106
 
   private val base: Seq[(String, QueryDef)] = Seq(
 
@@ -776,4 +776,80 @@ object MLQueries {
                TRUE AS unscale_recovers_raw_means,
                ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS mean_f0_r
         FROM embeddings""")))
+
+  // q106: kernel-density naive Bayes (M7, klaR semantics — the variant
+  // BigDataProject.R:360's dead `usekernel = TRUE` was asking for; see
+  // KdeNb's scaladoc for the e1071 library-bug finding). The fit's
+  // deterministic surface — per-(class,feature) n, the bw.nrd0 bandwidth
+  // (exact type-7 IQR + stddev_samp), and the density-grid range
+  // [min-3bw, max+3bw] — is DuckDB-reproducible and hash-checked
+  // (rounded 4, the q58 discipline for cross-engine double aggregates).
+  // The fit-dependent grid itself is pinned by theorem booleans in the
+  // q105 style: each density integrates to ~1, the Gaussian kernel
+  // preserves the sample mean, and the codegen scoring pass normalizes
+  // posteriors on every row. Golden row-for-row parity against an
+  // independent twin lives in KdeNbSpec.
+  private val q106: Seq[(String, QueryDef)] = Seq(
+    "q106_kde_nb" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ev = Tables(s, d, "events").select(
+          col("event_type"), col("user_id").cast("double").as("user_id"),
+          col("value").cast("double").as("value"))
+        val model = graft.operators.KdeNb.fit(
+          ev, Seq("user_id", "value"), "event_type")
+        val means = ev.groupBy("event_type")
+          .agg(avg("user_id").as("m_user_id"), avg("value").as("m_value"))
+          .collect().flatMap(r => Seq(
+            (r.getString(0), "user_id") -> r.getDouble(1),
+            (r.getString(0), "value") -> r.getDouble(2))).toMap
+        val scored = graft.operators.KdeNb.score(ev, model)
+        val sumPost = model.classes.indices
+          .map(i => col(s"posterior_$i")).reduce(_ + _)
+        val sRow = scored.agg(count(lit(1)).as("cnt"),
+          max(abs(sumPost - 1.0)).as("dev")).head()
+        val scoredOk = sRow.getLong(0) == model.counts.values.sum &&
+          sRow.getDouble(1) <= 1e-9
+        val rows = model.densities.map { dn =>
+          val dx = (dn.hi - dn.lo) / (model.gridN - 1)
+          val integral = dn.ys.sum * dx
+          val kdeMean = dn.ys.zipWithIndex
+            .map { case (y, j) => (dn.lo + j * dx) * y }.sum * dx / integral
+          val sMean = means((dn.label, dn.feature))
+          (dn.label, dn.feature, dn.n, dn.bw, dn.lo, dn.hi,
+            dn.ys.forall(_ >= 0) && math.abs(integral - 1.0) <= 0.005,
+            math.abs(kdeMean - sMean) <= 1e-3 * (math.abs(sMean) + 1),
+            scoredOk)
+        }
+        rows.toDF("label", "feature", "n", "bwu", "lou", "hiu",
+            "integral_ok", "mean_ok", "scored_ok")
+          .select(col("label"), col("feature"), col("n"),
+            round(col("bwu"), 4).as("bw_r"), round(col("lou"), 4).as("lo_r"),
+            round(col("hiu"), 4).as("hi_r"), col("integral_ok"),
+            col("mean_ok"), col("scored_ok"))
+          .orderBy("label", "feature")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_type AS label, CAST(user_id AS DOUBLE) AS u,
+                          CAST(value AS DOUBLE) AS v FROM events),
+        sv AS (SELECT label, 'user_id' AS feature, COUNT(u) AS n,
+                      COALESCE(stddev_samp(u), 0) AS sd,
+                      quantile_cont(u, 0.75) - quantile_cont(u, 0.25) AS iqr,
+                      AVG(u) AS m, MIN(u) AS mn, MAX(u) AS mx
+               FROM e GROUP BY label
+               UNION ALL
+               SELECT label, 'value', COUNT(v), COALESCE(stddev_samp(v), 0),
+                      quantile_cont(v, 0.75) - quantile_cont(v, 0.25),
+                      AVG(v), MIN(v), MAX(v)
+               FROM e GROUP BY label),
+        b AS (SELECT label, feature, n,
+                     0.9 * (CASE WHEN LEAST(sd, iqr / 1.34) > 0 THEN LEAST(sd, iqr / 1.34)
+                                 WHEN sd > 0 THEN sd
+                                 WHEN ABS(m) > 0 THEN ABS(m) ELSE 1 END)
+                         * POW(CAST(n AS DOUBLE), -0.2) AS bwu, mn, mx
+              FROM sv)
+        SELECT label, feature, CAST(n AS BIGINT) AS n, ROUND(bwu, 4) AS bw_r,
+               ROUND(mn - 3 * bwu, 4) AS lo_r, ROUND(mx + 3 * bwu, 4) AS hi_r,
+               TRUE AS integral_ok, TRUE AS mean_ok, TRUE AS scored_ok
+        FROM b ORDER BY label, feature""")))
 }
