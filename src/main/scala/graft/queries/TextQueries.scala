@@ -1560,20 +1560,30 @@ object TextQueries {
         Dedup.containmentJoinIncremental(sIdx, cIdx, tau = 0.5)
           .orderBy("a_id", "b_id")
       },
+      // Oracle kept in the emulator-and-DuckDB COMMON dialect (VERDICT r7
+      // watch item): prefix slices as list_slice(tk, 1, n) (== Spark
+      // slice(tk, 1, n) when begin is 1), variable indexing as
+      // list_extract (== element_at), and the shingle count staged as a
+      // plain column so range(1, ns + 1) stays regex-rewritable — no
+      // per-query OracleEmu override, so local replay cannot drift from
+      // the driver's real-DuckDB check.
       oracle = Some("""
         WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM b0),
         ex AS (SELECT doc_id + 30000000 AS doc_id,
-                      array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) // 2], ' ') AS text
-               FROM b0 WHERE doc_id % 40 = 0),
+                      array_to_string(list_slice(tk, 1, CAST(len(tk) // 2 AS INT)), ' ') AS text
+               FROM tk0 WHERE doc_id % 40 = 0),
         u AS (SELECT doc_id, text FROM b0 UNION ALL SELECT doc_id, text FROM ex),
-        sh0 AS (SELECT doc_id,
-                  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
-                FROM u),
-        s AS (SELECT doc_id, sh, len(sh) AS m FROM sh0 WHERE len(sh) > 0),
+        t1 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM u),
+        t2 AS (SELECT doc_id, tk, len(tk) - 2 AS ns FROM t1 WHERE len(tk) >= 3),
+        s AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, ns + 1),
+                       i -> list_extract(tk, i) || ' ' || list_extract(tk, i + 1) || ' ' || list_extract(tk, i + 2))) AS sh
+              FROM t2),
+        s2 AS (SELECT doc_id, sh, len(sh) AS m FROM s),
         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1000000 // a.m AS DOUBLE) / 1000000 AS containment
-              FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+              FROM s2 a JOIN s2 b ON a.doc_id <> b.doc_id)
         SELECT a_id, b_id, containment FROM p
         WHERE (a_id >= 30000000 OR b_id >= 30000000) AND containment >= 0.5
         ORDER BY a_id, b_id"""))

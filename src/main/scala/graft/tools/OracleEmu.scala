@@ -34,6 +34,12 @@ object OracleEmu {
     s = s.replace("list_filter(", "filter(")
     s = s.replace("list_transform(", "transform(")
     s = s.replace("list_contains(", "array_contains(")
+    s = s.replace("list_extract(", "element_at(") // same 1-based semantics
+    // PREFIX slices only: DuckDB list_slice(l, 1, n) (inclusive end) ==
+    // Spark slice(l, 1, n) (length) exactly when begin is 1 — oracles
+    // must not use a non-1 begin with this textual mapping
+    s = s.replace("list_slice(", "slice(")
+    s = s.replace("array_to_string(", "array_join(")
     s = s.replace("unnest(", "explode(")
     s = s.replaceAll("""\blen\(""", "size(")
     s = s.replace("strftime(", "date_format(")
@@ -86,27 +92,6 @@ object OracleEmu {
                    CAST((size(array_intersect(a.sh, b.sh)) * CAST(1000000 AS BIGINT)) DIV a.m AS DOUBLE) / 1000000 AS containment
             FROM s a JOIN s b ON a.doc_id <> b.doc_id)
       SELECT a_id, b_id, containment FROM p WHERE containment >= 0.5
-      ORDER BY a_id, b_id""",
-    "q104_incremental_containment" -> """
-      WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-      ex AS (SELECT doc_id + 30000000 AS doc_id,
-                    concat_ws(' ', slice(split(text, ' '), 1, CAST(size(split(text, ' ')) DIV 2 AS INT))) AS text
-             FROM b0 WHERE doc_id % 40 = 0),
-      u AS (SELECT doc_id, text FROM b0 UNION ALL SELECT doc_id, text FROM ex),
-      sh0 AS (SELECT doc_id,
-                array_distinct(IF(size(split(text, ' ')) >= 3,
-                  transform(sequence(1, size(split(text, ' ')) - 2),
-                    i -> concat_ws(' ', element_at(split(text, ' '), i),
-                                   element_at(split(text, ' '), i + 1),
-                                   element_at(split(text, ' '), i + 2))),
-                  CAST(array() AS ARRAY<STRING>))) AS sh
-              FROM u),
-      s AS (SELECT doc_id, sh, size(sh) AS m FROM sh0 WHERE size(sh) > 0),
-      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                   CAST((size(array_intersect(a.sh, b.sh)) * CAST(1000000 AS BIGINT)) DIV a.m AS DOUBLE) / 1000000 AS containment
-            FROM s a JOIN s b ON a.doc_id <> b.doc_id)
-      SELECT a_id, b_id, containment FROM p
-      WHERE (a_id >= 30000000 OR b_id >= 30000000) AND containment >= 0.5
       ORDER BY a_id, b_id""",
     "q99_csv_lifecycle" -> """
       WITH num AS (
