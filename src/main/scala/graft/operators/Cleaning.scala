@@ -433,10 +433,28 @@ object Cleaning {
   }
 
   /** A7 (BigDataProject.R:153): top-n by a measure, KEEPING ties (R
-    * top_n semantics) — rank(), not row_number()/limit. */
-  def topNWithTies(df: DataFrame, orderCol: String, n: Int): DataFrame =
-    df.withColumn("__rk", rank().over(Window.orderBy(desc(orderCol))))
-      .filter(col("__rk") <= n).drop("__rk")
+    * top_n semantics). Rank-free scale-safe formulation (round 8): the
+    * naive `rank().over(Window.orderBy(...))` is a partitionless window —
+    * a single-partition global sort if ever fed a raw high-cardinality
+    * frame. Instead the cut value is found by a DISTRIBUTED top-n
+    * (TakeOrderedAndProject over non-null measures) and rows are kept by
+    * one broadcast-filter pass: `measure >= nth largest` keeps exactly
+    * the rank()<=n rows (every tie at the cut passes). Null measures sort
+    * last under desc, so they survive only when fewer than n non-null
+    * rows exist — the `ntop < n` leg reproduces that rank edge exactly
+    * (equivalence vs the window formulation pinned in CleaningSpec,
+    * including the all-null and n>rows edges). Two narrow scans replace
+    * one all-rows single-partition sort: the shape that survives 10⁹
+    * rows. */
+  def topNWithTies(df: DataFrame, orderCol: String, n: Int): DataFrame = {
+    val cut = df.select(col(orderCol).as("__v")).filter(col("__v").isNotNull)
+      .orderBy(desc("__v")).limit(n)
+      .agg(min("__v").as("__thr"), count(lit(1)).as("__ntop"))
+    df.join(broadcast(cut))
+      .filter(col(orderCol) >= col("__thr") ||
+        (col(orderCol).isNull && col("__ntop") < n))
+      .drop("__thr", "__ntop")
+  }
 
   /** A1 (BigDataProject.R:78,83): one-row null-count-per-column frame. */
   def nullCounts(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {

@@ -33,6 +33,36 @@ class CleaningSpec extends AnyFunSuite {
     assert(got == Set("a", "b", "c")) // rank 2 is a tie -> 3 rows survive
   }
 
+  test("topNWithTies matches the rank() window formulation on every edge") {
+    import org.apache.spark.sql.expressions.Window
+    def viaRank(df: org.apache.spark.sql.DataFrame, c: String, n: Int) =
+      df.withColumn("__rk", rank().over(Window.orderBy(desc(c))))
+        .filter(col("__rk") <= n).drop("__rk")
+    val cases: Seq[(Seq[Option[Long]], Int)] = Seq(
+      (Seq(Some(5L), Some(3L), Some(3L), Some(1L)), 2),   // tie at the cut
+      (Seq(Some(9L), Some(9L), Some(9L)), 2),             // all tied
+      (Seq(Some(4L), Some(2L)), 10),                      // n > rows
+      (Seq(Some(4L), None, Some(2L), None), 3),           // nulls below cut
+      (Seq(Some(4L), None, None), 3),                     // nulls reached by n
+      (Seq(None, None), 1),                               // all null
+      (Seq.empty[Option[Long]], 2))                       // empty frame
+    cases.foreach { case (xs, n) =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "cnt")
+      val got = Cleaning.topNWithTies(df, "cnt", n)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val want = viaRank(df, "cnt", n)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got == want, s"xs=$xs n=$n")
+    }
+  }
+
+  test("topNWithTies plan has no partitionless window") {
+    val df = Seq(("a", 5L), ("b", 3L), ("c", 3L), ("d", 1L)).toDF("k", "cnt")
+    val plan = Cleaning.topNWithTies(df, "cnt", 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window resurfaced:\n$plan")
+    assert(plan.contains("TakeOrdered"), s"cut not computed via distributed top-n:\n$plan")
+  }
+
   test("iqrCap clamps outliers but preserves nulls (R ifelse NA semantics)") {
     val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(100.0), None)
       .toDF("v")
