@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is real and tested: schema (bytes + metadata
   * struct), partitioning (decode is a mapPartitions stage so a real codec
   * can amortize per-partition init, exactly like an image library handle),
-  * and batch signature. The codec itself is STUBBED — this container has
-  * no image/audio libraries — with a deterministic fake that derives
-  * fixed-size features from the raw bytes. Swapping in a real decoder
-  * changes only the body of [[FakeCodec.decode]].
+  * and batch signature. Two codecs share the shape:
+  *  - [[FakeCodec]], a deterministic byte-derived stand-in that a DuckDB
+  *    oracle can reproduce (q43's hashed row) and that covers audio/video
+  *    mimes this container has no decoder for;
+  *  - [[ImageCodec]] (round 8), a REAL image decoder on the JDK's
+  *    javax.imageio — actual PNG bytes in, pixel-statistics features out
+  *    ([[decodeImageFeatures]]), pinned on the committed true-PNG fixture
+  *    rows in MultimodalFixtureSpec.
   */
 object Multimodal {
 
@@ -53,6 +57,79 @@ object Multimodal {
       // real codec init would happen here, once per partition
       iter.map { case (id, bytes) => (id, FakeCodec.decode(bytes)) }
     }.toDF(idCol, "features")
+  }
+
+  /** REAL image codec (round 8): decodes actual image bytes via the
+    * JDK's `javax.imageio` (PNG/JPEG/GIF/BMP readers ship with the JRE —
+    * no external library) and pools pixel statistics into a fixed-size
+    * feature vector. Feature layout (dim = 8):
+    *   [width, height, meanR, meanG, meanB, lumaMean, lumaStd, brightFrac]
+    * with channel means normalized to [0,1], luma = Rec.601
+    * (0.299R + 0.587G + 0.114B)/255, lumaStd the population std-dev, and
+    * brightFrac the fraction of pixels with luma > 0.5. Accumulation is
+    * a fixed row-major loop, so features are deterministic for given
+    * pixels — and PNG is lossless, so decode(encode(img)) reproduces the
+    * source pixels exactly (pinned in MultimodalFixtureSpec against the
+    * committed true-PNG fixture rows). Undecodable payloads (empty,
+    * truncated, not an image) return None — no exceptions escape a task. */
+  object ImageCodec {
+    val dim = 8
+    def features(img: java.awt.image.BufferedImage): Array[Double] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr, sg, sb, sl, sl2 = 0.0
+      var nb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xff
+          val g = (p >> 8) & 0xff
+          val b = p & 0xff
+          val l = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+          sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+          if (l > 0.5) nb += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      val lm = sl / n
+      Array(w.toDouble, h.toDouble, sr / (255.0 * n), sg / (255.0 * n),
+        sb / (255.0 * n), lm,
+        math.sqrt(math.max(sl2 / n - lm * lm, 0.0)), nb / n)
+    }
+    def decode(bytes: Array[Byte]): Option[Array[Double]] = {
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        Option(img).map(features)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** [[decodeFeatures]] with the REAL codec: same mapPartitions shape
+    * (per-partition codec init amortized in the prologue — here the
+    * ImageIO disk-cache disable, which otherwise writes a temp file per
+    * image on executors), rows streamed through `ImageIO.read`. Returns
+    * (id, decoded boolean, features); undecodable payloads survive as
+    * decoded=false with a zero vector rather than failing the task —
+    * at 100 TB a corrupt crawl image must never kill a partition. */
+  def decodeImageFeatures(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+    ds.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      iter.map { case (id, bytes) =>
+        ImageCodec.decode(bytes) match {
+          case Some(f) => (id, true, f)
+          case None    => (id, false, Array.fill(ImageCodec.dim)(0.0))
+        }
+      }
+    }.toDF(idCol, "decoded", "features")
   }
 
   /** Resize analog (image-thumbnail stand-in): stride-resample the

@@ -24,9 +24,9 @@ class MultimodalFixtureSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("SHA-256").digest(b)
       .map("%02x".format(_)).mkString
 
-  test("committed fixture matches its deterministic generator (16 rows, true binary)") {
+  test("committed fixture matches its deterministic generator (20 rows, true binary)") {
     val got = fixture.orderBy("media_id").collect()
-    assert(got.length == 16)
+    assert(got.length == 20)
     got.foreach { r =>
       val (_, mime, bytes) = expected(r.getAs[Long]("media_id"))
       assert(r.getAs[String]("mime") == mime)
@@ -80,6 +80,32 @@ class MultimodalFixtureSpec extends AnyFunSuite {
     // the all-0xFF payload resizes to sixteen 255s — the value the old
     // string round-trip rewrote to the replacement char
     assert(resized(2L).forall(_ == 255))
+  }
+
+  test("ImageCodec decodes the committed true-PNG rows to pixel-derived features") {
+    val out = Multimodal.decodeImageFeatures(fixture, "media_id", "bytes")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getSeq[Double](2))).toMap
+    // rows 16..19 are genuine PNGs: decoded features must equal the
+    // statistics of the generator's pixel formula (PNG is lossless, the
+    // committed bytes round-trip the exact pixels)
+    (16 to 19).foreach { i =>
+      val (ok, feats) = out(i.toLong)
+      assert(ok, s"PNG row $i failed to decode")
+      val want = Multimodal.ImageCodec.features(MakeMediaFixture.pngImage(i)).toSeq
+      assert(feats == want, s"pixel features diverge for row $i: $feats vs $want")
+      // sanity on the feature semantics themselves
+      assert(feats(0) == 8.0 + (i - 16) * 4 && feats(1) == 6.0 + (i - 16) * 2,
+        s"width/height wrong for row $i")
+      assert((2 to 5).forall(j => feats(j) >= 0.0 && feats(j) <= 1.0))
+      assert(feats(6) > 0.0, "deterministic gradient image has non-zero luma spread")
+    }
+    // non-image payloads (empty, NUL, 0xFF run, invalid UTF-8, random
+    // bytes) must survive as decoded=false zero vectors, never throw
+    (0 to 15).foreach { i =>
+      val (ok, feats) = out(i.toLong)
+      assert(!ok, s"row $i is not an image but decoded")
+      assert(feats.forall(_ == 0.0))
+    }
   }
 
   test("sampleChunks fingerprints byte slices") {
