@@ -85,6 +85,54 @@ object EventStream {
       }
   }
 
+  final case class PackDocT(doc_id: Long, tok: Int, ts: java.sql.Timestamp)
+
+  /** [[packGate]] with BOUNDED state lifetime (round 8): the plain gate
+    * keeps one (bin, fill) pair per open segment forever — O(1) per
+    * segment, but an unbounded segment space (a long-running stream over
+    * an ever-growing id range) leaks state without limit. This variant
+    * keys the same greedy fold to an event-time clock: each batch a
+    * segment is touched, its timeout is re-armed to (batch max event
+    * time + ttlMs); once the watermark passes that deadline with no new
+    * arrivals, the state is REMOVED. Total state is then O(segments
+    * active within one TTL window) — the same bound watermarked aggs
+    * enjoy — regardless of stream lifetime.
+    *
+    * The documented trade: a doc arriving for an already-evicted segment
+    * re-opens it with a FRESH fold (bin 0, fill 0), so its bin/seq
+    * assignments restart instead of continuing the evicted sequence —
+    * eviction deliberately gives up exact batch parity for stragglers
+    * older than the TTL, exactly as a watermark drops late rows. Within
+    * the TTL (the ingest contract: segment ids arrive roughly in order,
+    * a segment's docs within one window) assignments are identical to
+    * [[packGate]]/`Packing.packGreedy` — both pinned in StreamingSpec. */
+  def packGateEvicting(docs: Dataset[PackDocT], budget: Int, segSize: Int,
+                       ttlMs: Long, watermarkDelay: String = "0 seconds"): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.doc_id / segSize)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (seg, rows, state: GroupState[PackState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past TTL: segment closed, state freed
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(PackState(0, 0))
+            val batch = rows.toSeq
+            val out = batch.sortBy(_.doc_id).map { d =>
+              st =
+                if (st.fill > 0 && st.fill + d.tok > budget) PackState(st.bin + 1, d.tok)
+                else PackState(st.bin, st.fill + d.tok)
+              PackOut(d.doc_id, seg, st.bin, seg * segSize + st.bin, d.tok)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Stateless streaming twin of the q92 perplexity gate: the unigram LM
     * is fit OFFLINE (batch `TextAnalysis.unigramNll` pass 1) and shipped
     * to the stream as a literal token→count map — the readStream analog

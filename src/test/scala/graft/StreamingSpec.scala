@@ -537,4 +537,51 @@ class StreamingSpec extends AnyFunSuite {
       collapsed.exceptAll(lean).count() == 0,
       "Staging.None lean branch diverges from the collapse branch")
   }
+
+  test("packGateEvicting frees idle segment state; a late arrival re-opens a fresh fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def drive(evicting: Boolean, sink: String): Map[Long, Int] = {
+      val src = MemoryStream[EventStream.PackDocT]
+      val gate =
+        if (evicting)
+          EventStream.packGateEvicting(src.toDS(), budget = 100, segSize = 64,
+            ttlMs = 5000L)
+        else
+          EventStream.packGate(
+            src.toDS().map(d => EventStream.PackDoc(d.doc_id, d.tok)),
+            budget = 100, segSize = 64)
+      val q = gate.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      // batch 1: segment 0 fills bin 0 to 60/100
+      src.addData(EventStream.PackDocT(0L, 60, ts(10)))
+      q.processAllAvailable()
+      // batch 2: far-future activity in another segment advances event time
+      src.addData(EventStream.PackDocT(1000L, 10, ts(1000)))
+      q.processAllAvailable()
+      // batch 3: watermark (from batch 2's max) is now past segment 0's
+      // deadline (10s + 5s TTL) — this batch fires the timeout
+      src.addData(EventStream.PackDocT(1001L, 10, ts(1001)))
+      q.processAllAvailable()
+      // batch 4: a straggler for segment 0 (not watermark-late itself)
+      src.addData(EventStream.PackDocT(1L, 60, ts(1002)))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(sink).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap // doc_id -> bin
+    }
+    val evicted = drive(evicting = true, "pack_evict")
+    assert(evicted(0L) == 0)
+    // state was freed: the straggler re-opens a FRESH fold (bin 0) even
+    // though 60+60 > budget would have rolled a retained fold to bin 1
+    assert(evicted(1L) == 0,
+      s"segment state survived the TTL: straggler landed in bin ${evicted(1L)}")
+    // control: the non-evicting gate retains state across the same
+    // batches and rolls the straggler to bin 1
+    val retained = drive(evicting = false, "pack_noevict")
+    assert(retained(0L) == 0 && retained(1L) == 1,
+      s"non-evicting control diverged: $retained")
+  }
 }
