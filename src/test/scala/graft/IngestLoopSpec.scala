@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.IngestLoop
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end streaming ingestion loop: a readStream source drained as
+  * ≥3 micro-batches through foreachBatch, each batch matching against
+  * the RELOADED persisted index and appending itself as a new partition
+  * of the bucketed index tables. Pins
+  *  - the pair-set contract: union of per-batch pair outputs ==
+  *    one batch minhashLshPairs run over the whole corpus;
+  *  - the plan contract: after three append folds, a fresh shard's
+  *    candidate join against the on-disk bands table still reads the
+  *    corpus co-located (one shard-side Exchange, broadcast disabled);
+  *  - retry idempotence: replaying a batch (the foreachBatch redelivery
+  *    case) leaves both the pair output and the index byte-identical.
+  */
+class IngestLoopSpec extends AnyFunSuite {
+  lazy val spark = Tables.session(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def stage(df: org.apache.spark.sql.DataFrame, streamDir: String,
+                    name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("ingest_part").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(streamDir, name))
+  }
+
+  private def drop(names: String*): Unit =
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+
+  test("streamed MinHash ingestion over >=3 micro-batches == one batch full run") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // id-shifted copy guarantees true near-dup pairs; the % 3 split
+    // scatters each clone family across different micro-batches
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val streamDir = java.nio.file.Files.createTempDirectory("ingest_src").toString
+    (0 until 3).foreach { i =>
+      stage(corpus.filter(col("doc_id") % 3 === i), streamDir, s"f$i.parquet")
+      Thread.sleep(1100) // distinct mod-time second: one file per trigger
+    }
+    val pairsDir = java.nio.file.Files.createTempDirectory("ingest_pairs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt").toString
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    try {
+      val q = IngestLoop.minhashIngest(stream, "doc_id", "text",
+        prefix = "ing_mh", pairsDir = pairsDir, checkpointDir = ckpt)
+      q.awaitTermination()
+      // three files -> three foreachBatch invocations, each with its own
+      // pair partition on disk
+      val batchDirs = new java.io.File(pairsDir).listFiles()
+        .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).sorted
+      assert(batchDirs.length >= 3, s"expected >=3 micro-batches, got ${batchDirs.toSeq}")
+      // pair-set contract vs the batch full run
+      val streamed = spark.read.parquet(pairsDir)
+        .select("a_id", "b_id", "jaccard")
+      val full = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      assert(streamed.count() > 0, "clone families must produce pairs")
+      assert(streamed.exceptAll(full).count() == 0 &&
+        full.exceptAll(streamed).count() == 0,
+        "streamed pair union diverges from the batch full run")
+      // the index after the run IS the full corpus index: one more
+      // incremental over a fresh shard must equal the same incremental
+      // against an in-memory full-corpus index
+      val shard = docs.limit(40)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+      val sIdx = Dedup.minhashIndex(shard, "doc_id", "text")
+      val viaTables = Dedup.minhashLshPairsIncremental(sIdx,
+        IngestLoop.minhashCorpusBefore(spark, "ing_mh", Long.MaxValue), threshold = 0.5)
+      val viaMem = Dedup.minhashLshPairsIncremental(sIdx,
+        Dedup.minhashIndex(corpus, "doc_id", "text"), threshold = 0.5)
+      assert(viaTables.exceptAll(viaMem).count() == 0 &&
+        viaMem.exceptAll(viaTables).count() == 0,
+        "reloaded multi-partition index diverges from in-memory full index")
+      // plan contract: corpus side co-located across the three appended
+      // partitions — only the shard side shuffles
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = sIdx.bands.join(spark.table("ing_mh_bands"), Seq("band", "bucket"))
+        j.count()
+        val plan = j.queryExecution.executedPlan.toString
+        val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+        assert(exchanges == 1,
+          s"expected only the shard-side exchange over the appended table:\n${plan.take(2000)}")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally drop("ing_mh_bands", "ing_mh_shingles", "ing_mh_meta")
+  }
+
+  test("replaying a micro-batch (foreachBatch redelivery) is idempotent") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val b0 = corpus.filter(col("doc_id") % 2 === 0)
+    val b1 = corpus.filter(col("doc_id") % 2 === 1)
+    val pairsDir = java.nio.file.Files.createTempDirectory("ingest_retry").toString
+    def run(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      IngestLoop.ingestMinhashBatch(batch, bid, "doc_id", "text", "ing_rt",
+        pairsDir, threshold = 0.5, numPerms = 32, rowsPerBand = 4, buckets = 8)
+    try {
+      run(b0, 0L)
+      run(b1, 1L)
+      def snapshot(): (Set[String], Set[String], Long) = (
+        spark.read.parquet(pairsDir).collect().map(_.toString).toSet,
+        spark.table("ing_rt_bands").collect().map(_.toString).toSet,
+        spark.table("ing_rt_shingles").count())
+      val before = snapshot()
+      run(b1, 1L) // redelivery: same batch id replayed
+      val after = snapshot()
+      assert(after == before, "batch replay changed the pair output or the index")
+    } finally drop("ing_rt_bands", "ing_rt_shingles", "ing_rt_meta")
+  }
+}
