@@ -164,6 +164,158 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
   }
 
+  /** IVF-PQ index (round 8): the coarse IVF routing of [[ivfTopK]] plus
+    * PRODUCT-QUANTIZATION codes, the Jégou/Douze/Schmid IVFADC design —
+    * the piece that makes IVF viable at 100 TB, where [[ivfTopK]]'s
+    * "re-scan exact vectors per probed cell" becomes the dominant cost.
+    * Here the candidate scan touches only `codes` — one int cell, m
+    * small ints and one double norm per vector (~40 bytes at m=8
+    * vs 512 for a raw 64-dim double vector); exact embeddings are
+    * fetched for just the `refine`·k ADC survivors per query, by id.
+    *
+    * Construction (all seeded, deterministic):
+    *  - coarse k-means over the vectors → `nlist` cells (the IVF);
+    *  - residual r = x − centroid(cell) per vector;
+    *  - per-subspace k-means: r is split into `m` contiguous subvectors
+    *    of dim/m, each quantized against its own `ksub`-centroid
+    *    codebook (trained on the residuals of all cells — the classic
+    *    shared-codebook IVFADC);
+    *  - encode: code_j = argmin_c ‖r_j − c‖², computed as a pure codegen
+    *    projection via the identity argmin ‖r−c‖² = argmin (‖c‖² − 2r·c)
+    *    (‖c‖² is a literal, r·c the native dot kernel — no UDF, no HOF
+    *    lambda in the hot path).
+    *
+    * Scoring (ADC — asymmetric distance computation): a query never
+    * quantizes itself; it builds one lookup table per subspace,
+    * LUT[j][c] = q_j · codebook_j[c] (m·ksub literal-codebook dots, one
+    * projection on the tiny query frame), and the approximate inner
+    * product of q with a coded vector is
+    *   q·x ≈ q·centroid(cell) + Σ_j LUT[j][code_j]
+    * — per candidate just m array lookups and adds over the codes scan.
+    * Approximate cosine divides by the STORED exact norm, then the top
+    * `refine`·k ADC candidates per query are re-scored exactly and the
+    * final top-k emitted — output cosines are exact (6-dp), so the
+    * q44/q46 contract's "ANN never beats exact" leg holds by
+    * construction; PQ affects recall only. */
+  final case class PqIndex(idCol: String, codes: DataFrame,
+                           cellCenters: Array[Array[Double]],
+                           codebooks: Array[Array[Array[Double]]],
+                           m: Int, ksub: Int, dim: Int, seed: Long)
+
+  /** Train coarse cells + PQ codebooks and encode `candidates` into a
+    * [[PqIndex]]. `codes` = (c_id, cell, codes int[m], cn) — the compact
+    * scan-side table; zero-norm vectors are excluded per the shared
+    * cosine contract. */
+  def pqIndex(candidates: DataFrame, idCol: String, vecCol: String,
+              nlist: Int = 16, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+              staging: Staging.Mode = Staging.Local): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    val base = withNorm(candidates, idCol, vecCol, "c_id", "cv", "cn")
+      .withColumn("features", array_to_vector(col("cv")))
+    val dim = candidates.select(size(col(vecCol))).limit(1).head.getInt(0)
+    require(dim % m == 0, s"PQ subspaces must divide dim: dim=$dim m=$m")
+    val dsub = dim / m
+    // coarse quantizer: random init + capped iterations (routing cells
+    // need to be reasonable, not converged — same trade as ivfTopK)
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val coarse = km.fit(base)
+    val cellCenters = coarse.clusterCenters.map(_.toArray)
+    val centersLit = typedLit(cellCenters.map(_.toSeq).toSeq)
+    // residuals, staged once: m codebook fits + the encode read them
+    val resid = staging(coarse.transform(base)
+      .withColumn("__r", zip_with(col("cv"),
+        element_at(centersLit, col("cell") + 1), (x, c) => x - c))
+      .select(col("c_id"), col("cv"), col("cn"), col("cell"), col("__r")))
+    // per-subspace codebooks over the residual subvectors
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = resid.select(
+        array_to_vector(slice(col("__r"), j * dsub + 1, dsub)).as("features"))
+      new KMeans().setK(ksub).setSeed(seed + j + 1)
+        .setInitMode("random").setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("code")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+    // encode: argmin_c ||r_j - c||^2 = argmin_c (||c||^2 - 2 r_j . c);
+    // one codegen projection, m*ksub literal-codebook dot kernels
+    val codeCols = (0 until m).map { j =>
+      val sub = slice(col("__r"), j * dsub + 1, dsub)
+      val dists = array(codebooks(j).map { c =>
+        lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(c.toSeq))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val codes = staging(resid.select(col("c_id"), col("cell"),
+      array(codeCols: _*).as("codes"), col("cn")))
+    PqIndex(idCol, codes, cellCenters, codebooks, m, ksub, dim, seed)
+  }
+
+  /** ADC top-k over a [[PqIndex]]: probe `nprobe` cells per query, rank
+    * candidates by the ADC approximate cosine over the codes scan, fetch
+    * exact vectors for the top `refine`·k survivors only, re-score
+    * exactly, emit the top k. `vectors` supplies the exact embeddings
+    * for the refine fetch (the base table at cluster scale — typically
+    * the frame the index was built from). Same (q_id, c_id, cos, rn)
+    * geometry as every ANN tier. */
+  def ivfPqTopK(index: PqIndex, vectors: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 4,
+                refine: Int = 4): DataFrame = {
+    val m = index.m
+    val dsub = index.dim / m
+    val centersLit = typedLit(index.cellCenters.map(_.toSeq).toSeq)
+    val q = withNorm(queries, idCol, vecCol, "q_id", "qv", "qn")
+      .withColumn("__lut", array((0 until m).map { j =>
+        val sub = slice(col("qv"), j * dsub + 1, dsub)
+        array(index.codebooks(j).map(c => dot(sub, typedLit(c.toSeq))): _*)
+      }: _*))
+    // nprobe nearest cells by cosine against the broadcast centroids —
+    // the same routing rule as ivfTopK
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = index.cellCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "center")
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__cdist", dot(col("qv"), col("center")) /
+        (col("qn") * sqrt(dot(col("center"), col("center")))))
+      .withColumn("__crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("__cdist"), asc("cell"))))
+      .filter(col("__crk") <= nprobe)
+      .withColumn("__qcdot", dot(col("qv"), element_at(centersLit, col("cell") + 1)))
+      .select(col("q_id"), col("qv"), col("qn"), col("cell"), col("__lut"), col("__qcdot"))
+    // ADC scan: codes only — m array lookups + adds per candidate
+    val adcSum = (0 until m).map(j =>
+      element_at(element_at(col("__lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    val adc = probes.join(index.codes, Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("__approx", (col("__qcdot") + adcSum) / (col("qn") * col("cn")))
+      .withColumn("__ark", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("__approx"), asc("c_id"))))
+      .filter(col("__ark") <= k * refine)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"))
+    // refine: exact re-score of the survivors only (narrow id join into
+    // the base vectors; this is the ONLY place raw candidate vectors
+    // are read)
+    val exact = withNorm(vectors, idCol, vecCol, "c_id", "cv", "cn")
+    val scored = adc.join(exact, Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
+  }
+
+  /** [[ivfPqTopK]] with the index built inline — the one-call form the
+    * catalog query uses; at scale you build a [[PqIndex]] once and
+    * serve many query batches from it. */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                m: Int, ksub: Int, refine: Int, seed: Long): DataFrame = {
+    val idx = pqIndex(candidates, idCol, vecCol, nlist, m, ksub, seed)
+    ivfPqTopK(idx, candidates, queries, idCol, vecCol, k, nprobe, refine)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (exact,
     * blocked by the caller at scale or piped through lshTopK). Norms are
     * computed once per row, not per pair. The exact tier: O(n^2) pairs —

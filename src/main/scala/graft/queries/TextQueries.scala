@@ -432,6 +432,36 @@ object TextQueries {
           AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0""")),
 
     // ----------------------------------------------------------------
+    // q107: IVF-PQ ANN (round 8) — the fourth similarity tier: coarse
+    // IVF routing + product-quantization codes + ADC scoring + bounded
+    // exact refine (Jégou/Douze/Schmid IVFADC). The candidate scan
+    // touches only the ~26-byte code rows; exact vectors are fetched for
+    // refine*k survivors per query — the shape where [[ivfTopK]]'s
+    // per-cell vector re-scan would dominate at 100 TB. Same contract
+    // row as q44/q46 (seeded fits make lists DuckDB-irreproducible):
+    // recall@10 vs exact measured 0.68-0.96 at sf0.001/0.01/0.1/10x
+    // with (m=16, ksub=32, nprobe=6, refine=8); 0.5 bound leaves
+    // margin. Exhaustive-probe == brute-force equality and the code
+    // ranges are pinned in SessionIvfSpec.
+    "q107_ann_ivfpq" -> QueryDef(
+      fn = (s, d) => {
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") < 50)
+        val ann = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+            k = 10, nlist = 16, nprobe = 6, m = 16, ksub = 32, refine = 8,
+            seed = 42L)
+          .localCheckpoint(true)
+        val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+          .localCheckpoint(true)
+        annContract(ann, exact, k = 10, minMeanRecall = 0.5)
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 10 AS k, TRUE AS rows_le_k,
+               TRUE AS ann_never_beats_exact, TRUE AS mean_recall_ok
+        FROM embeddings WHERE vec_id < 50
+          AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0""")),
+
+    // ----------------------------------------------------------------
     // q47: batch sessionization — lag + cumulative-sum session ids, the
     // engine-portable formulation (native session_window equivalence is
     // pinned in ScalaTest). 30-minute inactivity gap over epoch nanos.

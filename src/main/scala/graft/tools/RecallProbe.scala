@@ -40,6 +40,14 @@ object RecallProbe {
     val exactQ5 = Similarity.bruteForceTopK(e, q5, "vec_id", "embedding", k = 10)
       .select("q_id", "c_id")
     print("[probe] q46 ivf k=10: "); recall(annIvf, exactQ5, 10)
+
+    for ((m, ksub, refine) <- Seq((16, 32, 8))) {
+      val annPq = Similarity.ivfPqTopK(e, q5, "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 6, m = m, ksub = ksub, refine = refine, seed = 42L)
+        .select("q_id", "c_id")
+      print(s"[probe] q107 ivfpq k=10 m=$m ksub=$ksub refine=$refine: ")
+      recall(annPq, exactQ5, 10)
+    }
     spark.stop()
   }
 }

@@ -55,6 +55,45 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(ivf.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("IVF-PQ: exhaustive probe + full refine == brute force exactly; ADC params recall floor") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    val idx = Similarity.pqIndex(e, "vec_id", "embedding")
+    // compact scan side: one code row per non-zero vector, m codes in range
+    val codeRows = idx.codes.collect()
+    assert(codeRows.length == n) // no zero-norm vectors in this fixture
+    codeRows.foreach { r =>
+      val cs = r.getSeq[Int](2)
+      assert(cs.length == idx.m && cs.forall(c => c >= 0 && c < idx.ksub))
+    }
+    // probing every cell with refine covering every candidate removes
+    // both approximation legs: the ADC pre-rank cannot drop a true
+    // neighbor and the refine re-score is exact, so the output must
+    // equal brute force ROW FOR ROW
+    val exhaustive = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+        k = 10, nprobe = 16, refine = n)
+      .orderBy("q_id", "rn").collect().map(_.toString)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rn").collect().map(_.toString)
+    assert(exhaustive.sameElements(exact),
+      "exhaustive IVF-PQ must reduce to the exact brute-force answer")
+    // production params: ADC pre-rank + bounded refine — structural
+    // top-k plus a recall floor vs exact
+    val ann = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+      k = 10, nprobe = 6, refine = 4).collect()
+    assert(ann.length <= 50 && ann.nonEmpty)
+    val annPairs = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(_.split(",")).map(a =>
+      (a(0).drop(1).toLong, a(1).toLong)).toSet
+    val recall = annPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.2, s"IVF-PQ recall $recall unreasonably low")
+    // determinism: seeded coarse + codebook fits, seeded encode
+    val again = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+      k = 10, nprobe = 6, refine = 4).collect()
+    assert(ann.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("lshDupPairs == exact cosineDupPairs on the dup-bearing corpus (recall 1.0)") {
     // the q45 shape: id-shifted copy creates exact-duplicate pairs, which
     // collide in every sign-LSH table by construction; the bucketed plan
