@@ -208,37 +208,55 @@ object Similarity {
     * cosine contract. */
   def pqIndex(candidates: DataFrame, idCol: String, vecCol: String,
               nlist: Int = 16, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
-              staging: Staging.Mode = Staging.Local): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
+              staging: Staging.Mode = Staging.Local,
+              trainSample: Int = 16384): PqIndex = {
     val base = withNorm(candidates, idCol, vecCol, "c_id", "cv", "cn")
-      .withColumn("features", array_to_vector(col("cv")))
     val dim = candidates.select(size(col(vecCol))).limit(1).head.getInt(0)
     require(dim % m == 0, s"PQ subspaces must divide dim: dim=$dim m=$m")
     val dsub = dim / m
-    // coarse quantizer: random init + capped iterations (routing cells
-    // need to be reasonable, not converged — same trade as ivfTopK)
-    val km = new KMeans().setK(nlist).setSeed(seed)
-      .setInitMode("random").setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val coarse = km.fit(base)
-    val cellCenters = coarse.clusterCenters.map(_.toArray)
+    // BOTH quantizers are trained DRIVER-SIDE on one bounded sample (the
+    // Faiss practice: coarse centroids and PQ codebooks come from
+    // ~10⁴-10⁵ sampled vectors in memory, never distributed fits — at
+    // nlist=16/m=16 that would be 17 fits of per-iteration job overhead,
+    // costing more than the rest of the query). The sample is the
+    // id-ordered prefix (one distributed TakeOrdered — deterministic),
+    // ≤ trainSample rows ≈ 8 MB at dim 64; Lloyd loops are seeded. This
+    // is the sanctioned bounded driver round-trip, O(trainSample)
+    // regardless of corpus size.
+    val sample = base.select(col("c_id"), col("cv")).orderBy("c_id")
+      .limit(trainSample).collect().map(_.getSeq[Double](1).toArray)
+    val cellCenters = lloyd(sample, nlist, iters = 10, seed = seed)
+    def nearestCell(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < nlist) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - cellCenters(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }; c += 1
+      }
+      best
+    }
+    val sampleResid = sample.map { v =>
+      val ctr = cellCenters(nearestCell(v))
+      Array.tabulate(dim)(i => v(i) - ctr(i))
+    }
+    val codebooks = Array.tabulate(m) { j =>
+      val pts = sampleResid.map(r =>
+        java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
+      lloyd(pts, ksub, iters = 10, seed = seed + j + 1)
+    }
+    // cell assignment + encode: ONE codegen projection over the corpus —
+    // argmin ||v - c||^2 = argmin (||c||^2 - 2 v.c) over literal
+    // centroids (nlist dots), then per-subspace code argmin over the
+    // residual (m*ksub literal-codebook dot kernels). No shuffle, no
+    // fit, no UDF.
     val centersLit = typedLit(cellCenters.map(_.toSeq).toSeq)
-    // residuals, staged once: m codebook fits + the encode read them
-    val resid = staging(coarse.transform(base)
+    val cellDists = array(cellCenters.map { c =>
+      lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("cv"), typedLit(c.toSeq))
+    }: _*)
+    val withCell = base
+      .withColumn("cell", (array_position(cellDists, array_min(cellDists)) - 1).cast("int"))
       .withColumn("__r", zip_with(col("cv"),
         element_at(centersLit, col("cell") + 1), (x, c) => x - c))
-      .select(col("c_id"), col("cv"), col("cn"), col("cell"), col("__r")))
-    // per-subspace codebooks over the residual subvectors
-    val codebooks = Array.tabulate(m) { j =>
-      val sub = resid.select(
-        array_to_vector(slice(col("__r"), j * dsub + 1, dsub)).as("features"))
-      new KMeans().setK(ksub).setSeed(seed + j + 1)
-        .setInitMode("random").setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("code")
-        .fit(sub).clusterCenters.map(_.toArray)
-    }
-    // encode: argmin_c ||r_j - c||^2 = argmin_c (||c||^2 - 2 r_j . c);
-    // one codegen projection, m*ksub literal-codebook dot kernels
     val codeCols = (0 until m).map { j =>
       val sub = slice(col("__r"), j * dsub + 1, dsub)
       val dists = array(codebooks(j).map { c =>
@@ -246,9 +264,55 @@ object Similarity {
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    val codes = staging(resid.select(col("c_id"), col("cell"),
+    val codes = staging(withCell.select(col("c_id"), col("cell"),
       array(codeCols: _*).as("codes"), col("cn")))
     PqIndex(idCol, codes, cellCenters, codebooks, m, ksub, dim, seed)
+  }
+
+  /** Seeded local Lloyd k-means over an in-memory point set — the PQ
+    * codebook trainer ([[pqIndex]]): init picks k random sample points,
+    * each iteration one assign+mean pass; empty clusters keep their
+    * center. Deterministic for a fixed (points, k, seed). */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+                    seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    require(n > 0, "PQ codebook training needs a non-empty sample")
+    val d = points(0).length
+    val rng = new java.util.Random(seed)
+    val centers = Array.fill(k)(points(rng.nextInt(n)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnt = new Array[Long](k)
+      var p = 0
+      while (p < n) {
+        val pt = points(p)
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0
+          var i = 0
+          while (i < d) { val t = pt(i) - centers(c)(i); dist += t * t; i += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        cnt(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += pt(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnt(c) > 0) {
+          var i = 0
+          while (i < d) { centers(c)(i) = sums(c)(i) / cnt(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
   }
 
   /** ADC top-k over a [[PqIndex]]: probe `nprobe` cells per query, rank

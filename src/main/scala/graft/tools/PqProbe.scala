@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Dev probe: per-stage wall time of the IVF-PQ path (index build split
+  * from ADC scoring split from the exact contract leg) to localize q107
+  * cost. */
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Tables.session(args.drop(1).headOption.map(_.toInt).getOrElse(8))
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+    def t[A](label: String)(f: => A): A = {
+      val s = System.nanoTime; val r = f
+      println(f"[pq] $label: ${(System.nanoTime - s) / 1e9}%.2f s"); r
+    }
+    // warmup pass
+    Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 10, 16, 6, 16, 32, 8, 42L).count()
+    (1 to 2).foreach { _ =>
+      val idx = t("pqIndex build")(
+        Similarity.pqIndex(e, "vec_id", "embedding", nlist = 16, m = 16, ksub = 32))
+      t("codes materialize")(idx.codes.count())
+      t("adc+refine topk")(
+        Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding", 10, 6, 8).count())
+      t("exact brute leg")(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10).count())
+    }
+    (1 to 2).foreach { _ =>
+      t("full q107 fn")(
+        graft.SparkEntry.queries("q107_ann_ivfpq")(spark, dir).count())
+    }
+    spark.stop()
+  }
+}
