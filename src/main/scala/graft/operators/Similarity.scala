@@ -370,6 +370,42 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
   }
 
+  /** Persist a [[PqIndex]] as catalog tables: `<prefix>_codes` is
+    * hash-bucketed (and sorted) on `cell` — the ADC scan's exact join
+    * key, so a served query batch reads the codes side CO-LOCATED and
+    * only the (tiny) probe side shuffles; the trained model (centers,
+    * codebooks, family params) rides in `<prefix>_meta` as nested array
+    * columns. The serving shape at 100 TB: codes are ~26 bytes/vector,
+    * built once, scanned by every query batch without touching raw
+    * vectors. */
+  def savePqIndex(idx: PqIndex, prefix: String, buckets: Int = 16): Unit = {
+    val spark = idx.codes.sparkSession
+    idx.codes.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_codes")
+    import spark.implicits._
+    Seq((idx.idCol, idx.m, idx.ksub, idx.dim, idx.seed,
+        idx.cellCenters.map(_.toSeq).toSeq,
+        idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("id_col", "m", "ksub", "dim", "seed", "cell_centers", "codebooks")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Load a [[savePqIndex]]-persisted index by catalog name — a serving
+    * session answers query batches against it without retraining or
+    * re-encoding. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  prefix: String): PqIndex = {
+    val r = spark.table(s"${prefix}_meta").head()
+    // nested rows deserialize as collection.Seq (mutable ArraySeq), not
+    // immutable Seq — type the getAs accordingly
+    val centers = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](5)
+      .map(_.toArray).toArray
+    val books = r.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]](6)
+      .map(_.map(_.toArray).toArray).toArray
+    PqIndex(r.getString(0), spark.table(s"${prefix}_codes"), centers, books,
+      r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+  }
+
   /** [[ivfPqTopK]] with the index built inline — the one-call form the
     * catalog query uses; at scale you build a [[PqIndex]] once and
     * serve many query batches from it. */

@@ -33,6 +33,17 @@ object PqProbe {
       t("full q107 fn")(
         graft.SparkEntry.queries("q107_ann_ivfpq")(spark, dir).count())
     }
+    if (sys.env.contains("PQPROBE_PLAN")) {
+      val idx = Similarity.pqIndex(e, "vec_id", "embedding", nlist = 16, m = 16, ksub = 32)
+      Similarity.savePqIndex(idx, "pq_dbg", buckets = 8)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = idx.codes.limit(50).select(col("c_id").as("p_id"), col("cell"))
+        .join(spark.table("pq_dbg_codes"), Seq("cell"))
+      j.count()
+      println(j.queryExecution.executedPlan.toString)
+      spark.sql("DROP TABLE IF EXISTS pq_dbg_codes")
+      spark.sql("DROP TABLE IF EXISTS pq_dbg_meta")
+    }
     spark.stop()
   }
 }

@@ -103,6 +103,34 @@ class IndexPersistSpec extends AnyFunSuite {
     } finally drop("sh_rt_chunked", "sh_rt_meta")
   }
 
+  test("PqIndex: bucketed save/load round-trip, probe-only shuffle") {
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = embs.filter(col("vec_id") < 20)
+    val idx = Similarity.pqIndex(embs, "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 32)
+    Similarity.savePqIndex(idx, "pq_rt", buckets = 8)
+    try {
+      val loaded = Similarity.loadPqIndex(spark, "pq_rt")
+      assert(loaded.idCol == "vec_id" && loaded.m == idx.m &&
+        loaded.ksub == idx.ksub && loaded.dim == idx.dim && loaded.seed == idx.seed)
+      // trained model survives byte-exact
+      assert(loaded.cellCenters.map(_.toSeq).toSeq == idx.cellCenters.map(_.toSeq).toSeq)
+      assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+        idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val mem = Similarity.ivfPqTopK(idx, embs, q, "vec_id", "embedding",
+        k = 10, nprobe = 6, refine = 8).orderBy("q_id", "rn").collect().map(_.toString)
+      val rel = Similarity.ivfPqTopK(loaded, embs, q, "vec_id", "embedding",
+        k = 10, nprobe = 6, refine = 8).orderBy("q_id", "rn").collect().map(_.toString)
+      assert(rel.sameElements(mem),
+        s"reloaded PQ serving diverges: mem=${mem.length} reloaded=${rel.length}")
+      // ADC scan reads the codes side co-located: only the probe side
+      // shuffles into the bucketing
+      assertOneShardExchange(
+        idx.codes.filter(col("c_id") < 50).select(col("c_id").as("p_id"), col("cell"))
+          .join(spark.table("pq_rt_codes"), Seq("cell")))
+    } finally drop("pq_rt_codes", "pq_rt_meta")
+  }
+
   test("ContainmentIndex: bucketed save/load round-trip, shard-only shuffle") {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 2 === 0)
