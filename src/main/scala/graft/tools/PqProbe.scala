@@ -28,6 +28,8 @@ object PqProbe {
         Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding", 10, 6, 8).count())
       t("exact brute leg")(
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10).count())
+      t("ivfTopK (vector-rescan tier)")(
+        Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10, nprobe = 6).count())
     }
     (1 to 2).foreach { _ =>
       t("full q107 fn")(
