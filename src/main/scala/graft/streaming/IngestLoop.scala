@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -116,6 +116,80 @@ object IngestLoop {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestMinhashBatch(batch, bid, idCol, textCol, prefix, pairsDir,
           threshold, numPerms, rowsPerBand, buckets)
+      }
+      .start()
+
+  /** The persisted sign-LSH corpus as of batches strictly before `bid` —
+    * the vector twin of [[minhashCorpusBefore]]. */
+  def embedCorpusBefore(spark: SparkSession, prefix: String,
+                        bid: Long): Similarity.EmbedIndex = {
+    val m = spark.table(s"${prefix}_meta").head()
+    Similarity.EmbedIndex(m.getString(0),
+      spark.table(s"${prefix}_vecs")
+        .filter(col("ingest_batch") < bid).drop("ingest_batch"),
+      spark.table(s"${prefix}_hashed")
+        .filter(col("ingest_batch") < bid).drop("ingest_batch"),
+      m.getInt(1), m.getInt(2), m.getLong(3), m.getInt(4))
+  }
+
+  /** One micro-batch of the embedding (sign-LSH) ingestion loop — same
+    * append-only partition design and retry contract as
+    * [[ingestMinhashBatch]]. */
+  def ingestEmbedBatch(batch: DataFrame, bid: Long, idCol: String,
+                       vecCol: String, prefix: String, pairsDir: String,
+                       threshold: Double, bitsPerTable: Int, numTables: Int,
+                       seed: Long, dim: Int, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val shard = Similarity.embedIndex(batch, idCol, vecCol,
+      bitsPerTable, numTables, seed, dim)
+    val exists = spark.catalog.tableExists(s"${prefix}_hashed")
+    val corpus =
+      if (exists) embedCorpusBefore(spark, prefix, bid)
+      else Similarity.EmbedIndex(idCol, shard.vecs.limit(0),
+        shard.hashed.limit(0), bitsPerTable, numTables, seed, shard.dim)
+    require(corpus.bitsPerTable == bitsPerTable && corpus.numTables == numTables &&
+      corpus.seed == seed && corpus.dim == shard.dim,
+      s"persisted LSH family (bits=${corpus.bitsPerTable}, tables=${corpus.numTables}, " +
+        s"seed=${corpus.seed}, dim=${corpus.dim}) != loop family " +
+        s"(bits=$bitsPerTable, tables=$numTables, seed=$seed, dim=${shard.dim})")
+    Similarity.lshDupPairsIncremental(shard, corpus, threshold)
+      .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$bid")
+    if (exists) Seq("hashed", "vecs").foreach { t =>
+      spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$bid)")
+    }
+    shard.hashed.withColumn("ingest_batch", lit(bid))
+      .write.mode("append").format("parquet")
+      .partitionBy("ingest_batch")
+      .bucketBy(buckets, "t", "h").sortBy("t", "h")
+      .saveAsTable(s"${prefix}_hashed")
+    shard.vecs.withColumn("ingest_batch", lit(bid))
+      .write.mode("append").format("parquet")
+      .partitionBy("ingest_batch")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${prefix}_vecs")
+    if (!exists) {
+      import spark.implicits._
+      Seq((idCol, bitsPerTable, numTables, seed, shard.dim))
+        .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
+  }
+
+  /** Drive a streaming embedding source through the sign-LSH ingestion
+    * loop — the vector twin of [[minhashIngest]]. `dim` must be passed
+    * explicitly: a streaming frame cannot be probed for it at plan
+    * time. */
+  def embedIngest(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  prefix: String, pairsDir: String, checkpointDir: String,
+                  threshold: Double = 0.9, bitsPerTable: Int = 10,
+                  numTables: Int = 8, seed: Long = 42L, buckets: Int = 8,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingestEmbedBatch(batch, bid, idCol, vecCol, prefix, pairsDir,
+          threshold, bitsPerTable, numTables, seed, dim, buckets)
       }
       .start()
 }

@@ -91,6 +91,35 @@ class IngestLoopSpec extends AnyFunSuite {
     } finally drop("ing_mh_bands", "ing_mh_shingles", "ing_mh_meta")
   }
 
+  test("streamed sign-LSH embedding ingestion over >=3 micro-batches == one batch full run") {
+    import graft.operators.Similarity
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = embs.union(embs.withColumn("vec_id", col("vec_id") + 10000000L))
+    val streamDir = java.nio.file.Files.createTempDirectory("eingest_src").toString
+    (0 until 3).foreach { i =>
+      stage(corpus.filter(col("vec_id") % 3 === i), streamDir, s"f$i.parquet")
+      Thread.sleep(1100)
+    }
+    val pairsDir = java.nio.file.Files.createTempDirectory("eingest_pairs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("eingest_ckpt").toString
+    val stream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    try {
+      val q = IngestLoop.embedIngest(stream, "vec_id", "embedding", dim = 64,
+        prefix = "ing_em", pairsDir = pairsDir, checkpointDir = ckpt)
+      q.awaitTermination()
+      val batchDirs = new java.io.File(pairsDir).listFiles()
+        .filter(_.getName.startsWith("ingest_batch=")).map(_.getName)
+      assert(batchDirs.length >= 3, s"expected >=3 micro-batches, got ${batchDirs.toSeq}")
+      val streamed = spark.read.parquet(pairsDir).select("a_id", "b_id", "cos")
+      val full = Similarity.lshDupPairs(corpus, "vec_id", "embedding", threshold = 0.9)
+      assert(streamed.count() > 0, "clone pairs must exist")
+      assert(streamed.exceptAll(full).count() == 0 &&
+        full.exceptAll(streamed).count() == 0,
+        "streamed embed pair union diverges from the batch full run")
+    } finally drop("ing_em_hashed", "ing_em_vecs", "ing_em_meta")
+  }
+
   test("replaying a micro-batch (foreachBatch redelivery) is idempotent") {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
