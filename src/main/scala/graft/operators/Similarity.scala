@@ -223,8 +223,7 @@ object Similarity {
     // ≤ trainSample rows ≈ 8 MB at dim 64; Lloyd loops are seeded. This
     // is the sanctioned bounded driver round-trip, O(trainSample)
     // regardless of corpus size.
-    val sample = base.select(col("c_id"), col("cv")).orderBy("c_id")
-      .limit(trainSample).collect().map(_.getSeq[Double](1).toArray)
+    val sample = sampleVecs(base, trainSample)
     val cellCenters = lloyd(sample, nlist, iters = 10, seed = seed)
     def nearestCell(v: Array[Double]): Int = {
       var best = 0; var bd = Double.MaxValue; var c = 0
@@ -250,11 +249,8 @@ object Similarity {
     // residual (m*ksub literal-codebook dot kernels). No shuffle, no
     // fit, no UDF.
     val centersLit = typedLit(cellCenters.map(_.toSeq).toSeq)
-    val cellDists = array(cellCenters.map { c =>
-      lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("cv"), typedLit(c.toSeq))
-    }: _*)
     val withCell = base
-      .withColumn("cell", (array_position(cellDists, array_min(cellDists)) - 1).cast("int"))
+      .withColumn("cell", argminCellExpr(cellCenters, col("cv")))
       .withColumn("__r", zip_with(col("cv"),
         element_at(centersLit, col("cell") + 1), (x, c) => x - c))
     val codeCols = (0 until m).map { j =>
@@ -267,6 +263,24 @@ object Similarity {
     val codes = staging(withCell.select(col("c_id"), col("cell"),
       array(codeCols: _*).as("codes"), col("cn")))
     PqIndex(idCol, codes, cellCenters, codebooks, m, ksub, dim, seed)
+  }
+
+  /** Bounded id-ordered vector sample off a withNorm'd frame — the
+    * shared trainer input of [[pqIndex]] and [[semanticDedup]]: one
+    * distributed TakeOrdered, deterministic, O(trainSample) regardless
+    * of corpus size. */
+  private def sampleVecs(base: DataFrame, trainSample: Int): Array[Array[Double]] =
+    base.select(col("c_id"), col("cv")).orderBy("c_id")
+      .limit(trainSample).collect().map(_.getSeq[Double](1).toArray)
+
+  /** Nearest-centroid assignment as one codegen projection:
+    * argmin ||v − c||² = argmin (||c||² − 2 v·c) over literal centroids
+    * — nlist dot kernels, no fit, no UDF. */
+  private def argminCellExpr(centers: Array[Array[Double]], v: Column): Column = {
+    val dists = array(centers.map { c =>
+      lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, typedLit(c.toSeq))
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** Seeded local Lloyd k-means over an in-memory point set — the PQ
@@ -414,6 +428,66 @@ object Similarity {
                 m: Int, ksub: Int, refine: Int, seed: Long): DataFrame = {
     val idx = pqIndex(candidates, idCol, vecCol, nlist, m, ksub, seed)
     ivfPqTopK(idx, candidates, queries, idCol, vecCol, k, nprobe, refine)
+  }
+
+  /** SEMANTIC deduplication (SemDeDup — Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embedding space,
+    * then within each cluster collapse groups of semantically-equivalent
+    * documents (pairwise cosine ≥ threshold, transitively closed) down
+    * to one canonical survivor. Distinct from near-dup pair mining
+    * ([[lshDupPairs]]): the output is a KEEP/DROP decision per document,
+    * the criterion is meaning-level similarity at thresholds far below
+    * exact-dup territory, and candidate generation is cluster-local by
+    * design — the paper's own scheme, which is what makes it linear-ish
+    * at scale (the all-pairs work is Σ s(s−1)/2 over cell sizes, driven
+    * by nlist).
+    *
+    * Spark-first composition of existing machinery: cells come from the
+    * sampled-Lloyd coarse trainer ([[pqIndex]]'s — one TakeOrdered + a
+    * seeded driver loop), assignment is one codegen argmin projection,
+    * within-cell edges one equi-join on `cell` with the dot kernel, and
+    * transitive closure is `Dedup.connectedComponents` (hash-min,
+    * rounds = diameter). The within-cell pair mass is ENFORCED against
+    * `maxPairs` before the join is scheduled (the q32 guard discipline —
+    * a degenerate clustering must refuse loudly, naming the knob, not
+    * schedule a quadratic join). Canonical = min id per component (the
+    * deterministic stand-in for the paper's keep-one policy). Zero-norm
+    * vectors are excluded per the shared cosine contract.
+    *
+    * Returns one row per surviving input doc: (idCol, cell, canonical,
+    * kept) — `kept` = (id == canonical); dropped docs point at their
+    * kept canonical in the same cell. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 16, seed: Long = 42L,
+                    trainSample: Int = 16384, maxPairs: Long = 1000000000L,
+                    staging: Staging.Mode = Staging.Local): DataFrame = {
+    val base = withNorm(df, idCol, vecCol, "c_id", "cv", "cn")
+    val centers = lloyd(sampleVecs(base, trainSample), nlist, iters = 10, seed = seed)
+    val cells = staging(base
+      .withColumn("cell", argminCellExpr(centers, col("cv")))
+      .select(col("c_id"), col("cv"), col("cn"), col("cell")))
+    val mass = cells.groupBy("cell").agg(count(lit(1)).as("s"))
+      .agg(coalesce(sum(expr("s * (s - 1) div 2")), lit(0L)).as("p"))
+      .head.getLong(0)
+    require(mass <= maxPairs,
+      s"semanticDedup within-cell pair mass $mass exceeds budget $maxPairs: " +
+        s"raise nlist (currently $nlist) so cells shrink, or raise maxPairs " +
+        "on a cluster with the scratch to absorb it.")
+    val a = cells.select(col("cell"), col("c_id").as("a_id"),
+      col("cv").as("av"), col("cn").as("an"))
+    val b = cells.select(col("cell"), col("c_id").as("b_id"),
+      col("cv").as("bv"), col("cn").as("bn"))
+    val edges = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .filter(round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+        >= threshold)
+      .select("a_id", "b_id")
+    val comps = Dedup.connectedComponents(edges, "a_id", "b_id")
+    cells.select(col("c_id"), col("cell"))
+      .join(comps.select(col("id").as("c_id"), col("component")), Seq("c_id"), "left")
+      .select(col("c_id").as(idCol), col("cell"),
+        coalesce(col("component"), col("c_id")).as("canonical"),
+        (coalesce(col("component"), col("c_id")) === col("c_id")).as("kept"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (exact,

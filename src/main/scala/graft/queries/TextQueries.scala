@@ -462,6 +462,53 @@ object TextQueries {
           AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0""")),
 
     // ----------------------------------------------------------------
+    // q108: semantic dedup (SemDeDup, Abbas et al. 2023) — cluster-local
+    // transitive collapse of semantically-equivalent embeddings to one
+    // canonical survivor. Seeded cells make the keep/drop sets
+    // DuckDB-irreproducible, so (q107 discipline) the row pins the
+    // oracle-checkable contract on a clone-bearing corpus (e ∪ shifted):
+    //   n_docs              count parity with DuckDB (nonzero-norm ×2)
+    //   drops_happened      clone pairs guarantee the collapse engaged
+    //   dropped_witness_ok  every dropped doc's canonical is KEPT and
+    //                       in the SAME cell
+    //   kept_independent    no two kept docs in a cell still at
+    //                       cos ≥ threshold (one survivor per component)
+    // Exact-merge semantics and the budget guard pinned in SessionIvfSpec.
+    "q108_semantic_dedup" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        val corpus = e.union(e.withColumn("vec_id", col("vec_id") + 10000000L))
+        val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+          threshold = 0.9).localCheckpoint(true)
+        val kept = out.filter(col("kept"))
+        val nDocs = out.count()
+        val nKept = kept.count()
+        val witnessBad = out.filter(!col("kept"))
+          .join(kept.select(col("vec_id").as("canonical"), col("cell").as("__kc")),
+            Seq("canonical"), "left")
+          .filter(col("__kc").isNull || col("__kc") =!= col("cell")).count()
+        val keptVec = kept
+          .join(corpus.select(col("vec_id"),
+            Similarity.toDoubleArray(col("embedding")).as("__v")), Seq("vec_id"))
+          .withColumn("__n", sqrt(Similarity.dot(col("__v"), col("__v"))))
+        val ka = keptVec.select(col("cell"), col("vec_id").as("a_id"),
+          col("__v").as("av"), col("__n").as("an"))
+        val kb = keptVec.select(col("cell"), col("vec_id").as("b_id"),
+          col("__v").as("bv"), col("__n").as("bn"))
+        val keptEdges = ka.join(kb, Seq("cell")).filter(col("a_id") < col("b_id"))
+          .filter(round(Similarity.dot(col("av"), col("bv")) /
+            (col("an") * col("bn")), 6) >= 0.9).count()
+        Seq((nDocs, nKept < nDocs, witnessBad == 0L, keptEdges == 0L))
+          .toDF("n_docs", "drops_happened", "dropped_witness_ok", "kept_independent")
+      },
+      oracle = Some("""
+        SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_docs, TRUE AS drops_happened,
+               TRUE AS dropped_witness_ok, TRUE AS kept_independent
+        FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0""")),
+
+    // ----------------------------------------------------------------
     // q47: batch sessionization — lag + cumulative-sum session ids, the
     // engine-portable formulation (native session_window equivalence is
     // pinned in ScalaTest). 30-minute inactivity gap over epoch nanos.

@@ -94,6 +94,38 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(ann.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("semanticDedup: exact clones collapse to one survivor; invariants; budget guard") {
+    val base = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val corpus = base.union(base.withColumn("vec_id", col("vec_id") + 10000000L))
+    // near-exact threshold: only clone groups merge, so kept == the
+    // number of DISTINCT embeddings (identical vectors always share a
+    // cell; clone cosine rounds to exactly 1.0)
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.999999).cache()
+    val distinctVecs = corpus.select("embedding").distinct().count()
+    assert(out.count() == corpus.count(), "every nonzero-norm doc must get a row")
+    assert(out.filter(col("kept")).count() == distinctVecs,
+      "kept survivors must be one per distinct embedding at the exact-merge threshold")
+    // canonical is the min id of its group and kept rows self-point
+    assert(out.filter(col("kept") && col("canonical") =!= col("vec_id")).count() == 0)
+    assert(out.filter(!col("kept")).filter(col("canonical") >= col("vec_id")).count() == 0,
+      "canonical must be the min id of the component")
+    // dropped docs' canonical is kept, in the same cell
+    val kept = out.filter(col("kept"))
+      .select(col("vec_id").as("canonical"), col("cell").as("__kc"))
+    assert(out.filter(!col("kept")).join(kept, Seq("canonical"), "left")
+      .filter(col("__kc").isNull || col("__kc") =!= col("cell")).count() == 0)
+    // determinism
+    val again = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.999999)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    // budget guard: a degenerate clustering refuses loudly
+    val e = intercept[IllegalArgumentException](
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.9, nlist = 1, maxPairs = 10L))
+    assert(e.getMessage.contains("pair mass"))
+  }
+
   test("lshDupPairs == exact cosineDupPairs on the dup-bearing corpus (recall 1.0)") {
     // the q45 shape: id-shifted copy creates exact-duplicate pairs, which
     // collide in every sign-LSH table by construction; the bucketed plan
