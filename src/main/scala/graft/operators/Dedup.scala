@@ -480,8 +480,13 @@ object Dedup {
       .withColumn("comp", col("id")))
     // sum(comp) strictly decreases whenever any label improves (labels
     // only ever decrease), so fixpoint == unchanged sum: one aggregate
-    // per round instead of a change-count join.
-    var prevSum = labels.agg(sum(col("comp")).cast("decimal(38,0)")).head.getDecimal(0)
+    // per round instead of a change-count join. coalesce: an EMPTY edge
+    // set (no pairs at all — a legal input) sums to NULL, which must
+    // read as 0 so the loop converges on round 1 instead of NPEing.
+    def compSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp")), lit(0L)).cast("decimal(38,0)"))
+        .head.getDecimal(0)
+    var prevSum = compSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -499,7 +504,7 @@ object Dedup {
             .select(col("id"), col("comp")))
       val next = staging(candidates
         .groupBy("id").agg(min("comp").as("comp")))
-      val s = next.agg(sum(col("comp")).cast("decimal(38,0)")).head.getDecimal(0)
+      val s = compSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

@@ -455,15 +455,64 @@ object Similarity {
     * deterministic stand-in for the paper's keep-one policy). Zero-norm
     * vectors are excluded per the shared cosine contract.
     *
+    * `nlist` defaults to AUTO (-1): clamp(n / 2000, 16, 512) from one
+    * corpus count — the paper's own scale rule (cluster count grows with
+    * the corpus so cell sizes, and with them the within-cell pair mass,
+    * stay bounded: even cells put the mass near n·1000 regardless of n).
+    * The 512 cap bounds the driver-side Lloyd cost; past ~1 M vectors
+    * pass an explicit larger nlist (and budget) deliberately.
+    *
+    * EXACT duplicates collapse FIRST, conditionally (the family trade —
+    * [[lshDupPairs]]'s collapse applied here): a g-member identical-
+    * vector family is a guaranteed g²-ish edge clique inside its cell
+    * (identical vectors share a cell and every pair scores cos exactly
+    * 1.0 ≥ any legal threshold), so past the pair-mass threshold the
+    * cells/edges/components machinery runs over one min-id
+    * representative per distinct vector and members inherit their rep's
+    * (cell, canonical) by one id-only expansion join. Output identical
+    * either way: an exact-dup group is always one sub-clique of a
+    * component, so the component's min id — the canonical — is the same
+    * computed over members or over min-id reps (pinned in
+    * SessionIvfSpec's forced-branch check).
+    *
     * Returns one row per surviving input doc: (idCol, cell, canonical,
     * kept) — `kept` = (id == canonical); dropped docs point at their
     * kept canonical in the same cell. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, nlist: Int = 16, seed: Long = 42L,
+                    threshold: Double, nlist: Int = -1, seed: Long = 42L,
                     trainSample: Int = 16384, maxPairs: Long = 1000000000L,
-                    staging: Staging.Mode = Staging.Local): DataFrame = {
+                    staging: Staging.Mode = Staging.Local,
+                    collapsePairsPerDoc: Double = 2.0): DataFrame = {
+    if (!Dedup.heavyDupMass(df, col(vecCol), staging, collapsePairsPerDoc))
+      return semanticDedupDirect(df, idCol, vecCol, threshold, nlist, seed,
+        trainSample, maxPairs, staging)
+    val members = staging(df.select(col(idCol).as("id"), col(vecCol).as("__k")))
+    val reps = members.groupBy("__k").agg(min(col("id")).as("gid"))
+    val mem = staging(members.join(reps, Seq("__k")).select(col("id"), col("gid")))
+    val repDf = reps.select(col("gid").as(idCol), col("__k").as(vecCol))
+    val repOut = semanticDedupDirect(repDf, idCol, vecCol, threshold, nlist,
+      seed, trainSample, maxPairs, staging)
+    // members inherit their rep's cell and canonical (identical vectors
+    // are always one sub-clique of the rep's component); zero-norm
+    // groups have no rep row and their members drop out here — the
+    // direct branch's withNorm contract
+    mem.join(repOut.select(col(idCol).as("gid"), col("cell"), col("canonical")),
+        Seq("gid"))
+      .select(col("id").as(idCol), col("cell"), col("canonical"),
+        (col("id") === col("canonical")).as("kept"))
+  }
+
+  /** The uncollapsed cells → edges → components pipeline of
+    * [[semanticDedup]] — shared by both collapse branches. */
+  private def semanticDedupDirect(df: DataFrame, idCol: String, vecCol: String,
+                                  threshold: Double, nlist: Int, seed: Long,
+                                  trainSample: Int, maxPairs: Long,
+                                  staging: Staging.Mode): DataFrame = {
     val base = withNorm(df, idCol, vecCol, "c_id", "cv", "cn")
-    val centers = lloyd(sampleVecs(base, trainSample), nlist, iters = 10, seed = seed)
+    val k =
+      if (nlist > 0) nlist
+      else math.min(512L, math.max(16L, base.count() / 2000L)).toInt
+    val centers = lloyd(sampleVecs(base, trainSample), k, iters = 10, seed = seed)
     val cells = staging(base
       .withColumn("cell", argminCellExpr(centers, col("cv")))
       .select(col("c_id"), col("cv"), col("cn"), col("cell")))
@@ -472,7 +521,7 @@ object Similarity {
       .head.getLong(0)
     require(mass <= maxPairs,
       s"semanticDedup within-cell pair mass $mass exceeds budget $maxPairs: " +
-        s"raise nlist (currently $nlist) so cells shrink, or raise maxPairs " +
+        s"raise nlist (currently $k) so cells shrink, or raise maxPairs " +
         "on a cluster with the scratch to absorb it.")
     val a = cells.select(col("cell"), col("c_id").as("a_id"),
       col("cv").as("av"), col("cn").as("an"))

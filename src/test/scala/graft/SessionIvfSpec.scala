@@ -124,6 +124,14 @@ class SessionIvfSpec extends AnyFunSuite {
       Similarity.semanticDedup(corpus, "vec_id", "embedding",
         threshold = 0.9, nlist = 1, maxPairs = 10L))
     assert(e.getMessage.contains("pair mass"))
+    // branch identity: forcing the exact-dup collapse (pairs-per-doc 0)
+    // must reproduce the direct branch row for row — this corpus's
+    // pairs-of-twins mass (0.5/doc) takes the direct branch by default
+    val collapsed = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.999999, collapsePairsPerDoc = 0.0)
+    assert(out.exceptAll(collapsed).count() == 0 &&
+      collapsed.exceptAll(out).count() == 0,
+      "collapse branch diverges from the direct branch")
   }
 
   test("lshDupPairs == exact cosineDupPairs on the dup-bearing corpus (recall 1.0)") {
