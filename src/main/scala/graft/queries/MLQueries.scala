@@ -678,6 +678,56 @@ object MLQueries {
         FROM lineitem WHERE l_orderkey < 2000""")),
 
     // ----------------------------------------------------------------
+    // q109: EXACT RBF ε-SVR (round 8 — closes the q62 RFF deviation for
+    // M8, BigDataProject.R:370-376 e1071 defaults C=1/eps=0.1/
+    // gamma=1/dim with z-scaled inputs). Driver-side SMO on a BOUNDED
+    // id-ordered training prefix (SVR is O(n²) in the kernel by nature;
+    // the reference trains on ~160 rows), scoring distributed as a
+    // literal-SV codegen expression. The solver is certified by the
+    // MATH: SVR's dual is a convex QP, so the emitted row pins
+    //   n_pred        every slice row scored (count parity with DuckDB)
+    //   kkt_ok        max KKT violation m(α)−M(α) ≤ 1e−6 (converged
+    //                 optimum — a complete optimality proof, SvrSpec
+    //                 adds the full residual + duality-gap certificate)
+    //   sv_sparse     support vectors a strict subset of training rows
+    //   rmse_pos_finite / mae_le_rmse  metric sanity on the unscaled
+    //                 predictions (same legs as q62)
+    "q109_svr_exact" -> QueryDef(
+      fn = (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val li = Tables(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+          .withColumn("__ord", col("l_orderkey") * 16 + col("l_linenumber"))
+        // e1071 scales features AND label; one stats pass, then scaled
+        // columns feed the fit and predictions unscale back
+        val st = li.agg(
+          avg("l_quantity").as("mq"), stddev("l_quantity").as("sq"),
+          avg("l_discount").as("md"), stddev("l_discount").as("sd"),
+          avg("l_extendedprice").as("mp"), stddev("l_extendedprice").as("sp")).head()
+        val (mq, sq, md, sd, mp, sp) = (st.getDouble(0), st.getDouble(1),
+          st.getDouble(2), st.getDouble(3), st.getDouble(4), st.getDouble(5))
+        val scaled = li
+          .withColumn("zq", (col("l_quantity") - mq) / sq)
+          .withColumn("zd", (col("l_discount") - md) / sd)
+          .withColumn("zp", (col("l_extendedprice") - mp) / sp)
+        val (model, pred0) = graft.operators.SvrSmo.fitPredict(
+          scaled, Seq("zq", "zd"), "zp", "__ord", trainRows = 160)
+        val pred = pred0
+          .withColumn("prediction", col("prediction") * sp + mp).cache()
+        val (rmse, _, mae) = MLOps.regressionMetrics(pred, "prediction", "l_extendedprice")
+        Seq((pred.count(),
+            model.kktViolation <= 1e-6,
+            model.svX.length > 0 && model.svX.length < model.nTrain,
+            !rmse.isNaN && !rmse.isInfinite && rmse > 0,
+            mae > 0 && mae <= rmse + 1e-9))
+          .toDF("n_pred", "kkt_ok", "sv_sparse", "rmse_pos_finite", "mae_le_rmse")
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pred, TRUE AS kkt_ok, TRUE AS sv_sparse,
+               TRUE AS rmse_pos_finite, TRUE AS mae_le_rmse
+        FROM lineitem WHERE l_orderkey < 2000""")),
+
+    // ----------------------------------------------------------------
     // q100: decision-tree regression (M5, BigDataProject.R:329-330) +
     // model persistence (S4, :572 saveRDS) — the last two §2 operators
     // without a catalog row. The q57/q62 fit-invariant pattern: the
