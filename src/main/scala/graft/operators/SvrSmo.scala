@@ -116,6 +116,60 @@ object SvrSmo {
       math.max(viol, 0.0), n, beta)
   }
 
+  /** Driver-side single-point prediction (the spec/tune evaluator). */
+  def predictOne(m: Model, v: Array[Double]): Double =
+    m.svX.zip(m.svBeta).map { case (sv, b) => b * rbf(m.gamma, sv, v) }.sum + m.b
+
+  /** e1071 `tune.svm` analog for the exact tier: k-fold CV over a
+    * cost×gamma grid on the bounded training set. Folds are id-order
+    * round-robin — deterministic, no RNG (the reference's random 10-fold
+    * makes its winner seed-dependent; a deterministic fold rule is the
+    * engine-portable equivalent, same trade as the M2 hash split). Ties
+    * break to the earlier grid point. 16 fits of n ≤ trainRows rows are
+    * trivial driver work — exactly the reference's own 4×4 grid on 160
+    * rows. Returns the winning model refit on ALL rows plus the CV-MSE
+    * surface. */
+  def gridTune(x: Array[Array[Double]], y: Array[Double],
+               costs: Seq[Double], gammas: Seq[Double], folds: Int = 5,
+               eps: Double = 0.1): (Model, Map[(Double, Double), Double]) = {
+    require(x.length >= folds, s"need at least $folds rows for $folds-fold CV")
+    val surface = (for (c <- costs; g <- gammas) yield {
+      val mse = (0 until folds).map { f =>
+        val trainIdx = x.indices.filter(_ % folds != f)
+        val testIdx = x.indices.filter(_ % folds == f)
+        val m = fit(trainIdx.map(x).toArray, trainIdx.map(y).toArray, c, eps, g)
+        testIdx.map { i => val e = predictOne(m, x(i)) - y(i); e * e }.sum / testIdx.length
+      }.sum / folds
+      (c, g) -> mse
+    }).toMap
+    val (bestC, bestG) = (for (c <- costs; g <- gammas) yield (c, g))
+      .minBy(surface) // stable minBy: earlier grid point wins ties
+    (fit(x, y, bestC, eps, bestG), surface)
+  }
+
+  /** Persist a fitted model as one-row parquet (S4 contract — the
+    * saveRDS analog): support vectors and coefficients as nested
+    * arrays, scalars alongside. */
+  def save(m: Model, path: String,
+           spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    Seq((m.svX.map(_.toSeq).toSeq, m.svBeta.toSeq, m.b, m.gamma, m.eps, m.c,
+        m.iters, m.kktViolation, m.nTrain, m.trainBeta.toSeq))
+      .toDF("sv_x", "sv_beta", "b", "gamma", "eps", "c",
+        "iters", "kkt_violation", "n_train", "train_beta")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def load(path: String, spark: org.apache.spark.sql.SparkSession): Model = {
+    val r = spark.read.parquet(path).head()
+    Model(
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0).map(_.toArray).toArray,
+      r.getAs[scala.collection.Seq[Double]](1).toArray,
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+      r.getInt(6), r.getDouble(7), r.getInt(8),
+      r.getAs[scala.collection.Seq[Double]](9).toArray)
+  }
+
   /** f(x) over the support vectors as one codegen expression on an
     * array<double> feature column: Σ β_i · exp(−γ(|x|² − 2x·sv_i +
     * |sv_i|²)) + b — |sv_i|² are literals, x·sv_i the native dot

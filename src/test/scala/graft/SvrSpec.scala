@@ -113,6 +113,48 @@ class SvrSpec extends AnyFunSuite {
       assert(math.abs(a - b) <= 1e-9, s"$a vs $b") }
   }
 
+  test("gridTune: the reported winner is the argmin of an independently recomputed CV surface") {
+    val x = Array.tabulate(60)(i => Array(i / 60.0 * 4))
+    val y = x.map(v => math.sin(v(0)) + 0.05 * math.cos(7 * v(0)))
+    val costs = Seq(0.1, 1.0, 10.0)
+    val gammas = Seq(0.5, 2.0)
+    val (best, surface) = SvrSmo.gridTune(x, y, costs, gammas, folds = 5)
+    assert(surface.size == 6)
+    // independent recomputation of one grid point must match exactly
+    val (c0, g0) = (costs(1), gammas(0))
+    val recomputed = (0 until 5).map { f =>
+      val tr = x.indices.filter(_ % 5 != f)
+      val te = x.indices.filter(_ % 5 == f)
+      val m = SvrSmo.fit(tr.map(x).toArray, tr.map(y).toArray, c0, 0.1, g0)
+      te.map { i => val e = SvrSmo.predictOne(m, x(i)) - y(i); e * e }.sum / te.length
+    }.sum / 5
+    assert(surface((c0, g0)) == recomputed)
+    // the refit winner carries the argmin's params
+    val argmin = surface.minBy(_._2)._1
+    assert(best.c == argmin._1 && best.gamma == argmin._2)
+    certify(x, y, best)
+  }
+
+  test("save/load round-trip: reloaded model predicts bit-identically (S4 contract)") {
+    import spark.implicits._
+    val x = Array.tabulate(30)(i => Array(i / 30.0, (i % 5).toDouble))
+    val y = Array.tabulate(30)(i => x(i)(0) * 2 + x(i)(1))
+    val m = SvrSmo.fit(x, y, c = 10.0, eps = 0.05)
+    val path = java.nio.file.Files.createTempDirectory("svr_model").toString + "/m"
+    SvrSmo.save(m, path, spark)
+    val loaded = SvrSmo.load(path, spark)
+    assert(loaded.b == m.b && loaded.gamma == m.gamma &&
+      loaded.svBeta.toSeq == m.svBeta.toSeq &&
+      loaded.svX.map(_.toSeq).toSeq == m.svX.map(_.toSeq).toSeq)
+    val df = x.zipWithIndex.toSeq.map { case (v, i) => (i, v(0), v(1)) }
+      .toDF("id", "f1", "f2")
+    val a = df.withColumn("p", SvrSmo.predictExpr(m, array(col("f1"), col("f2"))))
+      .orderBy("id").collect().map(_.getAs[Double]("p"))
+    val b = df.withColumn("p", SvrSmo.predictExpr(loaded, array(col("f1"), col("f2"))))
+      .orderBy("id").collect().map(_.getAs[Double]("p"))
+    assert(a.sameElements(b), "reloaded model predictions diverge")
+  }
+
   test("fitPredict scores every row with the bounded-prefix fit") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .filter(col("l_orderkey") < 500)
