@@ -278,6 +278,16 @@ object EventStream {
         graft.operators.Sampling.selectionHash(col(idCol)) < col("__thr"))
       .drop("__thr")
 
+  /** Streaming KDE-naive-Bayes gate — q106's scorer under readStream
+    * with the shipped-model pattern of [[perplexityGate]]: the model is
+    * fit OFFLINE by `KdeNb.fit` (grouped stats + binning — batch-only
+    * work), and its density grids ride into the stream as literal
+    * arrays inside the scoring projection, which is a pure stateless
+    * per-row expression — the same classify-at-the-front-door shape as
+    * the perplexity and langid gates. */
+  def kdeNbGate(rows: DataFrame, model: graft.operators.KdeNb.Model): DataFrame =
+    graft.operators.KdeNb.score(rows, model)
+
   /** Stream-static enrichment — the canonical streaming dimension
     * lookup: every micro-batch joins the static frame (broadcast — at
     * scale the dim is the small side by construction); stateless, no

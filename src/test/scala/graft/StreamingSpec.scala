@@ -538,6 +538,31 @@ class StreamingSpec extends AnyFunSuite {
       "Staging.None lean branch diverges from the collapse branch")
   }
 
+  test("streaming KDE-NB gate == batch scorer on the same rows (shipped-model pattern)") {
+    import graft.operators.KdeNb
+    val batchRows = spark.read.parquet(stagingDir)
+      .select(col("event_id"), col("event_type"),
+        col("user_id").cast("double").as("user_id"),
+        col("value").cast("double").as("value"))
+    val model = KdeNb.fit(batchRows, Seq("user_id", "value"), "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("kde_stream").toString
+    batchRows.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("event_id LONG, event_type STRING, user_id DOUBLE, value DOUBLE")
+      .parquet(dir)
+    val gated = EventStream.kdeNbGate(stream, model)
+    assert(gated.isStreaming, "gate must stay streaming (pure projection)")
+    EventStream.runToMemory(gated, "kde_gate", OutputMode.Append())
+    val streamed = spark.table("kde_gate")
+      .select("event_id", "pred", "posterior_0")
+    val batch = KdeNb.score(batchRows, model)
+      .select("event_id", "pred", "posterior_0")
+    assert(streamed.count() == batchRows.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming KDE-NB posteriors diverge from batch")
+  }
+
   test("packGateEvicting frees idle segment state; a late arrival re-opens a fresh fold") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
