@@ -197,8 +197,115 @@ object Similarity {
     * final top-k emitted — output cosines are exact (6-dp), so the
     * q44/q46 contract's "ANN never beats exact" leg holds by
     * construction; PQ affects recall only. */
+  /** Two-level (residual) coarse quantizer — the round-9 answer to the
+    * nlist scale ceiling: a single driver-side Lloyd over a ≤16k sample
+    * cannot produce the ~10⁵ cells a 10¹⁰-vector corpus needs (k is
+    * structurally bounded by the sample size). Factoring the quantizer
+    * as cell = (super, sub), with the sub layer trained on level-1
+    * RESIDUALS and SHARED across supers, yields n1·n2 effective cells
+    * from two bounded in-memory fits — the residual variant of the
+    * inverted multi-index family (Babenko/Lempitsky, "The inverted
+    * multi-index", CVPR 2012; coarse layer of IVFADC, Jégou/Douze/
+    * Schmid TPAMI 2011). Assignment stays a pure codegen projection:
+    * argmin over n1 literal centers, one array subtraction, argmin over
+    * n2 literal centers — O(n1+n2) dot kernels per row instead of
+    * O(n1·n2), and NO nlist-sized literal ever enters a plan. The
+    * center of cell c is l1(c / n2) + l2(c % n2). n2 == 1 (l2 = one
+    * zero vector) degrades to exactly the single-level quantizer. */
+  final case class Coarse(l1: Array[Array[Double]], l2: Array[Array[Double]]) {
+    def n1: Int = l1.length
+    def n2: Int = l2.length
+    def nlist: Int = n1 * n2
+    def dim: Int = l1(0).length
+    def center(cell: Int): Array[Double] = {
+      val a = l1(cell / n2); val b = l2(cell % n2)
+      Array.tabulate(dim)(i => a(i) + b(i))
+    }
+    /** Driver-side assignment (sample-residual computation in pqIndex). */
+    def assign(v: Array[Double]): Int = {
+      val s = Coarse.nearest(l1, v)
+      val r = Array.tabulate(dim)(i => v(i) - l1(s)(i))
+      s * n2 + Coarse.nearest(l2, r)
+    }
+    def residual(v: Array[Double]): Array[Double] = {
+      val c = center(assign(v))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+  }
+  object Coarse {
+    private[operators] def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Train a [[Coarse]] quantizer for (at least) `nlist` cells from one
+    * bounded in-memory sample: a single-level Lloyd up to
+    * `singleLevelMax` cells, else a level-1 fit of n1 = ceil(√nlist)
+    * supers plus a level-2 fit of n2 = ceil(nlist/n1) centers over the
+    * level-1 residuals — ~2·√nlist Lloyd centroids of driver work for
+    * nlist cells, lifting the structural ceiling (old: nlist ≤ sample)
+    * to sample². Deterministic for a fixed (sample, nlist, seed). */
+  private[operators] def trainCoarse(sample: Array[Array[Double]], nlist: Int,
+                                     seed: Long,
+                                     singleLevelMax: Int = 1024): Coarse = {
+    require(sample.nonEmpty, "coarse quantizer training needs a non-empty sample")
+    if (nlist <= singleLevelMax)
+      Coarse(lloyd(sample, nlist, iters = 10, seed = seed),
+        Array(new Array[Double](sample(0).length)))
+    else {
+      val n1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
+      val n2 = math.ceil(nlist.toDouble / n1).toInt
+      val l1 = lloyd(sample, n1, iters = 10, seed = seed)
+      val resid = sample.map { v =>
+        val c = l1(Coarse.nearest(l1, v))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+      Coarse(l1, lloyd(resid, n2, iters = 10, seed = seed + 1000L))
+    }
+  }
+
+  /** Staged two-level cell assignment: adds `cell` (and leaves the final
+    * PQ residual in `residCol` if requested) as pure codegen columns —
+    * argmin over l1, subtract, argmin over l2. Single-level (n2 == 1)
+    * skips the second stage entirely. */
+  private def withCellCols(df: DataFrame, cq: Coarse, v: Column,
+                           residCol: Option[String] = None): DataFrame = {
+    if (cq.n2 == 1) {
+      val out = df.withColumn("cell", argminCellExpr(cq.l1, v))
+      residCol match {
+        case Some(r) =>
+          val l1Lit = typedLit(cq.l1.map(_.toSeq).toSeq)
+          out.withColumn(r,
+            zip_with(v, element_at(l1Lit, col("cell") + 1), (x, c) => x - c))
+        case None => out
+      }
+    } else {
+      val l1Lit = typedLit(cq.l1.map(_.toSeq).toSeq)
+      val l2Lit = typedLit(cq.l2.map(_.toSeq).toSeq)
+      val staged = df
+        .withColumn("__sup", argminCellExpr(cq.l1, v))
+        .withColumn("__r1",
+          zip_with(v, element_at(l1Lit, col("__sup") + 1), (x, c) => x - c))
+        .withColumn("__sub", argminCellExpr(cq.l2, col("__r1")))
+        .withColumn("cell", col("__sup") * cq.n2 + col("__sub"))
+      val out = residCol match {
+        case Some(r) => staged.withColumn(r,
+          zip_with(col("__r1"), element_at(l2Lit, col("__sub") + 1), (x, c) => x - c))
+        case None => staged
+      }
+      out.drop("__sup", "__r1", "__sub")
+    }
+  }
+
   final case class PqIndex(idCol: String, codes: DataFrame,
-                           cellCenters: Array[Array[Double]],
+                           coarse: Coarse,
                            codebooks: Array[Array[Array[Double]]],
                            m: Int, ksub: Int, dim: Int, seed: Long)
 
@@ -219,40 +326,26 @@ object Similarity {
     // ~10⁴-10⁵ sampled vectors in memory, never distributed fits — at
     // nlist=16/m=16 that would be 17 fits of per-iteration job overhead,
     // costing more than the rest of the query). The sample is the
-    // id-ordered prefix (one distributed TakeOrdered — deterministic),
-    // ≤ trainSample rows ≈ 8 MB at dim 64; Lloyd loops are seeded. This
-    // is the sanctioned bounded driver round-trip, O(trainSample)
-    // regardless of corpus size.
+    // hash-ordered prefix (one distributed TakeOrdered — deterministic,
+    // and unbiased on id-correlated corpora), ≤ trainSample rows ≈ 8 MB
+    // at dim 64; Lloyd loops are seeded. This is the sanctioned bounded
+    // driver round-trip, O(trainSample) regardless of corpus size. Past
+    // singleLevelMax cells the coarse layer trains TWO-LEVEL
+    // ([[trainCoarse]]) — nlist up to 65536+ from the same sample.
     val sample = sampleVecs(base, trainSample)
-    val cellCenters = lloyd(sample, nlist, iters = 10, seed = seed)
-    def nearestCell(v: Array[Double]): Int = {
-      var best = 0; var bd = Double.MaxValue; var c = 0
-      while (c < nlist) {
-        var d = 0.0; var i = 0
-        while (i < dim) { val t = v(i) - cellCenters(c)(i); d += t * t; i += 1 }
-        if (d < bd) { bd = d; best = c }; c += 1
-      }
-      best
-    }
-    val sampleResid = sample.map { v =>
-      val ctr = cellCenters(nearestCell(v))
-      Array.tabulate(dim)(i => v(i) - ctr(i))
-    }
+    val coarse = trainCoarse(sample, nlist, seed)
+    val sampleResid = sample.map(coarse.residual)
     val codebooks = Array.tabulate(m) { j =>
       val pts = sampleResid.map(r =>
         java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
       lloyd(pts, ksub, iters = 10, seed = seed + j + 1)
     }
     // cell assignment + encode: ONE codegen projection over the corpus —
-    // argmin ||v - c||^2 = argmin (||c||^2 - 2 v.c) over literal
-    // centroids (nlist dots), then per-subspace code argmin over the
-    // residual (m*ksub literal-codebook dot kernels). No shuffle, no
-    // fit, no UDF.
-    val centersLit = typedLit(cellCenters.map(_.toSeq).toSeq)
-    val withCell = base
-      .withColumn("cell", argminCellExpr(cellCenters, col("cv")))
-      .withColumn("__r", zip_with(col("cv"),
-        element_at(centersLit, col("cell") + 1), (x, c) => x - c))
+    // two staged argmins over the (n1 + n2) literal level centers, then
+    // per-subspace code argmin over the residual (m*ksub literal-
+    // codebook dot kernels). No shuffle, no fit, no UDF, and no
+    // nlist-sized literal.
+    val withCell = withCellCols(base, coarse, col("cv"), residCol = Some("__r"))
     val codeCols = (0 until m).map { j =>
       val sub = slice(col("__r"), j * dsub + 1, dsub)
       val dists = array(codebooks(j).map { c =>
@@ -262,16 +355,35 @@ object Similarity {
     }
     val codes = staging(withCell.select(col("c_id"), col("cell"),
       array(codeCols: _*).as("codes"), col("cn")))
-    PqIndex(idCol, codes, cellCenters, codebooks, m, ksub, dim, seed)
+    PqIndex(idCol, codes, coarse, codebooks, m, ksub, dim, seed)
   }
 
-  /** Bounded id-ordered vector sample off a withNorm'd frame — the
+  /** Bounded HASH-ordered vector sample off a withNorm'd frame — the
     * shared trainer input of [[pqIndex]] and [[semanticDedup]]: one
-    * distributed TakeOrdered, deterministic, O(trainSample) regardless
-    * of corpus size. */
+    * distributed TakeOrdered on `mixedHash(id)` (id tie-break), so the
+    * sample is a deterministic pseudo-random draw from the WHOLE corpus
+    * rather than its id prefix — on id-correlated data (time- or
+    * topic-sorted crawl shards) a prefix misrepresents the distribution
+    * and silently degrades recall/dedup quality. Still one TakeOrdered,
+    * O(trainSample) regardless of corpus size. */
   private def sampleVecs(base: DataFrame, trainSample: Int): Array[Array[Double]] =
-    base.select(col("c_id"), col("cv")).orderBy("c_id")
+    base.select(col("c_id"), col("cv"))
+      .orderBy(Sampling.mixedHash(col("c_id")), col("c_id"))
       .limit(trainSample).collect().map(_.getSeq[Double](1).toArray)
+
+  /** DISTINCT-vector twin of [[sampleVecs]] for [[semanticDedup]]: the
+    * sample is drawn from the distinct embedding set, hash-ordered by
+    * the VECTOR VALUE itself — so both collapse branches (full corpus
+    * vs one representative per identical-vector family) see the exact
+    * same training sample and produce identical cells, preserving the
+    * branch-identity contract (pinned in SessionIvfSpec) under
+    * hash-ordered sampling. The distinct is the same vector-keyed
+    * shuffle shape the collapse branch's rep election already pays;
+    * partial aggregation dedups map-side before the exchange. */
+  private def sampleDistinctVecs(base: DataFrame, trainSample: Int): Array[Array[Double]] =
+    base.select(col("cv")).distinct()
+      .orderBy(xxhash64(col("cv")), col("cv"))
+      .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
 
   /** Nearest-centroid assignment as one codegen projection:
     * argmin ||v − c||² = argmin (||c||² − 2 v·c) over literal centroids
@@ -341,25 +453,44 @@ object Similarity {
                 refine: Int = 4): DataFrame = {
     val m = index.m
     val dsub = index.dim / m
-    val centersLit = typedLit(index.cellCenters.map(_.toSeq).toSeq)
+    val cq = index.coarse
     val q = withNorm(queries, idCol, vecCol, "q_id", "qv", "qn")
       .withColumn("__lut", array((0 until m).map { j =>
         val sub = slice(col("qv"), j * dsub + 1, dsub)
         array(index.codebooks(j).map(c => dot(sub, typedLit(c.toSeq))): _*)
       }: _*))
-    // nprobe nearest cells by cosine against the broadcast centroids —
-    // the same routing rule as ivfTopK
+    // nprobe nearest cells via a TWO-STAGE beam over the hierarchical
+    // quantizer: rank the n1 supers by cosine to the level-1 centers,
+    // keep a beam of the best (4× oversampled so a cell whose super
+    // ranks just outside nprobe/n2 is still reachable), expand only the
+    // beam's n2 sub-cells, rank the full centers (l1+l2), cut to
+    // nprobe. Work per query is O(n1 + beam·n2), never O(nlist), and no
+    // nlist-sized broadcast or literal exists — the shape that survives
+    // nlist ~ 10⁵. With n2 == 1 this reduces exactly to the flat
+    // centroid ranking (stage 2 rescoring is the identity there).
     val spark = queries.sparkSession
     import spark.implicits._
-    val centroids = index.cellCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "center")
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("__cdist", dot(col("qv"), col("center")) /
-        (col("qn") * sqrt(dot(col("center"), col("center")))))
+    val l1Frame = cq.l1.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("__sup", "__c1")
+    val l2Frame = cq.l2.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("__sub", "__c2")
+    val beam = math.min(cq.n1,
+      math.max(4, 4 * math.ceil(nprobe.toDouble / cq.n2).toInt))
+    val supers = q.crossJoin(broadcast(l1Frame))
+      .withColumn("__sdist", dot(col("qv"), col("__c1")) /
+        (col("qn") * sqrt(dot(col("__c1"), col("__c1")))))
+      .withColumn("__srk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("__sdist"), asc("__sup"))))
+      .filter(col("__srk") <= beam)
+    val probes = supers.crossJoin(broadcast(l2Frame))
+      .withColumn("__ctr", zip_with(col("__c1"), col("__c2"), (a, b) => a + b))
+      .withColumn("cell", col("__sup") * cq.n2 + col("__sub"))
+      .withColumn("__cdist", dot(col("qv"), col("__ctr")) /
+        (col("qn") * sqrt(dot(col("__ctr"), col("__ctr")))))
       .withColumn("__crk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("__cdist"), asc("cell"))))
       .filter(col("__crk") <= nprobe)
-      .withColumn("__qcdot", dot(col("qv"), element_at(centersLit, col("cell") + 1)))
+      .withColumn("__qcdot", dot(col("qv"), col("__ctr")))
       .select(col("q_id"), col("qv"), col("qn"), col("cell"), col("__lut"), col("__qcdot"))
     // ADC scan: codes only — m array lookups + adds per candidate
     val adcSum = (0 until m).map(j =>
@@ -398,9 +529,11 @@ object Similarity {
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_codes")
     import spark.implicits._
     Seq((idx.idCol, idx.m, idx.ksub, idx.dim, idx.seed,
-        idx.cellCenters.map(_.toSeq).toSeq,
+        idx.coarse.l1.map(_.toSeq).toSeq,
+        idx.coarse.l2.map(_.toSeq).toSeq,
         idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
-      .toDF("id_col", "m", "ksub", "dim", "seed", "cell_centers", "codebooks")
+      .toDF("id_col", "m", "ksub", "dim", "seed", "coarse_l1", "coarse_l2",
+        "codebooks")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
   }
 
@@ -412,12 +545,14 @@ object Similarity {
     val r = spark.table(s"${prefix}_meta").head()
     // nested rows deserialize as collection.Seq (mutable ArraySeq), not
     // immutable Seq — type the getAs accordingly
-    val centers = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](5)
+    val l1 = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](5)
       .map(_.toArray).toArray
-    val books = r.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]](6)
+    val l2 = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](6)
+      .map(_.toArray).toArray
+    val books = r.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]](7)
       .map(_.map(_.toArray).toArray).toArray
-    PqIndex(r.getString(0), spark.table(s"${prefix}_codes"), centers, books,
-      r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+    PqIndex(r.getString(0), spark.table(s"${prefix}_codes"), Coarse(l1, l2),
+      books, r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
   }
 
   /** [[ivfPqTopK]] with the index built inline — the one-call form the
@@ -455,12 +590,14 @@ object Similarity {
     * deterministic stand-in for the paper's keep-one policy). Zero-norm
     * vectors are excluded per the shared cosine contract.
     *
-    * `nlist` defaults to AUTO (-1): clamp(n / 2000, 16, 512) from one
-    * corpus count — the paper's own scale rule (cluster count grows with
-    * the corpus so cell sizes, and with them the within-cell pair mass,
-    * stay bounded: even cells put the mass near n·1000 regardless of n).
-    * The 512 cap bounds the driver-side Lloyd cost; past ~1 M vectors
-    * pass an explicit larger nlist (and budget) deliberately.
+    * `nlist` defaults to AUTO (-1): clamp(max(n/2000, 2n²/maxPairs),
+    * 16, 65536) from one corpus count — the paper's scale rule (cells
+    * grow with the corpus so per-cell pair mass stays bounded) PLUS a
+    * budget coupling (round 9): even cells of size n/k carry ~n²/(2k)
+    * pairs, so k ≥ 2n²/maxPairs keeps the mass at ≤ maxPairs/4 with 4×
+    * headroom for skew. The two-level [[trainCoarse]] lifts the old
+    * hard 512 trainer cap, so auto can actually deliver the large k a
+    * big corpus needs instead of require-failing at the budget guard.
     *
     * EXACT duplicates collapse FIRST, conditionally (the family trade —
     * [[lshDupPairs]]'s collapse applied here): a g-member identical-
@@ -483,15 +620,31 @@ object Similarity {
                     trainSample: Int = 16384, maxPairs: Long = 1000000000L,
                     staging: Staging.Mode = Staging.Local,
                     collapsePairsPerDoc: Double = 2.0): DataFrame = {
+    // auto-nlist (round 9): resolved ONCE, from the full corpus count,
+    // BEFORE branching — so both collapse branches quantize with the
+    // same cell count — and COUPLED TO THE PAIR BUDGET instead of the
+    // old hard 512 cap: even cells of size n/k carry ~n²/(2k) pair
+    // mass, so keeping mass ≤ maxPairs/4 (4× headroom for skewed cells)
+    // needs k ≥ 2n²/maxPairs. The two-level [[trainCoarse]] makes the
+    // upper range real (cells = sample², not sample), so the clamp
+    // ceiling is 65536 rather than what one driver Lloyd can fit.
+    val resolvedNlist =
+      if (nlist > 0) nlist
+      else {
+        val n = df.count()
+        val byScale = n / 2000L
+        val byBudget = math.ceil(2.0 * n / maxPairs * n).toLong
+        math.min(65536L, math.max(16L, math.max(byScale, byBudget))).toInt
+      }
     if (!Dedup.heavyDupMass(df, col(vecCol), staging, collapsePairsPerDoc))
-      return semanticDedupDirect(df, idCol, vecCol, threshold, nlist, seed,
-        trainSample, maxPairs, staging)
+      return semanticDedupDirect(df, idCol, vecCol, threshold, resolvedNlist,
+        seed, trainSample, maxPairs, staging)
     val members = staging(df.select(col(idCol).as("id"), col(vecCol).as("__k")))
     val reps = members.groupBy("__k").agg(min(col("id")).as("gid"))
     val mem = staging(members.join(reps, Seq("__k")).select(col("id"), col("gid")))
     val repDf = reps.select(col("gid").as(idCol), col("__k").as(vecCol))
-    val repOut = semanticDedupDirect(repDf, idCol, vecCol, threshold, nlist,
-      seed, trainSample, maxPairs, staging)
+    val repOut = semanticDedupDirect(repDf, idCol, vecCol, threshold,
+      resolvedNlist, seed, trainSample, maxPairs, staging)
     // members inherit their rep's cell and canonical (identical vectors
     // are always one sub-clique of the rep's component); zero-norm
     // groups have no rep row and their members drop out here — the
@@ -509,19 +662,15 @@ object Similarity {
                                   trainSample: Int, maxPairs: Long,
                                   staging: Staging.Mode): DataFrame = {
     val base = withNorm(df, idCol, vecCol, "c_id", "cv", "cn")
-    val k =
-      if (nlist > 0) nlist
-      else math.min(512L, math.max(16L, base.count() / 2000L)).toInt
-    val centers = lloyd(sampleVecs(base, trainSample), k, iters = 10, seed = seed)
-    val cells = staging(base
-      .withColumn("cell", argminCellExpr(centers, col("cv")))
+    val cq = trainCoarse(sampleDistinctVecs(base, trainSample), nlist, seed)
+    val cells = staging(withCellCols(base, cq, col("cv"))
       .select(col("c_id"), col("cv"), col("cn"), col("cell")))
     val mass = cells.groupBy("cell").agg(count(lit(1)).as("s"))
       .agg(coalesce(sum(expr("s * (s - 1) div 2")), lit(0L)).as("p"))
       .head.getLong(0)
     require(mass <= maxPairs,
       s"semanticDedup within-cell pair mass $mass exceeds budget $maxPairs: " +
-        s"raise nlist (currently $k) so cells shrink, or raise maxPairs " +
+        s"raise nlist (currently ${cq.nlist}) so cells shrink, or raise maxPairs " +
         "on a cluster with the scratch to absorb it.")
     val a = cells.select(col("cell"), col("c_id").as("a_id"),
       col("cv").as("av"), col("cn").as("an"))

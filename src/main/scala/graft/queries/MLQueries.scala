@@ -715,7 +715,9 @@ object MLQueries {
         val pred = pred0
           .withColumn("prediction", col("prediction") * sp + mp).cache()
         val (rmse, _, mae) = MLOps.regressionMetrics(pred, "prediction", "l_extendedprice")
-        Seq((pred.count(),
+        val nPred = pred.count()
+        pred.unpersist() // metrics + count taken; don't hold blocks across a 109-query sweep
+        Seq((nPred,
             model.kktViolation <= 1e-6,
             model.svX.length > 0 && model.svX.length < model.nTrain,
             !rmse.isNaN && !rmse.isInfinite && rmse > 0,

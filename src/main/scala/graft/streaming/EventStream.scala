@@ -37,18 +37,44 @@ object EventStream {
                          user_id: Long, event_type: String, value: Double)
   final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Custom state: running per-user totals via mapGroupsWithState. */
-  def userTotals(events: Dataset[Event]): Dataset[UserAgg] = {
+  /** Custom state: running per-user totals — with BOUNDED state lifetime
+    * (round 9). The original NoTimeout version kept one UserAgg per
+    * user_id forever: over an unbounded user space on a long-running
+    * stream, that is the exact leak shape [[packGateEvicting]] closed
+    * for segments, so the same TTL discipline applies here. Each batch a
+    * user is seen, their timeout re-arms to (batch max event time +
+    * ttlMs, clamped strictly above the watermark); once the watermark
+    * passes that deadline with no new arrivals, the state is REMOVED —
+    * total state is O(users active within one TTL window), regardless of
+    * stream lifetime. The documented trade (identical to
+    * packGateEvicting): a user idle past the TTL re-opens from ZERO, so
+    * totals are per-activity-epoch, not per-lifetime — within the TTL
+    * the running totals are identical to the unbounded fold (both pinned
+    * in StreamingSpec). */
+  def userTotals(events: Dataset[Event], ttlMs: Long = 86400000L,
+                 watermarkDelay: String = "0 seconds"): Dataset[UserAgg] = {
+    require(ttlMs > 0, s"userTotals needs a positive TTL, got $ttlMs ms — " +
+      "a non-positive TTL would re-arm timeouts at or before the watermark, " +
+      "which Spark rejects at runtime and kills the query")
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout()) {
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (uid, rows, state: GroupState[UserAgg]) =>
-          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
-          val batch = rows.toSeq
-          val next = UserAgg(uid, prev.n_events + batch.size,
-            prev.total_value + batch.map(_.value).sum)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            state.remove() // idle past TTL: user epoch closed, state freed
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+            val batch = rows.toSeq
+            val next = UserAgg(uid, prev.n_events + batch.size,
+              prev.total_value + batch.map(_.value).sum)
+            state.update(next)
+            state.setTimeoutTimestamp(math.max(batch.map(_.ts.getTime).max + ttlMs,
+              state.getCurrentWatermarkMs + 1L))
+            Iterator.single(next)
+          }
       }
   }
 
@@ -108,6 +134,9 @@ object EventStream {
     * [[packGate]]/`Packing.packGreedy` — both pinned in StreamingSpec. */
   def packGateEvicting(docs: Dataset[PackDocT], budget: Int, segSize: Int,
                        ttlMs: Long, watermarkDelay: String = "0 seconds"): Dataset[PackOut] = {
+    require(ttlMs > 0, s"packGateEvicting needs a positive TTL, got $ttlMs ms — " +
+      "a non-positive TTL would re-arm timeouts at or before the watermark, " +
+      "which Spark rejects at runtime and kills the query")
     import docs.sparkSession.implicits._
     docs.withWatermark("ts", watermarkDelay)
       .groupByKey(_.doc_id / segSize)
@@ -127,7 +156,11 @@ object EventStream {
               PackOut(d.doc_id, seg, st.bin, seg * segSize + st.bin, d.tok)
             }
             state.update(st)
-            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMs)
+            // clamp: a straggler that slipped the late filter could put
+            // (max ts + ttl) at or below the current watermark, which
+            // setTimeoutTimestamp rejects fatally — re-arm strictly above
+            state.setTimeoutTimestamp(math.max(batch.map(_.ts.getTime).max + ttlMs,
+              state.getCurrentWatermarkMs + 1L))
             out.iterator
           }
       }

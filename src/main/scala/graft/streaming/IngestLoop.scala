@@ -40,6 +40,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IngestLoop {
 
+  /** Torn-first-batch detection: the first micro-batch creates the index
+    * family's tables SEQUENTIALLY, so a crash mid-batch-0 can leave only
+    * a strict subset behind. A retry keyed on one table alone would then
+    * take the exists=true path and die permanently loading the missing
+    * siblings — so existence is decided on ALL of the family's tables,
+    * and a partial set is treated as a torn first batch: the stragglers
+    * are dropped and the retry re-runs as a clean first batch. Safe by
+    * construction — a partial set can ONLY arise from a torn batch 0
+    * (every later batch touches existing tables append-only). */
+  private def familyExists(spark: SparkSession, prefix: String,
+                           tables: Seq[String]): Boolean = {
+    val present = tables.filter(t => spark.catalog.tableExists(s"${prefix}_$t"))
+    if (present.nonEmpty && present.size < tables.size) {
+      present.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+      false
+    } else present.size == tables.size
+  }
+
   /** The persisted corpus index as of batches STRICTLY BEFORE `bid` —
     * partition-pruned reads of the append-only tables, so a retried
     * batch never sees its own half-written fold. */
@@ -62,7 +80,7 @@ object IngestLoop {
                          buckets: Int): Unit = {
     val spark = batch.sparkSession
     val shard = Dedup.minhashIndex(batch, idCol, textCol, numPerms, rowsPerBand)
-    val exists = spark.catalog.tableExists(s"${prefix}_bands")
+    val exists = familyExists(spark, prefix, Seq("bands", "shingles", "meta"))
     val corpus =
       if (exists) minhashCorpusBefore(spark, prefix, bid)
       else Dedup.MinHashIndex(idCol, shard.shingles.limit(0),
@@ -142,7 +160,7 @@ object IngestLoop {
     val spark = batch.sparkSession
     val shard = Similarity.embedIndex(batch, idCol, vecCol,
       bitsPerTable, numTables, seed, dim)
-    val exists = spark.catalog.tableExists(s"${prefix}_hashed")
+    val exists = familyExists(spark, prefix, Seq("hashed", "vecs", "meta"))
     val corpus =
       if (exists) embedCorpusBefore(spark, prefix, bid)
       else Similarity.EmbedIndex(idCol, shard.vecs.limit(0),

@@ -113,8 +113,9 @@ class IndexPersistSpec extends AnyFunSuite {
       val loaded = Similarity.loadPqIndex(spark, "pq_rt")
       assert(loaded.idCol == "vec_id" && loaded.m == idx.m &&
         loaded.ksub == idx.ksub && loaded.dim == idx.dim && loaded.seed == idx.seed)
-      // trained model survives byte-exact
-      assert(loaded.cellCenters.map(_.toSeq).toSeq == idx.cellCenters.map(_.toSeq).toSeq)
+      // trained model survives byte-exact (both coarse levels)
+      assert(loaded.coarse.l1.map(_.toSeq).toSeq == idx.coarse.l1.map(_.toSeq).toSeq)
+      assert(loaded.coarse.l2.map(_.toSeq).toSeq == idx.coarse.l2.map(_.toSeq).toSeq)
       assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
         idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
       val mem = Similarity.ivfPqTopK(idx, embs, q, "vec_id", "embedding",

@@ -142,4 +142,35 @@ class IngestLoopSpec extends AnyFunSuite {
       assert(after == before, "batch replay changed the pair output or the index")
     } finally drop("ing_rt_bands", "ing_rt_shingles", "ing_rt_meta")
   }
+
+  test("a TORN first batch (partial table set) recovers on retry") {
+    // batch 0 creates the family's tables sequentially (bands, shingles,
+    // meta) — a crash between those writes leaves a strict subset behind.
+    // The retry must detect the torn state, drop the stragglers, and
+    // re-run as a clean first batch; the loop then continues and the
+    // pair-set contract still holds.
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val b0 = corpus.filter(col("doc_id") % 2 === 0)
+    val b1 = corpus.filter(col("doc_id") % 2 === 1)
+    // both torn shapes the sequential write order can produce
+    Seq(Seq("shingles", "meta"), Seq("meta")).foreach { missing =>
+      val pairsDir = java.nio.file.Files.createTempDirectory("ingest_torn").toString
+      def run(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+        IngestLoop.ingestMinhashBatch(batch, bid, "doc_id", "text", "ing_tn",
+          pairsDir, threshold = 0.5, numPerms = 32, rowsPerBand = 4, buckets = 8)
+      try {
+        run(b0, 0L) // a full batch 0...
+        missing.foreach(t => spark.sql(s"DROP TABLE ing_tn_$t")) // ...torn down to a partial set
+        run(b0, 0L) // the foreachBatch retry of batch 0
+        run(b1, 1L)
+        val streamed = spark.read.parquet(pairsDir).select("a_id", "b_id", "jaccard")
+        val full = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+        assert(streamed.count() > 0)
+        assert(streamed.exceptAll(full).count() == 0 &&
+          full.exceptAll(streamed).count() == 0,
+          s"pair set diverges after torn-batch recovery (missing=$missing)")
+      } finally drop("ing_tn_bands", "ing_tn_shingles", "ing_tn_meta")
+    }
+  }
 }

@@ -19,6 +19,12 @@ class MultimodalFixtureSpec extends AnyFunSuite {
   private val fixturePath = "src/test/resources/media_fixture.parquet"
   private lazy val fixture = spark.read.parquet(fixturePath).cache()
   private lazy val expected = MakeMediaFixture.rows.map(r => r._1 -> r).toMap
+  // operator tests compute expectations from the COMMITTED payload bytes
+  // (fixture integrity is the first test's job) — so they stay valid even
+  // if a future JDK's PNG encoder emits different-but-equivalent bytes
+  private lazy val committed: Map[Long, Array[Byte]] =
+    fixture.orderBy("media_id").collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("bytes")).toMap
 
   private def sha256(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256").digest(b)
@@ -28,10 +34,27 @@ class MultimodalFixtureSpec extends AnyFunSuite {
     val got = fixture.orderBy("media_id").collect()
     assert(got.length == 20)
     got.foreach { r =>
-      val (_, mime, bytes) = expected(r.getAs[Long]("media_id"))
+      val id = r.getAs[Long]("media_id")
+      val (_, mime, bytes) = expected(id)
       assert(r.getAs[String]("mime") == mime)
-      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("bytes"), bytes),
-        s"payload drift at media_id ${r.getAs[Long]("media_id")}")
+      if (id < 16)
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("bytes"), bytes),
+          s"payload drift at media_id $id")
+      else {
+        // PNG rows: encoded bytes are NOT spec-stable across JDK encoders,
+        // but decode is lossless — integrity means the committed bytes
+        // decode to exactly the generator's pixel formula
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bytes")))
+        val want = MakeMediaFixture.pngImage(id.toInt)
+        assert(img != null, s"PNG row $id no longer decodes")
+        assert(img.getWidth == want.getWidth && img.getHeight == want.getHeight,
+          s"PNG row $id dimensions drifted")
+        val drift = (for (y <- 0 until want.getHeight; x <- 0 until want.getWidth)
+          yield (img.getRGB(x, y) & 0xffffff) == (want.getRGB(x, y) & 0xffffff))
+          .count(!_)
+        assert(drift == 0, s"PNG row $id: $drift pixels drifted from the generator formula")
+      }
     }
     // non-UTF8 coverage: several payloads must fail strict UTF-8 decoding
     def validUtf8(b: Array[Byte]): Boolean =
@@ -49,7 +72,7 @@ class MultimodalFixtureSpec extends AnyFunSuite {
       .select(col("media_id"), col("media_meta.n_bytes").as("n"),
         col("media_meta.sha256").as("sha"))
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
-    expected.values.foreach { case (id, _, bytes) =>
+    committed.foreach { case (id, bytes) =>
       assert(meta(id)._1 == bytes.length, s"n_bytes wrong for $id")
       assert(meta(id)._2 == sha256(bytes), s"sha256 wrong for $id")
     }
@@ -58,7 +81,7 @@ class MultimodalFixtureSpec extends AnyFunSuite {
   test("decodeFeatures runs the codec stub on raw bytes (empty -> zeros)") {
     val feats = Multimodal.decodeFeatures(fixture, "media_id", "bytes")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    expected.values.foreach { case (id, _, bytes) =>
+    committed.foreach { case (id, bytes) =>
       val want = Multimodal.FakeCodec.decode(bytes).toSeq
       assert(feats(id) == want, s"features diverge for $id")
     }
@@ -70,7 +93,7 @@ class MultimodalFixtureSpec extends AnyFunSuite {
   test("resizeBytes preserves byte values >= 0x80 (no UTF-8 mangling)") {
     val resized = Multimodal.resizeBytes(fixture, "media_id", "bytes")
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    expected.values.foreach { case (id, _, bytes) =>
+    committed.foreach { case (id, bytes) =>
       val want = (0 until 16).map { i =>
         if (bytes.isEmpty) 0
         else bytes((i * bytes.length) / 16) & 0xff
@@ -112,7 +135,7 @@ class MultimodalFixtureSpec extends AnyFunSuite {
     val chunks = Multimodal.sampleChunks(fixture.filter(col("media_id") >= 4),
         "media_id", "bytes", n = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
-    expected.values.filter(_._1 >= 4).foreach { case (id, _, bytes) =>
+    committed.filter(_._1 >= 4).foreach { case (id, bytes) =>
       (0 until 4).foreach { i =>
         val start = (i * bytes.length) / 4
         val len = math.max(bytes.length / 4, 1)

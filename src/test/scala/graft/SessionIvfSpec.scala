@@ -94,6 +94,69 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(ann.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("two-level coarse quantizer: nlist 4096 from one bounded sample, exhaustive probe == brute force") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    // 4096 cells was structurally impossible for the single-level
+    // trainer (k bounded by the sample); the round-9 trainer factors it
+    // into two bounded Lloyd fits
+    val idx = Similarity.pqIndex(e, "vec_id", "embedding", nlist = 4096)
+    assert(idx.coarse.n1 == 64 && idx.coarse.n2 == 64 && idx.coarse.nlist == 4096)
+    // every vector encodes into a legal hierarchical cell
+    val cs = idx.codes.agg(min("cell"), max("cell"), count(lit(1))).head()
+    assert(cs.getInt(0) >= 0 && cs.getInt(1) < 4096 && cs.getLong(2) == n)
+    // probing every cell (the beam covers all n1 supers when
+    // nprobe = nlist) with full refine removes both approximation legs:
+    // the output must equal brute force ROW FOR ROW — the two-stage
+    // probe provably reaches every cell
+    val exhaustive = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+        k = 10, nprobe = 4096, refine = n)
+      .orderBy("q_id", "rn").collect().map(_.toString)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rn").collect().map(_.toString)
+    assert(exhaustive.sameElements(exact),
+      "exhaustive two-level IVF-PQ must reduce to the exact brute-force answer")
+    // bounded beam probe: structural output + recall floor + determinism
+    val ann = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+      k = 10, nprobe = 64, refine = 8).collect()
+    assert(ann.nonEmpty && ann.length <= 50)
+    val exactPairs = exact.map(_.split(",")).map(a =>
+      (a(0).drop(1).toLong, a(1).toLong)).toSet
+    val recall = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.2, s"two-level IVF-PQ recall $recall unreasonably low")
+    val again = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+      k = 10, nprobe = 64, refine = 8).collect()
+    assert(ann.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("semanticDedup auto-nlist: a budget the old 512-cap trainer breaches now resolves via two-level cells") {
+    // sf0.1's 2000 vectors: in ANY 512-cell clustering the within-cell
+    // pair mass is >= 512*ceil(avg)*floor... >= ~2900 by convexity, so
+    // a 500-pair budget must refuse at the old cap — reproduced here
+    // with an explicit nlist=512
+    val e01 = Tables(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val boom = intercept[IllegalArgumentException](
+      Similarity.semanticDedup(e01, "vec_id", "embedding", threshold = 0.95,
+        nlist = 512, maxPairs = 500L))
+    assert(boom.getMessage.contains("pair mass"))
+    // auto-nlist (budget-coupled) asks for k = 2n²/maxPairs = 16000
+    // cells; the two-level trainer delivers them and the guard passes
+    val out = Similarity.semanticDedup(e01, "vec_id", "embedding",
+      threshold = 0.95, maxPairs = 500L).cache()
+    val n = e01.count()
+    assert(out.count() == n, "every nonzero-norm doc must get a row")
+    // structural invariants hold in the hierarchical cell space
+    assert(out.filter(col("kept") && col("canonical") =!= col("vec_id")).count() == 0)
+    assert(out.filter(!col("kept")).filter(col("canonical") >= col("vec_id")).count() == 0)
+    assert(out.agg(min("cell"), max("cell")).head() match {
+      case r => r.getInt(0) >= 0 && r.getInt(1) < 16002
+    })
+    out.unpersist()
+  }
+
   test("semanticDedup: exact clones collapse to one survivor; invariants; budget guard") {
     val base = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
     val corpus = base.union(base.withColumn("vec_id", col("vec_id") + 10000000L))

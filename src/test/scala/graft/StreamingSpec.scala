@@ -609,4 +609,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(retained(0L) == 0 && retained(1L) == 1,
       s"non-evicting control diverged: $retained")
   }
+
+  test("userTotals frees idle user state; a late arrival re-opens from zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def ev(id: Long, uid: Long, s: Long) =
+      EventStream.Event(id, ts(s), uid, "click", 1.0)
+    def drive(ttlMs: Long, sink: String): Map[Long, Long] = {
+      val src = MemoryStream[EventStream.Event]
+      val q = EventStream.userTotals(src.toDS(), ttlMs = ttlMs)
+        .toDF().writeStream.outputMode("update")
+        .format("memory").queryName(sink).start()
+      // batch 1: user 7 accumulates two events
+      src.addData(ev(1L, 7L, 10), ev(2L, 7L, 11))
+      q.processAllAvailable()
+      // batch 2: far-future activity from another user advances event time
+      src.addData(ev(3L, 99L, 1000))
+      q.processAllAvailable()
+      // batch 3: watermark now past user 7's deadline — fires the timeout
+      src.addData(ev(4L, 99L, 1001))
+      q.processAllAvailable()
+      // batch 4: straggler for user 7 (not watermark-late itself)
+      src.addData(ev(5L, 7L, 1002))
+      q.processAllAvailable()
+      q.stop()
+      // last emitted n_events per user (update mode re-emits per batch)
+      spark.table(sink).groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // evicting run: user 7's state was freed at TTL, so the straggler
+    // re-opens from zero — their max emitted total stays at the epoch-1
+    // value 2 (the fresh epoch emits 1, not 3)
+    val evicted = drive(ttlMs = 5000L, "ut_evict")
+    assert(evicted(7L) == 2L,
+      s"user state survived the TTL: straggler total ${evicted(7L)}")
+    // control: with a TTL far beyond the stream's span, state is
+    // retained and the straggler continues the lifetime fold to 3
+    val retained = drive(ttlMs = 1000000000L, "ut_noevict")
+    assert(retained(7L) == 3L, s"long-TTL control diverged: $retained")
+    // TTL must be positive — the guard fires at plan time
+    val src = MemoryStream[EventStream.Event]
+    intercept[IllegalArgumentException] {
+      EventStream.userTotals(src.toDS(), ttlMs = 0L)
+    }
+  }
 }
