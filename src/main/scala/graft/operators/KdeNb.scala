@@ -71,7 +71,8 @@ object KdeNb {
 
   def fit(df: DataFrame, featureCols: Seq[String], labelCol: String,
           gridN: Int = 512, cut: Double = 3.0, threshold: Double = 1e-3,
-          maxClasses: Int = 64, exactBandwidth: Boolean = true): Model = {
+          maxClasses: Int = 64, exactBandwidth: Boolean = true,
+          maxGridTuples: Long = 2000000L): Model = {
     require(featureCols.nonEmpty && featureCols.size <= 64,
       s"KdeNb.fit: ${featureCols.size} features — the grid collect is " +
         "bounded by classes*features*gridN; keep features <= 64")
@@ -88,6 +89,19 @@ object KdeNb {
           "per-class density grids are driver-resident; raise maxClasses " +
           "only if classes*features*gridN stays driver-sized")
       val classes = clsRows.sorted // R factor order: sorted levels
+      // computed driver-size budget (the requirePairBudget discipline):
+      // the binned-mass collect and the model itself are
+      // classes*features*gridN grid tuples — refuse LOUDLY before any
+      // distributed work is scheduled, naming the knobs, instead of
+      // OOMing the driver on a wide class space
+      val gridTuples = classes.size.toLong * featureCols.size * gridN
+      require(gridTuples <= maxGridTuples,
+        s"KdeNb.fit: ${classes.size} classes x ${featureCols.size} features " +
+          s"x gridN=$gridN = $gridTuples driver-resident grid tuples exceeds " +
+          s"budget $maxGridTuples. Reduce gridN, fit fewer features/classes " +
+          "per model (and prefer exactBandwidth=false on wide class spaces " +
+          "- one grouped pass instead of per-class scans), or raise " +
+          "maxGridTuples on a driver with the heap to hold it.")
       // one grouped pass: n / mean / sd / min / max per (class, feature)
       val aggs = (count(lit(1)).as("n__all") +: featureCols.flatMap { c => Seq(
         count(col(s"`$c`")).as(s"n__$c"), avg(col(s"`$c`")).as(s"m__$c"),

@@ -125,25 +125,34 @@ object SvrSmo {
     * round-robin — deterministic, no RNG (the reference's random 10-fold
     * makes its winner seed-dependent; a deterministic fold rule is the
     * engine-portable equivalent, same trade as the M2 hash split). Ties
-    * break to the earlier grid point. 16 fits of n ≤ trainRows rows are
-    * trivial driver work — exactly the reference's own 4×4 grid on 160
-    * rows. Returns the winning model refit on ALL rows plus the CV-MSE
-    * surface. */
+    * break to the earlier grid point. Grid cells are independent pure
+    * fits, so they run CONCURRENTLY on the shared bounded [[FitPool]]
+    * (the elbow/per-segment discipline, round 9): in-flight count
+    * hard-capped, excess cells queue, and the surface/winner are
+    * deterministic regardless of completion order (results keyed by
+    * grid point, stable tie-break). Returns the winning model refit on
+    * ALL rows plus the CV-MSE surface. */
   def gridTune(x: Array[Array[Double]], y: Array[Double],
                costs: Seq[Double], gammas: Seq[Double], folds: Int = 5,
                eps: Double = 0.1): (Model, Map[(Double, Double), Double]) = {
     require(x.length >= folds, s"need at least $folds rows for $folds-fold CV")
-    val surface = (for (c <- costs; g <- gammas) yield {
-      val mse = (0 until folds).map { f =>
-        val trainIdx = x.indices.filter(_ % folds != f)
-        val testIdx = x.indices.filter(_ % folds == f)
-        val m = fit(trainIdx.map(x).toArray, trainIdx.map(y).toArray, c, eps, g)
-        testIdx.map { i => val e = predictOne(m, x(i)) - y(i); e * e }.sum / testIdx.length
-      }.sum / folds
-      (c, g) -> mse
-    }).toMap
-    val (bestC, bestG) = (for (c <- costs; g <- gammas) yield (c, g))
-      .minBy(surface) // stable minBy: earlier grid point wins ties
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import FitPool.ec
+    val cells = for (c <- costs; g <- gammas) yield (c, g)
+    val futures = cells.map { case cg @ (c, g) =>
+      FitPool.submit {
+        val mse = (0 until folds).map { f =>
+          val trainIdx = x.indices.filter(_ % folds != f)
+          val testIdx = x.indices.filter(_ % folds == f)
+          val m = fit(trainIdx.map(x).toArray, trainIdx.map(y).toArray, c, eps, g)
+          testIdx.map { i => val e = predictOne(m, x(i)) - y(i); e * e }.sum / testIdx.length
+        }.sum / folds
+        cg -> mse
+      }
+    }
+    val surface = Await.result(Future.sequence(futures), Duration.Inf).toMap
+    val (bestC, bestG) = cells.minBy(surface) // stable minBy: earlier grid point wins ties
     (fit(x, y, bestC, eps, bestG), surface)
   }
 

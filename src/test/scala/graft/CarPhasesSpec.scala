@@ -211,6 +211,116 @@ class CarPhasesSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Round 9: the reference's two remaining model phases end-to-end on
+  // its own 205-row CSV — tune.svm's exact 4×4 grid
+  // (BigDataProject.R:370-376) through SvrSmo.gridTune, and the
+  // kernel-NB classification (R:351-365) through KdeNb — with
+  // metric-level golden bands (the SURVEY §5.1 parity tier for
+  // seed-dependent reference steps: R's createDataPartition split is
+  // RNG-bound, so exact prediction parity is unattainable by design;
+  // the pinned bands bracket the reference's printed performance).
+
+  private lazy val cleanedCar = {
+    val df = CarPricePipeline.clean(CarPricePipeline.load(
+      spark, "/root/reference/CarPrice_Assignment.csv")).cache()
+    df.count(); df
+  }
+
+  test("golden: tuned SVR over the reference's 4x4 cost-gamma grid on the 205-row CSV") {
+    import graft.operators.{MLOps, SvrSmo}
+    // the reference's regression design: log_price ~ all 34 ml features
+    val dummies = MLOps.rLevels(cleanedCar, "brand").drop(1).map(v =>
+      when(col("brand") === v, 1.0).otherwise(0.0).as(s"brand.$v"))
+    val reg = cleanedCar.select(Seq(col("car_id"),
+      col("price").cast("double").as("price"),
+      col("log_price").cast("double").as("log_price")) ++
+      CarPricePipeline.mlFeatures.map(f => col(f).cast("double").as(f)) ++
+      dummies: _*)
+    val nFeat = reg.columns.length - 3
+    val (trainDf, testDf) = MLOps.stratifiedSplit(reg, "car_id", "log_price", 0.8)
+    // positional extraction: brand.nissan/brand.Nissan collide under the
+    // case-insensitive resolver, so columns must never be re-selected by
+    // name past this point (the mlReady comment's rule)
+    def mat(df: org.apache.spark.sql.DataFrame): (Array[Array[Double]], Array[Double], Array[Double]) = {
+      val rows = df.orderBy("car_id").collect()
+      (rows.map(r => Array.tabulate(nFeat)(j => r.getDouble(j + 3))),
+        rows.map(_.getDouble(2)), rows.map(_.getDouble(1)))
+    }
+    val (xTr, yTr, _) = mat(trainDf)
+    val (xTe, _, priceTe) = mat(testDf)
+    // e1071 svm(scale=TRUE): z-scale features and label from TRAIN stats;
+    // constant columns stay unscaled (e1071 warns and skips them)
+    val d = nFeat
+    val fm = Array.tabulate(d)(j => xTr.map(_(j)).sum / xTr.length)
+    val fs = Array.tabulate(d) { j =>
+      val v = xTr.map(r => (r(j) - fm(j)) * (r(j) - fm(j))).sum / (xTr.length - 1)
+      math.sqrt(v)
+    }
+    def zrow(r: Array[Double]) = Array.tabulate(d)(j =>
+      if (fs(j) > 0) (r(j) - fm(j)) / fs(j) else 0.0)
+    val ym = yTr.sum / yTr.length
+    val ys = math.sqrt(yTr.map(v => (v - ym) * (v - ym)).sum / (yTr.length - 1))
+    // the reference's exact tuning grid (BigDataProject.R:372-373)
+    val (best, surface) = SvrSmo.gridTune(xTr.map(zrow), yTr.map(v => (v - ym) / ys),
+      costs = Seq(0.1, 1.0, 10.0, 100.0), gammas = Seq(0.01, 0.1, 0.5, 1.0))
+    assert(surface.size == 16)
+    // winner must beat the untuned default (C=1, gamma=1/dim ~ 0.029 is
+    // not on the grid; the nearest grid default (1, 0.01) suffices as
+    // the tune-improves control)
+    assert(surface((best.c, best.gamma)) <= surface((1.0, 0.01)) + 1e-12)
+    // score the held-out test rows, unscale, back-transform to real $
+    val predReal = xTe.map(r => math.expm1(SvrSmo.predictOne(best, zrow(r)) * ys + ym))
+    val errs = predReal.zip(priceTe).map { case (p, a) => p - a }
+    val rmse = math.sqrt(errs.map(e => e * e).sum / errs.length)
+    val mae = errs.map(math.abs).sum / errs.length
+    val amean = priceTe.sum / priceTe.length
+    val r2 = 1.0 - errs.map(e => e * e).sum /
+      priceTe.map(a => (a - amean) * (a - amean)).sum
+    info(f"tuned SVR: cost=${best.c} gamma=${best.gamma} rmse=$rmse%.1f mae=$mae%.1f r2=$r2%.3f")
+    println(f"[golden-svr] cost=${best.c} gamma=${best.gamma} rmse=$rmse%.1f mae=$mae%.1f r2=$r2%.3f nTest=${priceTe.length}")
+    // golden band: the reference's tuned SVM explains most price
+    // variance on held-out data (measured: cost=10 gamma=0.01,
+    // rmse=1331.5, r2=0.956 — the test is seed-deterministic, so the
+    // band brackets that point with honest slack)
+    assert(r2 >= 0.90, f"tuned SVR r2 $r2%.3f below the reference band")
+    assert(rmse <= 2500.0 && mae <= rmse + 1e-9,
+      f"tuned SVR rmse $rmse%.1f outside the reference band")
+    assert(best.kktViolation <= 1e-6)
+  }
+
+  test("golden: kernel NB on the reference's nb_vars classifies price_bucket in band") {
+    import graft.operators.KdeNb
+    // BigDataProject.R:353 nb_vars (price_bucket + 7 numerics)
+    val nbFeatures = Seq("horsepower", "enginesize", "curbweight",
+      "citympg", "highwaympg", "carwidth", "carlength")
+    val nb = cleanedCar.select(
+      (col("car_id") +: col("price_bucket") +: nbFeatures.map(col)): _*)
+    // createDataPartition(p=.8) analog on the class label: per-class
+    // 80% sample (deterministic seed), remainder tests
+    val classes = nb.select("price_bucket").distinct()
+      .collect().map(_.getString(0))
+    val train = nb.stat.sampleBy("price_bucket",
+      classes.map(_ -> 0.8).toMap, 123L).cache()
+    val test = nb.join(train.select("car_id"), Seq("car_id"), "left_anti").cache()
+    val model = KdeNb.fit(train, nbFeatures, "price_bucket")
+    val scored = KdeNb.score(test, model)
+    val n = scored.count()
+    val hits = scored.filter(col("pred") === col("price_bucket")).count()
+    val acc = hits.toDouble / n
+    info(f"kernel NB: accuracy $acc%.3f on $n held-out rows")
+    println(f"[golden-nb] accuracy=$acc%.3f nTest=$n")
+    // golden band: the reference's NB separates the quartile buckets
+    // well above the 0.25 uniform baseline
+    assert(acc >= 0.70, f"kernel NB accuracy $acc%.3f below the reference band")
+    // every class present in test is predicted at least once correctly
+    val perClass = scored.groupBy("price_bucket")
+      .agg(avg(when(col("pred") === col("price_bucket"), 1.0).otherwise(0.0)).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(perClass.values.forall(_ > 0.0), s"a class never predicted: $perClass")
+    train.unpersist(); test.unpersist()
+  }
+
   test("phase-4 binning matches R cut() on known rows incl. out-of-range curbweight") {
     val (labeled, _) = clustered
     val binned = CarRulesPipeline.binned(labeled)

@@ -191,6 +191,22 @@ class KdeNbSpec extends AnyFunSuite {
     assert(got == "b") // x1 missing -> decided on x2 alone
   }
 
+  test("grid-tuple budget refuses loudly before scheduling distributed work") {
+    import spark.implicits._
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b"))
+      .toDF("x", "cls")
+    // 2 classes x 1 feature x gridN 512 = 1024 tuples; an injected cap
+    // of 1000 must fire the computed budget check, naming the knobs
+    val e = intercept[IllegalArgumentException](
+      KdeNb.fit(df, Seq("x"), "cls", maxGridTuples = 1000L))
+    assert(e.getMessage.contains("grid tuples") &&
+      e.getMessage.contains("gridN") &&
+      e.getMessage.contains("exactBandwidth=false"))
+    // under the cap the same fit succeeds (smaller grid — the named remedy)
+    val m = KdeNb.fit(df, Seq("x"), "cls", gridN = 128, maxGridTuples = 1000L)
+    assert(m.classes == Seq("a", "b") && m.densities.size == 2)
+  }
+
   test("model save/load round-trips exactly") {
     val dir = java.nio.file.Files.createTempDirectory("kdenb").toString
     KdeNb.saveModel(model, s"$dir/m")(spark)

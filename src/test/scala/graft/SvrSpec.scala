@@ -135,6 +135,25 @@ class SvrSpec extends AnyFunSuite {
     certify(x, y, best)
   }
 
+  test("gridTune runs its grid on the bounded FitPool; result independent of scheduling") {
+    val x = Array.tabulate(40)(i => Array(i / 40.0 * 4))
+    val y = x.map(v => math.sin(v(0)))
+    val costs = Seq(0.1, 0.5, 1.0, 5.0, 10.0)
+    val gammas = Seq(0.25, 0.5, 1.0, 2.0, 4.0)
+    graft.operators.FitPool.resetPeak()
+    val (best1, surf1) = SvrSmo.gridTune(x, y, costs, gammas, folds = 4)
+    // the 25 cells were pooled: concurrency observed but hard-capped
+    assert(graft.operators.FitPool.peakActive >= 1 &&
+      graft.operators.FitPool.peakActive <= graft.operators.FitPool.parallelism,
+      s"grid fits escaped the pool bound: peak=${graft.operators.FitPool.peakActive}")
+    // deterministic regardless of completion order: a second run agrees
+    // bit-for-bit on the surface and the winner
+    val (best2, surf2) = SvrSmo.gridTune(x, y, costs, gammas, folds = 4)
+    assert(surf1 == surf2)
+    assert(best1.c == best2.c && best1.gamma == best2.gamma &&
+      best1.b == best2.b && best1.svBeta.toSeq == best2.svBeta.toSeq)
+  }
+
   test("save/load round-trip: reloaded model predicts bit-identically (S4 contract)") {
     import spark.implicits._
     val x = Array.tabulate(30)(i => Array(i / 30.0, (i % 5).toDouble))
