@@ -22,6 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object OracleEmu {
 
+  /** DuckDB dialect shims as Spark SQL temp functions — GENERIC emulator
+    * machinery (the principled way to shrink the per-query override
+    * surface, round 9): functions whose arguments nest arbitrarily
+    * (list_sum over a transform, sha256 of a substring) cannot be mapped
+    * by a textual regex, but a SQL scalar function resolves them at the
+    * analyzer, argument nesting and implicit numeric-array coercion
+    * included. */
+  private[tools] def installShims(spark: org.apache.spark.sql.SparkSession): Unit = Seq(
+    "CREATE OR REPLACE TEMPORARY FUNCTION list_sum(a ARRAY<DOUBLE>) RETURNS DOUBLE " +
+      "RETURN aggregate(a, CAST(0 AS DOUBLE), (x, y) -> x + y)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION list_max(a ARRAY<DOUBLE>) RETURNS DOUBLE " +
+      "RETURN array_max(a)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION list_min(a ARRAY<DOUBLE>) RETURNS DOUBLE " +
+      "RETURN array_min(a)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION sha256(s STRING) RETURNS STRING " +
+      "RETURN sha2(CAST(s AS BINARY), 256)",
+    // DuckDB range(a, b) is end-EXCLUSIVE; Spark sequence is inclusive.
+    // Named duck_range (the rewriter maps `range(` onto it) because the
+    // builtin range TVF blocks a SQL UDF of the same name.
+    "CREATE OR REPLACE TEMPORARY FUNCTION duck_range(a BIGINT, b BIGINT) " +
+      "RETURNS ARRAY<BIGINT> RETURN sequence(a, b - 1)",
+    // DuckDB epoch(DATE) = seconds since the epoch at midnight UTC
+    "CREATE OR REPLACE TEMPORARY FUNCTION epoch(d DATE) RETURNS BIGINT " +
+      "RETURN unix_date(d) * CAST(86400 AS BIGINT)"
+  ).foreach(spark.sql(_))
+
   private def rewrite(sql: String, epochNs: String): String = {
     var s = sql
     s = s.replace("//", " div ")
@@ -44,18 +70,26 @@ object OracleEmu {
     s = s.replaceAll("""\blen\(""", "size(")
     s = s.replace("strftime(", "date_format(")
     s = s.replace("'%Y-%m-%d'", "'yyyy-MM-dd'")
-    // 1-based element indexing name[2] -> element_at(name, 2) (before the
-    // list-literal rewrite so [2] isn't turned into array(2))
-    s = s.replaceAll("""([A-Za-z_][A-Za-z0-9_.]*)\[(\d+)\]""", "element_at($1, $2)")
+    // prefix list slices expr(...)[1:n] -> slice(expr, 1, n) (one paren
+    // level of nesting; must run before the element-index rewrite)
+    s = s.replaceAll("""(\w+\([^()]*\))\[1:(\d+)\]""", "slice($1, 1, $2)")
+    // 1-based element indexing name[2] / s[i] / s[i+1] -> element_at
+    // (before the list-literal rewrite so [2] isn't turned into array(2));
+    // colon excluded so slice syntax never matches here
+    s = s.replaceAll("""([A-Za-z_][A-Za-z0-9_.]*)\[([A-Za-z0-9_+\- ]+)\]""",
+      "element_at($1, $2)")
     // numeric list literals [0.0, 0.25] -> array(0.0, 0.25)
     s = s.replaceAll("""\[([0-9][0-9eE+\-., ]*)\]""", "array($1)")
     // regex flags arg (Spark regexp_replace is global by default)
     s = s.replace(", 'g')", ")")
     // DuckDB xor(a, b) -> Spark bitwise ^ (simple args only)
     s = s.replaceAll("""\bxor\(([^,()]+),\s*([^()]+)\)""", "($1 ^ $2)")
-    // digest/binary helpers
-    s = s.replaceAll("""sha256\(([^()]*)\)""", "sha2(CAST($1 AS BINARY), 256)")
+    // binary helper (sha256/list_sum/list_max/range/epoch resolve via
+    // the installShims SQL functions — nesting-proof, no regex)
     s = s.replaceAll("""encode\(([^()]*)\)""", "CAST($1 AS BINARY)")
+    // q99-family: the reference CSV read maps to the emulator's
+    // explicit-schema carprice_raw view
+    s = s.replaceAll("""read_csv\('[^']*'[^)]*\)""", "carprice_raw")
     // dot product: CAST-wrapped args first (one paren level), then the
     // plain-column form (oracle args are otherwise plain refs)
     s = s.replaceAll(
@@ -63,8 +97,15 @@ object OracleEmu {
       "aggregate(zip_with($1, $2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     s = s.replaceAll("""list_dot_product\(([^,()]+), ([^()]+)\)""",
       "aggregate(zip_with($1, $2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-    // range(a, b) is end-exclusive; sequence(a, b) is inclusive
-    s = s.replaceAll("""\brange\(1, ([^()]*)\)""", "sequence(1, ($1) - 1)")
+    // range(a, b) is end-exclusive; sequence(a, b) is inclusive. The
+    // textual form (literal start, one paren-nesting level in the end
+    // arg) preserves the argument's integer TYPE — a sequence over INT
+    // yields INT lambda vars for element_at — and stays legal inside
+    // Generate (explode), where a SQL UDF is not; duck_range catches
+    // the rest.
+    s = s.replaceAll("""\brange\((\d+),\s*((?:[^()]|\([^()]*\))*)\)""",
+      "sequence($1, ($2) - 1)")
+    s = s.replaceAll("""\brange\(""", "duck_range(")
     // array type syntax
     s = s.replace("DOUBLE[]", "ARRAY<DOUBLE>")
     s
@@ -93,20 +134,6 @@ object OracleEmu {
             FROM s a JOIN s b ON a.doc_id <> b.doc_id)
       SELECT a_id, b_id, containment FROM p WHERE containment >= 0.5
       ORDER BY a_id, b_id""",
-    "q99_csv_lifecycle" -> """
-      WITH num AS (
-        SELECT car_ID AS car_id, symboling, wheelbase, carlength, carwidth, carheight,
-               curbweight, enginesize, boreratio, stroke, compressionratio,
-               horsepower, peakrpm, citympg, highwaympg, price
-        FROM carprice_raw),
-      binned AS (
-        SELECT *, CASE WHEN curbweight IS NULL OR curbweight < 0 OR curbweight > 4000 THEN NULL
-                       WHEN curbweight <= 2000 THEN 'Light'
-                       WHEN curbweight <= 2500 THEN 'Medium'
-                       WHEN curbweight <= 3000 THEN 'Heavy'
-                       ELSE 'VeryHeavy' END AS weight_cat
-        FROM num)
-      SELECT * FROM binned WHERE weight_cat IS NOT NULL ORDER BY car_id""",
     "q33_minhash_lsh" -> """
       WITH s0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10000000 < 250),
       u AS (SELECT doc_id, text FROM s0 UNION ALL SELECT doc_id + 10000000, text FROM s0),
@@ -181,39 +208,6 @@ object OracleEmu {
         WHERE a.doc_id % 25 = 0),
       r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a_id, b_id) AS rn FROM pairs)
       SELECT a_id, b_id, jaccard, CAST(rn AS INT) AS rn FROM r WHERE rn <= 20 ORDER BY rn""",
-    "q36_text_quality" -> """
-      SELECT doc_id,
-             CAST(length(text) AS INT) AS n_chars_calc,
-             CAST(size(split(text, ' ')) AS INT) AS n_tokens,
-             CAST(size(array_distinct(split(text, ' '))) AS INT) AS n_distinct,
-             ROUND(CAST(size(filter(split(text, ' '),
-               t -> t IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is', 'it', 'for'))) AS DOUBLE) /
-               size(split(text, ' ')), 6) AS stop_ratio,
-             ROUND(CAST(aggregate(transform(split(text, ' '), t -> length(t)), 0, (acc, x) -> acc + x) AS DOUBLE) /
-               size(split(text, ' ')), 4) AS mean_token_len
-      FROM documents ORDER BY doc_id""",
-    "q39_fingerprint" -> """
-      SELECT md5(concat_ws(' ', slice(split(text, ' '), 1, 5))) AS fp,
-             CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS keep_id
-      FROM documents GROUP BY 1 ORDER BY fp""",
-    "q88_embed_quantize" -> """
-      WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      s AS (SELECT vec_id, v, array_max(transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
-      q AS (SELECT vec_id, v, scale,
-                   transform(v, x -> CAST(greatest(least(floor(x / scale + 0.5D), 127D), -127D) AS BIGINT)) AS qv
-            FROM s WHERE scale > 0)
-      SELECT vec_id, CAST(size(v) AS INT) AS dim,
-             aggregate(qv, 0L, (a, x) -> a + x) AS qsum,
-             aggregate(qv, 0L, (a, x) -> a + x * x) AS qnorm,
-             ROUND(scale, 6) AS scale_r,
-             ROUND(array_max(zip_with(v, qv, (x, qq) -> abs(x - qq * scale))), 6) AS max_err_r
-      FROM q ORDER BY vec_id""",
-    "q89_leakage_split" -> """
-      WITH fp AS (SELECT doc_id, md5(concat_ws(' ', slice(split(text, ' '), 1, 5))) AS fp FROM documents),
-      c AS (SELECT fp, MIN(doc_id) AS canon FROM fp GROUP BY fp)
-      SELECT doc_id, fp, canon,
-             CASE WHEN (canon * 2654435761) % 4294967296 < 3865470566 THEN 'train' ELSE 'eval' END AS split
-      FROM fp JOIN c USING (fp) ORDER BY doc_id""",
     "q90_embed_pool" -> """
       WITH e AS (SELECT vec_id div 4 AS g, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       x AS (SELECT g, p + 1 AS pos, val FROM e LATERAL VIEW posexplode(v) t AS p, val),
@@ -225,27 +219,6 @@ object OracleEmu {
              n.n_chunks, ROUND(nrm.nm, 6) AS norm_r
       FROM m JOIN nrm ON m.g = nrm.g JOIN n ON m.g = n.g
       ORDER BY group_id, pos""",
-    "q91_hashed_classifier" -> """
-      WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
-      b AS (SELECT doc_id, size(toks) AS n_tokens,
-              transform(transform(toks, t -> md5(t)),
-                h -> (ascii(substring(h, 1, 1)) * 1L +
-                      ascii(substring(h, 2, 1)) * 31L +
-                      ascii(substring(h, 3, 1)) * 961L +
-                      ascii(substring(h, 4, 1)) * 29791L +
-                      ascii(substring(h, 5, 1)) * 923521L +
-                      ascii(substring(h, 6, 1)) * 28629151L +
-                      ascii(substring(h, 7, 1)) * 887503681L +
-                      ascii(substring(h, 8, 1)) * 27512614111L) % 4096) AS bs
-            FROM t),
-      w AS (SELECT doc_id, n_tokens, bs,
-              transform(bs, x -> ((x + 1) * 2654435761L) % 4294967296L / 4294967296.0D - 0.5D) AS ws
-            FROM b)
-      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-             aggregate(bs, 0L, (a, x) -> a + x) AS bucket_sum,
-             ROUND(aggregate(ws, 0D, (a, x) -> a + x) / n_tokens, 6) + 0 AS score_r,
-             CASE WHEN aggregate(ws, 0D, (a, x) -> a + x) / n_tokens > 0 THEN 'keep' ELSE 'drop' END AS pred
-      FROM w ORDER BY doc_id""",
     "q93_span_dedup" -> """
       WITH aug AS (
         SELECT doc_id,
@@ -313,38 +286,12 @@ object OracleEmu {
             FROM u)
       SELECT event_id, k AS user_id, last_orderkey, last_totalprice
       FROM w WHERE side = 1 ORDER BY event_id""",
-    "q74_range_frame" -> """
-      WITH o AS (SELECT o_custkey, o_orderkey,
-                        unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS ord_sec, o_totalprice
-                 FROM orders)
-      SELECT o_custkey, o_orderkey, ord_sec, o_totalprice,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-               PARTITION BY o_custkey ORDER BY ord_sec
-               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d,
-             COUNT(*) OVER (
-               PARTITION BY o_custkey ORDER BY ord_sec
-               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_30d
-      FROM o ORDER BY o_custkey, ord_sec, o_orderkey""",
     "q73_multimodal_resize" -> """
       SELECT doc_id,
              concat_ws(',', transform(sequence(0, 15),
                i -> CAST(ascii(substring(text, CAST(((i * length(text)) div 16) AS INT) + 1, 1)) AS STRING))) AS resized_sig,
              16 AS width
       FROM documents ORDER BY doc_id""",
-    "q70_bm25" -> """
-      WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
-      dl AS (SELECT doc_id, size(split(text, ' ')) AS dl FROM documents),
-      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-      dfreq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
-      n AS (SELECT COUNT(*) AS nd, CAST(SUM(size(split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
-            FROM documents),
-      sc AS (SELECT tf.doc_id, tf.term, tf.tf,
-               ROUND(ln(((CAST(n.nd - dfreq.dft AS DOUBLE) + 0.5) / (dfreq.dft + 0.5)) + 1.0) *
-                     ((tf.tf * (1.2 + 1.0)) / (tf.tf + (1.2 * ((1.0 - 0.75) + ((0.75 * dl.dl) / n.avgdl))))), 6) AS score
-             FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
-      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
-      SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, score
-      FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
     "q71_corpus_curation" -> """
       WITH base AS (
         SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS fp,
@@ -398,32 +345,6 @@ object OracleEmu {
              md5(concat_ws(char(10),
                transform(array_sort(collect_list(struct(fpos, line))), s -> s.line))) AS dedup_md5
       FROM f GROUP BY doc_id ORDER BY doc_id""",
-    "q67_ngram_freq" -> """
-      WITH grams AS (
-        SELECT ngram FROM (SELECT split(text, ' ') AS s FROM documents)
-        LATERAL VIEW explode(IF(size(s) >= 2,
-          transform(sequence(1, size(s) - 1), i -> concat_ws(' ', element_at(s, i), element_at(s, i + 1))),
-          CAST(array() AS ARRAY<STRING>))) g AS ngram),
-      c AS (SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram),
-      r AS (SELECT *, RANK() OVER (ORDER BY cnt DESC) AS rk FROM c)
-      SELECT ngram, cnt FROM r WHERE rk <= 20 ORDER BY cnt DESC, ngram""",
-    "q68_tfidf" -> """
-      WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
-      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-      dfreq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
-      n AS (SELECT COUNT(*) AS nd FROM documents),
-      sc AS (SELECT tf.doc_id, tf.term, tf.tf,
-               ROUND(tf.tf * (ln(CAST(n.nd + 1 AS DOUBLE) / (dfreq.dft + 1)) + 1.0), 6) AS score
-             FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
-      SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, score
-      FROM r WHERE rn <= 5 ORDER BY doc_id, rn""",
-    "q66_frame_sample" -> """
-      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-             sha2(CAST(substring(text, CAST(((i * length(text)) div 4) AS INT) + 1,
-                              CAST(greatest(length(text) div 4, 1) AS INT)) AS BINARY), 256) AS chunk_sha
-      FROM documents LATERAL VIEW explode(sequence(0, 3)) ix AS i
-      ORDER BY doc_id, chunk_idx""",
     "q43_multimodal_decode" -> """
       SELECT doc_id,
              aggregate(transform(sequence(0, 7),
@@ -556,6 +477,7 @@ object OracleEmu {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val wanted = args.drop(1).toSet
     val spark = Tables.session(8)
+    installShims(spark)
     Tables.names.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
     // q99's DuckDB oracle reads the reference CSV via read_csv(columns=…);
     // the override replays it against this explicit-schema view instead
@@ -572,7 +494,8 @@ object OracleEmu {
           try {
             val actual = canon(fn(spark, dir))
             val variants: Seq[(String, String)] =
-              if (overrides.contains(name)) Seq("override" -> overrides(name))
+              if (overrides.contains(name) && !sys.env.contains("EMU_NO_OVERRIDE"))
+                Seq("override" -> overrides(name))
               else if (sql.contains("epoch_ns")) Seq(
                 "ns" -> rewrite(sql, "ts"),
                 "us" -> rewrite(sql, "((ts div 1000) * 1000)"))
