@@ -64,6 +64,91 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** argmin_c ‖v − centers(c)‖² = argmin_c (‖c‖² − 2 v·c) over a LITERAL
+  * center matrix, as ONE codegen node (round 9). The composed form — n
+  * separate [[DotProduct]] kernels inside
+  * `array_position(array(dists), array_min(dists))` — duplicates every
+  * kernel (the dists array is evaluated for both array_position and
+  * array_min) and blows the whole-stage-codegen method budget past ~50
+  * centers, dropping the projection to interpreted eval (measured ~20×
+  * wall on the 100×-fixture IVF encode at nlist 64+). One expression
+  * emits one tight k×dim loop over a flattened reference array instead.
+  * Ties take the LOWEST index — the same first-occurrence rule as
+  * array_position-of-min — and the per-center distance mirrors the
+  * composed op tree (‖c‖² − (2·dot)) bit for bit, so cell assignments
+  * are identical to the composed form. */
+case class NearestCenter(child: Expression, centers: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_center needs an array<double> input, got ${child.dataType}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_nearest_center"
+
+  @transient private lazy val dim: Int = centers(0).length
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](centers.length * dim)
+    var c = 0
+    while (c < centers.length) {
+      System.arraycopy(centers(c), 0, f, c * dim, dim); c += 1
+    }
+    f
+  }
+  @transient private lazy val normSq: Array[Double] =
+    centers.map(_.map(x => x * x).sum)
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var s = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < n) { s += v.getDouble(i) * flat(off + i); i += 1 }
+      val d = normSq(c) - 2.0 * s
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("centersFlat", flat, "double[]")
+      val nsqRef = ctx.addReferenceObj("centersNormSq", normSq, "double[]")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val off = ctx.freshName("off")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val bd = ctx.freshName("bd")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |int ${ev.value}Best = 0;
+         |double $bd = Double.MAX_VALUE;
+         |for (int $c = 0; $c < ${centers.length}; $c++) {
+         |  double $s = 0.0;
+         |  int $off = $c * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $flatRef[$off + $i];
+         |  }
+         |  double $d = $nsqRef[$c] - 2.0 * $s;
+         |  if ($d < $bd) { $bd = $d; ${ev.value}Best = $c; }
+         |}
+         |${ev.value} = ${ev.value}Best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCenter =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level dot product over array<double> (codegen'd). */
   def dot(a: Column, b: Column): Column =
@@ -71,4 +156,9 @@ object VectorExpressions {
 
   /** L2 norm via the same codegen'd kernel. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Index of the nearest center (squared-L2) in a literal matrix —
+    * one codegen node, first-minimum tie-break. */
+  def nearestCenter(v: Column, centers: Array[Array[Double]]): Column =
+    Bridge.column(NearestCenter(Bridge.expression(v), centers))
 }

@@ -252,7 +252,7 @@ object Similarity {
     * level-1 residuals — ~2·√nlist Lloyd centroids of driver work for
     * nlist cells, lifting the structural ceiling (old: nlist ≤ sample)
     * to sample². Deterministic for a fixed (sample, nlist, seed). */
-  private[operators] def trainCoarse(sample: Array[Array[Double]], nlist: Int,
+  private[graft] def trainCoarse(sample: Array[Array[Double]], nlist: Int,
                                      seed: Long,
                                      singleLevelMax: Int = 1024): Coarse = {
     require(sample.nonEmpty, "coarse quantizer training needs a non-empty sample")
@@ -274,9 +274,14 @@ object Similarity {
   /** Staged two-level cell assignment: adds `cell` (and leaves the final
     * PQ residual in `residCol` if requested) as pure codegen columns —
     * argmin over l1, subtract, argmin over l2. Single-level (n2 == 1)
-    * skips the second stage entirely. */
+    * skips the second stage entirely. The two levels are separated by a
+    * `staging` materialization: CollapseProject would otherwise inline
+    * the level-1 argmin subtree into every level-2 distance expression —
+    * n2 copies of an n1-dot argmin, a codegen-size explosion measured at
+    * ~10× build wall on the 100× fixture at nlist 4096. */
   private def withCellCols(df: DataFrame, cq: Coarse, v: Column,
-                           residCol: Option[String] = None): DataFrame = {
+                           residCol: Option[String] = None,
+                           staging: Staging.Mode = Staging.Local): DataFrame = {
     if (cq.n2 == 1) {
       val out = df.withColumn("cell", argminCellExpr(cq.l1, v))
       residCol match {
@@ -289,16 +294,17 @@ object Similarity {
     } else {
       val l1Lit = typedLit(cq.l1.map(_.toSeq).toSeq)
       val l2Lit = typedLit(cq.l2.map(_.toSeq).toSeq)
-      val staged = df
+      val lvl1 = staging(df
         .withColumn("__sup", argminCellExpr(cq.l1, v))
         .withColumn("__r1",
-          zip_with(v, element_at(l1Lit, col("__sup") + 1), (x, c) => x - c))
+          zip_with(v, element_at(l1Lit, col("__sup") + 1), (x, c) => x - c)))
+      val lvl2 = lvl1
         .withColumn("__sub", argminCellExpr(cq.l2, col("__r1")))
         .withColumn("cell", col("__sup") * cq.n2 + col("__sub"))
       val out = residCol match {
-        case Some(r) => staged.withColumn(r,
+        case Some(r) => lvl2.withColumn(r,
           zip_with(col("__r1"), element_at(l2Lit, col("__sub") + 1), (x, c) => x - c))
-        case None => staged
+        case None => lvl2
       }
       out.drop("__sup", "__r1", "__sub")
     }
@@ -340,12 +346,16 @@ object Similarity {
         java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
       lloyd(pts, ksub, iters = 10, seed = seed + j + 1)
     }
-    // cell assignment + encode: ONE codegen projection over the corpus —
-    // two staged argmins over the (n1 + n2) literal level centers, then
-    // per-subspace code argmin over the residual (m*ksub literal-
-    // codebook dot kernels). No shuffle, no fit, no UDF, and no
-    // nlist-sized literal.
-    val withCell = withCellCols(base, coarse, col("cv"), residCol = Some("__r"))
+    // cell assignment + encode: staged codegen projections over the
+    // corpus — two argmins over the (n1 + n2) literal level centers,
+    // then per-subspace code argmin over the residual (m*ksub literal-
+    // codebook dot kernels). No shuffle, no fit, no UDF, no nlist-sized
+    // literal; the residual is staged before the m·ksub code argmins so
+    // CollapseProject can't clone the assignment chain into each one.
+    val withCell = staging(
+      withCellCols(base, coarse, col("cv"), residCol = Some("__r"),
+        staging = staging)
+        .select(col("c_id"), col("cell"), col("__r"), col("cn")))
     val codeCols = (0 until m).map { j =>
       val sub = slice(col("__r"), j * dsub + 1, dsub)
       val dists = array(codebooks(j).map { c =>
@@ -371,6 +381,11 @@ object Similarity {
       .orderBy(Sampling.mixedHash(col("c_id")), col("c_id"))
       .limit(trainSample).collect().map(_.getSeq[Double](1).toArray)
 
+  /** Probe hook: [[sampleVecs]] on a raw frame (dev tooling only). */
+  private[graft] def probeSample(df: DataFrame, idCol: String, vecCol: String,
+                                 trainSample: Int): Array[Array[Double]] =
+    sampleVecs(withNorm(df, idCol, vecCol, "c_id", "cv", "cn"), trainSample)
+
   /** DISTINCT-vector twin of [[sampleVecs]] for [[semanticDedup]]: the
     * sample is drawn from the distinct embedding set, hash-ordered by
     * the VECTOR VALUE itself — so both collapse branches (full corpus
@@ -385,15 +400,15 @@ object Similarity {
       .orderBy(xxhash64(col("cv")), col("cv"))
       .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
 
-  /** Nearest-centroid assignment as one codegen projection:
+  /** Nearest-centroid assignment as ONE codegen node:
     * argmin ||v − c||² = argmin (||c||² − 2 v·c) over literal centroids
-    * — nlist dot kernels, no fit, no UDF. */
-  private def argminCellExpr(centers: Array[Array[Double]], v: Column): Column = {
-    val dists = array(centers.map { c =>
-      lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, typedLit(c.toSeq))
-    }: _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+    * — [[graft.functions.NearestCenter]]'s tight k×dim loop (the
+    * composed n-dot-kernel form breaks whole-stage codegen past ~50
+    * centers and runs ~20× slower interpreted), no fit, no UDF. Same
+    * op tree per center and the same first-minimum tie-break, so
+    * assignments are bit-identical to the composed form. */
+  private def argminCellExpr(centers: Array[Array[Double]], v: Column): Column =
+    graft.functions.VectorExpressions.nearestCenter(v, centers)
 
   /** Seeded local Lloyd k-means over an in-memory point set — the PQ
     * codebook trainer ([[pqIndex]]): init picks k random sample points,
@@ -663,7 +678,7 @@ object Similarity {
                                   staging: Staging.Mode): DataFrame = {
     val base = withNorm(df, idCol, vecCol, "c_id", "cv", "cn")
     val cq = trainCoarse(sampleDistinctVecs(base, trainSample), nlist, seed)
-    val cells = staging(withCellCols(base, cq, col("cv"))
+    val cells = staging(withCellCols(base, cq, col("cv"), staging = staging)
       .select(col("c_id"), col("cv"), col("cn"), col("cell")))
     val mass = cells.groupBy("cell").agg(count(lit(1)).as("s"))
       .agg(coalesce(sum(expr("s * (s - 1) div 2")), lit(0L)).as("p"))

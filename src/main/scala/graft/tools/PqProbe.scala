@@ -35,6 +35,17 @@ object PqProbe {
       t("full q107 fn")(
         graft.SparkEntry.queries("q107_ann_ivfpq")(spark, dir).count())
     }
+    // round-9 two-level coarse tier: nlist past the single-level trainer's
+    // structural cap (sample-bounded), same probed-corpus fraction
+    (1 to 2).foreach { _ =>
+      val idx4k = t("pqIndex build nlist=4096 (two-level)")(
+        Similarity.pqIndex(e, "vec_id", "embedding", nlist = 4096, m = 16, ksub = 32))
+      t("codes materialize nlist=4096")(idx4k.codes.count())
+      t("adc+refine topk nlist=4096 nprobe=1536")(
+        Similarity.ivfPqTopK(idx4k, e, q, "vec_id", "embedding", 10, 1536, 8).count())
+      t("adc+refine topk nlist=4096 nprobe=96")(
+        Similarity.ivfPqTopK(idx4k, e, q, "vec_id", "embedding", 10, 96, 8).count())
+    }
     if (sys.env.contains("PQPROBE_PLAN")) {
       val idx = Similarity.pqIndex(e, "vec_id", "embedding", nlist = 16, m = 16, ksub = 32)
       Similarity.savePqIndex(idx, "pq_dbg", buckets = 8)

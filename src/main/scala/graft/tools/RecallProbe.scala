@@ -41,11 +41,17 @@ object RecallProbe {
       .select("q_id", "c_id")
     print("[probe] q46 ivf k=10: "); recall(annIvf, exactQ5, 10)
 
-    for ((m, ksub, refine) <- Seq((16, 32, 8))) {
+    // nlist 16 = the q107 default (single-level coarse); nlist >= 4096
+    // exercises the round-9 two-level trainer + beam probe at the scale
+    // the old single-level trainer could not reach (nprobe scaled to
+    // keep the probed corpus fraction comparable)
+    for ((nlist, nprobe, m, ksub, refine) <- Seq(
+        (16, 6, 16, 32, 8), (4096, 1536, 16, 32, 8), (16384, 6144, 16, 32, 8))) {
       val annPq = Similarity.ivfPqTopK(e, q5, "vec_id", "embedding",
-          k = 10, nlist = 16, nprobe = 6, m = m, ksub = ksub, refine = refine, seed = 42L)
+          k = 10, nlist = nlist, nprobe = nprobe, m = m, ksub = ksub,
+          refine = refine, seed = 42L)
         .select("q_id", "c_id")
-      print(s"[probe] q107 ivfpq k=10 m=$m ksub=$ksub refine=$refine: ")
+      print(s"[probe] q107 ivfpq k=10 nlist=$nlist nprobe=$nprobe m=$m ksub=$ksub refine=$refine: ")
       recall(annPq, exactQ5, 10)
     }
     spark.stop()
