@@ -149,6 +149,102 @@ case class NearestCenter(child: Expression, centers: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Full ADC lookup table for one query vector against LITERAL PQ
+  * codebooks, as ONE codegen node (round 9): out[j·ksub + c] =
+  * dot(v[j·dsub .. (j+1)·dsub), codebooks(j)(c)) — the m×ksub
+  * query-to-codeword partial dot products the ADC scan then reads by
+  * code index. The composed form — m×ksub separate [[DotProduct]]
+  * kernels over `slice` columns inside a nested `array(array(...))` —
+  * is a 512-expression projection at (m=16, ksub=32) that blows the
+  * janino method budget and drops the whole query-side stage to
+  * interpreted eval. Same per-entry FP operation order as the composed
+  * form (left-to-right partial-dot accumulation), so ADC scores are
+  * bit-identical; short input vectors mirror `slice`+dot semantics
+  * (sum over the elements that exist). */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_lut needs an array<double> input, got ${child.dataType}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_lut"
+
+  @transient private lazy val m: Int = codebooks.length
+  @transient private lazy val ksub: Int = codebooks(0).length
+  @transient private lazy val dsub: Int = codebooks(0)(0).length
+  // flat[(j*ksub + c)*dsub + i] = codebooks(j)(c)(i)
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(codebooks(j)(c), 0, f, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    f
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      val lim = math.max(0, math.min(dsub, n - base))
+      var c = 0
+      while (c < ksub) {
+        val off = (j * ksub + c) * dsub
+        var s = 0.0
+        var i = 0
+        while (i < lim) { s += v.getDouble(base + i) * flat(off + i); i += 1 }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("pqBooksFlat", flat, "double[]")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val base = ctx.freshName("base"); val lim = ctx.freshName("lim")
+      val off = ctx.freshName("off"); val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[${m * ksub}];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $base = $j * $dsub;
+         |  int $lim = java.lang.Math.max(0, java.lang.Math.min($dsub, $n - $base));
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    int $off = ($j * $ksub + $c) * $dsub;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $lim; $i++) {
+         |      $s += $a.getDouble($base + $i) * $flatRef[$off + $i];
+         |    }
+         |    $out[$j * $ksub + $c] = $s;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level dot product over array<double> (codegen'd). */
   def dot(a: Column, b: Column): Column =
@@ -161,4 +257,10 @@ object VectorExpressions {
     * one codegen node, first-minimum tie-break. */
   def nearestCenter(v: Column, centers: Array[Array[Double]]): Column =
     Bridge.column(NearestCenter(Bridge.expression(v), centers))
+
+  /** Flat m·ksub ADC lookup table against literal PQ codebooks — one
+    * codegen node; entry (j·ksub + c) = partial dot of subvector j with
+    * codeword c. */
+  def pqLut(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqLut(Bridge.expression(v), codebooks))
 }

@@ -346,27 +346,45 @@ object Similarity {
         java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
       lloyd(pts, ksub, iters = 10, seed = seed + j + 1)
     }
-    // cell assignment + encode: staged codegen projections over the
-    // corpus — two argmins over the (n1 + n2) literal level centers,
-    // then per-subspace code argmin over the residual (m*ksub literal-
-    // codebook dot kernels). No shuffle, no fit, no UDF, no nlist-sized
-    // literal; the residual is staged before the m·ksub code argmins so
-    // CollapseProject can't clone the assignment chain into each one.
+    val codes = encodeAgainst(base, coarse, codebooks, m, dsub, staging)
+    PqIndex(idCol, codes, coarse, codebooks, m, ksub, dim, seed)
+  }
+
+  /** Cell assignment + PQ encode of a withNorm'd frame against FROZEN
+    * quantizers — the projection shared by [[pqIndex]] (corpus build)
+    * and [[encodePq]] (incremental shard encode): two staged argmins
+    * over the (n1 + n2) literal level centers, then one
+    * [[graft.functions.NearestCenter]] node per subspace over the
+    * residual. No shuffle, no fit, no UDF, no nlist-sized literal; the
+    * residual is staged before the m code argmins so CollapseProject
+    * can't clone the assignment chain into each one. */
+  private def encodeAgainst(base: DataFrame, coarse: Coarse,
+                            codebooks: Array[Array[Array[Double]]],
+                            m: Int, dsub: Int,
+                            staging: Staging.Mode): DataFrame = {
     val withCell = staging(
       withCellCols(base, coarse, col("cv"), residCol = Some("__r"),
         staging = staging)
         .select(col("c_id"), col("cell"), col("__r"), col("cn")))
     val codeCols = (0 until m).map { j =>
-      val sub = slice(col("__r"), j * dsub + 1, dsub)
-      val dists = array(codebooks(j).map { c =>
-        lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(c.toSeq))
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
+      graft.functions.VectorExpressions.nearestCenter(
+        slice(col("__r"), j * dsub + 1, dsub), codebooks(j))
     }
-    val codes = staging(withCell.select(col("c_id"), col("cell"),
+    staging(withCell.select(col("c_id"), col("cell"),
       array(codeCols: _*).as("codes"), col("cn")))
-    PqIndex(idCol, codes, coarse, codebooks, m, ksub, dim, seed)
   }
+
+  /** Encode NEW vectors against an existing index's frozen model — the
+    * incremental-ingestion encode (Faiss practice: quantizers train once
+    * on the initial corpus sample, every later shard encodes against
+    * them; codebook drift is a deliberate retrain, never an implicit
+    * refit). Returns the same (c_id, cell, codes, cn) geometry as
+    * `PqIndex.codes`; zero-norm vectors drop per the shared cosine
+    * contract. */
+  def encodePq(df: DataFrame, vecCol: String, idx: PqIndex,
+               staging: Staging.Mode = Staging.Local): DataFrame =
+    encodeAgainst(withNorm(df, idx.idCol, vecCol, "c_id", "cv", "cn"),
+      idx.coarse, idx.codebooks, idx.m, idx.dim / idx.m, staging)
 
   /** Bounded HASH-ordered vector sample off a withNorm'd frame — the
     * shared trainer input of [[pqIndex]] and [[semanticDedup]]: one
@@ -469,11 +487,13 @@ object Similarity {
     val m = index.m
     val dsub = index.dim / m
     val cq = index.coarse
+    // flat m·ksub ADC lookup table as ONE codegen node — the composed
+    // array(array(m×ksub dot kernels)) form is a 512-expression
+    // projection at (16, 32) that blows the janino method budget and
+    // drops the whole query-side stage to interpreted eval
     val q = withNorm(queries, idCol, vecCol, "q_id", "qv", "qn")
-      .withColumn("__lut", array((0 until m).map { j =>
-        val sub = slice(col("qv"), j * dsub + 1, dsub)
-        array(index.codebooks(j).map(c => dot(sub, typedLit(c.toSeq))): _*)
-      }: _*))
+      .withColumn("__lut",
+        graft.functions.VectorExpressions.pqLut(col("qv"), index.codebooks))
     // nprobe nearest cells via a TWO-STAGE beam over the hierarchical
     // quantizer: rank the n1 supers by cosine to the level-1 centers,
     // keep a beam of the best (4× oversampled so a cell whose super
@@ -507,10 +527,10 @@ object Similarity {
       .filter(col("__crk") <= nprobe)
       .withColumn("__qcdot", dot(col("qv"), col("__ctr")))
       .select(col("q_id"), col("qv"), col("qn"), col("cell"), col("__lut"), col("__qcdot"))
-    // ADC scan: codes only — m array lookups + adds per candidate
+    // ADC scan: codes only — m flat-LUT lookups + adds per candidate
     val adcSum = (0 until m).map(j =>
-      element_at(element_at(col("__lut"), j + 1),
-        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+      element_at(col("__lut"),
+        lit(j * index.ksub) + element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
     val adc = probes.join(index.codes, Seq("cell"))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("__approx", (col("__qcdot") + adcSum) / (col("qn") * col("cn")))

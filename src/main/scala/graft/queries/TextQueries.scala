@@ -462,6 +462,36 @@ object TextQueries {
           AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0""")),
 
     // ----------------------------------------------------------------
+    // q110: IVF-PQ over the TWO-LEVEL coarse quantizer (round 9) — the
+    // tier that breaks the nlist scale ceiling: 4096 cells from two
+    // bounded Lloyd fits (level 2 trained on level-1 residuals, shared
+    // across supers — the residual variant of the inverted multi-index,
+    // Babenko/Lempitsky CVPR 2012), two-stage beam probing, no
+    // nlist-sized literal or broadcast anywhere. nprobe keeps q107's
+    // probed-corpus fraction (1536/4096 = 6/16 = 37.5%); recall@10 vs
+    // exact measured 0.86-1.00 at sf0.001/0.01/0.1/100× (RecallProbe) —
+    // finer cells IMPROVE recall at fixed probe fraction, so the same
+    // 0.5 bound has more margin than q107's. Exhaustive-probe == brute
+    // force at nlist=4096 pinned in SessionIvfSpec.
+    "q110_ann_ivfpq_hier" -> QueryDef(
+      fn = (s, d) => {
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") < 50)
+        val ann = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+            k = 10, nlist = 4096, nprobe = 1536, m = 16, ksub = 32,
+            refine = 8, seed = 42L)
+          .localCheckpoint(true)
+        val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+          .localCheckpoint(true)
+        annContract(ann, exact, k = 10, minMeanRecall = 0.5)
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 10 AS k, TRUE AS rows_le_k,
+               TRUE AS ann_never_beats_exact, TRUE AS mean_recall_ok
+        FROM embeddings WHERE vec_id < 50
+          AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0""")),
+
+    // ----------------------------------------------------------------
     // q108: semantic dedup (SemDeDup, Abbas et al. 2023) — cluster-local
     // transitive collapse of semantically-equivalent embeddings to one
     // canonical survivor. Seeded cells make the keep/drop sets

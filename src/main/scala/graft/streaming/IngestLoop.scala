@@ -193,6 +193,71 @@ object IngestLoop {
     }
   }
 
+  /** One micro-batch of the IVF-PQ SERVING-INDEX ingestion loop — the
+    * ANN member of the incremental index family (round 9). Batch 0
+    * trains the quantizers ([[Similarity.pqIndex]] — coarse levels +
+    * codebooks from its bounded hash-ordered sample) and persists them
+    * in `prefix`_meta; every later batch ENCODES ITSELF against the
+    * frozen model ([[Similarity.encodePq]] — one staged codegen
+    * projection, no training, no corpus work) and appends its own
+    * `ingest_batch` partition of the cell-bucketed codes table. This is
+    * the Faiss ingestion discipline: quantizers train once, shards
+    * stream through the encoder; drift is handled by a deliberate
+    * retrain, never an implicit refit (which would silently re-key every
+    * previously-encoded vector). Retry contract as [[ingestMinhashBatch]]:
+    * the batch's partition is dropped before re-append, and a torn batch
+    * 0 (codes without meta) is detected and re-run clean. Serving reads
+    * the whole table via [[Similarity.loadPqIndex]] — bucketed on `cell`
+    * across partitions, so the ADC join stays co-located. */
+  def ingestPqBatch(batch: DataFrame, bid: Long, idCol: String,
+                    vecCol: String, prefix: String, nlist: Int, m: Int,
+                    ksub: Int, seed: Long, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val exists = familyExists(spark, prefix, Seq("codes", "meta"))
+    val codes =
+      if (!exists) {
+        val idx = graft.operators.Similarity.pqIndex(
+          batch, idCol, vecCol, nlist, m, ksub, seed)
+        import spark.implicits._
+        Seq((idx.idCol, idx.m, idx.ksub, idx.dim, idx.seed,
+            idx.coarse.l1.map(_.toSeq).toSeq,
+            idx.coarse.l2.map(_.toSeq).toSeq,
+            idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+          .toDF("id_col", "m", "ksub", "dim", "seed", "coarse_l1",
+            "coarse_l2", "codebooks")
+          .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+        idx.codes
+      } else {
+        val idx = graft.operators.Similarity.loadPqIndex(spark, prefix)
+        require(idx.idCol == idCol,
+          s"persisted PQ index keys on '${idx.idCol}', loop on '$idCol'")
+        spark.sql(s"ALTER TABLE ${prefix}_codes DROP IF EXISTS PARTITION (ingest_batch=$bid)")
+        graft.operators.Similarity.encodePq(batch, vecCol, idx)
+      }
+    codes.withColumn("ingest_batch", lit(bid))
+      .write.mode("append").format("parquet")
+      .partitionBy("ingest_batch")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(s"${prefix}_codes")
+  }
+
+  /** Drive a streaming embedding source through the IVF-PQ serving-index
+    * loop — [[minhashIngest]]'s ANN sibling: the index GROWS with the
+    * stream while per-batch work stays O(batch). */
+  def pqIngest(vecs: DataFrame, idCol: String, vecCol: String,
+               prefix: String, checkpointDir: String, nlist: Int = 16,
+               m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+               buckets: Int = 8,
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingestPqBatch(batch, bid, idCol, vecCol, prefix, nlist, m, ksub,
+          seed, buckets)
+      }
+      .start()
+
   /** Drive a streaming embedding source through the sign-LSH ingestion
     * loop — the vector twin of [[minhashIngest]]. `dim` must be passed
     * explicitly: a streaming frame cannot be probed for it at plan

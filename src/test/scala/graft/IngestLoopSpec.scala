@@ -143,6 +143,57 @@ class IngestLoopSpec extends AnyFunSuite {
     } finally drop("ing_rt_bands", "ing_rt_shingles", "ing_rt_meta")
   }
 
+  test("streamed IVF-PQ serving-index ingestion == same-model batch encode; retry idempotent") {
+    import graft.operators.Similarity
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = embs.union(embs.withColumn("vec_id", col("vec_id") + 10000000L))
+    val streamDir = java.nio.file.Files.createTempDirectory("pqingest_src").toString
+    (0 until 3).foreach { i =>
+      stage(corpus.filter(col("vec_id") % 3 === i), streamDir, s"f$i.parquet")
+      Thread.sleep(1100)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("pqingest_ckpt").toString
+    val stream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    try {
+      val q = IngestLoop.pqIngest(stream, "vec_id", "embedding",
+        prefix = "ing_pq", checkpointDir = ckpt)
+      q.awaitTermination()
+      val loaded = Similarity.loadPqIndex(spark, "ing_pq")
+      // >= 3 partitions appended, one per micro-batch
+      val batches = loaded.codes.select("ingest_batch").distinct().count()
+      assert(batches >= 3, s"expected >=3 ingest partitions, got $batches")
+      // the streamed index's code set == encoding the WHOLE corpus
+      // against the same (batch-0-trained) frozen model — per-batch
+      // encode loses nothing and re-keys nothing
+      val streamed = loaded.codes.select("c_id", "cell", "codes", "cn")
+      val ref = Similarity.encodePq(corpus, "embedding", loaded)
+        .select("c_id", "cell", "codes", "cn")
+      assert(streamed.count() == ref.count())
+      assert(streamed.exceptAll(ref).count() == 0 &&
+        ref.exceptAll(streamed).count() == 0,
+        "streamed code partitions diverge from the same-model batch encode")
+      // serving parity: ADC top-k from the reloaded incremental index ==
+      // from an in-memory index with the same model and codes
+      val queries = corpus.filter(col("vec_id") < 20)
+      val viaLoaded = Similarity.ivfPqTopK(loaded, corpus, queries,
+          "vec_id", "embedding", k = 5, nprobe = 6, refine = 8)
+        .orderBy("q_id", "rn").collect().map(_.toString)
+      val viaRef = Similarity.ivfPqTopK(loaded.copy(codes = ref), corpus,
+          queries, "vec_id", "embedding", k = 5, nprobe = 6, refine = 8)
+        .orderBy("q_id", "rn").collect().map(_.toString)
+      assert(viaLoaded.sameElements(viaRef),
+        "reloaded incremental index serves differently from the batch encode")
+      // retry idempotence: replaying a batch id leaves the table identical
+      val before = spark.table("ing_pq_codes").collect().map(_.toString).toSet
+      IngestLoop.ingestPqBatch(corpus.filter(col("vec_id") % 3 === 1), 1L,
+        "vec_id", "embedding", "ing_pq", nlist = 16, m = 8, ksub = 16,
+        seed = 42L, buckets = 8)
+      val after = spark.table("ing_pq_codes").collect().map(_.toString).toSet
+      assert(after == before, "PQ batch replay changed the codes table")
+    } finally drop("ing_pq_codes", "ing_pq_meta")
+  }
+
   test("a TORN first batch (partial table set) recovers on retry") {
     // batch 0 creates the family's tables sequentially (bands, shingles,
     // meta) — a crash between those writes leaves a strict subset behind.
