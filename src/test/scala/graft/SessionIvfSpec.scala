@@ -94,6 +94,48 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(ann.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("PqLut == composed slice-dot LUT bit for bit; short-vector edge; codegen == interpreted") {
+    import graft.functions.VectorExpressions
+    val m = 4; val ksub = 3; val dsub = 16
+    val rng = new java.util.Random(7L)
+    val books = Array.fill(m, ksub, dsub)(rng.nextGaussian() * 0.1)
+    val e = Tables(spark, dir, "embeddings").limit(100)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // a vector SHORTER than m*dsub exercises the slice+dot tail rule
+    // (sum over the elements that exist)
+    val short = spark.range(1).select(lit(-1L).as("vec_id"),
+      array((0 until 10).map(i => lit(i * 0.25 - 1.0)): _*).as("v"))
+    val in = e.unionByName(short)
+    val composed = in.withColumn("lut", flatten(array((0 until m).map { j =>
+      array(books(j).map(c =>
+        VectorExpressions.dot(slice(col("v"), j * dsub + 1, dsub),
+          typedLit(c.toSeq))): _*)
+    }: _*)))
+    val native = in.withColumn("lut", VectorExpressions.pqLut(col("v"), books))
+    def rows(df: org.apache.spark.sql.DataFrame): Array[(Long, Seq[Double])] =
+      df.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](2)))
+    val a = rows(composed); val b = rows(native)
+    assert(a.length == b.length && a.zip(b).forall { case ((i1, l1), (i2, l2)) =>
+      i1 == i2 && l1.length == m * ksub &&
+        l1.zip(l2).forall { case (x, y) => x == y } // bit-exact, no tolerance
+    }, "native PqLut diverges from the composed slice-dot LUT")
+    // interpreted eval path (nullSafeEval) == codegen path
+    val cg = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = rows(in.withColumn("lut",
+        VectorExpressions.pqLut(col("v"), books)))
+      assert(interp.zip(b).forall { case ((_, l1), (_, l2)) =>
+        l1.zip(l2).forall { case (x, y) => x == y } })
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", cg.getOrElse("true"))
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    }
+  }
+
   test("two-level coarse quantizer: nlist 4096 from one bounded sample, exhaustive probe == brute force") {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
