@@ -231,12 +231,17 @@ object Dedup {
 
   /** Load a [[saveMinhashIndex]]-persisted index by catalog name — a new
     * session (same warehouse) ingests shards against it without touching
-    * the original corpus texts. */
+    * the original corpus texts. [[Tombstones]]-deleted ids are filtered
+    * out here (broadcast anti-join — bucketed co-location preserved),
+    * so every consumer of a loaded index sees deletions immediately. */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        prefix: String): MinHashIndex = {
     val m = spark.table(s"${prefix}_meta").head()
-    MinHashIndex(m.getString(0), spark.table(s"${prefix}_shingles"),
-      spark.table(s"${prefix}_bands"), m.getInt(1), m.getInt(2))
+    val idCol = m.getString(0)
+    MinHashIndex(idCol,
+      Tombstones.filter(spark.table(s"${prefix}_shingles"), idCol, prefix),
+      Tombstones.filter(spark.table(s"${prefix}_bands"), idCol, prefix),
+      m.getInt(1), m.getInt(2))
   }
 
   /** Online corpus-match gate: for each shard document — `shard` may be
@@ -568,11 +573,14 @@ object Dedup {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
   }
 
-  /** Load a [[saveSimhashIndex]]-persisted index by catalog name. */
+  /** Load a [[saveSimhashIndex]]-persisted index by catalog name
+    * ([[Tombstones]]-deleted ids filtered). */
   def loadSimhashIndex(spark: org.apache.spark.sql.SparkSession,
                        prefix: String): SimHashIndex = {
     val m = spark.table(s"${prefix}_meta").head()
-    SimHashIndex(m.getString(0), spark.table(s"${prefix}_chunked"))
+    val idCol = m.getString(0)
+    SimHashIndex(idCol,
+      Tombstones.filter(spark.table(s"${prefix}_chunked"), idCol, prefix))
   }
 
   /** Build the [[SimHashIndex]] for `df`: signature (native codegen
@@ -920,12 +928,15 @@ object Dedup {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
   }
 
-  /** Load a [[saveContainmentIndex]]-persisted index by catalog name. */
+  /** Load a [[saveContainmentIndex]]-persisted index by catalog name
+    * ([[Tombstones]]-deleted ids filtered; internal id column is the
+    * normalized `id`). */
   def loadContainmentIndex(spark: org.apache.spark.sql.SparkSession,
                            prefix: String): ContainmentIndex = {
     val m = spark.table(s"${prefix}_meta").head()
     ContainmentIndex(m.getString(0), m.getInt(1),
-      spark.table(s"${prefix}_base"), spark.table(s"${prefix}_posting"))
+      Tombstones.filter(spark.table(s"${prefix}_base"), "id", prefix),
+      Tombstones.filter(spark.table(s"${prefix}_posting"), "id", prefix))
   }
 
   /** Incremental containment pairs TOUCHING A NEW SHARD — both

@@ -586,8 +586,9 @@ object Similarity {
       .map(_.toArray).toArray
     val books = r.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]](7)
       .map(_.map(_.toArray).toArray).toArray
-    PqIndex(r.getString(0), spark.table(s"${prefix}_codes"), Coarse(l1, l2),
-      books, r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+    PqIndex(r.getString(0),
+      Tombstones.filter(spark.table(s"${prefix}_codes"), "c_id", prefix),
+      Coarse(l1, l2), books, r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
   }
 
   /** [[ivfPqTopK]] with the index built inline — the one-call form the
@@ -928,13 +929,16 @@ object Similarity {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
   }
 
-  /** Load a [[saveEmbedIndex]]-persisted index by catalog name. */
+  /** Load a [[saveEmbedIndex]]-persisted index by catalog name
+    * ([[Tombstones]]-deleted ids filtered; internal id column is the
+    * normalized `id`). */
   def loadEmbedIndex(spark: org.apache.spark.sql.SparkSession,
                      prefix: String): EmbedIndex = {
     val m = spark.table(s"${prefix}_meta").head()
-    EmbedIndex(m.getString(0), spark.table(s"${prefix}_vecs"),
-      spark.table(s"${prefix}_hashed"), m.getInt(1), m.getInt(2),
-      m.getLong(3), m.getInt(4))
+    EmbedIndex(m.getString(0),
+      Tombstones.filter(spark.table(s"${prefix}_vecs"), "id", prefix),
+      Tombstones.filter(spark.table(s"${prefix}_hashed"), "id", prefix),
+      m.getInt(1), m.getInt(2), m.getLong(3), m.getInt(4))
   }
 
   /** Seeded sign-LSH hyperplanes, drawn in the fixed (table, bit, dim)

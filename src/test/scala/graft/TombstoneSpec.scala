@@ -1,0 +1,163 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, Tombstones}
+import graft.streaming.IngestLoop
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deletion semantics for the persisted index families: a tombstoned id
+  * is invisible to every consumer of a loaded index from the moment
+  * `Tombstones.add` commits (logical delete — no corpus-table rewrite),
+  * and compaction folds the tombstones into a physical rewrite that
+  * preserves the bucket layout and clears the set. */
+class TombstoneSpec extends AnyFunSuite {
+  lazy val spark = Tables.session(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def drop(names: String*): Unit =
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+
+  private def idsDf(ids: Seq[Long], name: String) = {
+    import spark.implicits._
+    ids.toDF(name)
+  }
+
+  test("MinHash: tombstoned docs vanish from incremental pairs; compact is physical and layout-preserving") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val shard = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"),
+      "tb_mh", buckets = 8)
+    try {
+      val sIdx = Dedup.minhashIndex(shard, "doc_id", "text")
+      val before = Dedup.minhashLshPairsIncremental(sIdx,
+          Dedup.loadMinhashIndex(spark, "tb_mh"), threshold = 0.5)
+        .collect().map(_.toString).toSet
+      assert(before.nonEmpty, "fixture must produce shard-touching pairs")
+      // delete every 4th corpus doc — including some pair participants
+      val dead = corpus.filter(col("doc_id") % 8 === 0)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(dead.nonEmpty)
+      Tombstones.add(idsDf(dead, "doc_id"), "doc_id", "tb_mh")
+      // logical delete == mining against an index built without the dead docs
+      val expected = Dedup.minhashLshPairsIncremental(sIdx,
+          Dedup.minhashIndex(corpus.filter(col("doc_id") % 8 =!= 0), "doc_id", "text"),
+          threshold = 0.5)
+        .collect().map(_.toString).toSet
+      val logical = Dedup.minhashLshPairsIncremental(sIdx,
+          Dedup.loadMinhashIndex(spark, "tb_mh"), threshold = 0.5)
+        .collect().map(_.toString).toSet
+      assert(logical == expected,
+        s"tombstone-filtered mining diverges: ${logical.size} vs ${expected.size}")
+      // compaction: physical rewrite, tombstones cleared, results identical
+      val rowsBefore = spark.table("tb_mh_shingles").count()
+      Tombstones.compactMinhash(spark, "tb_mh", buckets = 8)
+      assert(!spark.catalog.tableExists("tb_mh_tombstones"))
+      assert(spark.table("tb_mh_shingles").count() == rowsBefore - dead.length)
+      assert(spark.table("tb_mh_bands")
+        .filter(col("doc_id").isin(dead: _*)).count() == 0)
+      val physical = Dedup.minhashLshPairsIncremental(sIdx,
+          Dedup.loadMinhashIndex(spark, "tb_mh"), threshold = 0.5)
+        .collect().map(_.toString).toSet
+      assert(physical == expected)
+    } finally drop("tb_mh_bands", "tb_mh_shingles", "tb_mh_meta", "tb_mh_tombstones")
+  }
+
+  test("IVF-PQ: tombstoned candidates vanish from serving; compact preserves the ingest_batch partitioning") {
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // grow the family through the ingest path so the codes table carries
+    // the ingest_batch partition column compaction must preserve
+    IngestLoop.ingestPqBatch(embs.filter(col("vec_id") % 2 === 0), 0L,
+      "vec_id", "embedding", "tb_pq", nlist = 16, m = 8, ksub = 16,
+      seed = 42L, buckets = 8)
+    IngestLoop.ingestPqBatch(embs.filter(col("vec_id") % 2 === 1), 1L,
+      "vec_id", "embedding", "tb_pq", nlist = 16, m = 8, ksub = 16,
+      seed = 42L, buckets = 8)
+    try {
+      val queries = embs.filter(col("vec_id") < 10)
+      val loaded0 = Similarity.loadPqIndex(spark, "tb_pq")
+      val before = Similarity.ivfPqTopK(loaded0, embs, queries,
+          "vec_id", "embedding", k = 5, nprobe = 8, refine = 8)
+        .collect()
+      // tombstone the top hit of every query — the strongest falsifier:
+      // serving must re-rank, not just drop rows
+      val dead = before.filter(_.getInt(3) == 1).map(_.getLong(1)).distinct.toSeq
+      assert(dead.nonEmpty)
+      Tombstones.add(idsDf(dead, "vec_id"), "vec_id", "tb_pq")
+      val loaded = Similarity.loadPqIndex(spark, "tb_pq")
+      val served = Similarity.ivfPqTopK(loaded, embs, queries,
+          "vec_id", "embedding", k = 5, nprobe = 8, refine = 8)
+        .orderBy("q_id", "rn").collect()
+      assert(served.forall(r => !dead.contains(r.getLong(1))),
+        "a tombstoned candidate survived into the served top-k")
+      // == serving from the same model with the codes filtered manually
+      val expected = Similarity.ivfPqTopK(
+          loaded0.copy(codes = loaded0.codes.filter(!col("c_id").isin(dead: _*))),
+          embs, queries, "vec_id", "embedding", k = 5, nprobe = 8, refine = 8)
+        .orderBy("q_id", "rn").collect()
+      assert(served.map(_.toString).sameElements(expected.map(_.toString)))
+      // compact: physical, layout (ingest_batch + cell bucketing) kept
+      val total = spark.table("tb_pq_codes").count()
+      Tombstones.compactPq(spark, "tb_pq", buckets = 8)
+      assert(!spark.catalog.tableExists("tb_pq_tombstones"))
+      assert(spark.table("tb_pq_codes").count() == total - dead.length)
+      assert(spark.table("tb_pq_codes").columns.contains("ingest_batch"))
+      val after = Similarity.ivfPqTopK(Similarity.loadPqIndex(spark, "tb_pq"),
+          embs, queries, "vec_id", "embedding", k = 5, nprobe = 8, refine = 8)
+        .orderBy("q_id", "rn").collect()
+      assert(after.map(_.toString).sameElements(served.map(_.toString)))
+      // a replayed ingest batch may re-append dead rows — a fresh
+      // tombstone keeps them invisible even though the batch re-ran
+      Tombstones.add(idsDf(dead, "vec_id"), "vec_id", "tb_pq")
+      IngestLoop.ingestPqBatch(embs.filter(col("vec_id") % 2 === 1), 1L,
+        "vec_id", "embedding", "tb_pq", nlist = 16, m = 8, ksub = 16,
+        seed = 42L, buckets = 8)
+      val replay = Similarity.ivfPqTopK(Similarity.loadPqIndex(spark, "tb_pq"),
+          embs, queries, "vec_id", "embedding", k = 5, nprobe = 8, refine = 8)
+        .collect()
+      assert(replay.forall(r => !dead.contains(r.getLong(1))))
+    } finally drop("tb_pq_codes", "tb_pq_meta", "tb_pq_tombstones")
+  }
+
+  test("SimHash / containment / sign-LSH: load filters tombstones; compact is physical") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .limit(300)
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Dedup.saveSimhashIndex(Dedup.simhashIndex(docs, "doc_id", "text"),
+      "tb_sh", buckets = 8)
+    Dedup.saveContainmentIndex(Dedup.containmentIndex(docs, "doc_id", "text"),
+      "tb_ct", buckets = 8)
+    Similarity.saveEmbedIndex(Similarity.embedIndex(embs, "vec_id", "embedding"),
+      "tb_em", buckets = 8)
+    try {
+      val deadDocs = docs.filter(col("doc_id") % 5 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val deadVecs = embs.filter(col("vec_id") % 5 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      Tombstones.add(idsDf(deadDocs, "doc_id"), "doc_id", "tb_sh")
+      Tombstones.add(idsDf(deadDocs, "doc_id"), "doc_id", "tb_ct")
+      Tombstones.add(idsDf(deadVecs, "vec_id"), "vec_id", "tb_em")
+      assert(Dedup.loadSimhashIndex(spark, "tb_sh").chunked
+        .filter(col("doc_id").isin(deadDocs: _*)).count() == 0)
+      val ct = Dedup.loadContainmentIndex(spark, "tb_ct")
+      assert(ct.base.filter(col("id").isin(deadDocs: _*)).count() == 0 &&
+        ct.posting.filter(col("id").isin(deadDocs: _*)).count() == 0)
+      val em = Similarity.loadEmbedIndex(spark, "tb_em")
+      assert(em.vecs.filter(col("id").isin(deadVecs: _*)).count() == 0 &&
+        em.hashed.filter(col("id").isin(deadVecs: _*)).count() == 0)
+      Tombstones.compactSimhash(spark, "tb_sh", buckets = 8)
+      Tombstones.compactContainment(spark, "tb_ct", buckets = 8)
+      Tombstones.compactEmbed(spark, "tb_em", buckets = 8)
+      Seq("tb_sh", "tb_ct", "tb_em").foreach(p =>
+        assert(!spark.catalog.tableExists(s"${p}_tombstones")))
+      assert(spark.table("tb_sh_chunked")
+        .filter(col("doc_id").isin(deadDocs: _*)).count() == 0)
+      assert(spark.table("tb_ct_base")
+        .filter(col("id").isin(deadDocs: _*)).count() == 0)
+      assert(spark.table("tb_em_vecs")
+        .filter(col("id").isin(deadVecs: _*)).count() == 0)
+    } finally drop("tb_sh_chunked", "tb_sh_meta", "tb_sh_tombstones",
+      "tb_ct_base", "tb_ct_posting", "tb_ct_meta", "tb_ct_tombstones",
+      "tb_em_vecs", "tb_em_hashed", "tb_em_meta", "tb_em_tombstones")
+  }
+}
