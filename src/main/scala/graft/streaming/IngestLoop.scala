@@ -258,6 +258,50 @@ object IngestLoop {
       }
       .start()
 
+  /** One micro-batch of streaming ANN QUERY SERVING — [[pqIngest]]'s
+    * read-side twin: answer a batch of query vectors against the
+    * persisted IVF-PQ index and append the top-k to `resultsTable`,
+    * partitioned by `serve_batch`. The index is RELOADED per batch, so
+    * ingest partitions appended and [[graft.operators.Tombstones]]
+    * deletes committed between batches take effect on the next answer —
+    * the serving loop and the ingestion loop compose against the same
+    * catalog tables with no coordination beyond them. `vectors` supplies
+    * the exact embeddings for the bounded refine re-score (the base
+    * table at cluster scale). Retry contract: the batch's result
+    * partition is dropped before re-append, so redelivery is
+    * idempotent. */
+  def servePqBatch(batch: DataFrame, bid: Long, idCol: String,
+                   vecCol: String, prefix: String, vectors: DataFrame,
+                   resultsTable: String, k: Int, nprobe: Int,
+                   refine: Int): Unit = {
+    val spark = batch.sparkSession
+    if (spark.catalog.tableExists(resultsTable))
+      spark.sql(s"ALTER TABLE $resultsTable DROP IF EXISTS PARTITION (serve_batch=$bid)")
+    val idx = graft.operators.Similarity.loadPqIndex(spark, prefix)
+    graft.operators.Similarity
+      .ivfPqTopK(idx, vectors, batch, idCol, vecCol, k, nprobe, refine)
+      .withColumn("serve_batch", lit(bid))
+      .write.mode("append").format("parquet")
+      .partitionBy("serve_batch").saveAsTable(resultsTable)
+  }
+
+  /** Drive a stream of query vectors through [[servePqBatch]] — the
+    * long-running ANN answering service over a [[pqIngest]]-grown (or
+    * [[graft.operators.Similarity.savePqIndex]]-persisted) index. */
+  def pqServe(queries: DataFrame, idCol: String, vecCol: String,
+              prefix: String, vectors: DataFrame, resultsTable: String,
+              checkpointDir: String, k: Int = 10, nprobe: Int = 4,
+              refine: Int = 4,
+              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        servePqBatch(batch, bid, idCol, vecCol, prefix, vectors,
+          resultsTable, k, nprobe, refine)
+      }
+      .start()
+
   /** Drive a streaming embedding source through the sign-LSH ingestion
     * loop — the vector twin of [[minhashIngest]]. `dim` must be passed
     * explicitly: a streaming frame cannot be probed for it at plan

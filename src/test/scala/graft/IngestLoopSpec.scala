@@ -194,6 +194,59 @@ class IngestLoopSpec extends AnyFunSuite {
     } finally drop("ing_pq_codes", "ing_pq_meta")
   }
 
+  test("streamed ANN serving == per-batch ivfPqTopK; tombstones take effect between batches; replay idempotent") {
+    import graft.operators.{Similarity, Tombstones}
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Similarity.savePqIndex(Similarity.pqIndex(embs, "vec_id", "embedding"),
+      "srv_pq", buckets = 8)
+    val streamDir = java.nio.file.Files.createTempDirectory("pqserve_src").toString
+    (0 until 2).foreach { i =>
+      stage(embs.filter(col("vec_id") % 2 === i && col("vec_id") < 30), streamDir,
+        s"q$i.parquet")
+      Thread.sleep(1100)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("pqserve_ckpt").toString
+    val stream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    try {
+      val q = IngestLoop.pqServe(stream, "vec_id", "embedding", "srv_pq",
+        vectors = embs, resultsTable = "srv_pq_results", checkpointDir = ckpt,
+        k = 5, nprobe = 6, refine = 8)
+      q.awaitTermination()
+      val served = spark.table("srv_pq_results")
+      assert(served.select("serve_batch").distinct().count() >= 2)
+      // union of streamed answers == one batch run over all queries
+      val expected = Similarity.ivfPqTopK(Similarity.loadPqIndex(spark, "srv_pq"),
+          embs, embs.filter(col("vec_id") < 30), "vec_id", "embedding",
+          k = 5, nprobe = 6, refine = 8)
+        .orderBy("q_id", "rn").collect().map(_.toString)
+      val got = served.select("q_id", "c_id", "cos", "rn")
+        .orderBy("q_id", "rn").collect().map(_.toString)
+      assert(got.sameElements(expected),
+        "streamed serving diverges from the batch answer")
+      // replay idempotence: re-running a batch id leaves results identical
+      val before = served.collect().map(_.toString).toSet
+      IngestLoop.servePqBatch(
+        embs.filter(col("vec_id") % 2 === 1 && col("vec_id") < 30), 1L,
+        "vec_id", "embedding", "srv_pq", embs, "srv_pq_results",
+        k = 5, nprobe = 6, refine = 8)
+      assert(spark.table("srv_pq_results").collect().map(_.toString).toSet == before)
+      // a tombstone committed after those batches takes effect on the
+      // NEXT served batch (index reloaded per batch)
+      val dead = before.map(_.split(",")(1).trim.toLong).head
+      import spark.implicits._
+      Tombstones.add(Seq(dead).toDF("vec_id"), "vec_id", "srv_pq")
+      IngestLoop.servePqBatch(embs.filter(col("vec_id") < 30), 2L,
+        "vec_id", "embedding", "srv_pq", embs, "srv_pq_results",
+        k = 5, nprobe = 6, refine = 8)
+      val batch2 = spark.table("srv_pq_results")
+        .filter(col("serve_batch") === 2)
+      assert(batch2.filter(col("c_id") === dead).count() == 0,
+        "tombstoned candidate served after deletion")
+      assert(batch2.count() > 0)
+    } finally drop("srv_pq_codes", "srv_pq_meta", "srv_pq_results", "srv_pq_tombstones")
+  }
+
   test("a TORN first batch (partial table set) recovers on retry") {
     // batch 0 creates the family's tables sequentially (bands, shingles,
     // meta) — a crash between those writes leaves a strict subset behind.
