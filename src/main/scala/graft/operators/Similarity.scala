@@ -664,14 +664,7 @@ object Similarity {
     // needs k ≥ 2n²/maxPairs. The two-level [[trainCoarse]] makes the
     // upper range real (cells = sample², not sample), so the clamp
     // ceiling is 65536 rather than what one driver Lloyd can fit.
-    val resolvedNlist =
-      if (nlist > 0) nlist
-      else {
-        val n = df.count()
-        val byScale = n / 2000L
-        val byBudget = math.ceil(2.0 * n / maxPairs * n).toLong
-        math.min(65536L, math.max(16L, math.max(byScale, byBudget))).toInt
-      }
+    val resolvedNlist = resolveSemNlist(df, nlist, maxPairs)
     if (!Dedup.heavyDupMass(df, col(vecCol), staging, collapsePairsPerDoc))
       return semanticDedupDirect(df, idCol, vecCol, threshold, resolvedNlist,
         seed, trainSample, maxPairs, staging)
@@ -722,6 +715,160 @@ object Similarity {
       .select(col("c_id").as(idCol), col("cell"),
         coalesce(col("component"), col("c_id")).as("canonical"),
         (coalesce(col("component"), col("c_id")) === col("c_id")).as("kept"))
+  }
+
+  /** [[semanticDedup]]'s auto-nlist rule, shared with [[semIndex]]:
+    * clamp(max(n/2000, 2n²/maxPairs), 16, 65536) — cells grow with the
+    * corpus (the paper's scale rule) AND with the square of it relative
+    * to the pair budget, so even cells of size n/k stay at ≤ maxPairs/4
+    * mass with 4× skew headroom. */
+  private def resolveSemNlist(df: DataFrame, nlist: Int, maxPairs: Long): Int =
+    if (nlist > 0) nlist
+    else {
+      val n = df.count()
+      val byScale = n / 2000L
+      val byBudget = math.ceil(2.0 * n / maxPairs * n).toLong
+      math.min(65536L, math.max(16L, math.max(byScale, byBudget))).toInt
+    }
+
+  /** A SEMANTIC-DEDUP INDEX — the state the incremental SemDeDup path
+    * carries between shards: every ingested doc's (id, cell, cv, cn,
+    * canonical, kept) row plus the FROZEN coarse cell model, threshold
+    * and seed. Docs (not just survivors) are retained so the
+    * incremental edge set equals the batch edge set — what makes
+    * [[semanticDedupIncremental]]'s equivalence contract exact rather
+    * than approximate. `union` folds a decided shard in (same
+    * append-only discipline as the other index families). */
+  final case class SemIndex(idCol: String, docs: DataFrame, coarse: Coarse,
+                            threshold: Double, seed: Long) {
+    def union(shardDocs: DataFrame): SemIndex =
+      copy(docs = docs.select("id", "cell", "cv", "cn", "canonical", "kept")
+        .union(shardDocs.select("id", "cell", "cv", "cn", "canonical", "kept")))
+  }
+
+  /** Build the [[SemIndex]] for an initial corpus: one [[semanticDedup]]
+    * run plus the doc-geometry join. The coarse model trained here is
+    * bit-identical to the one `semanticDedup` trains internally —
+    * [[sampleDistinctVecs]] orders by vector VALUE, so the sample (and
+    * the seeded Lloyd fits on it) is invariant to which branch
+    * `semanticDedup` takes — which is what lets later shards quantize
+    * consistently with the recorded decisions. */
+  def semIndex(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nlist: Int = -1, seed: Long = 42L,
+               trainSample: Int = 16384, maxPairs: Long = 1000000000L,
+               staging: Staging.Mode = Staging.Local,
+               collapsePairsPerDoc: Double = 2.0): SemIndex = {
+    val k = resolveSemNlist(df, nlist, maxPairs)
+    val base = staging(withNorm(df, idCol, vecCol, "id", "cv", "cn"))
+    val cq = trainCoarse(sampleDistinctVecs(base, trainSample), k, seed)
+    val dec = semanticDedup(df, idCol, vecCol, threshold, k, seed, trainSample,
+      maxPairs, staging, collapsePairsPerDoc)
+    val docs = base.join(
+      dec.select(col(idCol).as("id"), col("cell"), col("canonical"), col("kept")),
+      Seq("id"))
+      .select("id", "cell", "cv", "cn", "canonical", "kept")
+    SemIndex(idCol, docs, cq, threshold, seed)
+  }
+
+  /** INCREMENTAL SemDeDup: keep/drop decisions for a NEW shard against
+    * a [[SemIndex]], O(shard-touched cells) — the corpus is never
+    * re-clustered or re-paired. Cells come from the index's frozen
+    * model; edges are cell-local (a doc has exactly one cell, so
+    * components never span cells).
+    *
+    * Decision rule — FIRST-IN-WINS, the only causally-consistent policy
+    * for streaming curation (a doc already shipped downstream cannot be
+    * un-kept): a shard doc connected — directly or through other shard
+    * docs — to any existing doc drops, inheriting the MINIMUM canonical
+    * among the existing docs it reaches (every existing member of one
+    * component carries the same canonical, so the min-aggregate IS the
+    * transitive step through the existing graph); a shard-only
+    * component keeps its min id, exactly like the batch path.
+    *
+    * EXACT equivalence contract (pinned in SemDedupIncSpec): when ids
+    * arrive in increasing order and no shard doc bridges two existing
+    * components, the incremental (id, cell, canonical, kept) rows are
+    * row-identical to one batch [[semanticDedup]] over the union —
+    * the edge set is identical (all docs retained) and first-arrival
+    * min == global min under ordered arrival. When a bridge DOES occur,
+    * batch would merge the two components under one survivor;
+    * first-in-wins keeps both existing survivors and only the bridge
+    * doc drops — the documented, deliberate deviation.
+    *
+    * Pair mass (shard×corpus cross + within-shard, touched cells only)
+    * is ENFORCED against `maxPairs` before any join is scheduled.
+    * Returns shard rows in docs geometry (id, cell, cv, cn, canonical,
+    * kept) — feed to [[SemIndex.union]] / the ingest loop to fold in. */
+  def semanticDedupIncremental(shard: DataFrame, vecCol: String, idx: SemIndex,
+                               maxPairs: Long = 1000000000L,
+                               staging: Staging.Mode = Staging.Local): DataFrame = {
+    val sbase = staging(withNorm(shard, idx.idCol, vecCol, "id", "cv", "cn"))
+    val scells = staging(withCellCols(sbase, idx.coarse, col("cv"), staging = staging)
+      .select(col("id"), col("cell"), col("cv"), col("cn")))
+    val cs = idx.docs.groupBy("cell").agg(count(lit(1)).as("cs"))
+    val mass = scells.groupBy("cell").agg(count(lit(1)).as("ss"))
+      .join(cs, Seq("cell"), "left")
+      .agg(coalesce(sum(col("ss") * coalesce(col("cs"), lit(0L)) +
+        expr("ss * (ss - 1) div 2")), lit(0L)).as("p"))
+      .head.getLong(0)
+    require(mass <= maxPairs,
+      s"semanticDedupIncremental pair mass $mass exceeds budget $maxPairs: " +
+        "rebuild the index with a larger nlist so cells shrink, or raise " +
+        "maxPairs on a cluster with the scratch to absorb it.")
+    val sa = scells.select(col("cell"), col("id").as("a_id"),
+      col("cv").as("av"), col("cn").as("an"))
+    val ex = idx.docs.select(col("cell"), col("cv").as("bv"),
+      col("cn").as("bn"), col("canonical").as("b_can"))
+    val attach = sa.join(ex, Seq("cell"))
+      .filter(round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+        >= idx.threshold)
+      .groupBy("a_id").agg(min(col("b_can")).as("ex_can"))
+    val sb = scells.select(col("cell"), col("id").as("b_id"),
+      col("cv").as("bv"), col("cn").as("bn"))
+    val sEdges = sa.join(sb, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .filter(round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+        >= idx.threshold)
+      .select("a_id", "b_id")
+    val comps = Dedup.connectedComponents(sEdges, "a_id", "b_id", staging = staging)
+    val withComp = scells
+      .join(comps.select(col("id"), col("component")), Seq("id"), "left")
+      .withColumn("comp", coalesce(col("component"), col("id")))
+    val compCan = withComp
+      .join(attach.withColumnRenamed("a_id", "id"), Seq("id"), "left")
+      .groupBy("comp").agg(min(col("ex_can")).as("comp_ex_can"))
+    withComp.join(compCan, Seq("comp"))
+      .withColumn("canonical", coalesce(col("comp_ex_can"), col("comp")))
+      .select(col("id"), col("cell"), col("cv"), col("cn"), col("canonical"),
+        (col("canonical") === col("id")).as("kept"))
+  }
+
+  /** Persist a [[SemIndex]]: `<prefix>_docs` bucketed on `cell` (the
+    * incremental edge joins' key — a shard batch reads the corpus side
+    * co-located), model/threshold in `<prefix>_meta`. */
+  def saveSemIndex(idx: SemIndex, prefix: String, buckets: Int = 16): Unit = {
+    val spark = idx.docs.sparkSession
+    idx.docs.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_docs")
+    import spark.implicits._
+    Seq((idx.idCol, idx.threshold, idx.seed,
+        idx.coarse.l1.map(_.toSeq).toSeq, idx.coarse.l2.map(_.toSeq).toSeq))
+      .toDF("id_col", "threshold", "seed", "coarse_l1", "coarse_l2")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Load a [[saveSemIndex]]-persisted index by catalog name
+    * ([[Tombstones]]-deleted ids filtered; internal id column is the
+    * normalized `id`). */
+  def loadSemIndex(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String): SemIndex = {
+    val r = spark.table(s"${prefix}_meta").head()
+    val l1 = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](3)
+      .map(_.toArray).toArray
+    val l2 = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](4)
+      .map(_.toArray).toArray
+    SemIndex(r.getString(0),
+      Tombstones.filter(spark.table(s"${prefix}_docs"), "id", prefix),
+      Coarse(l1, l2), r.getDouble(1), r.getLong(2))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (exact,

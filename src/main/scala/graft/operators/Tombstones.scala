@@ -120,4 +120,10 @@ object Tombstones {
     rewriteMinus(spark, s"${prefix}_codes", "c_id", prefix, buckets, Seq("cell"))
     clear(spark, prefix)
   }
+
+  /** [[compactMinhash]] for the semantic-dedup family. */
+  def compactSem(spark: SparkSession, prefix: String, buckets: Int = 16): Unit = {
+    rewriteMinus(spark, s"${prefix}_docs", "id", prefix, buckets, Seq("cell"))
+    clear(spark, prefix)
+  }
 }

@@ -539,6 +539,59 @@ object TextQueries {
         WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0""")),
 
     // ----------------------------------------------------------------
+    // q111: INCREMENTAL semantic dedup (round 9) — SemDeDup as a
+    // curation service: the corpus is decided once (semIndex: frozen
+    // cells + per-doc keep/drop), then a clone shard with strictly
+    // higher ids gets first-in-wins decisions against the index,
+    // O(shard-touched cells) with the corpus never re-clustered. The
+    // row pins the family's EXACT equivalence contract (ordered
+    // bridge-free arrival — exact clones can never bridge):
+    //   n_docs          count parity with DuckDB (nonzero-norm corpus
+    //                   + nonzero-norm every-3rd shard)
+    //   incr_eq_batch   folded incremental (id, cell, canonical, kept)
+    //                   rows == one batch semanticDedup over the union
+    //   clones_dropped  every exact clone of an existing doc dropped
+    //   witness_ok      every dropped shard doc's canonical is kept,
+    //                   in the same cell
+    // Bridge first-in-wins semantics + the budget guard pinned in
+    // SemDedupIncSpec.
+    "q111_semantic_dedup_inc" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        val shard = e.filter(col("vec_id") % 3 === 0)
+          .withColumn("vec_id", col("vec_id") + 10000000L)
+        val idx0 = Similarity.semIndex(e, "vec_id", "embedding", threshold = 0.9)
+        val dec = Similarity.semanticDedupIncremental(shard, "embedding", idx0)
+          .localCheckpoint(true)
+        val folded = idx0.union(dec).docs
+          .select(col("id"), col("cell"), col("canonical"), col("kept"))
+          .localCheckpoint(true)
+        val batch = Similarity.semanticDedup(e.union(shard), "vec_id",
+            "embedding", threshold = 0.9)
+          .select(col("vec_id").as("id"), col("cell"), col("canonical"), col("kept"))
+          .localCheckpoint(true)
+        val eq = folded.exceptAll(batch).count() == 0 &&
+          batch.exceptAll(folded).count() == 0
+        val kept = folded.filter(col("kept"))
+        val witnessBad = dec.filter(!col("kept"))
+          .select(col("id"), col("cell"), col("canonical"))
+          .join(kept.select(col("id").as("canonical"), col("cell").as("__kc")),
+            Seq("canonical"), "left")
+          .filter(col("__kc").isNull || col("__kc") =!= col("cell")).count()
+        Seq((folded.count(), eq, dec.filter(col("kept")).count() == 0L,
+            witnessBad == 0L))
+          .toDF("n_docs", "incr_eq_batch", "clones_dropped", "witness_ok")
+      },
+      oracle = Some("""
+        SELECT CAST((SELECT COUNT(*) FROM embeddings
+                     WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0)
+                  + (SELECT COUNT(*) FROM embeddings
+                     WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+                       AND vec_id % 3 = 0) AS BIGINT) AS n_docs,
+               TRUE AS incr_eq_batch, TRUE AS clones_dropped, TRUE AS witness_ok""")),
+
+    // ----------------------------------------------------------------
     // q47: batch sessionization — lag + cumulative-sum session ids, the
     // engine-portable formulation (native session_window equivalence is
     // pinned in ScalaTest). 30-minute inactivity gap over epoch nanos.

@@ -258,6 +258,67 @@ object IngestLoop {
       }
       .start()
 
+  /** One micro-batch of the SEMANTIC-DEDUP ingestion loop — SemDeDup
+    * as a curation service: batch 0 clusters itself and persists the
+    * decided corpus + frozen cell model
+    * ([[graft.operators.Similarity.semIndex]]); every later batch gets
+    * first-in-wins keep/drop decisions against the RELOADED index
+    * ([[graft.operators.Similarity.semanticDedupIncremental]] — work
+    * bounded by the batch's touched cells, budget-enforced) and appends
+    * its decided rows as its own `ingest_batch` partition. Retry
+    * contract as the family's other loops: the batch's partition drops
+    * before re-append, and the corpus view reads partitions strictly
+    * before `bid`, so a half-appended retry neither sees itself nor
+    * double-decides. */
+  def ingestSemBatch(batch: DataFrame, bid: Long, idCol: String,
+                     vecCol: String, prefix: String, threshold: Double,
+                     nlist: Int, seed: Long, maxPairs: Long,
+                     buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val exists = familyExists(spark, prefix, Seq("docs", "meta"))
+    val docs =
+      if (!exists) {
+        val idx = graft.operators.Similarity.semIndex(
+          batch, idCol, vecCol, threshold, nlist, seed, maxPairs = maxPairs)
+        import spark.implicits._
+        Seq((idx.idCol, idx.threshold, idx.seed,
+            idx.coarse.l1.map(_.toSeq).toSeq, idx.coarse.l2.map(_.toSeq).toSeq))
+          .toDF("id_col", "threshold", "seed", "coarse_l1", "coarse_l2")
+          .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+        idx.docs
+      } else {
+        val idx0 = graft.operators.Similarity.loadSemIndex(spark, prefix)
+        require(idx0.idCol == idCol,
+          s"persisted sem index keys on '${idx0.idCol}', loop on '$idCol'")
+        spark.sql(s"ALTER TABLE ${prefix}_docs DROP IF EXISTS PARTITION (ingest_batch=$bid)")
+        val idx = idx0.copy(docs = idx0.docs.filter(col("ingest_batch") < bid))
+        graft.operators.Similarity.semanticDedupIncremental(
+          batch, vecCol, idx, maxPairs)
+      }
+    docs.withColumn("ingest_batch", lit(bid))
+      .write.mode("append").format("parquet")
+      .partitionBy("ingest_batch")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(s"${prefix}_docs")
+  }
+
+  /** Drive a streaming embedding source through the semantic-dedup
+    * curation loop: the decided corpus (keep/drop + canonical per doc)
+    * GROWS with the stream while per-batch work stays O(batch). */
+  def semIngest(vecs: DataFrame, idCol: String, vecCol: String,
+                prefix: String, checkpointDir: String, threshold: Double,
+                nlist: Int = -1, seed: Long = 42L,
+                maxPairs: Long = 1000000000L, buckets: Int = 8,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingestSemBatch(batch, bid, idCol, vecCol, prefix, threshold, nlist,
+          seed, maxPairs, buckets)
+      }
+      .start()
+
   /** One micro-batch of streaming ANN QUERY SERVING — [[pqIngest]]'s
     * read-side twin: answer a batch of query vectors against the
     * persisted IVF-PQ index and append the top-k to `resultsTable`,
