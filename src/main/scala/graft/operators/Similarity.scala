@@ -788,12 +788,22 @@ object Similarity {
     * EXACT equivalence contract (pinned in SemDedupIncSpec): when ids
     * arrive in increasing order and no shard doc bridges two existing
     * components, the incremental (id, cell, canonical, kept) rows are
-    * row-identical to one batch [[semanticDedup]] over the union —
-    * the edge set is identical (all docs retained) and first-arrival
-    * min == global min under ordered arrival. When a bridge DOES occur,
-    * batch would merge the two components under one survivor;
-    * first-in-wins keeps both existing survivors and only the bridge
-    * doc drops — the documented, deliberate deviation.
+    * row-identical to one batch [[semanticDedup]] over the union RUN
+    * WITH THE INDEX'S nlist (the incremental path quantizes with the
+    * index's FROZEN model, so the comparator must too — auto-nlist
+    * would resolve differently on the larger union) — the edge set is
+    * identical (all docs retained) and first-arrival min == global min
+    * under ordered arrival. When a bridge DOES occur, batch would merge
+    * the two components under one survivor; first-in-wins keeps both
+    * existing survivors and only the bridge doc drops — the documented,
+    * deliberate deviation.
+    *
+    * Clone-heavy shards take the family's conditional exact-dup
+    * collapse (identical vectors → one rep through the cell joins,
+    * id-only expansion after), and the corpus side of the cross join is
+    * deflated to one row per distinct (cell, vector, canonical) within
+    * the TOUCHED cells only — per-batch work stays bounded by shard
+    * activity even when both sides are clone-dominated.
     *
     * Pair mass (shard×corpus cross + within-shard, touched cells only)
     * is ENFORCED against `maxPairs` before any join is scheduled.
@@ -801,11 +811,47 @@ object Similarity {
     * kept) — feed to [[SemIndex.union]] / the ingest loop to fold in. */
   def semanticDedupIncremental(shard: DataFrame, vecCol: String, idx: SemIndex,
                                maxPairs: Long = 1000000000L,
-                               staging: Staging.Mode = Staging.Local): DataFrame = {
+                               staging: Staging.Mode = Staging.Local,
+                               collapsePairsPerDoc: Double = 2.0): DataFrame = {
     val sbase = staging(withNorm(shard, idx.idCol, vecCol, "id", "cv", "cn"))
+    if (!Dedup.heavyDupMass(shard, col(vecCol), staging, collapsePairsPerDoc))
+      return semanticDedupIncCore(sbase, idx, maxPairs, staging)
+    // conditional exact-dup collapse (the family trade): an identical-
+    // vector family inside the shard is a guaranteed clique in its cell
+    // — past the pair-mass threshold the core runs over one min-id rep
+    // per distinct vector and members inherit the rep's decision by an
+    // id-only expansion: a non-rep member always has the cos-1.0 edge
+    // to its rep, so it drops onto the rep's canonical (the rep IS the
+    // canonical when the rep kept) — the same sub-clique argument as
+    // [[semanticDedup]]'s collapse branch, so output is identical
+    // either way (pinned in SemDedupIncSpec's forced-branch check).
+    val members = staging(sbase.select(col("id"), col("cv")))
+    val reps = members.groupBy("cv").agg(min(col("id")).as("gid"))
+    val mem = staging(members.join(reps, Seq("cv")).select(col("id"), col("gid")))
+    val repBase = sbase.join(reps.select(col("gid").as("id")), Seq("id"))
+    val repDec = semanticDedupIncCore(repBase, idx, maxPairs, staging)
+    mem.join(repDec.select(col("id").as("gid"), col("cell"), col("cv"),
+        col("cn"), col("canonical")), Seq("gid"))
+      .select(col("id"), col("cell"), col("cv"), col("cn"), col("canonical"),
+        (col("id") === col("canonical")).as("kept"))
+  }
+
+  private def semanticDedupIncCore(sbase: DataFrame, idx: SemIndex,
+                                   maxPairs: Long,
+                                   staging: Staging.Mode): DataFrame = {
     val scells = staging(withCellCols(sbase, idx.coarse, col("cv"), staging = staging)
       .select(col("id"), col("cell"), col("cv"), col("cn")))
-    val cs = idx.docs.groupBy("cell").agg(count(lit(1)).as("cs"))
+    // corpus side: touched cells only, ONE row per distinct (cell,
+    // vector, canonical) — identical corpus vectors always share a
+    // component (cos-1.0 edges), so the distinct preserves the
+    // min-canonical aggregate while deflating clone-heavy cells; the
+    // partial aggregate dedups map-side before the exchange
+    val touched = scells.select("cell").distinct()
+    val ex = idx.docs.join(broadcast(touched), Seq("cell"))
+      .select(col("cell"), col("cv").as("bv"), col("cn").as("bn"),
+        col("canonical").as("b_can"))
+      .distinct()
+    val cs = ex.groupBy("cell").agg(count(lit(1)).as("cs"))
     val mass = scells.groupBy("cell").agg(count(lit(1)).as("ss"))
       .join(cs, Seq("cell"), "left")
       .agg(coalesce(sum(col("ss") * coalesce(col("cs"), lit(0L)) +
@@ -817,8 +863,6 @@ object Similarity {
         "maxPairs on a cluster with the scratch to absorb it.")
     val sa = scells.select(col("cell"), col("id").as("a_id"),
       col("cv").as("av"), col("cn").as("an"))
-    val ex = idx.docs.select(col("cell"), col("cv").as("bv"),
-      col("cn").as("bn"), col("canonical").as("b_can"))
     val attach = sa.join(ex, Seq("cell"))
       .filter(round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
         >= idx.threshold)

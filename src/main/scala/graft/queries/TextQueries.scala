@@ -561,14 +561,18 @@ object TextQueries {
         val e = embs(s, d).select(col("vec_id"), col("embedding"))
         val shard = e.filter(col("vec_id") % 3 === 0)
           .withColumn("vec_id", col("vec_id") + 10000000L)
-        val idx0 = Similarity.semIndex(e, "vec_id", "embedding", threshold = 0.9)
+        val built = Similarity.semIndex(e, "vec_id", "embedding", threshold = 0.9)
+        val idx0 = built.copy(docs = built.docs.localCheckpoint(true))
         val dec = Similarity.semanticDedupIncremental(shard, "embedding", idx0)
           .localCheckpoint(true)
         val folded = idx0.union(dec).docs
           .select(col("id"), col("cell"), col("canonical"), col("kept"))
           .localCheckpoint(true)
+        // the comparator quantizes with the INDEX's nlist: the
+        // incremental path uses the frozen model, and auto-nlist would
+        // resolve differently on the larger union at scale
         val batch = Similarity.semanticDedup(e.union(shard), "vec_id",
-            "embedding", threshold = 0.9)
+            "embedding", threshold = 0.9, nlist = idx0.coarse.nlist)
           .select(col("vec_id").as("id"), col("cell"), col("canonical"), col("kept"))
           .localCheckpoint(true)
         val eq = folded.exceptAll(batch).count() == 0 &&

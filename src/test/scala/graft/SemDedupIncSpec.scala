@@ -93,6 +93,27 @@ class SemDedupIncSpec extends AnyFunSuite {
     assert(batch.filter(col("kept")).count() == 1)
   }
 
+  test("clone-heavy shard: collapse branch output == forced direct branch") {
+    val embs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 200)
+    val idx = Similarity.semIndex(embs, "vec_id", "embedding",
+      threshold = 0.9, nlist = 16)
+    // 5 identical clones per source vector, distinct ascending ids —
+    // well past the default pairs-per-doc threshold, so the default
+    // call takes the collapse branch
+    val shard = (1 to 5).map(i => embs.filter(col("vec_id") % 2 === 0)
+        .withColumn("vec_id", col("vec_id") + i * 1000000L))
+      .reduce(_ union _)
+    val collapsed = decisions(
+      Similarity.semanticDedupIncremental(shard, "embedding", idx))
+    val direct = decisions(
+      Similarity.semanticDedupIncremental(shard, "embedding", idx,
+        collapsePairsPerDoc = Double.MaxValue))
+    assert(collapsed == direct,
+      "collapse branch diverges from the direct incremental branch")
+    assert(collapsed.nonEmpty)
+  }
+
   test("pair-mass budget fires before the incremental joins") {
     val embs = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 200)
