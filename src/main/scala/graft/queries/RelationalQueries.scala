@@ -652,8 +652,11 @@ object RelationalQueries {
           .orderBy(desc("cnt"), asc("item"))
       },
       oracle = Some("""
-        WITH t AS (SELECT unnest(['status=' || o_orderstatus, 'prio=' || o_orderpriority, 'seg=' || c_mktsegment]) AS item
+        WITH j AS (SELECT o_orderstatus, o_orderpriority, c_mktsegment
                    FROM orders JOIN customer ON o_custkey = c_custkey),
+        t AS (SELECT 'status=' || o_orderstatus AS item FROM j
+              UNION ALL SELECT 'prio=' || o_orderpriority FROM j
+              UNION ALL SELECT 'seg=' || c_mktsegment FROM j),
         n AS (SELECT COUNT(*) AS total FROM orders)
         SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
                ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM n), 6) AS support

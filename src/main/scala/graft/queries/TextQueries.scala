@@ -792,12 +792,16 @@ object TextQueries {
             size(col("resized")).as("width"))
           .orderBy("doc_id")
       },
-      oracle = Some("""
+      // common dialect (no list lambdas): the 16 sample positions as
+      // explicit terms — replays in both DuckDB and the Spark emulator
+      oracle = Some(s"""
+        WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents)
         SELECT doc_id,
-               array_to_string(list_transform(range(0, 16),
-                 i -> CAST(ord(substring(text, ((i * length(text)) // 16) + 1, 1)) AS VARCHAR)), ',') AS resized_sig,
+               concat_ws(',', ${(0 until 16).map(i =>
+                 s"CAST(ascii(substring(text, (($i * L) // 16) + 1, 1)) AS STRING)")
+                 .mkString(", ")}) AS resized_sig,
                16 AS width
-        FROM documents ORDER BY doc_id""")),
+        FROM d ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
     // q80: PII scrubbing (curation regex battery) — emails/IPv4s/phone

@@ -108,6 +108,9 @@ object OracleEmu {
     s = s.replaceAll("""\brange\(""", "duck_range(")
     // array type syntax
     s = s.replace("DOUBLE[]", "ARRAY<DOUBLE>")
+    // ANSI double-quoted identifiers (DuckDB) -> backticks (Spark);
+    // oracle string literals are single-quoted, so this is unambiguous
+    s = s.replaceAll("\"([A-Za-z_][A-Za-z0-9_]*)\"", "`$1`")
     s
   }
 
@@ -156,40 +159,11 @@ object OracleEmu {
              CAST(SUM(CASE WHEN ident THEN 1 ELSE 0 END) AS BIGINT) AS n_identical_slice,
              TRUE AS precision_exact, TRUE AS identical_all_found, TRUE AS recall_ok
       FROM p""",
-    "q41_confusion_matrix" -> """
-      WITH t AS (SELECT CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS pred,
-                        CASE WHEN event_id % 2 = 0 THEN 'high' ELSE 'low' END AS actual
-                 FROM events),
-      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM t),
-      classes AS (SELECT DISTINCT pred AS cls FROM t UNION SELECT DISTINCT actual AS cls FROM t),
-      predN AS (SELECT pred AS cls, COUNT(*) AS pred_n FROM t GROUP BY pred),
-      actN AS (SELECT actual AS cls, COUNT(*) AS actual_n FROM t GROUP BY actual),
-      tpN AS (SELECT pred AS cls, COUNT(*) AS tp FROM t WHERE pred = actual GROUP BY pred),
-      per AS (SELECT c.cls, coalesce(tp, 0L) AS tp, coalesce(pred_n, 0L) AS pred_n,
-                     coalesce(actual_n, 0L) AS actual_n
-              FROM classes c LEFT JOIN predN USING (cls) LEFT JOIN actN USING (cls)
-                   LEFT JOIN tpN USING (cls)),
-      acc AS (SELECT SUM(tp) / MIN(total) AS po FROM per CROSS JOIN n),
-      pe AS (SELECT SUM((pred_n / total) * (actual_n / total)) AS pe FROM per CROSS JOIN n)
-      SELECT per.cls AS class, per.tp, per.pred_n, per.actual_n,
-             ROUND(per.tp / CAST(per.pred_n AS DOUBLE), 6) AS `precision`,
-             ROUND(per.tp / CAST(per.actual_n AS DOUBLE), 6) AS recall,
-             ROUND((SELECT po FROM acc), 6) AS accuracy,
-             ROUND(((SELECT po FROM acc) - (SELECT pe FROM pe)) / (1 - (SELECT pe FROM pe)), 6) AS kappa
-      FROM per ORDER BY class""",
     "q23_json_extract" -> """
       WITH t AS (SELECT CAST(nullif(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') AS INT) AS k, value FROM events)
       SELECT k % 10 AS k_mod, CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(AVG(value), 4) AS avg_value,
              MIN(k) AS min_k, MAX(k) AS max_k
       FROM t GROUP BY k % 10 ORDER BY k_mod""",
-    "q30_item_frequency" -> """
-      WITH t AS (SELECT explode(array('status=' || o_orderstatus, 'prio=' || o_orderpriority,
-                                      'seg=' || c_mktsegment)) AS item
-                 FROM orders JOIN customer ON o_custkey = c_custkey),
-      n AS (SELECT COUNT(*) AS total FROM orders)
-      SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
-             ROUND(COUNT(*) / (SELECT CAST(total AS DOUBLE) FROM n), 6) AS support
-      FROM t GROUP BY item ORDER BY cnt DESC, item""",
     "q32_ngram_jaccard" -> """
       WITH base AS (
         SELECT doc_id, source,
@@ -286,12 +260,6 @@ object OracleEmu {
             FROM u)
       SELECT event_id, k AS user_id, last_orderkey, last_totalprice
       FROM w WHERE side = 1 ORDER BY event_id""",
-    "q73_multimodal_resize" -> """
-      SELECT doc_id,
-             concat_ws(',', transform(sequence(0, 15),
-               i -> CAST(ascii(substring(text, CAST(((i * length(text)) div 16) AS INT) + 1, 1)) AS STRING))) AS resized_sig,
-             16 AS width
-      FROM documents ORDER BY doc_id""",
     "q71_corpus_curation" -> """
       WITH base AS (
         SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS fp,
