@@ -126,6 +126,46 @@ class SemDedupIncSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pair mass") && e.getMessage.contains("nlist"))
   }
 
+  test("STREAMED sem ingestion over >=3 micro-batches == the sequential in-memory fold") {
+    val embs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 300)
+    // three ordered waves: the corpus, then two clone shards
+    val waves = Seq(
+      embs,
+      embs.filter(col("vec_id") % 3 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L),
+      embs.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 2000000L))
+    val streamDir = java.nio.file.Files.createTempDirectory("semingest_src").toString
+    waves.zipWithIndex.foreach { case (w, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("sem_part").toString
+      w.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(streamDir, s"w$i.parquet"))
+      Thread.sleep(1100)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("semingest_ckpt").toString
+    val stream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    try {
+      val q = IngestLoop.semIngest(stream, "vec_id", "embedding",
+        prefix = "sem_st", checkpointDir = ckpt, threshold = 0.9, nlist = 16)
+      q.awaitTermination()
+      assert(spark.table("sem_st_docs").select("ingest_batch").distinct().count() >= 3)
+      var mem = Similarity.semIndex(waves(0), "vec_id", "embedding",
+        threshold = 0.9, nlist = 16)
+      waves.drop(1).foreach { w =>
+        mem = mem.union(Similarity.semanticDedupIncremental(w, "embedding", mem)
+          .localCheckpoint(true))
+      }
+      assert(decisions(Similarity.loadSemIndex(spark, "sem_st").docs) ==
+        decisions(mem.docs),
+        "streamed sem ingestion diverges from the sequential in-memory fold")
+    } finally drop("sem_st_docs", "sem_st_meta")
+  }
+
   test("sem ingest loop: persisted-index decisions == in-memory; replay idempotent; tombstones respected") {
     val embs = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 300)
