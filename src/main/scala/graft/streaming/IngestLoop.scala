@@ -64,11 +64,13 @@ object IngestLoop {
   def minhashCorpusBefore(spark: SparkSession, prefix: String,
                           bid: Long): Dedup.MinHashIndex = {
     val m = spark.table(s"${prefix}_meta").head()
-    Dedup.MinHashIndex(m.getString(0),
-      spark.table(s"${prefix}_shingles")
-        .filter(col("ingest_batch") < bid).drop("ingest_batch"),
-      spark.table(s"${prefix}_bands")
-        .filter(col("ingest_batch") < bid).drop("ingest_batch"),
+    val idCol = m.getString(0)
+    // tombstoned docs leave the corpus view immediately — same contract
+    // as the batch load path (Dedup.loadMinhashIndex)
+    def live(t: String) = graft.operators.Tombstones.filter(
+      spark.table(s"${prefix}_$t").filter(col("ingest_batch") < bid)
+        .drop("ingest_batch"), idCol, prefix)
+    Dedup.MinHashIndex(idCol, live("shingles"), live("bands"),
       m.getInt(1), m.getInt(2))
   }
 
@@ -142,11 +144,12 @@ object IngestLoop {
   def embedCorpusBefore(spark: SparkSession, prefix: String,
                         bid: Long): Similarity.EmbedIndex = {
     val m = spark.table(s"${prefix}_meta").head()
-    Similarity.EmbedIndex(m.getString(0),
-      spark.table(s"${prefix}_vecs")
-        .filter(col("ingest_batch") < bid).drop("ingest_batch"),
-      spark.table(s"${prefix}_hashed")
-        .filter(col("ingest_batch") < bid).drop("ingest_batch"),
+    // tombstoned vectors leave the corpus view immediately — same
+    // contract as the batch load path (Similarity.loadEmbedIndex)
+    def live(t: String) = graft.operators.Tombstones.filter(
+      spark.table(s"${prefix}_$t").filter(col("ingest_batch") < bid)
+        .drop("ingest_batch"), "id", prefix)
+    Similarity.EmbedIndex(m.getString(0), live("vecs"), live("hashed"),
       m.getInt(1), m.getInt(2), m.getLong(3), m.getInt(4))
   }
 

@@ -119,6 +119,36 @@ class TombstoneSpec extends AnyFunSuite {
     } finally drop("tb_pq_codes", "tb_pq_meta", "tb_pq_tombstones")
   }
 
+  test("streaming corpus views (minhashCorpusBefore) respect tombstones: deleted docs emit no pairs") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val shard = docs.filter(col("doc_id") % 2 === 1)
+    val pairsDir = java.nio.file.Files.createTempDirectory("tb_pairs").toString
+    try {
+      IngestLoop.ingestMinhashBatch(corpus, 0L, "doc_id", "text", "tb_il",
+        pairsDir, threshold = 0.5, numPerms = 32, rowsPerBand = 4, buckets = 8)
+      IngestLoop.ingestMinhashBatch(shard, 1L, "doc_id", "text", "tb_il",
+        pairsDir, threshold = 0.5, numPerms = 32, rowsPerBand = 4, buckets = 8)
+      val batch1 = spark.read.parquet(s"$pairsDir/ingest_batch=1")
+      val batch1Count = batch1.count() // materialize before the replay overwrite
+      // a pair touching the CORPUS side (even ids) — shard-shard pairs
+      // are unaffected by corpus tombstones
+      val somePair = batch1
+        .filter(col("a_id") % 2 === 0 || col("b_id") % 2 === 0).head()
+      val deadCorpusId = Seq(somePair.getLong(0), somePair.getLong(1))
+        .filter(_ % 2 == 0).head
+      Tombstones.add(idsDf(Seq(deadCorpusId), "doc_id"), "doc_id", "tb_il")
+      // a replay of batch 1 now sees the corpus WITHOUT the dead doc
+      IngestLoop.ingestMinhashBatch(shard, 1L, "doc_id", "text", "tb_il",
+        pairsDir, threshold = 0.5, numPerms = 32, rowsPerBand = 4, buckets = 8)
+      val after = spark.read.parquet(s"$pairsDir/ingest_batch=1")
+      assert(after.filter(col("a_id") === deadCorpusId ||
+        col("b_id") === deadCorpusId).count() == 0,
+        "tombstoned corpus doc still emits pairs through the streaming corpus view")
+      assert(after.count() < batch1Count)
+    } finally drop("tb_il_bands", "tb_il_shingles", "tb_il_meta", "tb_il_tombstones")
+  }
+
   test("SimHash / containment / sign-LSH: load filters tombstones; compact is physical") {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
       .limit(300)
