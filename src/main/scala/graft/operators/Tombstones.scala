@@ -59,25 +59,31 @@ object Tombstones {
   /** Rewrite one bucketed family table minus the tombstoned rows,
     * preserving its bucket/sort layout (and the `ingest_batch`
     * partitioning if the table grew through an [[graft.streaming.IngestLoop]]).
-    * The surviving rows are eagerly checkpointed first — that cuts the
-    * plan's lineage to the table being replaced, so the overwrite can
-    * target the SAME catalog name directly (an ALTER-RENAME swap of a
-    * partitioned managed table is not metastore-portable: this
-    * catalog's rename leaves partition locations pointing at the old
-    * path). `buckets` must match the family's original bucket count —
-    * the layout is the join-co-location contract, so compaction must
-    * not change it. */
+    * Two disk-to-disk writes: survivors land in a temp table first
+    * (fresh lineage), then overwrite the original from it — the shape
+    * that holds at corpus scale, where an eager checkpoint of the whole
+    * table would pin it in executor storage, and an ALTER-RENAME swap
+    * of a partitioned managed table is not metastore-portable (this
+    * catalog's rename leaves partition locations at the old path).
+    * `buckets` must match the family's original bucket count — the
+    * layout is the join-co-location contract, so compaction must not
+    * change it. */
   private def rewriteMinus(spark: SparkSession, tbl: String, idColInTbl: String,
                            prefix: String, buckets: Int,
                            bucketCols: Seq[String]): Unit = {
     val src = spark.table(tbl)
-    val cleaned = filter(src, idColInTbl, prefix)
-      .localCheckpoint(true) // cut the lineage to the table being replaced
-    val w0 = cleaned.write.mode("overwrite").format("parquet")
-    val w1 = if (src.columns.contains("ingest_batch")) w0.partitionBy("ingest_batch") else w0
-    w1.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(tbl)
+    val partitioned = src.columns.contains("ingest_batch")
+    val tmp = tbl + "__compact"
+    def write(df: org.apache.spark.sql.DataFrame, to: String): Unit = {
+      val w0 = df.write.mode("overwrite").format("parquet")
+      val w1 = if (partitioned) w0.partitionBy("ingest_batch") else w0
+      w1.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(to)
+    }
+    write(filter(src, idColInTbl, prefix), tmp)
+    write(spark.table(tmp), tbl)
+    spark.sql(s"DROP TABLE $tmp")
   }
 
   private def metaIdCol(spark: SparkSession, prefix: String): String =
