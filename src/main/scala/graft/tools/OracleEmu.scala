@@ -111,6 +111,13 @@ object OracleEmu {
     // ANSI double-quoted identifiers (DuckDB) -> backticks (Spark);
     // oracle string literals are single-quoted, so this is unambiguous
     s = s.replaceAll("\"([A-Za-z_][A-Za-z0-9_]*)\"", "`$1`")
+    // two-arg regexp_extract_all: DuckDB defaults to group 0 (whole
+    // match), Spark to group 1 — make group 0 explicit (pattern arg is
+    // a quoted literal in every oracle)
+    s = s.replaceAll("""regexp_extract_all\(([^,()]+),\s*('[^']*')\)""",
+      "regexp_extract_all($1, $2, 0)")
+    // bare VARCHAR casts (Spark needs STRING or a length)
+    s = s.replace("AS VARCHAR)", "AS STRING)")
     s
   }
 
@@ -160,7 +167,7 @@ object OracleEmu {
              TRUE AS precision_exact, TRUE AS identical_all_found, TRUE AS recall_ok
       FROM p""",
     "q23_json_extract" -> """
-      WITH t AS (SELECT CAST(nullif(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') AS INT) AS k, value FROM events)
+      WITH t AS (SELECT CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT) AS k, value FROM events)
       SELECT k % 10 AS k_mod, CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(AVG(value), 4) AS avg_value,
              MIN(k) AS min_k, MAX(k) AS max_k
       FROM t GROUP BY k % 10 ORDER BY k_mod""",
@@ -262,7 +269,7 @@ object OracleEmu {
       FROM w WHERE side = 1 ORDER BY event_id""",
     "q71_corpus_curation" -> """
       WITH base AS (
-        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS fp,
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ')) AS fp,
                size(split(text, ' ')) AS n_tokens,
                size(array_distinct(split(text, ' '))) AS n_distinct,
                size(filter(split(text, ' '), t -> t IN ('the','a','of','and','to'))) AS s_en,
@@ -285,21 +292,6 @@ object OracleEmu {
         AND lang_pred = 'en'
         AND ((doc_id * 2654435761) % 4294967296) < 2147483648
       ORDER BY doc_id""",
-    "q80_pii_scrub" -> """
-      WITH aug AS (SELECT doc_id,
-          concat(text, ' contact user', CAST(doc_id AS STRING),
-                 '@example.com from +14155550', CAST(doc_id % 100 AS STRING),
-                 ' at 10.0.', CAST(doc_id % 256 AS STRING), '.7') AS t
-        FROM documents)
-      SELECT doc_id,
-        CAST(size(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS INT) AS n_email,
-        CAST(size(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0)) AS INT) AS n_ipv4,
-        CAST(size(regexp_extract_all(t, '\\+\\d{7,15}', 0)) AS INT) AS n_phone,
-        md5(regexp_replace(regexp_replace(regexp_replace(t,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
-          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>'),
-          '\\+\\d{7,15}', '<PHONE>')) AS scrub_md5
-      FROM aug ORDER BY doc_id""",
     "q81_line_dedup" -> """
       WITH aug AS (SELECT doc_id,
           concat(text, char(10), text, char(10), 'tail marker ', CAST(doc_id AS STRING)) AS t
@@ -445,6 +437,10 @@ object OracleEmu {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val wanted = args.drop(1).toSet
     val spark = Tables.session(8)
+    // DuckDB string semantics: backslashes in single-quoted literals are
+    // LITERAL (no escape processing) — exactly what this flag gives
+    // Spark's parser, so regex-bearing oracles replay unmodified
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     installShims(spark)
     Tables.names.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
     // q99's DuckDB oracle reads the reference CSV via read_csv(columns=…);
