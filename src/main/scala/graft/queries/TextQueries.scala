@@ -1249,9 +1249,8 @@ object TextQueries {
       oracle = Some("""
         WITH e AS (SELECT vec_id // 4 AS g, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
-        x AS (SELECT g, unnest(v) AS val,
-                     unnest(range(1, len(v) + 1)) AS pos
-              FROM e),
+        p AS (SELECT g, v, unnest(range(1, len(v) + 1)) AS pos FROM e),
+        x AS (SELECT g, pos, v[pos] AS val FROM p),
         m AS (SELECT g, pos, AVG(val) AS mv FROM x GROUP BY g, pos),
         n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM e GROUP BY g),
         nrm AS (SELECT g, sqrt(SUM(mv * mv)) AS nm FROM m GROUP BY g)

@@ -189,17 +189,6 @@ object OracleEmu {
         WHERE a.doc_id % 25 = 0),
       r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a_id, b_id) AS rn FROM pairs)
       SELECT a_id, b_id, jaccard, CAST(rn AS INT) AS rn FROM r WHERE rn <= 20 ORDER BY rn""",
-    "q90_embed_pool" -> """
-      WITH e AS (SELECT vec_id div 4 AS g, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      x AS (SELECT g, p + 1 AS pos, val FROM e LATERAL VIEW posexplode(v) t AS p, val),
-      m AS (SELECT g, pos, AVG(val) AS mv FROM x GROUP BY g, pos),
-      n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM e GROUP BY g),
-      nrm AS (SELECT g, sqrt(SUM(mv * mv)) AS nm FROM m GROUP BY g)
-      SELECT m.g AS group_id, CAST(m.pos AS INT) AS pos,
-             ROUND(CASE WHEN nrm.nm > 0 THEN m.mv / nrm.nm ELSE m.mv END, 6) + 0 AS uval_r,
-             n.n_chunks, ROUND(nrm.nm, 6) AS norm_r
-      FROM m JOIN nrm ON m.g = nrm.g JOIN n ON m.g = n.g
-      ORDER BY group_id, pos""",
     "q93_span_dedup" -> """
       WITH aug AS (
         SELECT doc_id,
