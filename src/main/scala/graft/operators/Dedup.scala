@@ -224,8 +224,8 @@ object Dedup {
     idx.shingles.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, idx.idCol).sortBy(idx.idCol).saveAsTable(s"${prefix}_shingles")
     import spark.implicits._
-    Seq((idx.idCol, idx.numPerms, idx.rowsPerBand))
-      .toDF("id_col", "num_perms", "rows_per_band")
+    Seq((idx.idCol, idx.numPerms, idx.rowsPerBand, buckets))
+      .toDF("id_col", "num_perms", "rows_per_band", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
   }
 
@@ -569,7 +569,7 @@ object Dedup {
       .bucketBy(buckets, "chunk", "ckey").sortBy("chunk", "ckey")
       .saveAsTable(s"${prefix}_chunked")
     import spark.implicits._
-    Seq(Tuple1(idx.idCol)).toDF("id_col")
+    Seq((idx.idCol, buckets)).toDF("id_col", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
   }
 
@@ -924,7 +924,7 @@ object Dedup {
     idx.base.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${prefix}_base")
     import spark.implicits._
-    Seq((idx.idCol, idx.n)).toDF("id_col", "n")
+    Seq((idx.idCol, idx.n, buckets)).toDF("id_col", "n", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
   }
 

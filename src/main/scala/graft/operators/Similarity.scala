@@ -233,11 +233,24 @@ object Similarity {
     }
   }
   object Coarse {
+    /** Driver-side nearest-center assignment in the EXACT floating-point
+      * form of the codegen kernel ([[graft.functions.VectorExpressions
+      * .nearestCenter]]): ‖c‖² − 2·(v·c) with left-to-right
+      * accumulation and the strict-< first-minimum tie-break. The
+      * Σ(v−c)² form is mathematically equal but rounds differently, so
+      * near-ties could assign a sample residual to a different cell
+      * than the corpus encode — codebooks would then train on residuals
+      * from cells the encode never produces (the round-9 advisory). */
     private[operators] def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
       var best = 0; var bd = Double.MaxValue; var c = 0
       while (c < cs.length) {
-        var d = 0.0; var i = 0
-        while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        val ctr = cs(c)
+        val n = math.min(ctr.length, v.length)
+        var s = 0.0; var i = 0
+        while (i < n) { s += v(i) * ctr(i); i += 1 }
+        var nsq = 0.0; i = 0
+        while (i < ctr.length) { nsq += ctr(i) * ctr(i); i += 1 }
+        val d = nsq - 2.0 * s
         if (d < bd) { bd = d; best = c }
         c += 1
       }
@@ -566,9 +579,9 @@ object Similarity {
     Seq((idx.idCol, idx.m, idx.ksub, idx.dim, idx.seed,
         idx.coarse.l1.map(_.toSeq).toSeq,
         idx.coarse.l2.map(_.toSeq).toSeq,
-        idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+        idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq, buckets))
       .toDF("id_col", "m", "ksub", "dim", "seed", "coarse_l1", "coarse_l2",
-        "codebooks")
+        "codebooks", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
   }
 
@@ -665,15 +678,34 @@ object Similarity {
     // upper range real (cells = sample², not sample), so the clamp
     // ceiling is 65536 rather than what one driver Lloyd can fit.
     val resolvedNlist = resolveSemNlist(df, nlist, maxPairs)
+    semanticDedupWithModel(df, idCol, vecCol, threshold, resolvedNlist, seed,
+      trainSample, maxPairs, staging, collapsePairsPerDoc, pretrained = None)
+  }
+
+  /** [[semanticDedup]] with the nlist already resolved and (optionally)
+    * a pre-trained cell model — the entry [[semIndex]] uses so the
+    * corpus count, sample collect and Lloyd fits run ONCE per index
+    * build instead of once in semIndex and again inside semanticDedup
+    * (two redundant distributed passes at corpus scale — the round-9
+    * advisory). Passing the model also makes "the model the index
+    * records" and "the model the decisions used" the same object by
+    * construction, not by the sampleDistinctVecs determinism argument. */
+  private[operators] def semanticDedupWithModel(df: DataFrame, idCol: String,
+                                                vecCol: String, threshold: Double,
+                                                nlist: Int, seed: Long,
+                                                trainSample: Int, maxPairs: Long,
+                                                staging: Staging.Mode,
+                                                collapsePairsPerDoc: Double,
+                                                pretrained: Option[Coarse]): DataFrame = {
     if (!Dedup.heavyDupMass(df, col(vecCol), staging, collapsePairsPerDoc))
-      return semanticDedupDirect(df, idCol, vecCol, threshold, resolvedNlist,
-        seed, trainSample, maxPairs, staging)
+      return semanticDedupDirect(df, idCol, vecCol, threshold, nlist,
+        seed, trainSample, maxPairs, staging, pretrained)
     val members = staging(df.select(col(idCol).as("id"), col(vecCol).as("__k")))
     val reps = members.groupBy("__k").agg(min(col("id")).as("gid"))
     val mem = staging(members.join(reps, Seq("__k")).select(col("id"), col("gid")))
     val repDf = reps.select(col("gid").as(idCol), col("__k").as(vecCol))
     val repOut = semanticDedupDirect(repDf, idCol, vecCol, threshold,
-      resolvedNlist, seed, trainSample, maxPairs, staging)
+      nlist, seed, trainSample, maxPairs, staging, pretrained)
     // members inherit their rep's cell and canonical (identical vectors
     // are always one sub-clique of the rep's component); zero-norm
     // groups have no rep row and their members drop out here — the
@@ -689,9 +721,11 @@ object Similarity {
   private def semanticDedupDirect(df: DataFrame, idCol: String, vecCol: String,
                                   threshold: Double, nlist: Int, seed: Long,
                                   trainSample: Int, maxPairs: Long,
-                                  staging: Staging.Mode): DataFrame = {
+                                  staging: Staging.Mode,
+                                  pretrained: Option[Coarse] = None): DataFrame = {
     val base = withNorm(df, idCol, vecCol, "c_id", "cv", "cn")
-    val cq = trainCoarse(sampleDistinctVecs(base, trainSample), nlist, seed)
+    val cq = pretrained.getOrElse(
+      trainCoarse(sampleDistinctVecs(base, trainSample), nlist, seed))
     val cells = staging(withCellCols(base, cq, col("cv"), staging = staging)
       .select(col("c_id"), col("cv"), col("cn"), col("cell")))
     val mass = cells.groupBy("cell").agg(count(lit(1)).as("s"))
@@ -747,12 +781,13 @@ object Similarity {
   }
 
   /** Build the [[SemIndex]] for an initial corpus: one [[semanticDedup]]
-    * run plus the doc-geometry join. The coarse model trained here is
-    * bit-identical to the one `semanticDedup` trains internally —
-    * [[sampleDistinctVecs]] orders by vector VALUE, so the sample (and
-    * the seeded Lloyd fits on it) is invariant to which branch
-    * `semanticDedup` takes — which is what lets later shards quantize
-    * consistently with the recorded decisions. */
+    * run plus the doc-geometry join. The coarse model is trained ONCE
+    * here and passed into the dedup run
+    * ([[semanticDedupWithModel]] — round 10), so the recorded model and
+    * the model the decisions used are the same object, and the corpus
+    * count / sample collect / Lloyd fits are not repeated — which is
+    * what lets later shards quantize consistently with the recorded
+    * decisions at one build's cost. */
   def semIndex(df: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int = -1, seed: Long = 42L,
                trainSample: Int = 16384, maxPairs: Long = 1000000000L,
@@ -761,8 +796,11 @@ object Similarity {
     val k = resolveSemNlist(df, nlist, maxPairs)
     val base = staging(withNorm(df, idCol, vecCol, "id", "cv", "cn"))
     val cq = trainCoarse(sampleDistinctVecs(base, trainSample), k, seed)
-    val dec = semanticDedup(df, idCol, vecCol, threshold, k, seed, trainSample,
-      maxPairs, staging, collapsePairsPerDoc)
+    // decisions run against THIS model (no re-count, no re-sample, no
+    // second pair of Lloyd fits — the round-9 advisory): the recorded
+    // model and the deciding model are one object by construction
+    val dec = semanticDedupWithModel(df, idCol, vecCol, threshold, k, seed,
+      trainSample, maxPairs, staging, collapsePairsPerDoc, Some(cq))
     val docs = base.join(
       dec.select(col(idCol).as("id"), col("cell"), col("canonical"), col("kept")),
       Seq("id"))
@@ -895,8 +933,9 @@ object Similarity {
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_docs")
     import spark.implicits._
     Seq((idx.idCol, idx.threshold, idx.seed,
-        idx.coarse.l1.map(_.toSeq).toSeq, idx.coarse.l2.map(_.toSeq).toSeq))
-      .toDF("id_col", "threshold", "seed", "coarse_l1", "coarse_l2")
+        idx.coarse.l1.map(_.toSeq).toSeq, idx.coarse.l2.map(_.toSeq).toSeq,
+        buckets))
+      .toDF("id_col", "threshold", "seed", "coarse_l1", "coarse_l2", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
   }
 
@@ -1115,8 +1154,8 @@ object Similarity {
     idx.vecs.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${prefix}_vecs")
     import spark.implicits._
-    Seq((idx.idCol, idx.bitsPerTable, idx.numTables, idx.seed, idx.dim))
-      .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim")
+    Seq((idx.idCol, idx.bitsPerTable, idx.numTables, idx.seed, idx.dim, buckets))
+      .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
   }
 

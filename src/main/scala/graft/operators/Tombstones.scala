@@ -21,9 +21,18 @@ import org.apache.spark.sql.functions._
   * from the moment [[add]] commits, including rows a replayed or later
   * ingest batch re-appends for that id; compaction makes the deletion
   * physical and resets the tombstone set. The tombstone set must stay
-  * broadcast-sized between compactions — that is the compaction
-  * cadence contract, mirroring Delta/Iceberg delete-vector practice. */
+  * broadcast-sized between compactions — the compaction cadence
+  * contract, mirroring Delta/Iceberg delete-vector practice — and
+  * [[filter]] ENFORCES it (round 10): a set past `maxTombstones` rows
+  * refuses loudly naming the family's `compact*` as the remedy instead
+  * of OOMing the broadcast. */
 object Tombstones {
+
+  /** Row budget for the broadcast anti-join side: ~80 MB of raw ids at
+    * the default, ~3-4x that as a built broadcast hash relation — inside
+    * executor headroom everywhere we run, and far past the point a
+    * compaction is overdue. */
+  val defaultMaxTombstones: Long = 10000000L
 
   def table(prefix: String): String = s"${prefix}_tombstones"
 
@@ -44,11 +53,24 @@ object Tombstones {
     * the family has none. Broadcast by construction: the tombstone side
     * is the (small) deletion set, and a broadcast anti-join preserves
     * the probe side's (bucketed) output partitioning, so downstream
-    * candidate joins keep reading the corpus co-located. */
-  def filter(df: DataFrame, idCol: String, prefix: String): DataFrame =
+    * candidate joins keep reading the corpus co-located. The broadcast
+    * size contract is enforced, not assumed: past `maxTombstones` raw
+    * rows (a conservative bound on the post-distinct broadcast) the
+    * load refuses loudly — the remedy is the family's `compact*` pass,
+    * which folds the deletions into the tables and clears the set. */
+  def filter(df: DataFrame, idCol: String, prefix: String,
+             maxTombstones: Long = defaultMaxTombstones): DataFrame =
     ids(df.sparkSession, prefix) match {
       case None => df
       case Some(t) =>
+        val cap = math.min(maxTombstones, Int.MaxValue - 1L).toInt
+        val n = t.limit(cap + 1).count()
+        require(n <= cap,
+          s"tombstone set for index family '$prefix' exceeds the broadcast " +
+            s"budget ($n+ rows > $maxTombstones): run the family's " +
+            s"Tombstones.compact* pass to fold the deletions into the index " +
+            s"tables and clear the set, or raise maxTombstones on executors " +
+            s"with the broadcast headroom.")
         df.join(broadcast(t.select(col("id").as(idCol)).distinct()),
           Seq(idCol), "left_anti")
     }
@@ -67,20 +89,35 @@ object Tombstones {
     * catalog's rename leaves partition locations at the old path).
     * `buckets` must match the family's original bucket count — the
     * layout is the join-co-location contract, so compaction must not
-    * change it. */
+    * change it.
+    *
+    * CRASH RECOVERY (round 10): the overwrite of `tbl` is drop+recreate,
+    * so a crash between the two writes can leave the live table missing
+    * while `<tbl>__compact` holds the complete survivor set (the temp
+    * write committed before the overwrite began — the only path to a
+    * missing `tbl`). Entry therefore self-heals: a leftover temp with
+    * the live table MISSING restores the live table from it; a leftover
+    * temp with the live table PRESENT (crash before or during the temp
+    * write of a later run) is stale and dropped. Either way the pass
+    * then re-runs normally — tombstones are only cleared after every
+    * table rewrote, so a re-run over already-filtered survivors is a
+    * no-op filter, not a correctness risk. */
   private def rewriteMinus(spark: SparkSession, tbl: String, idColInTbl: String,
                            prefix: String, buckets: Int,
                            bucketCols: Seq[String]): Unit = {
-    val src = spark.table(tbl)
-    val partitioned = src.columns.contains("ingest_batch")
     val tmp = tbl + "__compact"
     def write(df: org.apache.spark.sql.DataFrame, to: String): Unit = {
       val w0 = df.write.mode("overwrite").format("parquet")
-      val w1 = if (partitioned) w0.partitionBy("ingest_batch") else w0
+      val w1 = if (df.columns.contains("ingest_batch")) w0.partitionBy("ingest_batch") else w0
       w1.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .saveAsTable(to)
     }
+    if (spark.catalog.tableExists(tmp)) {
+      if (!spark.catalog.tableExists(tbl)) write(spark.table(tmp), tbl)
+      spark.sql(s"DROP TABLE $tmp")
+    }
+    val src = spark.table(tbl)
     write(filter(src, idColInTbl, prefix), tmp)
     write(spark.table(tmp), tbl)
     spark.sql(s"DROP TABLE $tmp")
@@ -89,47 +126,72 @@ object Tombstones {
   private def metaIdCol(spark: SparkSession, prefix: String): String =
     spark.table(s"${prefix}_meta").head().getString(0)
 
+  /** The family's recorded bucket count: every save and ingest path
+    * since round 10 writes it into `<prefix>_meta`, so compaction preserves
+    * the layout without the caller re-stating it (a caller-supplied
+    * default that disagreed with the ingest default silently rewrote
+    * the family with a different bucket count — the round-9 advisory).
+    * An explicit positive `buckets` overrides; a pre-round-10 meta
+    * without the column requires one. */
+  private def metaBuckets(spark: SparkSession, prefix: String,
+                          explicit: Int): Int =
+    if (explicit > 0) explicit
+    else {
+      val meta = spark.table(s"${prefix}_meta")
+      require(meta.columns.contains("buckets"),
+        s"${prefix}_meta predates the recorded bucket count: pass buckets " +
+          "explicitly (it must equal the count the family was written with " +
+          "— the bucket layout is the join co-location contract).")
+      meta.head().getAs[Int]("buckets")
+    }
+
   /** Fold the tombstones into the MinHash family's physical tables and
-    * clear them. `buckets` = the count [[Dedup.saveMinhashIndex]] /
-    * the ingest loop wrote with. */
-  def compactMinhash(spark: SparkSession, prefix: String, buckets: Int = 64): Unit = {
+    * clear them. `buckets` defaults to the count recorded in the
+    * family's meta at creation. */
+  def compactMinhash(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
     val idCol = metaIdCol(spark, prefix)
-    rewriteMinus(spark, s"${prefix}_bands", idCol, prefix, buckets, Seq("band", "bucket"))
-    rewriteMinus(spark, s"${prefix}_shingles", idCol, prefix, buckets, Seq(idCol))
+    val b = metaBuckets(spark, prefix, buckets)
+    rewriteMinus(spark, s"${prefix}_bands", idCol, prefix, b, Seq("band", "bucket"))
+    rewriteMinus(spark, s"${prefix}_shingles", idCol, prefix, b, Seq(idCol))
     clear(spark, prefix)
   }
 
   /** [[compactMinhash]] for the SimHash family. */
-  def compactSimhash(spark: SparkSession, prefix: String, buckets: Int = 64): Unit = {
+  def compactSimhash(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
     val idCol = metaIdCol(spark, prefix)
-    rewriteMinus(spark, s"${prefix}_chunked", idCol, prefix, buckets, Seq("chunk", "ckey"))
+    val b = metaBuckets(spark, prefix, buckets)
+    rewriteMinus(spark, s"${prefix}_chunked", idCol, prefix, b, Seq("chunk", "ckey"))
     clear(spark, prefix)
   }
 
   /** [[compactMinhash]] for the containment family (internal id column
     * is the normalized `id`). */
-  def compactContainment(spark: SparkSession, prefix: String, buckets: Int = 64): Unit = {
-    rewriteMinus(spark, s"${prefix}_posting", "id", prefix, buckets, Seq("gram"))
-    rewriteMinus(spark, s"${prefix}_base", "id", prefix, buckets, Seq("id"))
+  def compactContainment(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
+    val b = metaBuckets(spark, prefix, buckets)
+    rewriteMinus(spark, s"${prefix}_posting", "id", prefix, b, Seq("gram"))
+    rewriteMinus(spark, s"${prefix}_base", "id", prefix, b, Seq("id"))
     clear(spark, prefix)
   }
 
   /** [[compactMinhash]] for the sign-LSH embedding family. */
-  def compactEmbed(spark: SparkSession, prefix: String, buckets: Int = 64): Unit = {
-    rewriteMinus(spark, s"${prefix}_hashed", "id", prefix, buckets, Seq("t", "h"))
-    rewriteMinus(spark, s"${prefix}_vecs", "id", prefix, buckets, Seq("id"))
+  def compactEmbed(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
+    val b = metaBuckets(spark, prefix, buckets)
+    rewriteMinus(spark, s"${prefix}_hashed", "id", prefix, b, Seq("t", "h"))
+    rewriteMinus(spark, s"${prefix}_vecs", "id", prefix, b, Seq("id"))
     clear(spark, prefix)
   }
 
   /** [[compactMinhash]] for the IVF-PQ serving family. */
-  def compactPq(spark: SparkSession, prefix: String, buckets: Int = 16): Unit = {
-    rewriteMinus(spark, s"${prefix}_codes", "c_id", prefix, buckets, Seq("cell"))
+  def compactPq(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
+    val b = metaBuckets(spark, prefix, buckets)
+    rewriteMinus(spark, s"${prefix}_codes", "c_id", prefix, b, Seq("cell"))
     clear(spark, prefix)
   }
 
   /** [[compactMinhash]] for the semantic-dedup family. */
-  def compactSem(spark: SparkSession, prefix: String, buckets: Int = 16): Unit = {
-    rewriteMinus(spark, s"${prefix}_docs", "id", prefix, buckets, Seq("cell"))
+  def compactSem(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
+    val b = metaBuckets(spark, prefix, buckets)
+    rewriteMinus(spark, s"${prefix}_docs", "id", prefix, b, Seq("cell"))
     clear(spark, prefix)
   }
 }

@@ -44,18 +44,65 @@ object IngestLoop {
     * family's tables SEQUENTIALLY, so a crash mid-batch-0 can leave only
     * a strict subset behind. A retry keyed on one table alone would then
     * take the exists=true path and die permanently loading the missing
-    * siblings — so existence is decided on ALL of the family's tables,
-    * and a partial set is treated as a torn first batch: the stragglers
-    * are dropped and the retry re-runs as a clean first batch. Safe by
-    * construction — a partial set can ONLY arise from a torn batch 0
-    * (every later batch touches existing tables append-only). */
+    * siblings — so existence is decided on ALL of the family's tables.
+    *
+    * But a torn batch 0 is NOT the only source of a partial set (the
+    * round-9 advisory): a [[graft.operators.Tombstones]] compaction
+    * rewrites a family table by drop+recreate, so a crash mid-compaction
+    * also leaves the family partial — and auto-dropping the survivors
+    * there would discard the ENTIRE accumulated index to re-run one
+    * shard as a clean first batch: silent corpus loss. The auto-drop
+    * path is therefore reserved for sets that can ONLY be a torn batch
+    * 0: no leftover `__compact` table (a crashed compaction always
+    * orphans one — the live table can only be missing after the temp
+    * write committed) and no surviving table holding rows beyond
+    * `ingest_batch` 0. Anything else refuses loudly, naming the tables
+    * present/missing and the recovery (the family's `compact*` pass
+    * self-heals from the orphaned temp). */
   private def familyExists(spark: SparkSession, prefix: String,
                            tables: Seq[String]): Boolean = {
     val present = tables.filter(t => spark.catalog.tableExists(s"${prefix}_$t"))
     if (present.nonEmpty && present.size < tables.size) {
+      val missing = tables.filterNot(present.contains)
+      val compactLeftovers = tables
+        .map(t => s"${prefix}_${t}__compact")
+        .filter(spark.catalog.tableExists)
+      val beyondBatch0 = present.filter(_ != "meta").filter { t =>
+        val df = spark.table(s"${prefix}_$t")
+        df.columns.contains("ingest_batch") &&
+          df.filter(col("ingest_batch") > 0).limit(1).count() > 0
+      }
+      require(compactLeftovers.isEmpty && beyondBatch0.isEmpty,
+        s"index family '$prefix' is PARTIAL (present: " +
+          s"${present.mkString(", ")}; missing: ${missing.mkString(", ")}) " +
+          "but is NOT a torn first batch" +
+          (if (compactLeftovers.nonEmpty)
+            s" — leftover compaction temp table(s) ${compactLeftovers.mkString(", ")} " +
+              "indicate a crashed compaction; re-run the family's " +
+              "Tombstones.compact* pass to recover the live table from the temp"
+          else
+            s" — ${beyondBatch0.mkString(", ")} hold(s) ingest batches beyond 0") +
+          "; refusing to auto-drop the surviving tables.")
       present.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
       false
     } else present.size == tables.size
+  }
+
+  /** Bucket-count agreement between a persisted family and the loop
+    * writing into it: appending partitions with a DIFFERENT bucket count
+    * than the tables were created with silently breaks the co-location
+    * contract every candidate join relies on. Families created before
+    * the count was recorded in meta (round 10) pass unchecked. */
+  private def requireBucketAgreement(spark: SparkSession, prefix: String,
+                                     buckets: Int): Unit = {
+    val meta = spark.table(s"${prefix}_meta")
+    if (meta.columns.contains("buckets")) {
+      val persisted = meta.head().getAs[Int]("buckets")
+      require(persisted == buckets,
+        s"index family '$prefix' was written with $persisted buckets, the " +
+          s"ingest loop is configured with $buckets — appending would break " +
+          "the bucketed co-location layout. Use the persisted count.")
+    }
   }
 
   /** The persisted corpus index as of batches STRICTLY BEFORE `bid` —
@@ -90,6 +137,7 @@ object IngestLoop {
     require(corpus.numPerms == numPerms && corpus.rowsPerBand == rowsPerBand,
       s"persisted index family (${corpus.numPerms}, ${corpus.rowsPerBand}) != " +
         s"loop family ($numPerms, $rowsPerBand)")
+    if (exists) requireBucketAgreement(spark, prefix, buckets)
     // leg 1 — pairs touching this batch, written to the batch's OWN
     // partition directory (overwrite => retry-idempotent)
     Dedup.minhashLshPairsIncremental(shard, corpus, threshold)
@@ -112,8 +160,8 @@ object IngestLoop {
       .saveAsTable(s"${prefix}_shingles")
     if (!exists) {
       import spark.implicits._
-      Seq((idCol, numPerms, rowsPerBand))
-        .toDF("id_col", "num_perms", "rows_per_band")
+      Seq((idCol, numPerms, rowsPerBand, buckets))
+        .toDF("id_col", "num_perms", "rows_per_band", "buckets")
         .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
     }
   }
@@ -173,6 +221,7 @@ object IngestLoop {
       s"persisted LSH family (bits=${corpus.bitsPerTable}, tables=${corpus.numTables}, " +
         s"seed=${corpus.seed}, dim=${corpus.dim}) != loop family " +
         s"(bits=$bitsPerTable, tables=$numTables, seed=$seed, dim=${shard.dim})")
+    if (exists) requireBucketAgreement(spark, prefix, buckets)
     Similarity.lshDupPairsIncremental(shard, corpus, threshold)
       .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$bid")
     if (exists) Seq("hashed", "vecs").foreach { t =>
@@ -190,8 +239,8 @@ object IngestLoop {
       .saveAsTable(s"${prefix}_vecs")
     if (!exists) {
       import spark.implicits._
-      Seq((idCol, bitsPerTable, numTables, seed, shard.dim))
-        .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim")
+      Seq((idCol, bitsPerTable, numTables, seed, shard.dim, buckets))
+        .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim", "buckets")
         .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
     }
   }
@@ -225,15 +274,16 @@ object IngestLoop {
         Seq((idx.idCol, idx.m, idx.ksub, idx.dim, idx.seed,
             idx.coarse.l1.map(_.toSeq).toSeq,
             idx.coarse.l2.map(_.toSeq).toSeq,
-            idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+            idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq, buckets))
           .toDF("id_col", "m", "ksub", "dim", "seed", "coarse_l1",
-            "coarse_l2", "codebooks")
+            "coarse_l2", "codebooks", "buckets")
           .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
         idx.codes
       } else {
         val idx = graft.operators.Similarity.loadPqIndex(spark, prefix)
         require(idx.idCol == idCol,
           s"persisted PQ index keys on '${idx.idCol}', loop on '$idCol'")
+        requireBucketAgreement(spark, prefix, buckets)
         spark.sql(s"ALTER TABLE ${prefix}_codes DROP IF EXISTS PARTITION (ingest_batch=$bid)")
         graft.operators.Similarity.encodePq(batch, vecCol, idx)
       }
@@ -285,14 +335,16 @@ object IngestLoop {
           batch, idCol, vecCol, threshold, nlist, seed, maxPairs = maxPairs)
         import spark.implicits._
         Seq((idx.idCol, idx.threshold, idx.seed,
-            idx.coarse.l1.map(_.toSeq).toSeq, idx.coarse.l2.map(_.toSeq).toSeq))
-          .toDF("id_col", "threshold", "seed", "coarse_l1", "coarse_l2")
+            idx.coarse.l1.map(_.toSeq).toSeq, idx.coarse.l2.map(_.toSeq).toSeq,
+            buckets))
+          .toDF("id_col", "threshold", "seed", "coarse_l1", "coarse_l2", "buckets")
           .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
         idx.docs
       } else {
         val idx0 = graft.operators.Similarity.loadSemIndex(spark, prefix)
         require(idx0.idCol == idCol,
           s"persisted sem index keys on '${idx0.idCol}', loop on '$idCol'")
+        requireBucketAgreement(spark, prefix, buckets)
         spark.sql(s"ALTER TABLE ${prefix}_docs DROP IF EXISTS PARTITION (ingest_batch=$bid)")
         val idx = idx0.copy(docs = idx0.docs.filter(col("ingest_batch") < bid))
         graft.operators.Similarity.semanticDedupIncremental(
