@@ -36,11 +36,25 @@ object Bench {
       try qmap(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.benchQueries.map { name =>
-      val t0 = System.nanoTime()
-      try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // Timing: MIN over 2 interleaved full passes (round 10). A single
+    // timed pass let one GC/compilation hiccup land entirely on one
+    // query and write a 14x phantom regression into the official record
+    // (BENCH_r09 q79: 8.54 s recorded vs 0.63 s warm re-run). Interleaved
+    // passes revisit every query after the rest of the catalog ran, so a
+    // hiccup in one pass is corrected by the other; the per-query MINIMUM
+    // is the steady-state number the warmup pass was already aiming for.
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to passes).foreach { _ =>
+      SparkEntry.benchQueries.foreach { name =>
+        val t0 = System.nanoTime()
+        try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      }
+    }
+    val results = best.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full-name per-query line, opt-in (SPARK_GRAFT_BENCH_FULL=1): used
     // when capturing the committed bench/r*_sf*.json pair.

@@ -917,6 +917,117 @@ object RelationalQueries {
                          WHEN curbweight <= 3000 THEN 'Heavy'
                          ELSE 'VeryHeavy' END AS weight_cat
           FROM num)
-        SELECT * FROM binned WHERE weight_cat IS NOT NULL ORDER BY car_id"""))
+        SELECT * FROM binned WHERE weight_cat IS NOT NULL ORDER BY car_id""")),
+
+    // ----------------------------------------------------------------
+    // q113: the FLAGSHIP CarPrice cleaning pipeline end-to-end as one
+    // hashed frame (round 10) — clean → brand → cast → impute → winsor
+    // cap → quartile price_bucket → log_price over the reference's raw
+    // CSV (BigDataProject.R:41-130), with DuckDB replaying the ENTIRE
+    // chain. q05/q08/q06/q07/q24 oracle each stage in isolation; this
+    // row hash-verifies their composition on the reference's own data —
+    // all 205 rows × 29 columns.
+    //   - The raw file is complete (no nulls), so the impute stages are
+    //     value-identity (their null paths are oracled by q05/q08); they
+    //     still run, promoting every numeric column to double — which
+    //     the replay mirrors via the double-typed CASE.
+    //   - Winsor bounds are type-7 interpolated quantiles == DuckDB
+    //     quantile_cont bit-for-bit (the q05/q06 machinery); capped
+    //     values and breaks stay unrounded through the bucket CASE,
+    //     exactly as the Spark chain computes them.
+    //   - Doubles are emitted at 6 dp on both sides (log1p is the one
+    //     transcendental — the q24 rule).
+    "q113_carprice_golden" -> QueryDef(
+      fn = (s, _) => {
+        import org.apache.spark.sql.types.DoubleType
+        val cleaned = graft.pipeline.CarPricePipeline.clean(
+          graft.pipeline.CarPricePipeline.loadExplicit(s,
+            "/root/reference/CarPrice_Assignment.csv"))
+        val emit = cleaned.schema.fields.map { f =>
+          if (f.dataType == DoubleType) round(col(f.name), 6).as(f.name)
+          else col(f.name)
+        }
+        cleaned.select(emit.toIndexedSeq: _*).orderBy("car_id")
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT * FROM read_csv('/root/reference/CarPrice_Assignment.csv', header=true,
+            columns={'car_ID':'INTEGER','symboling':'INTEGER','CarName':'VARCHAR','fueltype':'VARCHAR',
+                     'aspiration':'VARCHAR','doornumber':'VARCHAR','carbody':'VARCHAR','drivewheel':'VARCHAR',
+                     'enginelocation':'VARCHAR','wheelbase':'DOUBLE','carlength':'DOUBLE','carwidth':'DOUBLE',
+                     'carheight':'DOUBLE','curbweight':'INTEGER','enginetype':'VARCHAR','cylindernumber':'VARCHAR',
+                     'enginesize':'INTEGER','fuelsystem':'VARCHAR','boreratio':'DOUBLE','stroke':'DOUBLE',
+                     'compressionratio':'DOUBLE','horsepower':'INTEGER','peakrpm':'INTEGER','citympg':'INTEGER',
+                     'highwaympg':'INTEGER','price':'DOUBLE'})),
+        low AS (
+          SELECT car_ID AS car_id, symboling, CarName AS carname, fueltype, aspiration,
+                 doornumber, carbody, drivewheel, enginelocation, wheelbase, carlength,
+                 carwidth, carheight, curbweight, enginetype, cylindernumber, enginesize,
+                 fuelsystem, boreratio, stroke, compressionratio,
+                 CAST(horsepower AS DOUBLE) AS horsepower, CAST(peakrpm AS DOUBLE) AS peakrpm,
+                 CAST(citympg AS DOUBLE) AS citympg, CAST(highwaympg AS DOUBLE) AS highwaympg,
+                 price, split_part(CarName, ' ', 1) AS brand
+          FROM raw),
+        b AS (
+          SELECT quantile_cont(car_id, 0.01) AS car_id_lo, quantile_cont(car_id, 0.99) AS car_id_hi,
+                 quantile_cont(symboling, 0.01) AS symboling_lo, quantile_cont(symboling, 0.99) AS symboling_hi,
+                 quantile_cont(wheelbase, 0.01) AS wheelbase_lo, quantile_cont(wheelbase, 0.99) AS wheelbase_hi,
+                 quantile_cont(carlength, 0.01) AS carlength_lo, quantile_cont(carlength, 0.99) AS carlength_hi,
+                 quantile_cont(carwidth, 0.01) AS carwidth_lo, quantile_cont(carwidth, 0.99) AS carwidth_hi,
+                 quantile_cont(carheight, 0.01) AS carheight_lo, quantile_cont(carheight, 0.99) AS carheight_hi,
+                 quantile_cont(curbweight, 0.01) AS curbweight_lo, quantile_cont(curbweight, 0.99) AS curbweight_hi,
+                 quantile_cont(enginesize, 0.01) AS enginesize_lo, quantile_cont(enginesize, 0.99) AS enginesize_hi,
+                 quantile_cont(boreratio, 0.01) AS boreratio_lo, quantile_cont(boreratio, 0.99) AS boreratio_hi,
+                 quantile_cont(stroke, 0.01) AS stroke_lo, quantile_cont(stroke, 0.99) AS stroke_hi,
+                 quantile_cont(compressionratio, 0.01) AS compressionratio_lo, quantile_cont(compressionratio, 0.99) AS compressionratio_hi,
+                 quantile_cont(horsepower, 0.01) AS horsepower_lo, quantile_cont(horsepower, 0.99) AS horsepower_hi,
+                 quantile_cont(peakrpm, 0.01) AS peakrpm_lo, quantile_cont(peakrpm, 0.99) AS peakrpm_hi,
+                 quantile_cont(citympg, 0.01) AS citympg_lo, quantile_cont(citympg, 0.99) AS citympg_hi,
+                 quantile_cont(highwaympg, 0.01) AS highwaympg_lo, quantile_cont(highwaympg, 0.99) AS highwaympg_hi,
+                 quantile_cont(price, 0.01) AS price_lo, quantile_cont(price, 0.99) AS price_hi
+          FROM low),
+        cap AS (
+          SELECT carname, fueltype, aspiration, doornumber, carbody, drivewheel,
+                 enginelocation, enginetype, cylindernumber, fuelsystem, brand,
+                 CASE WHEN car_id > car_id_hi THEN car_id_hi WHEN car_id < car_id_lo THEN car_id_lo ELSE car_id END AS car_id,
+                 CASE WHEN symboling > symboling_hi THEN symboling_hi WHEN symboling < symboling_lo THEN symboling_lo ELSE symboling END AS symboling,
+                 CASE WHEN wheelbase > wheelbase_hi THEN wheelbase_hi WHEN wheelbase < wheelbase_lo THEN wheelbase_lo ELSE wheelbase END AS wheelbase,
+                 CASE WHEN carlength > carlength_hi THEN carlength_hi WHEN carlength < carlength_lo THEN carlength_lo ELSE carlength END AS carlength,
+                 CASE WHEN carwidth > carwidth_hi THEN carwidth_hi WHEN carwidth < carwidth_lo THEN carwidth_lo ELSE carwidth END AS carwidth,
+                 CASE WHEN carheight > carheight_hi THEN carheight_hi WHEN carheight < carheight_lo THEN carheight_lo ELSE carheight END AS carheight,
+                 CASE WHEN curbweight > curbweight_hi THEN curbweight_hi WHEN curbweight < curbweight_lo THEN curbweight_lo ELSE curbweight END AS curbweight,
+                 CASE WHEN enginesize > enginesize_hi THEN enginesize_hi WHEN enginesize < enginesize_lo THEN enginesize_lo ELSE enginesize END AS enginesize,
+                 CASE WHEN boreratio > boreratio_hi THEN boreratio_hi WHEN boreratio < boreratio_lo THEN boreratio_lo ELSE boreratio END AS boreratio,
+                 CASE WHEN stroke > stroke_hi THEN stroke_hi WHEN stroke < stroke_lo THEN stroke_lo ELSE stroke END AS stroke,
+                 CASE WHEN compressionratio > compressionratio_hi THEN compressionratio_hi WHEN compressionratio < compressionratio_lo THEN compressionratio_lo ELSE compressionratio END AS compressionratio,
+                 CASE WHEN horsepower > horsepower_hi THEN horsepower_hi WHEN horsepower < horsepower_lo THEN horsepower_lo ELSE horsepower END AS horsepower,
+                 CASE WHEN peakrpm > peakrpm_hi THEN peakrpm_hi WHEN peakrpm < peakrpm_lo THEN peakrpm_lo ELSE peakrpm END AS peakrpm,
+                 CASE WHEN citympg > citympg_hi THEN citympg_hi WHEN citympg < citympg_lo THEN citympg_lo ELSE citympg END AS citympg,
+                 CASE WHEN highwaympg > highwaympg_hi THEN highwaympg_hi WHEN highwaympg < highwaympg_lo THEN highwaympg_lo ELSE highwaympg END AS highwaympg,
+                 CASE WHEN price > price_hi THEN price_hi WHEN price < price_lo THEN price_lo ELSE price END AS price
+          FROM low CROSS JOIN b),
+        pb AS (
+          SELECT quantile_cont(price, 0.00) AS p0, quantile_cont(price, 0.25) AS p1,
+                 quantile_cont(price, 0.50) AS p2, quantile_cont(price, 0.75) AS p3,
+                 quantile_cont(price, 1.00) AS p4
+          FROM cap)
+        SELECT ROUND(car_id, 6) AS car_id, ROUND(symboling, 6) AS symboling, carname,
+               fueltype, aspiration, doornumber, carbody, drivewheel, enginelocation,
+               ROUND(wheelbase, 6) AS wheelbase, ROUND(carlength, 6) AS carlength,
+               ROUND(carwidth, 6) AS carwidth, ROUND(carheight, 6) AS carheight,
+               ROUND(curbweight, 6) AS curbweight, enginetype, cylindernumber,
+               ROUND(enginesize, 6) AS enginesize, fuelsystem,
+               ROUND(boreratio, 6) AS boreratio, ROUND(stroke, 6) AS stroke,
+               ROUND(compressionratio, 6) AS compressionratio,
+               ROUND(horsepower, 6) AS horsepower, ROUND(peakrpm, 6) AS peakrpm,
+               ROUND(citympg, 6) AS citympg, ROUND(highwaympg, 6) AS highwaympg,
+               ROUND(price, 6) AS price, brand,
+               CASE WHEN price IS NULL OR price < p0 OR price > p4 THEN NULL
+                    WHEN price <= p1 THEN 'Low'
+                    WHEN price <= p2 THEN 'Medium'
+                    WHEN price <= p3 THEN 'High'
+                    ELSE 'VeryHigh' END AS price_bucket,
+               ROUND(ln(1 + price), 6) AS log_price
+        FROM cap CROSS JOIN pb ORDER BY car_id"""))
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Tombstones}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -594,6 +594,122 @@ object TextQueries {
                      WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
                        AND vec_id % 3 = 0) AS BIGINT) AS n_docs,
                TRUE AS incr_eq_batch, TRUE AS clones_dropped, TRUE AS witness_ok""")),
+
+    // ----------------------------------------------------------------
+    // q112: TOMBSTONE DELETION + COMPACTION lifecycle (round 10) — the
+    // deletion seam of the persisted index families as ONE hashed
+    // contract row, q101/q104 style. Inside the query: persist a MinHash
+    // corpus index and an IVF-PQ serving index, tombstone a
+    // DETERMINISTIC id set (every 8th id — DuckDB derives the same set),
+    // then pin, per family:
+    //   n_corpus_live        shingle rows after compaction == corpus
+    //                        docs minus the deleted set (physical
+    //                        deletion is exact; DuckDB count)
+    //   n_codes_live         PQ code rows after compaction == nonzero-
+    //                        norm vectors minus the deleted set
+    //   pairs_eq_rebuild     incremental mining through the tombstone-
+    //                        filtered load == mining against an index
+    //                        REBUILT without the dead docs (logical
+    //                        delete is exact), AND unchanged by the
+    //                        physical compaction
+    //   deleted_invisible    no emitted pair touches a dead id
+    //   ann_eq_filtered      top-k serving through the tombstoned load
+    //                        == serving with the codes filtered
+    //                        manually (deletes re-RANK, not just drop
+    //                        rows), AND identical after compaction
+    //   ann_deleted_invisible no served neighbor is a dead id
+    //   tombstones_cleared   both families' tombstone sets are gone
+    //                        after compact (the set is reset, so the
+    //                        broadcast budget restarts from zero)
+    // Compaction buckets come from the family meta (no caller-supplied
+    // layout); crash recovery + the broadcast budget guard are
+    // spec-pinned (TombstoneSpec).
+    "q112_tombstone_lifecycle" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        // fresh family per run: drop catalog entries AND any orphaned
+        // warehouse locations a previous session left behind (a new
+        // session's in-memory catalog forgets the tables but saveAsTable
+        // still refuses on the existing directory)
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+        val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("q112mh_bands", "q112mh_shingles", "q112mh_meta",
+            "q112mh_tombstones", "q112mh_bands__compact",
+            "q112mh_shingles__compact", "q112pq_codes", "q112pq_meta",
+            "q112pq_tombstones", "q112pq_codes__compact")
+          .foreach { t =>
+            s.sql(s"DROP TABLE IF EXISTS $t")
+            val loc = new org.apache.hadoop.fs.Path(wh, t)
+            if (whFs.exists(loc)) whFs.delete(loc, true)
+          }
+        val docsDf = docs(s, d).select(col("doc_id"), col("text"))
+        val corpus = docsDf.filter(col("doc_id") % 2 === 0)
+        val shard = docsDf.filter(col("doc_id") % 2 === 1)
+        Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"),
+          "q112mh", buckets = 8)
+        val sIdx = Dedup.minhashIndex(shard, "doc_id", "text")
+        Tombstones.add(corpus.filter(col("doc_id") % 8 === 0).select("doc_id"),
+          "doc_id", "q112mh")
+        val logical = Dedup.minhashLshPairsIncremental(sIdx,
+            Dedup.loadMinhashIndex(s, "q112mh"), threshold = 0.5)
+          .select("a_id", "b_id", "jaccard").localCheckpoint(true)
+        val rebuilt = Dedup.minhashLshPairsIncremental(sIdx,
+            Dedup.minhashIndex(corpus.filter(col("doc_id") % 8 =!= 0),
+              "doc_id", "text"), threshold = 0.5)
+          .select("a_id", "b_id", "jaccard").localCheckpoint(true)
+        val deadPairs = logical
+          .filter(col("a_id") % 8 === 0 || col("b_id") % 8 === 0).count()
+        Tombstones.compactMinhash(s, "q112mh") // buckets from family meta
+        val physical = Dedup.minhashLshPairsIncremental(sIdx,
+            Dedup.loadMinhashIndex(s, "q112mh"), threshold = 0.5)
+          .select("a_id", "b_id", "jaccard").localCheckpoint(true)
+        def sameSet(a: org.apache.spark.sql.DataFrame,
+                    b: org.apache.spark.sql.DataFrame): Boolean =
+          a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        val pairsEq = sameSet(logical, rebuilt) && sameSet(physical, logical)
+        val mhCleared = !s.catalog.tableExists("q112mh_tombstones")
+        val nCorpusLive = s.table("q112mh_shingles").count()
+
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        Similarity.savePqIndex(Similarity.pqIndex(e, "vec_id", "embedding",
+          nlist = 16, m = 8, ksub = 16, seed = 42L), "q112pq", buckets = 8)
+        val q = e.filter(col("vec_id") < 30)
+        Tombstones.add(e.filter(col("vec_id") % 8 === 0).select("vec_id"),
+          "vec_id", "q112pq")
+        val loaded = Similarity.loadPqIndex(s, "q112pq")
+        val served = Similarity.ivfPqTopK(loaded, e, q, "vec_id", "embedding",
+            k = 5, nprobe = 8, refine = 8).localCheckpoint(true)
+        val annDead = served.filter(col("c_id") % 8 === 0).count()
+        // the strongest falsifier: serving through the tombstoned load
+        // must equal serving with the codes filtered by the same
+        // data-derived predicate — re-ranked, not just row-dropped
+        val manual = loaded.copy(codes =
+          s.table("q112pq_codes").filter(pmod(col("c_id"), lit(8)) =!= 0))
+        val expect = Similarity.ivfPqTopK(manual, e, q, "vec_id", "embedding",
+            k = 5, nprobe = 8, refine = 8).localCheckpoint(true)
+        Tombstones.compactPq(s, "q112pq") // buckets from family meta
+        val reServed = Similarity.ivfPqTopK(Similarity.loadPqIndex(s, "q112pq"),
+            e, q, "vec_id", "embedding", k = 5, nprobe = 8, refine = 8)
+          .localCheckpoint(true)
+        val annEq = sameSet(served, expect) && sameSet(reServed, served)
+        val pqCleared = !s.catalog.tableExists("q112pq_tombstones")
+        val nCodesLive = s.table("q112pq_codes").count()
+        Seq((nCorpusLive, nCodesLive, pairsEq, deadPairs == 0L, annEq,
+            annDead == 0L, mhCleared && pqCleared))
+          .toDF("n_corpus_live", "n_codes_live", "pairs_eq_rebuild",
+            "deleted_invisible", "ann_eq_filtered", "ann_deleted_invisible",
+            "tombstones_cleared")
+      },
+      oracle = Some("""
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id % 8 <> 0) AS n_corpus_live,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE vec_id % 8 <> 0
+              AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0) AS n_codes_live,
+          TRUE AS pairs_eq_rebuild, TRUE AS deleted_invisible,
+          TRUE AS ann_eq_filtered, TRUE AS ann_deleted_invisible,
+          TRUE AS tombstones_cleared""")),
 
     // ----------------------------------------------------------------
     // q47: batch sessionization — lag + cumulative-sum session ids, the

@@ -190,4 +190,123 @@ class TombstoneSpec extends AnyFunSuite {
       "tb_ct_base", "tb_ct_posting", "tb_ct_meta", "tb_ct_tombstones",
       "tb_em_vecs", "tb_em_hashed", "tb_em_meta", "tb_em_tombstones")
   }
+
+  test("filter refuses past the broadcast budget, naming compact* as the remedy") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .limit(100)
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(docs, "doc_id", "text"),
+      "tb_bg", buckets = 8)
+    try {
+      Tombstones.add(docs.filter(col("doc_id") % 3 === 0).select("doc_id"),
+        "doc_id", "tb_bg")
+      // within budget: the default load path still works
+      assert(Dedup.loadMinhashIndex(spark, "tb_bg").shingles.count() > 0)
+      // injected cap below the set size: loud refusal, remedy named
+      val e = intercept[IllegalArgumentException] {
+        Tombstones.filter(spark.table("tb_bg_shingles"), "doc_id", "tb_bg",
+          maxTombstones = 5L).count()
+      }
+      assert(e.getMessage.contains("compact"),
+        s"budget refusal must name the compact remedy: ${e.getMessage}")
+      // compaction IS the remedy: set cleared, default load green again
+      Tombstones.compactMinhash(spark, "tb_bg") // buckets from meta (round 10)
+      assert(!spark.catalog.tableExists("tb_bg_tombstones"))
+      assert(Tombstones.filter(spark.table("tb_bg_shingles"), "doc_id", "tb_bg",
+        maxTombstones = 5L).count() > 0)
+    } finally drop("tb_bg_bands", "tb_bg_shingles", "tb_bg_meta", "tb_bg_tombstones")
+  }
+
+  test("compaction self-heals from a crash between the temp write and the live overwrite") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .limit(200)
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(docs, "doc_id", "text"),
+      "tb_cr", buckets = 8)
+    try {
+      val dead = docs.filter(col("doc_id") % 4 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      Tombstones.add(idsDf(dead, "doc_id"), "doc_id", "tb_cr")
+      val liveRows = spark.table("tb_cr_shingles").count() - dead.length
+      // simulate the crash window: survivors committed to the temp, the
+      // drop+recreate of the live table begun (table gone) but not done
+      spark.table("tb_cr_bands")
+        .join(spark.table("tb_cr_tombstones").select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "band", "bucket").sortBy("band", "bucket")
+        .saveAsTable("tb_cr_bands__compact")
+      spark.sql("DROP TABLE tb_cr_bands")
+      // re-running the compaction recovers the live table from the temp
+      // and completes the pass: tombstones cleared, deletion physical
+      Tombstones.compactMinhash(spark, "tb_cr")
+      assert(spark.catalog.tableExists("tb_cr_bands"))
+      assert(!spark.catalog.tableExists("tb_cr_bands__compact"))
+      assert(!spark.catalog.tableExists("tb_cr_tombstones"))
+      assert(spark.table("tb_cr_bands")
+        .filter(col("doc_id").isin(dead: _*)).count() == 0)
+      assert(spark.table("tb_cr_shingles").count() == liveRows)
+      // a STALE temp next to a PRESENT live table (crash before the live
+      // overwrite of a later pass began) is dropped and the pass re-runs
+      spark.table("tb_cr_bands").limit(1)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "band", "bucket").sortBy("band", "bucket")
+        .saveAsTable("tb_cr_bands__compact")
+      Tombstones.compactMinhash(spark, "tb_cr")
+      assert(!spark.catalog.tableExists("tb_cr_bands__compact"))
+      assert(spark.table("tb_cr_shingles").count() == liveRows)
+    } finally drop("tb_cr_bands", "tb_cr_shingles", "tb_cr_meta",
+      "tb_cr_tombstones", "tb_cr_bands__compact")
+  }
+
+  test("ingest loop refuses a partial family that is not a torn first batch") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .limit(200)
+    val pairsDir = java.nio.file.Files.createTempDirectory("tb_pf_pairs").toString
+    try {
+      IngestLoop.ingestMinhashBatch(docs.filter(col("doc_id") % 2 === 0), 0L,
+        "doc_id", "text", "tb_pf", pairsDir, threshold = 0.5, numPerms = 32,
+        rowsPerBand = 4, buckets = 8)
+      IngestLoop.ingestMinhashBatch(docs.filter(col("doc_id") % 2 === 1), 1L,
+        "doc_id", "text", "tb_pf", pairsDir, threshold = 0.5, numPerms = 32,
+        rowsPerBand = 4, buckets = 8)
+      // a crashed compaction's shape: one family table missing, batches
+      // beyond 0 surviving elsewhere — the loop must NOT auto-drop the
+      // accumulated index (the pre-round-10 behavior: silent data loss)
+      spark.sql("DROP TABLE tb_pf_bands")
+      val e = intercept[IllegalArgumentException] {
+        IngestLoop.ingestMinhashBatch(docs.filter(col("doc_id") % 2 === 1), 2L,
+          "doc_id", "text", "tb_pf", pairsDir, threshold = 0.5, numPerms = 32,
+          rowsPerBand = 4, buckets = 8)
+      }
+      assert(e.getMessage.contains("PARTIAL") &&
+        e.getMessage.contains("shingles"),
+        s"partial-family refusal must name the surviving tables: ${e.getMessage}")
+      assert(spark.catalog.tableExists("tb_pf_shingles"),
+        "the surviving index table must not be auto-dropped")
+    } finally drop("tb_pf_bands", "tb_pf_shingles", "tb_pf_meta",
+      "tb_pf_tombstones")
+  }
+
+  test("ingest loop refuses a bucket count that disagrees with the family meta") {
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    IngestLoop.ingestPqBatch(embs.filter(col("vec_id") % 2 === 0), 0L,
+      "vec_id", "embedding", "tb_bk", nlist = 16, m = 8, ksub = 16,
+      seed = 42L, buckets = 8)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IngestLoop.ingestPqBatch(embs.filter(col("vec_id") % 2 === 1), 1L,
+          "vec_id", "embedding", "tb_bk", nlist = 16, m = 8, ksub = 16,
+          seed = 42L, buckets = 16)
+      }
+      assert(e.getMessage.contains("8") && e.getMessage.contains("16"),
+        s"bucket disagreement must name both counts: ${e.getMessage}")
+      // the recorded count keeps working
+      IngestLoop.ingestPqBatch(embs.filter(col("vec_id") % 2 === 1), 1L,
+        "vec_id", "embedding", "tb_bk", nlist = 16, m = 8, ksub = 16,
+        seed = 42L, buckets = 8)
+      // and compaction defaults to it (no caller-supplied layout)
+      Tombstones.add(idsDf(Seq(0L, 2L), "vec_id"), "vec_id", "tb_bk")
+      Tombstones.compactPq(spark, "tb_bk")
+      assert(!spark.catalog.tableExists("tb_bk_tombstones"))
+    } finally drop("tb_bk_codes", "tb_bk_meta", "tb_bk_tombstones")
+  }
 }
