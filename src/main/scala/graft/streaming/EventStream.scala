@@ -83,17 +83,17 @@ object EventStream {
   final case class PackOut(doc_id: Long, seg: Long, bin: Int, seq_id: Long,
                            n_tokens: Int)
 
-  /** INCREMENTAL sequence packing — the stateful streaming twin of
-    * `Packing.packGreedy`. Each segment keeps O(1) state (the open
-    * sequence's bin index and fill level); every micro-batch continues
-    * the greedy first-fit fold over its arrivals in id order and emits
-    * their assignments immediately. When documents arrive id-ordered
-    * across micro-batches (the ingest contract — a crawl shard is
-    * written append-only), the assignments are IDENTICAL to the batch
-    * operator's, pinned in StreamingSpec including a two-micro-batch
-    * split. State never grows with corpus size: one (bin, fill) pair per
-    * open segment. */
-  def packGate(docs: Dataset[PackDoc], budget: Int, segSize: Int): Dataset[PackOut] = {
+  /** SPEC COMPARATOR ONLY (demoted round 10 — not public API): the
+    * unbounded-state form of the incremental packing gate. One (bin,
+    * fill) pair per segment, kept FOREVER (`NoTimeout`) — on a
+    * long-running stream over an ever-growing segment space that is an
+    * unbounded state leak, the exact shape [[userTotals]] and
+    * [[packGateEvicting]] close with an event-time TTL. It survives
+    * only as the exact-batch-parity reference StreamingSpec compares
+    * the TTL gate against; production code uses [[packGateEvicting]],
+    * the documented entry point. */
+  private[graft] def packGate(docs: Dataset[PackDoc], budget: Int,
+                              segSize: Int): Dataset[PackOut] = {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.doc_id / segSize)
       .flatMapGroupsWithState[PackState, PackOut](
@@ -113,11 +113,16 @@ object EventStream {
 
   final case class PackDocT(doc_id: Long, tok: Int, ts: java.sql.Timestamp)
 
-  /** [[packGate]] with BOUNDED state lifetime (round 8): the plain gate
-    * keeps one (bin, fill) pair per open segment forever — O(1) per
-    * segment, but an unbounded segment space (a long-running stream over
-    * an ever-growing id range) leaks state without limit. This variant
-    * keys the same greedy fold to an event-time clock: each batch a
+  /** INCREMENTAL sequence packing — the stateful streaming twin of
+    * `Packing.packGreedy`, and the ONE public entry point (round 10:
+    * the unbounded [[packGate]] is demoted to a private spec
+    * comparator). Each segment keeps O(1) state (the open sequence's
+    * bin index and fill level); every micro-batch continues the greedy
+    * first-fit fold over its arrivals in id order and emits their
+    * assignments immediately — with BOUNDED state lifetime: an
+    * unbounded segment space (a long-running stream over an
+    * ever-growing id range) would otherwise leak state without limit.
+    * The fold is keyed to an event-time clock: each batch a
     * segment is touched, its timeout is re-armed to (batch max event
     * time + ttlMs); once the watermark passes that deadline with no new
     * arrivals, the state is REMOVED. Total state is then O(segments
