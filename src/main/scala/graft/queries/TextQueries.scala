@@ -1121,8 +1121,8 @@ object TextQueries {
         lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS key FROM aug),
         lcnt AS (SELECT doc_id, key, COUNT(*) AS cnt FROM lines GROUP BY doc_id, key),
         lagg AS (SELECT doc_id, SUM(cnt) AS n_l, COUNT(*) AS u_l,
-                        SUM(cnt * len(key)) AS lch,
-                        SUM(CASE WHEN cnt >= 2 THEN cnt * len(key) ELSE 0 END) AS dlch
+                        SUM(cnt * length(key)) AS lch,
+                        SUM(CASE WHEN cnt >= 2 THEN cnt * length(key) ELSE 0 END) AS dlch
                  FROM lcnt GROUP BY doc_id),
         toks AS (SELECT doc_id, string_split(replace(t, chr(10), ' '), ' ') AS tk FROM aug),
         g2 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)),
@@ -1628,10 +1628,10 @@ object TextQueries {
       oracle = Some("""
         WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks,
                            len(string_split(text, ' ')) AS m FROM documents),
-        bi AS (SELECT doc_id, p.w1, p.bg
+        bi AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1, bg
                FROM (SELECT doc_id,
                        unnest(list_transform(range(1, m),
-                         i -> {'w1': toks[i], 'bg': toks[i] || ' ' || toks[i + 1]})) AS p
+                         i -> toks[i] || ' ' || toks[i + 1])) AS bg
                      FROM tk WHERE m >= 2)),
         bgc AS (SELECT bg, COUNT(*) AS c_bg FROM bi GROUP BY bg),
         uc AS (SELECT unnest(toks) AS w1 FROM tk),

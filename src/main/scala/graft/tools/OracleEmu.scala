@@ -38,15 +38,49 @@ object OracleEmu {
       "RETURN array_min(a)",
     "CREATE OR REPLACE TEMPORARY FUNCTION sha256(s STRING) RETURNS STRING " +
       "RETURN sha2(CAST(s AS BINARY), 256)",
-    // DuckDB range(a, b) is end-EXCLUSIVE; Spark sequence is inclusive.
-    // Named duck_range (the rewriter maps `range(` onto it) because the
-    // builtin range TVF blocks a SQL UDF of the same name.
+    // DuckDB range(a, b) is end-EXCLUSIVE and EMPTY when b <= a; Spark
+    // sequence(a, b-1) is inclusive and DESCENDS when b-1 < a (range(1,1)
+    // would become [1, 0] instead of []), so the empty case is realized
+    // by filtering an always-ascending sequence. Named duck_range (the
+    // rewriter maps `range(` onto it) because the builtin range TVF
+    // blocks a SQL UDF of the same name.
     "CREATE OR REPLACE TEMPORARY FUNCTION duck_range(a BIGINT, b BIGINT) " +
-      "RETURNS ARRAY<BIGINT> RETURN sequence(a, b - 1)",
+      "RETURNS ARRAY<BIGINT> RETURN filter(sequence(a, greatest(b - 1, a)), x -> x < b)",
     // DuckDB epoch(DATE) = seconds since the epoch at midnight UTC
     "CREATE OR REPLACE TEMPORARY FUNCTION epoch(d DATE) RETURNS BIGINT " +
       "RETURN unix_date(d) * CAST(86400 AS BIGINT)"
   ).foreach(spark.sql(_))
+
+  /** Apply `f` with the single-quoted string literals MASKED by opaque
+    * placeholders (restored afterwards) — the bracket/quote rewrites
+    * would otherwise corrupt regex character classes ('[AEIOU]') and
+    * quoted JSON keys ('"k":…') inside oracle literals, while a naive
+    * split-on-quote would break rules whose match spans a literal
+    * (split(text, ' ')[i]). Placeholders use \\u0001 / \\u0002 sentinels no
+    * oracle contains; the literal regex handles DuckDB's '' escape. */
+  private def outsideLiterals(s: String)(f: String => String): String = {
+    val lit = """'(?:[^']|'')*'""".r
+    val saved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = lit.replaceAllIn(s, m => {
+      saved += m.matched
+      java.util.regex.Matcher.quoteReplacement("\u0001" + (saved.size - 1) + "\u0002")
+    })
+    saved.zipWithIndex.foldLeft(f(masked)) { case (acc, (l, i)) =>
+      acc.replace("\u0001" + i + "\u0002", l)
+    }
+  }
+
+  // one/two/three-level balanced paren bodies for the textual rules
+  private val P1 = """\([^()]*\)"""
+  private val P2 = s"""\\((?:[^()]|$P1)*\\)"""
+  private val P3 = s"""\\((?:[^()]|$P2)*\\)"""
+  // a subscript base: identifier/column ref, optionally a call with
+  // up-to-two-level-nested arguments — covers string_split(text, ' ')[i]
+  private val BASE = s"""([A-Za-z_][A-Za-z0-9_.]*(?:$P2)?)"""
+  // a subscript operand: no top-level commas/colons/brackets (commas
+  // allowed inside nested call parens) — covers i, i + 1, j+7,
+  // len(string_split(text, ' ')) div 2
+  private val IDX = s"""((?:[^\\[\\]():,]|$P2)+)"""
 
   private def rewrite(sql: String, epochNs: String): String = {
     var s = sql
@@ -68,18 +102,38 @@ object OracleEmu {
     s = s.replace("array_to_string(", "array_join(")
     s = s.replace("unnest(", "explode(")
     s = s.replaceAll("""\blen\(""", "size(")
+    // DuckDB list() aggregate (round 10)
+    s = s.replaceAll("""\blist\(DISTINCT\s+""", "collect_set(")
+    s = s.replaceAll("""\blist\(""", "collect_list(")
+    s = s.replaceAll("""\bord\(""", "ascii(")
     s = s.replace("strftime(", "date_format(")
     s = s.replace("'%Y-%m-%d'", "'yyyy-MM-dd'")
-    // prefix list slices expr(...)[1:n] -> slice(expr, 1, n) (one paren
-    // level of nesting; must run before the element-index rewrite)
-    s = s.replaceAll("""(\w+\([^()]*\))\[1:(\d+)\]""", "slice($1, 1, $2)")
-    // 1-based element indexing name[2] / s[i] / s[i+1] -> element_at
-    // (before the list-literal rewrite so [2] isn't turned into array(2));
-    // colon excluded so slice syntax never matches here
-    s = s.replaceAll("""([A-Za-z_][A-Za-z0-9_.]*)\[([A-Za-z0-9_+\- ]+)\]""",
-      "element_at($1, $2)")
-    // numeric list literals [0.0, 0.25] -> array(0.0, 0.25)
-    s = s.replaceAll("""\[([0-9][0-9eE+\-., ]*)\]""", "array($1)")
+    // array type syntax — BEFORE the bracket family, so the empty-list
+    // rule cannot eat the [] of a DOUBLE[] cast
+    s = s.replace("DOUBLE[]", "ARRAY<DOUBLE>")
+    // bracket syntax family — applied OUTSIDE string literals only, so
+    // regex character classes ('[AEIOU]') survive untouched (round 10)
+    s = outsideLiterals(s) { t =>
+      var u = t
+      // slices base[a:b] (DuckDB inclusive both ends) -> slice(base, a,
+      // b - a + 1); general begin/end expressions, one rule (round 10 —
+      // replaces the literal-prefix-only form). Must run before the
+      // element-index rewrite so the colon form is consumed first.
+      u = u.replaceAll(BASE + """\[""" + IDX + ":" + IDX + """\]""",
+        "slice($1, $2, ($3) - ($2) + 1)")
+      // 1-based element indexing base[i] -> try_element_at (round 10:
+      // DuckDB returns NULL out of range where Spark element_at throws,
+      // and DuckDB list indices may be BIGINT where Spark wants INT);
+      // function-call bases (string_split(text, ' ')[i]) now rewrite too
+      // — previously they fell through to Spark's 0-BASED [] subscript
+      u = u.replaceAll(BASE + """\[""" + IDX + """\]""",
+        "try_element_at($1, CAST(($2) AS INT))")
+      // numeric list literals [0.0, 0.25] -> array(0.0, 0.25); empty
+      // list [] -> array() (element type resolved by coercion)
+      u = u.replaceAll("""\[([0-9][0-9eE+\-., ]*)\]""", "array($1)")
+      u = u.replace("[]", "array()")
+      u
+    }
     // regex flags arg (Spark regexp_replace is global by default)
     s = s.replace(", 'g')", ")")
     // DuckDB xor(a, b) -> Spark bitwise ^ (simple args only)
@@ -97,20 +151,22 @@ object OracleEmu {
       "aggregate(zip_with($1, $2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     s = s.replaceAll("""list_dot_product\(([^,()]+), ([^()]+)\)""",
       "aggregate(zip_with($1, $2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-    // range(a, b) is end-exclusive; sequence(a, b) is inclusive. The
-    // textual form (literal start, one paren-nesting level in the end
-    // arg) preserves the argument's integer TYPE — a sequence over INT
-    // yields INT lambda vars for element_at — and stays legal inside
-    // Generate (explode), where a SQL UDF is not; duck_range catches
-    // the rest.
-    s = s.replaceAll("""\brange\((\d+),\s*((?:[^()]|\([^()]*\))*)\)""",
-      "sequence($1, ($2) - 1)")
+    // range(a, b) is end-exclusive AND empty when b <= a; sequence(a, b)
+    // is inclusive and DESCENDS when b < a (sequence(1, 0) = [1, 0]), so
+    // the textual form filters an always-ascending sequence down to the
+    // exclusive bound (round 10 — short documents previously produced a
+    // phantom [1, 0] index list). Literal start, up to three paren
+    // levels in the end arg; preserves the argument's integer TYPE and
+    // stays legal inside Generate (explode), where a SQL UDF is not;
+    // duck_range (same emptiness fix) catches the rest.
+    val ARG = s"""((?:[^(),]|$P3)+)"""
+    s = s.replaceAll("""\brange\(""" + ARG + """,\s*""" + ARG + """\)""",
+      "filter(sequence(($1), greatest(($2) - 1, ($1))), __rv -> __rv < ($2))")
     s = s.replaceAll("""\brange\(""", "duck_range(")
-    // array type syntax
-    s = s.replace("DOUBLE[]", "ARRAY<DOUBLE>")
-    // ANSI double-quoted identifiers (DuckDB) -> backticks (Spark);
-    // oracle string literals are single-quoted, so this is unambiguous
-    s = s.replaceAll("\"([A-Za-z_][A-Za-z0-9_]*)\"", "`$1`")
+    // ANSI double-quoted identifiers (DuckDB) -> backticks (Spark) —
+    // outside single-quoted literals only (round 10: a quoted JSON key
+    // like '"k":…' inside a regex literal must survive untouched)
+    s = outsideLiterals(s)(_.replaceAll("\"([A-Za-z_][A-Za-z0-9_]*)\"", "`$1`"))
     // two-arg regexp_extract_all: DuckDB defaults to group 0 (whole
     // match), Spark to group 1 — make group 0 explicit (pattern arg is
     // a quoted literal in every oracle)
@@ -121,121 +177,23 @@ object OracleEmu {
     s
   }
 
-  /** Oracles whose DuckDB form uses list functions get a hand-written
-    * Spark-SQL equivalent here (same semantics, Spark dialect). */
+  /** The IRREDUCIBLE overrides (round 10: 13 -> 3): oracles whose DuckDB
+    * form uses constructs Spark SQL structurally lacks, so no textual
+    * rewrite can replay them — each survivor documents why.
+    *
+    *  - q48: DuckDB `ASOF JOIN` syntax. Spark has no ASOF join operator
+    *    in SQL; the override replays the semantics with the union +
+    *    last_value(ignore nulls) window formulation.
+    *  - q81: two PARALLEL `unnest()` generators in one SELECT (DuckDB
+    *    zips them positionally) plus `string_agg(... ORDER BY ...)`
+    *    inside an aggregate; Spark allows one generator per SELECT, so
+    *    the override uses posexplode + a sorted collect_list.
+    *  - q83: a fully general recursive-CTE transitive closure. Spark's
+    *    recursive CTE accepts only UNION ALL (no fixpoint dedup), so the
+    *    override unrolls min-label propagation to the fixture's known
+    *    diameter (exact here: components span <= 2 hops by construction).
+    */
   private val overrides: Map[String, String] = Map(
-    "q103_containment" -> """
-      WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-      ex AS (SELECT doc_id + 20000000 AS doc_id,
-                    concat_ws(' ', slice(split(text, ' '), 1, CAST(size(split(text, ' ')) DIV 2 AS INT))) AS text
-             FROM b0),
-      u AS (SELECT doc_id, text FROM b0 UNION ALL SELECT doc_id, text FROM ex),
-      sh0 AS (SELECT doc_id,
-                array_distinct(IF(size(split(text, ' ')) >= 3,
-                  transform(sequence(1, size(split(text, ' ')) - 2),
-                    i -> concat_ws(' ', element_at(split(text, ' '), i),
-                                   element_at(split(text, ' '), i + 1),
-                                   element_at(split(text, ' '), i + 2))),
-                  CAST(array() AS ARRAY<STRING>))) AS sh
-              FROM u),
-      s AS (SELECT doc_id, sh, size(sh) AS m FROM sh0 WHERE size(sh) > 0),
-      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                   CAST((size(array_intersect(a.sh, b.sh)) * CAST(1000000 AS BIGINT)) DIV a.m AS DOUBLE) / 1000000 AS containment
-            FROM s a JOIN s b ON a.doc_id <> b.doc_id)
-      SELECT a_id, b_id, containment FROM p WHERE containment >= 0.5
-      ORDER BY a_id, b_id""",
-    "q33_minhash_lsh" -> """
-      WITH s0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10000000 < 250),
-      u AS (SELECT doc_id, text FROM s0 UNION ALL SELECT doc_id + 10000000, text FROM s0),
-      base AS (
-        SELECT doc_id, text,
-          array_distinct(IF(size(split(text, ' ')) >= 3,
-            transform(sequence(1, size(split(text, ' ')) - 2),
-              i -> concat_ws(' ', element_at(split(text, ' '), i),
-                             element_at(split(text, ' '), i + 1),
-                             element_at(split(text, ' '), i + 2))),
-            CAST(array() AS ARRAY<STRING>))) AS sh
-        FROM u),
-      p AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          CAST(size(filter(a.sh, x -> array_contains(b.sh, x))) AS DOUBLE) /
-          (size(a.sh) + size(b.sh) - size(filter(a.sh, x -> array_contains(b.sh, x)))) AS j,
-          (md5(a.text) = md5(b.text)) AS ident
-        FROM base a JOIN base b ON b.doc_id > a.doc_id)
-      SELECT CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_slice,
-             CAST(SUM(CASE WHEN ident THEN 1 ELSE 0 END) AS BIGINT) AS n_identical_slice,
-             TRUE AS precision_exact, TRUE AS identical_all_found, TRUE AS recall_ok
-      FROM p""",
-    "q23_json_extract" -> """
-      WITH t AS (SELECT CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT) AS k, value FROM events)
-      SELECT k % 10 AS k_mod, CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(AVG(value), 4) AS avg_value,
-             MIN(k) AS min_k, MAX(k) AS max_k
-      FROM t GROUP BY k % 10 ORDER BY k_mod""",
-    "q32_ngram_jaccard" -> """
-      WITH base AS (
-        SELECT doc_id, source,
-          array_distinct(IF(size(split(text, ' ')) >= 3,
-            transform(sequence(1, size(split(text, ' ')) - 2),
-              i -> concat_ws(' ', element_at(split(text, ' '), i),
-                             element_at(split(text, ' '), i + 1),
-                             element_at(split(text, ' '), i + 2))),
-            CAST(array() AS ARRAY<STRING>))) AS sh
-        FROM documents),
-      pairs AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          ROUND(CAST(size(filter(a.sh, x -> array_contains(b.sh, x))) AS DOUBLE) /
-                (size(a.sh) + size(b.sh) - size(filter(a.sh, x -> array_contains(b.sh, x)))), 4) AS jaccard
-        FROM base a JOIN base b ON a.source = b.source AND b.doc_id > a.doc_id
-        WHERE a.doc_id % 25 = 0),
-      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a_id, b_id) AS rn FROM pairs)
-      SELECT a_id, b_id, jaccard, CAST(rn AS INT) AS rn FROM r WHERE rn <= 20 ORDER BY rn""",
-    "q93_span_dedup" -> """
-      WITH aug AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 4 = 1 THEN concat(text, ' subscribe to our newsletter now for daily updates and offers')
-                    WHEN doc_id % 4 = 3 THEN concat(text, ' all rights reserved terms of service apply to this content')
-                    ELSE text END AS t
-        FROM documents),
-      tk AS (SELECT doc_id, split(t, ' ') AS toks, size(split(t, ' ')) AS m FROM aug),
-      g AS (SELECT doc_id, toks, m,
-              IF(m >= 8, transform(sequence(1, m - 7), j -> concat_ws(' ', slice(toks, j, 8))),
-                 CAST(array() AS ARRAY<STRING>)) AS grams
-            FROM tk),
-      ex AS (SELECT doc_id, explode(grams) AS gram FROM g),
-      dup AS (SELECT gram FROM ex GROUP BY gram HAVING COUNT(*) >= 2),
-      hits AS (SELECT e.doc_id, collect_set(e.gram) AS hs
-               FROM (SELECT DISTINCT doc_id, gram FROM ex) e JOIN dup USING (gram)
-               GROUP BY e.doc_id),
-      cov AS (SELECT g.doc_id, g.toks, g.m, g.grams,
-                     coalesce(h.hs, CAST(array() AS ARRAY<STRING>)) AS hs
-              FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id),
-      cl AS (SELECT doc_id, m,
-               IF(m < 8, sequence(1, m),
-                 filter(sequence(1, m),
-                   i -> size(filter(sequence(greatest(1, i - 7), least(i, m - 7)),
-                            j -> array_contains(hs, element_at(grams, j)))) = 0)) AS keep_pos
-             FROM cov)
-      SELECT cl.doc_id, CAST(cl.m AS INT) AS n_tokens,
-             CAST(cl.m - size(keep_pos) AS INT) AS n_removed,
-             md5(concat_ws(' ', transform(keep_pos, i -> element_at(cov.toks, i)))) AS cleaned_md5
-      FROM cl JOIN cov ON cl.doc_id = cov.doc_id
-      ORDER BY cl.doc_id""",
-    "q98_bigram_ppl" -> """
-      WITH tk AS (SELECT doc_id, split(text, ' ') AS toks, size(split(text, ' ')) AS m FROM documents),
-      tk2 AS (SELECT * FROM tk WHERE m >= 2),
-      bi AS (SELECT doc_id, p.w1 AS w1, p.bg AS bg
-             FROM tk2 LATERAL VIEW explode(transform(sequence(1, m - 1),
-               i -> named_struct('w1', element_at(toks, i),
-                                 'bg', concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))))) x AS p),
-      bgc AS (SELECT bg, COUNT(*) AS c_bg FROM bi GROUP BY bg),
-      uc AS (SELECT explode(toks) AS w1 FROM tk),
-      unic AS (SELECT w1, COUNT(*) AS c_w1 FROM uc GROUP BY w1),
-      v AS (SELECT COUNT(*) AS v FROM unic),
-      sc AS (SELECT bi.doc_id,
-               -ln((bgc.c_bg + 1) / CAST(unic.c_w1 + v.v AS DOUBLE)) / ln(2) AS nll
-             FROM bi JOIN bgc USING (bg) JOIN unic USING (w1) CROSS JOIN v)
-      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams, ROUND(AVG(nll), 6) AS nll_r
-      FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q48_asof_join" -> """
       WITH ords AS (
         SELECT o_orderkey, o_custkey, unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS ord_sec, o_totalprice,
@@ -256,31 +214,6 @@ object OracleEmu {
             FROM u)
       SELECT event_id, k AS user_id, last_orderkey, last_totalprice
       FROM w WHERE side = 1 ORDER BY event_id""",
-    "q71_corpus_curation" -> """
-      WITH base AS (
-        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ')) AS fp,
-               size(split(text, ' ')) AS n_tokens,
-               size(array_distinct(split(text, ' '))) AS n_distinct,
-               size(filter(split(text, ' '), t -> t IN ('the','a','of','and','to'))) AS s_en,
-               size(filter(split(text, ' '), t -> t IN ('el','la','de','y','que'))) AS s_es,
-               size(filter(split(text, ' '), t -> t IN ('le','la','et','les','des'))) AS s_fr,
-               size(filter(split(text, ' '), t -> t IN ('der','die','und','das','ein'))) AS s_de
-        FROM documents),
-      lang AS (SELECT *, CASE
-                 WHEN s_en >= greatest(s_en, s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
-                 WHEN s_es >= greatest(s_en, s_es, s_fr, s_de) AND s_es > 0 THEN 'es'
-                 WHEN s_fr >= greatest(s_en, s_es, s_fr, s_de) AND s_fr > 0 THEN 'fr'
-                 WHEN s_de >= greatest(s_en, s_es, s_fr, s_de) AND s_de > 0 THEN 'de'
-                 ELSE 'und' END AS lang_pred
-               FROM base),
-      dedup AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM lang)
-      SELECT doc_id, fp, CAST(n_tokens AS INT) AS n_tokens
-      FROM dedup
-      WHERE doc_id = keep_id
-        AND n_tokens >= 20 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
-        AND lang_pred = 'en'
-        AND ((doc_id * 2654435761) % 4294967296) < 2147483648
-      ORDER BY doc_id""",
     "q81_line_dedup" -> """
       WITH aug AS (SELECT doc_id,
           concat(text, char(10), text, char(10), 'tail marker ', CAST(doc_id AS STRING)) AS t
@@ -294,81 +227,6 @@ object OracleEmu {
              md5(concat_ws(char(10),
                transform(array_sort(collect_list(struct(fpos, line))), s -> s.line))) AS dedup_md5
       FROM f GROUP BY doc_id ORDER BY doc_id""",
-    "q43_multimodal_decode" -> """
-      SELECT doc_id,
-             aggregate(transform(sequence(0, 7),
-               i -> CAST(ascii(substring(text, ((i * 31) % length(text)) + 1, 1)) AS BIGINT)),
-               0L, (acc, x) -> acc + x) AS byte_sum,
-             8 AS feature_dim
-      FROM documents ORDER BY doc_id""",
-    "q84_repetition_profile" -> """
-      WITH aug AS (SELECT doc_id,
-          concat(text, char(10),
-                 CASE WHEN doc_id % 3 = 0 THEN text
-                      ELSE concat('tail marker ', CAST(doc_id AS STRING)) END,
-                 char(10), 'end ', CAST(doc_id % 7 AS STRING)) AS t
-        FROM documents),
-      lines AS (SELECT doc_id, line AS key FROM aug
-                LATERAL VIEW explode(split(t, char(10))) x AS line),
-      lcnt AS (SELECT doc_id, key, COUNT(*) AS cnt FROM lines GROUP BY doc_id, key),
-      lagg AS (SELECT doc_id, SUM(cnt) AS n_l, COUNT(*) AS u_l,
-                      SUM(cnt * length(key)) AS lch,
-                      SUM(CASE WHEN cnt >= 2 THEN cnt * length(key) ELSE 0L END) AS dlch
-               FROM lcnt GROUP BY doc_id),
-      toks AS (SELECT doc_id, split(replace(t, char(10), ' '), ' ') AS tk FROM aug),
-      g2 AS (SELECT doc_id, g AS key FROM toks
-             LATERAL VIEW explode(IF(size(tk) >= 2,
-               transform(sequence(1, size(tk) - 1),
-                 i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1))),
-               CAST(array() AS ARRAY<STRING>))) x AS g),
-      g2c AS (SELECT doc_id, key, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, key),
-      g2a AS (SELECT doc_id, MAX(cnt) AS g2m, SUM(cnt) AS g2t FROM g2c GROUP BY doc_id),
-      g3 AS (SELECT doc_id, g AS key FROM toks
-             LATERAL VIEW explode(IF(size(tk) >= 3,
-               transform(sequence(1, size(tk) - 2),
-                 i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))),
-               CAST(array() AS ARRAY<STRING>))) x AS g),
-      g3c AS (SELECT doc_id, key, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, key),
-      g3a AS (SELECT doc_id, SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0L END) AS g3r,
-                     SUM(cnt) AS g3t FROM g3c GROUP BY doc_id),
-      m AS (SELECT l.doc_id, CAST(n_l AS INT) AS n_lines,
-                   CAST(n_l - u_l AS DOUBLE) / n_l AS dup_line_frac,
-                   CAST(dlch AS DOUBLE) / lch AS dup_line_char_frac,
-                   coalesce(CAST(g2m AS DOUBLE) / g2t, 0D) AS top_2gram_frac,
-                   coalesce(CAST(g3r AS DOUBLE) / g3t, 0D) AS rep_3gram_frac
-            FROM lagg l LEFT JOIN g2a USING (doc_id) LEFT JOIN g3a USING (doc_id))
-      SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
-             top_2gram_frac, rep_3gram_frac,
-             CAST(dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.3 AND
-                  top_2gram_frac <= 0.2 AND rep_3gram_frac <= 0.18 AS INT) AS pass_gate
-      FROM m ORDER BY doc_id""",
-    "q85_decontaminate" -> """
-      WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
-      btok AS (SELECT split(text, ' ') AS tk FROM bench),
-      bg AS (SELECT DISTINCT g AS gram FROM btok
-             LATERAL VIEW explode(IF(size(tk) >= 5,
-               transform(sequence(1, size(tk) - 4),
-                 i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-                                element_at(tk, i + 2), element_at(tk, i + 3), element_at(tk, i + 4))),
-               CAST(array() AS ARRAY<STRING>))) x AS g),
-      aug AS (SELECT d.doc_id,
-                CASE WHEN d.doc_id % 7 = 3
-                     THEN concat(d.text, ' ', concat_ws(' ', slice(split(b.text, ' '), 1, 5)))
-                     ELSE d.text END AS t
-              FROM documents d JOIN bench b ON b.doc_id = (d.doc_id DIV 50) * 50
-              WHERE d.doc_id % 50 <> 0),
-      dtok AS (SELECT doc_id, split(t, ' ') AS tk FROM aug),
-      dg AS (SELECT doc_id, array_distinct(IF(size(tk) >= 5,
-               transform(sequence(1, size(tk) - 4),
-                 i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-                                element_at(tk, i + 2), element_at(tk, i + 3), element_at(tk, i + 4))),
-               CAST(array() AS ARRAY<STRING>))) AS gs
-             FROM dtok),
-      x AS (SELECT doc_id, size(gs) AS n_grams, gram FROM dg
-            LATERAL VIEW explode(gs) e AS gram)
-      SELECT x.doc_id, CAST(COUNT(*) AS INT) AS n_hits,
-             CAST(MIN(n_grams) AS INT) AS n_grams
-      FROM x JOIN bg USING (gram) GROUP BY x.doc_id ORDER BY x.doc_id""",
     // Spark's recursive CTE only accepts UNION ALL, which cannot close a
     // cyclic reachability set, so the closure is UNROLLED min-label
     // propagation. Exact here, not approximate: q83's edges live inside
@@ -456,7 +314,10 @@ object OracleEmu {
             val bad = variants.flatMap { case (tag, vsql) =>
               val exp =
                 try Right(canon(spark.sql(vsql)))
-                catch { case e: Exception => Left(s"$tag: SQL error ${e.getMessage.take(200)}") }
+                catch { case e: Exception =>
+                  if (sys.env.contains("EMU_PRINT_SQL")) println(s"[emu] SQL $tag: $vsql")
+                  Left(s"$tag: SQL error ${e.getClass.getSimpleName} " +
+                    Option(e.getMessage).getOrElse("").take(250)) }
               exp match {
                 case Left(err) => Some(err)
                 case Right(rows) => diff(actual, rows).map(d => s"$tag: $d")
