@@ -643,25 +643,25 @@ object TextQueries {
             if (whFs.exists(loc)) whFs.delete(loc, true)
           }
         val docsDf = docs(s, d).select(col("doc_id"), col("text"))
-        val corpus = docsDf.filter(col("doc_id") % 2 === 0)
-        val shard = docsDf.filter(col("doc_id") % 2 === 1)
+        val corpus = docsDf.filter(col("doc_id") % 4 === 0)
+        val shard = docsDf.filter(col("doc_id") % 4 === 1)
         Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"),
           "q112mh", buckets = 8)
         val sIdx = Dedup.minhashIndex(shard, "doc_id", "text")
         Tombstones.add(corpus.filter(col("doc_id") % 8 === 0).select("doc_id"),
           "doc_id", "q112mh")
         val logical = Dedup.minhashLshPairsIncremental(sIdx,
-            Dedup.loadMinhashIndex(s, "q112mh"), threshold = 0.5)
+            Dedup.loadMinhashIndex(s, "q112mh"), threshold = 0.8)
           .select("a_id", "b_id", "jaccard").localCheckpoint(true)
         val rebuilt = Dedup.minhashLshPairsIncremental(sIdx,
             Dedup.minhashIndex(corpus.filter(col("doc_id") % 8 =!= 0),
-              "doc_id", "text"), threshold = 0.5)
+              "doc_id", "text"), threshold = 0.8)
           .select("a_id", "b_id", "jaccard").localCheckpoint(true)
         val deadPairs = logical
           .filter(col("a_id") % 8 === 0 || col("b_id") % 8 === 0).count()
         Tombstones.compactMinhash(s, "q112mh") // buckets from family meta
         val physical = Dedup.minhashLshPairsIncremental(sIdx,
-            Dedup.loadMinhashIndex(s, "q112mh"), threshold = 0.5)
+            Dedup.loadMinhashIndex(s, "q112mh"), threshold = 0.8)
           .select("a_id", "b_id", "jaccard").localCheckpoint(true)
         def sameSet(a: org.apache.spark.sql.DataFrame,
                     b: org.apache.spark.sql.DataFrame): Boolean =
@@ -703,7 +703,7 @@ object TextQueries {
       oracle = Some("""
         SELECT
           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
-            WHERE doc_id % 2 = 0 AND doc_id % 8 <> 0) AS n_corpus_live,
+            WHERE doc_id % 4 = 0 AND doc_id % 8 <> 0) AS n_corpus_live,
           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
             WHERE vec_id % 8 <> 0
               AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0) AS n_codes_live,
