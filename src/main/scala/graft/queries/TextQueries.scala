@@ -712,6 +712,43 @@ object TextQueries {
           TRUE AS tombstones_cleared""")),
 
     // ----------------------------------------------------------------
+    // q114: JSONL lifecycle (round 10) — the corpus-interchange format a
+    // real LLM pipeline ships between stages (crawl dumps / filtered
+    // shards are JSONL), exercised end-to-end INSIDE the hashed query
+    // (the q99 discipline, on documents): the corpus is written as gzip
+    // JSONL (one object per line, one file per partition — the 100 TB
+    // shard shape), re-read with an EXPLICIT schema (no inference pass),
+    // and profiled per source; the oracle computes the same profile from
+    // the parquet table directly, so any escaping/encoding/truncation
+    // corruption in the round trip flips the hash. n_distinct pins the
+    // text content exactly (distinct md5), sum_id the id column,
+    // n_tokens/n_chars the text body.
+    "q114_jsonl_lifecycle" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.types._
+        val df = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+        val sink = java.nio.file.Files.createTempDirectory("q114_jsonl").toString + "/docs"
+        graft.operators.Jsonl.write(df, sink)
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("source", StringType), StructField("text", StringType)))
+        val back = graft.operators.Jsonl.read(s, sink, schema)
+        back.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ----------------------------------------------------------------
     // q47: batch sessionization — lag + cumulative-sum session ids, the
     // engine-portable formulation (native session_window equivalence is
     // pinned in ScalaTest). 30-minute inactivity gap over epoch nanos.

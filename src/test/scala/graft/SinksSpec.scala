@@ -69,4 +69,41 @@ class SinksSpec extends AnyFunSuite {
     val ub = train.unionByName(test, allowMissingColumns = true)
     assert(ub.count() == 2 && ub.filter(col("b").isNull).count() == 1)
   }
+
+  test("JSONL sink/source roundtrips losslessly, including escapes, unicode and gzip") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // adversarial strings: quotes, backslashes, embedded newline/tab,
+    // unicode beyond the BMP, leading/trailing spaces, empty string —
+    // a JSONL hop in a dedup pipeline must not perturb any byte
+    val rows = Seq(
+      (1L, "a", """he said "hi" \ and left"""),
+      (2L, "a", "line one\nline two\ttabbed"),
+      (3L, "b", "emoji 😃 and accents éü"),
+      (4L, "b", "  padded  "),
+      (5L, "c", ""))
+    val df = rows.toDF("doc_id", "source", "text")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    for (compress <- Seq(true, false)) {
+      val out = tmp("jsonl_sink") + s"/docs_$compress"
+      graft.operators.Jsonl.write(df, out, compress)
+      if (compress) {
+        val files = new java.io.File(out).listFiles().map(_.getName)
+        assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+      }
+      val back = graft.operators.Jsonl.read(spark, out, schema)
+      assert(back.schema == schema)
+      val a = df.orderBy("doc_id").collect().map(_.toSeq)
+      val b = back.orderBy("doc_id").collect().map(_.toSeq)
+      assert(a.sameElements(b), s"roundtrip diverged (compress=$compress)")
+    }
+    // explicit-schema column pruning: a 2-column read parses only the
+    // requested fields — no inference pass, no full-row materialization
+    val out2 = tmp("jsonl_sink") + "/pruned"
+    graft.operators.Jsonl.write(df, out2)
+    val two = graft.operators.Jsonl.read(spark, out2,
+      StructType(Seq(StructField("doc_id", LongType), StructField("source", StringType))))
+    assert(two.columns.toSeq == Seq("doc_id", "source") && two.count() == 5)
+  }
 }
