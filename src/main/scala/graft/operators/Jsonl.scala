@@ -30,4 +30,17 @@ object Jsonl {
     * compression is detected from the file extension. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Streaming twin of [[read]]: watch a LANDING DIRECTORY of JSONL
+    * shards — the arrival shape of a real corpus pipeline, where each
+    * finished crawl/filter shard is dropped into a prefix — as a
+    * Structured Streaming file source (explicit schema, up to
+    * `maxFilesPerTrigger` shards per micro-batch). Feeds the
+    * [[graft.streaming.IngestLoop]] family directly: each landed shard
+    * becomes one indexing/pair-mining micro-batch (pinned end-to-end in
+    * IngestLoopSpec). */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+                 maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).json(path)
 }

@@ -91,6 +91,47 @@ class IngestLoopSpec extends AnyFunSuite {
     } finally drop("ing_mh_bands", "ing_mh_shingles", "ing_mh_meta")
   }
 
+  test("a JSONL landing directory drives the MinHash ingest loop end-to-end") {
+    import org.apache.spark.sql.types._
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    // land three gzip JSONL shards (the real arrival shape: a finished
+    // shard file dropped into the prefix), one micro-batch each
+    val landing = java.nio.file.Files.createTempDirectory("jl_landing").toString
+    (0 until 3).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory("jl_shard").toString
+      graft.operators.Jsonl.write(
+        corpus.filter(col("doc_id") % 3 === i).coalesce(1), tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".json.gz")).head.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(landing, s"shard$i.json.gz"))
+      Thread.sleep(1100) // distinct mod-time second: one file per trigger
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val pairsDir = java.nio.file.Files.createTempDirectory("jl_pairs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("jl_ckpt").toString
+    try {
+      val q = IngestLoop.minhashIngest(
+        graft.operators.Jsonl.readStream(spark, landing, schema),
+        "doc_id", "text", prefix = "ing_jl", pairsDir = pairsDir,
+        checkpointDir = ckpt)
+      q.awaitTermination()
+      val batchDirs = new java.io.File(pairsDir).listFiles()
+        .filter(_.getName.startsWith("ingest_batch=")).map(_.getName)
+      assert(batchDirs.length >= 3, s"expected >=3 micro-batches, got ${batchDirs.toSeq}")
+      // the JSONL hop must not perturb a single byte: the accumulated
+      // pair set equals one batch run over the in-memory corpus
+      val streamed = spark.read.parquet(pairsDir).select("a_id", "b_id", "jaccard")
+      val full = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(full).count() == 0 &&
+        full.exceptAll(streamed).count() == 0,
+        "JSONL-landed pair union diverges from the batch full run")
+    } finally drop("ing_jl_bands", "ing_jl_shingles", "ing_jl_meta")
+  }
+
   test("streamed sign-LSH embedding ingestion over >=3 micro-batches == one batch full run") {
     import graft.operators.Similarity
     val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
