@@ -17,6 +17,42 @@ object TextAnalysis {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))
 
+  /** Split each document into OVERLAPPING token windows — the standard
+    * pre-embedding step of a retrieval/dedup pipeline (docs → windows →
+    * embed → [[Similarity]] / q90-style pooling back to docs). Windows
+    * start every `window − overlap` tokens; the LAST window is
+    * right-aligned at the document tail (start = m − window + 1), so
+    * every token is covered and no chunk exceeds `window` tokens — the
+    * common right-aligned chunker, not a tail-dropping one. A document
+    * shorter than one window yields exactly one chunk of itself.
+    *
+    * Pure integer expression arithmetic (chunk count and starts are
+    * engine-exact — no floating ceil), one posexplode as the only
+    * generator: per-row work is O(chunks), no shuffle, stays in
+    * whole-stage codegen on a corpus scan.
+    *
+    * Returns (idCol, chunk_idx int, n_tokens int, chunk_text). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"chunkTokens needs 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    val withCount = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__m", size(col("__toks")))
+      // n = 1 + ceil(max(m - window, 0) / stride), in exact integer form
+      .withColumn("__n",
+        expr(s"1 + (greatest(__m - $window, 0) + ${stride - 1}) div $stride"))
+    val starts = transform(sequence(lit(0), col("__n") - 1),
+      k => least(lit(1) + k * stride, greatest(col("__m") - window + 1, lit(1))))
+    withCount
+      .select(col(idCol), col("__toks"), col("__m"),
+        posexplode(starts).as(Seq("chunk_idx", "__st")))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        least(lit(window), col("__m") - col("__st") + 1).cast("int").as("n_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("__st"), lit(window))).as("chunk_text"))
+  }
+
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
 

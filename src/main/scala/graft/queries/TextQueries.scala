@@ -749,6 +749,33 @@ object TextQueries {
         FROM documents GROUP BY source ORDER BY source""")),
 
     // ----------------------------------------------------------------
+    // q115: overlapping token-window chunking (round 10) — the standard
+    // pre-embedding step (docs → windows → embed → q90 pools back).
+    // 32-token windows, 8-token overlap (stride 24), last window
+    // RIGHT-ALIGNED at the tail so every token is covered and no chunk
+    // exceeds the window; chunk count and starts are exact integer
+    // arithmetic, so DuckDB reproduces the full (idx, size, text) set
+    // row for row. One posexplode is the only generator — the per-row
+    // O(chunks) projection shape that survives a corpus scan.
+    "q115_chunking" -> QueryDef(
+      fn = (s, d) =>
+        TextAnalysis.chunkTokens(docs(s, d), "doc_id", "text",
+            window = 32, overlap = 8)
+          .orderBy("doc_id", "chunk_idx"),
+      oracle = Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                           len(string_split(text, ' ')) AS m FROM documents),
+        c AS (SELECT doc_id, toks, m,
+                     1 + (greatest(m - 32, 0) + 23) // 24 AS n FROM tk),
+        s AS (SELECT doc_id, toks, m, unnest(range(0, n)) AS k FROM c),
+        w AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+                     least(1 + k * 24, greatest(m - 31, 1)) AS st, toks, m FROM s)
+        SELECT doc_id, chunk_idx,
+               CAST(least(32, m - st + 1) AS INTEGER) AS n_tokens,
+               array_to_string(toks[st:st+31], ' ') AS chunk_text
+        FROM w ORDER BY doc_id, chunk_idx""")),
+
+    // ----------------------------------------------------------------
     // q47: batch sessionization — lag + cumulative-sum session ids, the
     // engine-portable formulation (native session_window equivalence is
     // pinned in ScalaTest). 30-minute inactivity gap over epoch nanos.

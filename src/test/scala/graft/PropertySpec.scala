@@ -286,4 +286,37 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunkTokens: full coverage, bounded windows, exact stride, right-aligned tail") {
+    import graft.operators.TextAnalysis
+    for {
+      m <- Seq(1, 3, 5, 31, 32, 33, 64, 100)
+      (w, o) <- Seq((32, 8), (4, 3), (7, 0), (10, 9), (5, 2))
+    } {
+      val stride = w - o
+      val text = (1 to m).map(i => s"t$i").mkString(" ")
+      val out = TextAnalysis.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", w, o)
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+      val label = s"m=$m w=$w o=$o"
+      // chunk indexes are dense from 0
+      assert(out.map(_._1).toSeq == out.indices.toSeq, label)
+      // each chunk's text has exactly n_tokens tokens, none exceeding w
+      out.foreach { case (_, n, t) =>
+        assert(n <= w && t.split(" ").length == n, s"$label: $n vs '$t'") }
+      // starts advance by exactly `stride` except the right-aligned last
+      val starts = out.map(_._3.split(" ").head.drop(1).toInt)
+      starts.sliding(2).foreach { case Array(a, b) =>
+        assert(b - a <= stride && b > a, s"$label: starts ${starts.toSeq}")
+      case _ => () }
+      // every token covered; last window ends exactly at the tail
+      val covered = out.flatMap { case (_, n, t) =>
+        val st = t.split(" ").head.drop(1).toInt; st until (st + n) }.toSet
+      assert(covered == (1 to m).toSet, s"$label: coverage ${covered.size}/$m")
+      assert(starts.last + out.last._2 - 1 == m, label)
+      // a doc shorter than one window is exactly one chunk of itself
+      if (m <= w) assert(out.length == 1 && out.head._3 == text, label)
+    }
+  }
 }
