@@ -149,7 +149,7 @@ class TombstoneSpec extends AnyFunSuite {
     } finally drop("tb_il_bands", "tb_il_shingles", "tb_il_meta", "tb_il_tombstones")
   }
 
-  test("SimHash / containment / sign-LSH: load filters tombstones; compact is physical") {
+  test("SimHash / containment / sign-LSH / SemDeDup: load filters tombstones; compact is physical") {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
       .limit(300)
     val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -159,6 +159,8 @@ class TombstoneSpec extends AnyFunSuite {
       "tb_ct", buckets = 8)
     Similarity.saveEmbedIndex(Similarity.embedIndex(embs, "vec_id", "embedding"),
       "tb_em", buckets = 8)
+    Similarity.saveSemIndex(Similarity.semIndex(embs, "vec_id", "embedding",
+      threshold = 0.9), "tb_sm", buckets = 8)
     try {
       val deadDocs = docs.filter(col("doc_id") % 5 === 0)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
@@ -167,6 +169,7 @@ class TombstoneSpec extends AnyFunSuite {
       Tombstones.add(idsDf(deadDocs, "doc_id"), "doc_id", "tb_sh")
       Tombstones.add(idsDf(deadDocs, "doc_id"), "doc_id", "tb_ct")
       Tombstones.add(idsDf(deadVecs, "vec_id"), "vec_id", "tb_em")
+      Tombstones.add(idsDf(deadVecs, "vec_id"), "vec_id", "tb_sm")
       assert(Dedup.loadSimhashIndex(spark, "tb_sh").chunked
         .filter(col("doc_id").isin(deadDocs: _*)).count() == 0)
       val ct = Dedup.loadContainmentIndex(spark, "tb_ct")
@@ -175,10 +178,14 @@ class TombstoneSpec extends AnyFunSuite {
       val em = Similarity.loadEmbedIndex(spark, "tb_em")
       assert(em.vecs.filter(col("id").isin(deadVecs: _*)).count() == 0 &&
         em.hashed.filter(col("id").isin(deadVecs: _*)).count() == 0)
-      Tombstones.compactSimhash(spark, "tb_sh", buckets = 8)
-      Tombstones.compactContainment(spark, "tb_ct", buckets = 8)
-      Tombstones.compactEmbed(spark, "tb_em", buckets = 8)
-      Seq("tb_sh", "tb_ct", "tb_em").foreach(p =>
+      assert(Similarity.loadSemIndex(spark, "tb_sm").docs
+        .filter(col("id").isin(deadVecs: _*)).count() == 0)
+      // compaction defaults to the meta-recorded bucket count (round 10)
+      Tombstones.compactSimhash(spark, "tb_sh")
+      Tombstones.compactContainment(spark, "tb_ct")
+      Tombstones.compactEmbed(spark, "tb_em")
+      Tombstones.compactSem(spark, "tb_sm")
+      Seq("tb_sh", "tb_ct", "tb_em", "tb_sm").foreach(p =>
         assert(!spark.catalog.tableExists(s"${p}_tombstones")))
       assert(spark.table("tb_sh_chunked")
         .filter(col("doc_id").isin(deadDocs: _*)).count() == 0)
@@ -186,9 +193,12 @@ class TombstoneSpec extends AnyFunSuite {
         .filter(col("id").isin(deadDocs: _*)).count() == 0)
       assert(spark.table("tb_em_vecs")
         .filter(col("id").isin(deadVecs: _*)).count() == 0)
+      assert(spark.table("tb_sm_docs")
+        .filter(col("id").isin(deadVecs: _*)).count() == 0)
     } finally drop("tb_sh_chunked", "tb_sh_meta", "tb_sh_tombstones",
       "tb_ct_base", "tb_ct_posting", "tb_ct_meta", "tb_ct_tombstones",
-      "tb_em_vecs", "tb_em_hashed", "tb_em_meta", "tb_em_tombstones")
+      "tb_em_vecs", "tb_em_hashed", "tb_em_meta", "tb_em_tombstones",
+      "tb_sm_docs", "tb_sm_meta", "tb_sm_tombstones")
   }
 
   test("filter refuses past the broadcast budget, naming compact* as the remedy") {
