@@ -644,7 +644,10 @@ object TextQueries {
           }
         val docsDf = docs(s, d).select(col("doc_id"), col("text"))
         val corpus = docsDf.filter(col("doc_id") % 4 === 0)
-        val shard = docsDf.filter(col("doc_id") % 4 === 1)
+        // ingestion-shaped shard (q101's ratio): a batch is small relative
+        // to the corpus — the three mining legs pay O(shard), keeping the
+        // query's cost where it belongs (family build + compaction)
+        val shard = docsDf.filter(col("doc_id") % 40 === 1)
         Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"),
           "q112mh", buckets = 8)
         val sIdx = Dedup.minhashIndex(shard, "doc_id", "text")
