@@ -43,25 +43,33 @@ object Bench {
     // passes revisit every query after the rest of the catalog ran, so a
     // hiccup in one pass is corrected by the other; the per-query MINIMUM
     // is the steady-state number the warmup pass was already aiming for.
+    // Round-11 advisory fixes: (a) a pass where the query THREW no longer
+    // records its fast-failure time as the min — failed iterations are
+    // excluded, and a query with zero successful passes reports -1 (a
+    // loud sentinel, not a phantom speedup) and is excluded from the
+    // total; (b) the emitted JSON records the pass count, so a reader
+    // knows the totals are per-query minima over `passes` interleaved
+    // passes (comparable to r10+, NOT to the single-pass r1-r9 records).
     val passes = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val best = scala.collection.mutable.Map.empty[String, Double]
     (1 to passes).foreach { _ =>
       SparkEntry.benchQueries.foreach { name =>
         val t0 = System.nanoTime()
-        try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { qmap(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
       }
     }
-    val results = best.toMap
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val results = SparkEntry.benchQueries.map(n => n -> best.getOrElse(n, -1.0)).toMap
+    val total = results.values.filter(_ >= 0).sum
     // Full-name per-query line, opt-in (SPARK_GRAFT_BENCH_FULL=1): used
     // when capturing the committed bench/r*_sf*.json pair.
     if (sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")) {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
     }
     // The driver captures only the last ~2000 chars of stdout and parses
     // the JSON line from that tail (BENCH_r06: rc=0 but parsed:null — the
@@ -78,7 +86,7 @@ object Bench {
       "bench short-key collision: two catalog entries share a qNN prefix")
     val qsShort = results.map { case (k, v) => s"\"" + k.split("_")(0) + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,"queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,16 +64,58 @@ object Tombstones {
       case None => df
       case Some(t) =>
         val cap = math.min(maxTombstones, Int.MaxValue - 1L).toInt
-        val n = t.limit(cap + 1).count()
+        // budget the DISTINCT id count (round 11): the raw row count
+        // over-counted repeated adds of overlapping id sets toward the
+        // cap, refusing loads whose actual broadcast was far under it
+        val n = t.select("id").distinct().limit(cap + 1).count()
         require(n <= cap,
           s"tombstone set for index family '$prefix' exceeds the broadcast " +
-            s"budget ($n+ rows > $maxTombstones): run the family's " +
+            s"budget ($n+ distinct ids > $maxTombstones): run the family's " +
             s"Tombstones.compact* pass to fold the deletions into the index " +
             s"tables and clear the set, or raise maxTombstones on executors " +
             s"with the broadcast headroom.")
         df.join(broadcast(t.select(col("id").as(idCol)).distinct()),
           Seq(idCol), "left_anti")
     }
+
+  /** The compaction-side tombstone subtraction: a plain (unhinted,
+    * unbudgeted) anti-join. The broadcast budget in [[filter]] exists to
+    * protect LOADS — compaction is the remedy that guard names, so it
+    * must keep working on a tombstone set of ANY size (round-11 advisory:
+    * routing compaction through the guarded filter made an over-budget
+    * family unrecoverable — every compact* threw the very error naming
+    * compact* as the fix). AQE picks broadcast when the distinct set is
+    * small and a shuffled anti-join when it is not. */
+  private def filterForCompact(df: DataFrame, idCol: String, prefix: String): DataFrame =
+    ids(df.sparkSession, prefix) match {
+      case None => df
+      case Some(t) =>
+        df.join(t.select(col("id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    }
+
+  /** Predicate-level deletion — the retention/GDPR sweep shape (round
+    * 11): select ids matching `predicate` from `from` (typically the
+    * family's base/docs table or the source corpus), record them as
+    * tombstones for `prefix`, and return the swept distinct-id count.
+    * Refuses BEFORE committing if the sweep would push the family's
+    * tombstone set past the broadcast budget every subsequent load
+    * enforces — at that size the right operation is sweep-then-compact
+    * in one maintenance window, not a doomed add. */
+  def deleteWhere(from: DataFrame, idCol: String, prefix: String,
+                  predicate: org.apache.spark.sql.Column,
+                  maxTombstones: Long = defaultMaxTombstones): Long = {
+    val spark = from.sparkSession
+    val sel = from.filter(predicate).select(col(idCol))
+    val n = sel.distinct().count()
+    val existing = ids(spark, prefix)
+      .map(_.select("id").distinct().count()).getOrElse(0L)
+    require(existing + n <= maxTombstones,
+      s"deleteWhere would grow index family '$prefix''s tombstone set to " +
+        s"~${existing + n} distinct ids (> $maxTombstones budget): run the " +
+        "family's Tombstones.compact* pass first, then re-issue the sweep.")
+    if (n > 0) add(sel, idCol, prefix)
+    n
+  }
 
   private def clear(spark: SparkSession, prefix: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${table(prefix)}")
@@ -118,7 +160,7 @@ object Tombstones {
       spark.sql(s"DROP TABLE $tmp")
     }
     val src = spark.table(tbl)
-    write(filter(src, idColInTbl, prefix), tmp)
+    write(filterForCompact(src, idColInTbl, prefix), tmp)
     write(spark.table(tmp), tbl)
     spark.sql(s"DROP TABLE $tmp")
   }
@@ -147,51 +189,62 @@ object Tombstones {
 
   /** Fold the tombstones into the MinHash family's physical tables and
     * clear them. `buckets` defaults to the count recorded in the
-    * family's meta at creation. */
-  def compactMinhash(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
-    val idCol = metaIdCol(spark, prefix)
-    val b = metaBuckets(spark, prefix, buckets)
-    rewriteMinus(spark, s"${prefix}_bands", idCol, prefix, b, Seq("band", "bucket"))
-    rewriteMinus(spark, s"${prefix}_shingles", idCol, prefix, b, Seq(idCol))
-    clear(spark, prefix)
-  }
+    * family's meta at creation (families persisted before the count was
+    * recorded — pre-round-10 — must pass it explicitly once; the next
+    * save/ingest records it going forward). Holds the family's writer
+    * [[Fence]] for the duration: a live ingest loop's micro-batch
+    * arriving mid-compaction refuses + replays instead of losing its
+    * append to the drop+recreate rewrite. */
+  def compactMinhash(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
+    Fence.withFence(spark, prefix, "compactMinhash") {
+      val idCol = metaIdCol(spark, prefix)
+      val b = metaBuckets(spark, prefix, buckets)
+      rewriteMinus(spark, s"${prefix}_bands", idCol, prefix, b, Seq("band", "bucket"))
+      rewriteMinus(spark, s"${prefix}_shingles", idCol, prefix, b, Seq(idCol))
+      clear(spark, prefix)
+    }
 
   /** [[compactMinhash]] for the SimHash family. */
-  def compactSimhash(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
-    val idCol = metaIdCol(spark, prefix)
-    val b = metaBuckets(spark, prefix, buckets)
-    rewriteMinus(spark, s"${prefix}_chunked", idCol, prefix, b, Seq("chunk", "ckey"))
-    clear(spark, prefix)
-  }
+  def compactSimhash(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
+    Fence.withFence(spark, prefix, "compactSimhash") {
+      val idCol = metaIdCol(spark, prefix)
+      val b = metaBuckets(spark, prefix, buckets)
+      rewriteMinus(spark, s"${prefix}_chunked", idCol, prefix, b, Seq("chunk", "ckey"))
+      clear(spark, prefix)
+    }
 
   /** [[compactMinhash]] for the containment family (internal id column
     * is the normalized `id`). */
-  def compactContainment(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
-    val b = metaBuckets(spark, prefix, buckets)
-    rewriteMinus(spark, s"${prefix}_posting", "id", prefix, b, Seq("gram"))
-    rewriteMinus(spark, s"${prefix}_base", "id", prefix, b, Seq("id"))
-    clear(spark, prefix)
-  }
+  def compactContainment(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
+    Fence.withFence(spark, prefix, "compactContainment") {
+      val b = metaBuckets(spark, prefix, buckets)
+      rewriteMinus(spark, s"${prefix}_posting", "id", prefix, b, Seq("gram"))
+      rewriteMinus(spark, s"${prefix}_base", "id", prefix, b, Seq("id"))
+      clear(spark, prefix)
+    }
 
   /** [[compactMinhash]] for the sign-LSH embedding family. */
-  def compactEmbed(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
-    val b = metaBuckets(spark, prefix, buckets)
-    rewriteMinus(spark, s"${prefix}_hashed", "id", prefix, b, Seq("t", "h"))
-    rewriteMinus(spark, s"${prefix}_vecs", "id", prefix, b, Seq("id"))
-    clear(spark, prefix)
-  }
+  def compactEmbed(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
+    Fence.withFence(spark, prefix, "compactEmbed") {
+      val b = metaBuckets(spark, prefix, buckets)
+      rewriteMinus(spark, s"${prefix}_hashed", "id", prefix, b, Seq("t", "h"))
+      rewriteMinus(spark, s"${prefix}_vecs", "id", prefix, b, Seq("id"))
+      clear(spark, prefix)
+    }
 
   /** [[compactMinhash]] for the IVF-PQ serving family. */
-  def compactPq(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
-    val b = metaBuckets(spark, prefix, buckets)
-    rewriteMinus(spark, s"${prefix}_codes", "c_id", prefix, b, Seq("cell"))
-    clear(spark, prefix)
-  }
+  def compactPq(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
+    Fence.withFence(spark, prefix, "compactPq") {
+      val b = metaBuckets(spark, prefix, buckets)
+      rewriteMinus(spark, s"${prefix}_codes", "c_id", prefix, b, Seq("cell"))
+      clear(spark, prefix)
+    }
 
   /** [[compactMinhash]] for the semantic-dedup family. */
-  def compactSem(spark: SparkSession, prefix: String, buckets: Int = -1): Unit = {
-    val b = metaBuckets(spark, prefix, buckets)
-    rewriteMinus(spark, s"${prefix}_docs", "id", prefix, b, Seq("cell"))
-    clear(spark, prefix)
-  }
+  def compactSem(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
+    Fence.withFence(spark, prefix, "compactSem") {
+      val b = metaBuckets(spark, prefix, buckets)
+      rewriteMinus(spark, s"${prefix}_docs", "id", prefix, b, Seq("cell"))
+      clear(spark, prefix)
+    }
 }

@@ -642,6 +642,11 @@ object TextQueries {
             val loc = new org.apache.hadoop.fs.Path(wh, t)
             if (whFs.exists(loc)) whFs.delete(loc, true)
           }
+        // a crashed prior session can leave a writer fence held (the
+        // loud-refusal design); this query owns these family prefixes,
+        // so clear them with the fresh-family reset above
+        Seq("q112mh", "q112pq").foreach(p =>
+          graft.operators.Fence.forceRelease(s, p))
         val docsDf = docs(s, d).select(col("doc_id"), col("text"))
         val corpus = docsDf.filter(col("doc_id") % 4 === 0)
         // ingestion-shaped shard (q101's ratio): a batch is small relative
@@ -1936,6 +1941,171 @@ object TextQueries {
               FROM s2 a JOIN s2 b ON a.doc_id <> b.doc_id)
         SELECT a_id, b_id, containment FROM p
         WHERE (a_id >= 30000000 OR b_id >= 30000000) AND containment >= 0.5
-        ORDER BY a_id, b_id"""))
+        ORDER BY a_id, b_id""")),
+
+    // ----------------------------------------------------------------
+    // q116: quote-cluster catalog (round 11) — the GROUP-SIZED consumer
+    // of the containment join. q103's contract is the pair list itself,
+    // which is inherently output-bound at scale (15.3 M pairs / 363 s at
+    // 100× on the clone fixture); the operation a curation pipeline
+    // actually runs is containmentJoin → connectedComponents → one
+    // canonical survivor per quote cluster, whose output is one row per
+    // CLUSTER — linear in documents, not in pairs. Same corpus shape as
+    // q103 (every-10th doc + its first-half excerpt at id+20M: every
+    // excerpt is containment-1.0 in its source, so real clusters exist
+    // at every SF); each cluster row pins the full member set exactly
+    // (canonical = component = min id; csize + id_sum + max_id), with
+    // pair-free docs emitted as their own singleton clusters — the
+    // complete catalog a dedup sweep would write. The survivor rule is
+    // keepCanonical's algebra (keep component-min only) derived from the
+    // SAME components run rather than a second one.
+    // Oracle: the q103 containment pairs feed BOUNDED min-label
+    // propagation (8 unrolled rounds, common dialect — no recursive CTE,
+    // so local Spark replay needs no per-query override). 8 rounds reach
+    // the fixpoint for any component of eccentricity ≤ 8 from its min
+    // id; these clusters are excerpt→source stars bridged only by
+    // near-dup source families (measured diameter ≤ 3 incl. the 100×
+    // clone cliques) — and a deeper graph would surface as a driver
+    // hash MISMATCH against the engine's exact-fixpoint components, not
+    // as silent agreement.
+    "q116_containment_components" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val excerpts = base
+          .withColumn("__toks", split(col("text"), " "))
+          .withColumn("text",
+            expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        val corpus = base.union(excerpts)
+        val pairs = Dedup.containmentJoin(corpus, "doc_id", "text", tau = 0.5)
+          .select("a_id", "b_id")
+        val comps = Dedup.connectedComponents(pairs, "a_id", "b_id")
+          .localCheckpoint(true)
+        val singles = corpus
+          .join(comps.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("id"), col("doc_id").as("component"))
+        comps.select(col("id"), col("component")).union(singles)
+          .groupBy("component")
+          .agg(count(lit(1)).cast("int").as("csize"),
+            sum("id").as("id_sum"), max("id").as("max_id"))
+          .orderBy("component")
+      },
+      oracle = Some("""
+        WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        ex AS (SELECT doc_id + 20000000 AS doc_id,
+                      array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) // 2], ' ') AS text
+               FROM b0),
+        u AS (SELECT doc_id, text FROM b0 UNION ALL SELECT doc_id, text FROM ex),
+        sh0 AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+                FROM u),
+        s AS (SELECT doc_id, sh, len(sh) AS m FROM sh0 WHERE len(sh) > 0),
+        p AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM s a JOIN s b ON a.doc_id <> b.doc_id
+              WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1000000 // a.m AS DOUBLE) / 1000000 >= 0.5),
+        e AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
+        l0 AS MATERIALIZED (SELECT u AS id, MIN(u) AS comp FROM e GROUP BY u),
+        l1 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l0 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l0 l ON l.id = e.u) x GROUP BY id),
+        l2 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l1 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l1 l ON l.id = e.u) x GROUP BY id),
+        l3 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l2 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l2 l ON l.id = e.u) x GROUP BY id),
+        l4 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l3 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l3 l ON l.id = e.u) x GROUP BY id),
+        l5 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l4 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l4 l ON l.id = e.u) x GROUP BY id),
+        l6 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l5 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l5 l ON l.id = e.u) x GROUP BY id),
+        l7 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l6 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l6 l ON l.id = e.u) x GROUP BY id),
+        l8 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l7 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l7 l ON l.id = e.u) x GROUP BY id),
+        allm AS (SELECT id, comp AS component FROM l8
+                 UNION ALL
+                 SELECT doc_id AS id, doc_id AS component FROM u
+                 WHERE doc_id NOT IN (SELECT id FROM l8))
+        SELECT component, CAST(COUNT(*) AS INTEGER) AS csize,
+               CAST(SUM(id) AS BIGINT) AS id_sum, MAX(id) AS max_id
+        FROM allm GROUP BY component ORDER BY component""")),
+
+    // ----------------------------------------------------------------
+    // q117: the chunk → embed → pool → semantic-dedup LIFECYCLE (round
+    // 11) — the actual pre-training corpus pipeline as ONE hashed
+    // composition row (the q113 treatment applied to the LLM side):
+    // token-window chunking (q115's operator), a per-chunk DETERMINISTIC
+    // embedding (q43's fake codec — the real decode swaps in behind the
+    // same mapPartitions plumbing), chunk→document mean-pooling with L2
+    // normalization (q90's operator), then SemDeDup over the pooled
+    // document vectors. A full exact-clone copy of the corpus (id+10M)
+    // guarantees collapses engage at every SF. Seeded cells keep the
+    // keep/drop lists DuckDB-irreproducible, so (q108 discipline) the
+    // row pins the oracle-checkable contract:
+    //   n_docs            every document decided (count parity, ×2)
+    //   n_chunks          total chunk rows — integer-exact chunk-count
+    //                     arithmetic DuckDB reproduces from the raw text
+    //   clones_collapsed  no (doc, clone) pair survives with BOTH kept
+    //                     (identical text ⇒ identical chunks ⇒ pooled
+    //                     vectors at cosine ~1 ⇒ same component)
+    //   dropped_witness_ok every dropped doc's canonical is KEPT, same cell
+    //   kept_independent  no two kept docs in a cell at cos ≥ threshold
+    //                     (the operator's own 6-dp rounding, mirrored)
+    "q117_chunk_embed_pool_dedup" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val corpus = base.union(base.select(
+          (col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        val chunks = TextAnalysis.chunkTokens(corpus, "doc_id", "text",
+            window = 32, overlap = 8)
+          .withColumn("chunk_id", col("doc_id") * 100000L + col("chunk_idx"))
+        val nChunks = chunks.count()
+        val emb = Multimodal.decodeFeatures(
+          Multimodal.binarize(chunks, "chunk_id", "chunk_text"),
+          "chunk_id", "bytes")
+        val pooled = Similarity.meanPoolNormalize(
+            emb.withColumn("doc_id", expr("chunk_id div 100000L")),
+            "doc_id", "features")
+          .select(col("doc_id"), col("unit")).localCheckpoint(true)
+        val out = Similarity.semanticDedup(pooled, "doc_id", "unit",
+          threshold = 0.999).localCheckpoint(true)
+        val kept = out.filter(col("kept"))
+        val bothKept = kept.filter(col("doc_id") < 10000000L)
+          .select((col("doc_id") + 10000000L).as("doc_id"))
+          .join(kept, Seq("doc_id"), "left_semi").count()
+        val witnessBad = out.filter(!col("kept"))
+          .join(kept.select(col("doc_id").as("canonical"), col("cell").as("__kc")),
+            Seq("canonical"), "left")
+          .filter(col("__kc").isNull || col("__kc") =!= col("cell")).count()
+        val keptVec = kept.join(pooled, Seq("doc_id"))
+          .withColumn("__n", sqrt(Similarity.dot(col("unit"), col("unit"))))
+        val ka = keptVec.select(col("cell"), col("doc_id").as("a_id"),
+          col("unit").as("av"), col("__n").as("an"))
+        val kb = keptVec.select(col("cell"), col("doc_id").as("b_id"),
+          col("unit").as("bv"), col("__n").as("bn"))
+        val keptEdges = ka.join(kb, Seq("cell")).filter(col("a_id") < col("b_id"))
+          .filter(round(Similarity.dot(col("av"), col("bv")) /
+            (col("an") * col("bn")), 6) >= 0.999).count()
+        Seq((out.count(), nChunks, bothKept == 0L, witnessBad == 0L,
+            keptEdges == 0L))
+          .toDF("n_docs", "n_chunks", "clones_collapsed", "dropped_witness_ok",
+            "kept_independent")
+      },
+      oracle = Some("""
+        SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_docs,
+               CAST(2 * SUM(1 + (greatest(len(string_split(text, ' ')) - 32, 0) + 23) // 24) AS BIGINT) AS n_chunks,
+               TRUE AS clones_collapsed, TRUE AS dropped_witness_ok,
+               TRUE AS kept_independent
+        FROM documents"""))
   )
 }

@@ -128,6 +128,12 @@ object IngestLoop {
                          threshold: Double, numPerms: Int, rowsPerBand: Int,
                          buckets: Int): Unit = {
     val spark = batch.sparkSession
+    // Writer fence (round 11): held for the whole batch so a concurrent
+    // compact* cannot drop+recreate the family from a pre-append
+    // snapshot and lose this batch's partition. If compaction holds the
+    // fence, this throws — the micro-batch fails and the checkpoint
+    // replays it after the release (exact by the retry contract above).
+    graft.operators.Fence.withFence(spark, prefix, s"ingestMinhashBatch bid=$bid") {
     val shard = Dedup.minhashIndex(batch, idCol, textCol, numPerms, rowsPerBand)
     val exists = familyExists(spark, prefix, Seq("bands", "shingles", "meta"))
     val corpus =
@@ -163,6 +169,7 @@ object IngestLoop {
       Seq((idCol, numPerms, rowsPerBand, buckets))
         .toDF("id_col", "num_perms", "rows_per_band", "buckets")
         .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
     }
   }
 
@@ -209,6 +216,8 @@ object IngestLoop {
                        threshold: Double, bitsPerTable: Int, numTables: Int,
                        seed: Long, dim: Int, buckets: Int): Unit = {
     val spark = batch.sparkSession
+    // writer fence: see ingestMinhashBatch
+    graft.operators.Fence.withFence(spark, prefix, s"ingestEmbedBatch bid=$bid") {
     val shard = Similarity.embedIndex(batch, idCol, vecCol,
       bitsPerTable, numTables, seed, dim)
     val exists = familyExists(spark, prefix, Seq("hashed", "vecs", "meta"))
@@ -243,6 +252,7 @@ object IngestLoop {
         .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim", "buckets")
         .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
     }
+    }
   }
 
   /** One micro-batch of the IVF-PQ SERVING-INDEX ingestion loop — the
@@ -265,6 +275,8 @@ object IngestLoop {
                     vecCol: String, prefix: String, nlist: Int, m: Int,
                     ksub: Int, seed: Long, buckets: Int): Unit = {
     val spark = batch.sparkSession
+    // writer fence: see ingestMinhashBatch
+    graft.operators.Fence.withFence(spark, prefix, s"ingestPqBatch bid=$bid") {
     val exists = familyExists(spark, prefix, Seq("codes", "meta"))
     val codes =
       if (!exists) {
@@ -292,6 +304,7 @@ object IngestLoop {
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "cell").sortBy("cell")
       .saveAsTable(s"${prefix}_codes")
+    }
   }
 
   /** Drive a streaming embedding source through the IVF-PQ serving-index
@@ -328,6 +341,8 @@ object IngestLoop {
                      nlist: Int, seed: Long, maxPairs: Long,
                      buckets: Int): Unit = {
     val spark = batch.sparkSession
+    // writer fence: see ingestMinhashBatch
+    graft.operators.Fence.withFence(spark, prefix, s"ingestSemBatch bid=$bid") {
     val exists = familyExists(spark, prefix, Seq("docs", "meta"))
     val docs =
       if (!exists) {
@@ -355,6 +370,7 @@ object IngestLoop {
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "cell").sortBy("cell")
       .saveAsTable(s"${prefix}_docs")
+    }
   }
 
   /** Drive a streaming embedding source through the semantic-dedup

@@ -174,6 +174,10 @@ object OracleEmu {
       "regexp_extract_all($1, $2, 0)")
     // bare VARCHAR casts (Spark needs STRING or a length)
     s = s.replace("AS VARCHAR)", "AS STRING)")
+    // DuckDB CTE materialization hints (q116's unrolled label rounds
+    // would otherwise inline exponentially in DuckDB); Spark has no
+    // such keyword — its optimizer handles the reuse
+    s = s.replace("AS MATERIALIZED (", "AS (")
     s
   }
 

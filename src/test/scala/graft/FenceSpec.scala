@@ -1,0 +1,151 @@
+package graft
+
+import java.util.concurrent.CountDownLatch
+
+import graft.operators.{Dedup, Fence, Tombstones}
+import graft.streaming.IngestLoop
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Writer fencing between the streaming ingest loops and tombstone
+  * compaction (round 11): both mutate the same persisted family tables —
+  * ingest by appending an `ingest_batch` partition, compaction by a
+  * drop+recreate rewrite from a snapshot — so an overlap could lose the
+  * concurrent batch's append. The fence serializes them: the loser of
+  * the race refuses LOUDLY and (for a micro-batch) replays after the
+  * release. These tests prove the contract both by injected ordering
+  * (acquire first, then attempt the other writer) and by a live
+  * two-thread race: in every interleaving the family ends complete —
+  * never a lost append, never a resurrected tombstone. */
+class FenceSpec extends AnyFunSuite {
+  lazy val spark = Tables.session(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def drop(names: String*): Unit =
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+
+  private def cleanFamily(prefix: String): Unit = {
+    drop(s"${prefix}_bands", s"${prefix}_shingles", s"${prefix}_meta",
+      s"${prefix}_tombstones", s"${prefix}_bands__compact",
+      s"${prefix}_shingles__compact")
+    Fence.forceRelease(spark, prefix)
+  }
+
+  private def docs = Tables(spark, dir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def ingest(prefix: String, pairsDir: String,
+                     batch: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+    IngestLoop.ingestMinhashBatch(batch, bid, "doc_id", "text", prefix,
+      pairsDir, threshold = 0.5, numPerms = 32, rowsPerBand = 4, buckets = 8)
+
+  test("acquire is exclusive; release verifies the owner; forceRelease recovers a crashed holder") {
+    val p = "fence_basic"
+    Fence.forceRelease(spark, p)
+    Fence.acquire(spark, p, "writerA")
+    assert(Fence.holder(spark, p).exists(_.startsWith("writerA @ ")))
+    val e = intercept[IllegalStateException](Fence.acquire(spark, p, "writerB"))
+    assert(e.getMessage.contains("writerA") && e.getMessage.contains("forceRelease"))
+    // wrong owner cannot release someone else's fence
+    intercept[IllegalArgumentException](Fence.release(spark, p, "writerB"))
+    assert(Fence.holder(spark, p).nonEmpty)
+    // crashed-holder recovery
+    assert(Fence.forceRelease(spark, p))
+    assert(Fence.holder(spark, p).isEmpty)
+    // and the released fence is takeable again
+    Fence.withFence(spark, p, "writerB") {
+      assert(Fence.holder(spark, p).exists(_.startsWith("writerB @ ")))
+    }
+    assert(Fence.holder(spark, p).isEmpty)
+  }
+
+  test("injected ordering: an ingest micro-batch arriving mid-compaction refuses loudly, then replays losing nothing") {
+    val p = "fence_mh1"
+    cleanFamily(p)
+    val pairsDir = java.nio.file.Files.createTempDirectory("fence_pairs1").toString
+    try {
+      ingest(p, pairsDir, docs.filter(col("doc_id") % 2 === 0), 0L)
+      val base = spark.table(s"${p}_shingles").count()
+      // the injected point: compaction holds the fence (as compactMinhash
+      // does for its whole rewrite window)
+      Fence.acquire(spark, p, "compactMinhash")
+      val shard = docs.filter(col("doc_id") % 2 === 1)
+      val e = intercept[IllegalStateException](ingest(p, pairsDir, shard, 1L))
+      assert(e.getMessage.contains("compactMinhash"),
+        s"refusal must name the holder: ${e.getMessage}")
+      // nothing half-committed by the refused batch
+      assert(spark.table(s"${p}_shingles").count() == base)
+      Fence.release(spark, p, "compactMinhash")
+      // the checkpoint replay after the release: exact, nothing lost
+      ingest(p, pairsDir, shard, 1L)
+      assert(spark.table(s"${p}_shingles").count() == base + shard.count())
+      assert(spark.table(s"${p}_shingles")
+        .filter(col("ingest_batch") === 1).count() == shard.count())
+    } finally cleanFamily(p)
+  }
+
+  test("injected ordering: compaction arriving during a live batch commit refuses loudly") {
+    val p = "fence_mh2"
+    cleanFamily(p)
+    val pairsDir = java.nio.file.Files.createTempDirectory("fence_pairs2").toString
+    try {
+      ingest(p, pairsDir, docs.filter(col("doc_id") % 2 === 0), 0L)
+      Tombstones.add(docs.filter(col("doc_id") % 8 === 0).select("doc_id"),
+        "doc_id", p)
+      // the injected point: a micro-batch holds the fence mid-commit
+      Fence.acquire(spark, p, "ingestMinhashBatch bid=1")
+      val e = intercept[IllegalStateException](Tombstones.compactMinhash(spark, p))
+      assert(e.getMessage.contains("ingestMinhashBatch bid=1"))
+      // the family is untouched: no drop+recreate began
+      assert(spark.catalog.tableExists(s"${p}_tombstones"))
+      assert(!spark.catalog.tableExists(s"${p}_bands__compact"))
+      Fence.release(spark, p, "ingestMinhashBatch bid=1")
+      Tombstones.compactMinhash(spark, p)
+      assert(!spark.catalog.tableExists(s"${p}_tombstones"))
+    } finally cleanFamily(p)
+  }
+
+  test("two-thread race: compact vs concurrent batch commit — serialized or refused, never a lost append") {
+    val p = "fence_race"
+    cleanFamily(p)
+    val pairsDir = java.nio.file.Files.createTempDirectory("fence_pairs3").toString
+    try {
+      val batch0 = docs.filter(col("doc_id") % 2 === 0)
+      val shard = docs.filter(col("doc_id") % 2 === 1) // disjoint from the dead set
+      ingest(p, pairsDir, batch0, 0L)
+      val deadDf = docs.filter(col("doc_id") % 8 === 0).select("doc_id")
+      val nDead = deadDf.count()
+      Tombstones.add(deadDf, "doc_id", p)
+      val start = new CountDownLatch(1)
+      @volatile var compactRefused: Boolean = false
+      @volatile var ingestRefused: Boolean = false
+      @volatile var unexpected: Option[Throwable] = None
+      def guard(body: => Unit, onFence: => Unit): Runnable = () => {
+        start.await()
+        try body catch {
+          case e: IllegalStateException if e.getMessage.contains("writer fence") => onFence
+          case t: Throwable => unexpected = Some(t)
+        }
+      }
+      val a = new Thread(guard(Tombstones.compactMinhash(spark, p), { compactRefused = true }))
+      val b = new Thread(guard(ingest(p, pairsDir, shard, 1L), { ingestRefused = true }))
+      a.start(); b.start(); start.countDown(); a.join(); b.join()
+      assert(unexpected.isEmpty, s"non-fence failure in race: ${unexpected.map(_.toString)}")
+      assert(!(compactRefused && ingestRefused),
+        "fence must admit at least one writer")
+      // replay/retry the loser — the operational recovery both paths document
+      if (ingestRefused) ingest(p, pairsDir, shard, 1L)
+      if (compactRefused) Tombstones.compactMinhash(spark, p)
+      // if compaction won the race (ran before the batch-1 append), the
+      // tombstones folded physically; if it lost, they remain logical
+      // until the next pass — either way NOTHING is lost: batch 1's
+      // append is present in full and dead ids are invisible to loads
+      val live = graft.operators.Tombstones.filter(
+        spark.table(s"${p}_shingles"), "doc_id", p)
+      assert(live.filter(col("ingest_batch") === 1).count() == shard.count(),
+        "the concurrent batch's append must survive every interleaving")
+      assert(live.count() == batch0.count() - nDead + shard.count())
+      assert(Fence.holder(spark, p).isEmpty, "all fences released")
+    } finally cleanFamily(p)
+  }
+}

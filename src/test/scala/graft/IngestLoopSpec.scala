@@ -104,9 +104,14 @@ class IngestLoopSpec extends AnyFunSuite {
         corpus.filter(col("doc_id") % 3 === i).coalesce(1), tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".json.gz")).head.toPath
-      java.nio.file.Files.copy(part,
+      val landed = java.nio.file.Files.copy(part,
         java.nio.file.Paths.get(landing, s"shard$i.json.gz"))
-      Thread.sleep(1100) // distinct mod-time second: one file per trigger
+      // distinct mod-time SECONDS pinned explicitly (not slept for —
+      // round-11 advisory: the sleep was fragile on coarse-timestamp
+      // filesystems), so maxFilesPerTrigger=1 sees three arrival times
+      java.nio.file.Files.setLastModifiedTime(landed,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (10 - i) * 2000L))
     }
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))

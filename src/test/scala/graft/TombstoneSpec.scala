@@ -319,4 +319,68 @@ class TombstoneSpec extends AnyFunSuite {
       assert(!spark.catalog.tableExists("tb_bk_tombstones"))
     } finally drop("tb_bk_codes", "tb_bk_meta", "tb_bk_tombstones")
   }
+
+  test("budget counts DISTINCT ids: repeated adds of the same set do not inflate toward the cap") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .limit(100)
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(docs, "doc_id", "text"),
+      "tb_di", buckets = 8)
+    try {
+      val dead = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+      val nDead = dead.count()
+      // three overlapping sweeps of the SAME ids: raw rows = 3x distinct
+      (1 to 3).foreach(_ => Tombstones.add(dead, "doc_id", "tb_di"))
+      assert(spark.table("tb_di_tombstones").count() == 3 * nDead)
+      // a budget between distinct and raw: the load must PASS (the
+      // round-11 advisory — raw counting refused loads whose actual
+      // broadcast was far under budget)
+      assert(Tombstones.filter(spark.table("tb_di_shingles"), "doc_id",
+        "tb_di", maxTombstones = 2 * nDead).count() == docs.count() - nDead)
+    } finally drop("tb_di_bands", "tb_di_shingles", "tb_di_meta",
+      "tb_di_tombstones")
+  }
+
+  test("deleteWhere: predicate sweep feeds the tombstones — swept ids vanish from pairs and serving") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val shard = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"),
+      "tb_dw", buckets = 8)
+    Similarity.savePqIndex(Similarity.pqIndex(embs, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, seed = 42L), "tb_dwpq", buckets = 8)
+    try {
+      // budget refusal happens BEFORE anything commits
+      val e = intercept[IllegalArgumentException] {
+        Tombstones.deleteWhere(corpus, "doc_id", "tb_dw",
+          col("doc_id") % 8 === 0, maxTombstones = 3L)
+      }
+      assert(e.getMessage.contains("compact"),
+        s"pre-commit budget refusal must name the remedy: ${e.getMessage}")
+      assert(!spark.catalog.tableExists("tb_dw_tombstones"),
+        "a refused sweep must commit nothing")
+      // the sweep: count returned == distinct matching ids
+      val n = Tombstones.deleteWhere(corpus, "doc_id", "tb_dw",
+        col("doc_id") % 8 === 0)
+      assert(n == corpus.filter(col("doc_id") % 8 === 0).count())
+      // swept ids vanish from incremental pair mining
+      val pairs = Dedup.minhashLshPairsIncremental(
+        Dedup.minhashIndex(shard, "doc_id", "text"),
+        Dedup.loadMinhashIndex(spark, "tb_dw"), threshold = 0.5)
+      assert(pairs.filter(col("a_id") % 8 === 0 || col("b_id") % 8 === 0)
+        .count() == 0)
+      // ... and from ANN serving (the PQ family, swept by predicate)
+      val nv = Tombstones.deleteWhere(embs, "vec_id", "tb_dwpq",
+        col("vec_id") % 8 === 0)
+      assert(nv == embs.filter(col("vec_id") % 8 === 0).count())
+      val served = Similarity.ivfPqTopK(Similarity.loadPqIndex(spark, "tb_dwpq"),
+        embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nprobe = 8, refine = 8)
+      assert(served.filter(col("c_id") % 8 === 0).count() == 0)
+      // an empty sweep is a no-op returning 0
+      assert(Tombstones.deleteWhere(corpus, "doc_id", "tb_dw",
+        col("doc_id") < 0) == 0L)
+    } finally drop("tb_dw_bands", "tb_dw_shingles", "tb_dw_meta",
+      "tb_dw_tombstones", "tb_dwpq_codes", "tb_dwpq_meta", "tb_dwpq_tombstones")
+  }
 }
