@@ -1980,8 +1980,9 @@ object TextQueries {
         val corpus = base.union(excerpts)
         val pairs = Dedup.containmentJoin(corpus, "doc_id", "text", tau = 0.5)
           .select("a_id", "b_id")
+        // comps is already staged internally per CC round — reusing it
+        // twice below only recomputes a projection, no extra checkpoint
         val comps = Dedup.connectedComponents(pairs, "a_id", "b_id")
-          .localCheckpoint(true)
         val singles = corpus
           .join(comps.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
           .select(col("doc_id").as("id"), col("doc_id").as("component"))
@@ -2045,9 +2046,9 @@ object TextQueries {
     // composition row (the q113 treatment applied to the LLM side):
     // token-window chunking (q115's operator), a per-chunk DETERMINISTIC
     // embedding (q43's fake codec — the real decode swaps in behind the
-    // same mapPartitions plumbing), chunk→document mean-pooling with L2
-    // normalization (q90's operator), then SemDeDup over the pooled
-    // document vectors. A full exact-clone copy of the corpus (id+10M)
+    // same mapPartitions plumbing), chunk→document mean-pooling (q90's
+    // operator) with corpus-mean centering, then SemDeDup over the
+    // centered document vectors. A full exact-clone copy of the corpus (id+10M)
     // guarantees collapses engage at every SF. Seeded cells keep the
     // keep/drop lists DuckDB-irreproducible, so (q108 discipline) the
     // row pins the oracle-checkable contract:
@@ -2073,10 +2074,26 @@ object TextQueries {
         val emb = Multimodal.decodeFeatures(
           Multimodal.binarize(chunks, "chunk_id", "chunk_text"),
           "chunk_id", "bytes")
-        val pooled = Similarity.meanPoolNormalize(
+        // center the pooled vectors on the corpus mean before dedup:
+        // the stub codec emits positive-orthant features (ASCII bytes /
+        // 255), where raw cosine is dominated by the shared offset and
+        // EVERY pair scores ~0.99+ — a property of the fake codec, not
+        // the pipeline. Centering (one tiny Summarizer.mean broadcast,
+        // the standard embedding-whitening step) makes cosine measure
+        // deviation from the corpus mean; exact clones stay bit-equal.
+        val pooledRaw = Similarity.meanPoolNormalize(
             emb.withColumn("doc_id", expr("chunk_id div 100000L")),
             "doc_id", "features")
-          .select(col("doc_id"), col("unit")).localCheckpoint(true)
+          .select(col("doc_id"), col("pooled"))
+        val meanRow = pooledRaw.agg(org.apache.spark.ml.stat.Summarizer
+            .mean(org.apache.spark.ml.functions.array_to_vector(col("pooled")))
+            .as("__mv"))
+          .select(org.apache.spark.ml.functions.vector_to_array(col("__mv"))
+            .as("__mean"))
+        val pooled = pooledRaw.crossJoin(broadcast(meanRow))
+          .select(col("doc_id"),
+            zip_with(col("pooled"), col("__mean"), (a, b) => a - b).as("unit"))
+          .localCheckpoint(true)
         val out = Similarity.semanticDedup(pooled, "doc_id", "unit",
           threshold = 0.999).localCheckpoint(true)
         val kept = out.filter(col("kept"))
