@@ -218,6 +218,10 @@ object Dedup {
   def saveMinhashIndex(idx: MinHashIndex, prefix: String,
                        buckets: Int = 64): Unit = {
     val spark = idx.bands.sparkSession
+    // writer fence (round 11): a save overwrites the whole family —
+    // fenced like every other family-mutating writer so it cannot
+    // interleave with a live ingest loop or compaction on the prefix
+    Fence.withFence(spark, prefix, "saveMinhashIndex") {
     idx.bands.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(s"${prefix}_bands")
@@ -227,6 +231,7 @@ object Dedup {
     Seq((idx.idCol, idx.numPerms, idx.rowsPerBand, buckets))
       .toDF("id_col", "num_perms", "rows_per_band", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
   }
 
   /** Load a [[saveMinhashIndex]]-persisted index by catalog name — a new
@@ -565,12 +570,14 @@ object Dedup {
   def saveSimhashIndex(idx: SimHashIndex, prefix: String,
                        buckets: Int = 64): Unit = {
     val spark = idx.chunked.sparkSession
+    Fence.withFence(spark, prefix, "saveSimhashIndex") {
     idx.chunked.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "chunk", "ckey").sortBy("chunk", "ckey")
       .saveAsTable(s"${prefix}_chunked")
     import spark.implicits._
     Seq((idx.idCol, buckets)).toDF("id_col", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
   }
 
   /** Load a [[saveSimhashIndex]]-persisted index by catalog name
@@ -919,6 +926,7 @@ object Dedup {
   def saveContainmentIndex(idx: ContainmentIndex, prefix: String,
                            buckets: Int = 64): Unit = {
     val spark = idx.posting.sparkSession
+    Fence.withFence(spark, prefix, "saveContainmentIndex") {
     idx.posting.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "gram").sortBy("gram").saveAsTable(s"${prefix}_posting")
     idx.base.write.mode("overwrite").format("parquet")
@@ -926,6 +934,7 @@ object Dedup {
     import spark.implicits._
     Seq((idx.idCol, idx.n, buckets)).toDF("id_col", "n", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
   }
 
   /** Load a [[saveContainmentIndex]]-persisted index by catalog name

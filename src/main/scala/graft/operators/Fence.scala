@@ -21,9 +21,11 @@ import org.apache.spark.sql.SparkSession
   * `<warehouse>/<prefix>__fence`, taken with a create-exclusive
   * (`overwrite=false`) call — atomic on HDFS and HDFS-compatible object
   * stores (the namenode arbitrates a single winner; the classic HDFS
-  * lock-file recipe) and effectively so on a local filesystem. Every
-  * family-mutating entry point takes the fence for the duration of its
-  * write and releases it in a finally: a second writer arriving while
+  * lock-file recipe) and NIO-atomic on a local filesystem. Every
+  * family-mutating entry point — the streaming ingest-batch paths, the
+  * `compact*` passes, and the batch `save*Index` creators — takes the
+  * fence for the duration of its write and releases it in a finally: a
+  * second writer arriving while
   * the fence is held REFUSES LOUDLY (the repo's `requirePairBudget`
   * discipline) naming the holder, instead of corrupting the family.
   * For the streaming loops the thrown refusal fails the micro-batch;

@@ -573,6 +573,9 @@ object Similarity {
     * vectors. */
   def savePqIndex(idx: PqIndex, prefix: String, buckets: Int = 16): Unit = {
     val spark = idx.codes.sparkSession
+    // writer fence (round 11): saves overwrite the whole family — fenced
+    // like every other family-mutating writer (see graft.operators.Fence)
+    Fence.withFence(spark, prefix, "savePqIndex") {
     idx.codes.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_codes")
     import spark.implicits._
@@ -583,6 +586,7 @@ object Similarity {
       .toDF("id_col", "m", "ksub", "dim", "seed", "coarse_l1", "coarse_l2",
         "codebooks", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
   }
 
   /** Load a [[savePqIndex]]-persisted index by catalog name — a serving
@@ -929,6 +933,7 @@ object Similarity {
     * co-located), model/threshold in `<prefix>_meta`. */
   def saveSemIndex(idx: SemIndex, prefix: String, buckets: Int = 16): Unit = {
     val spark = idx.docs.sparkSession
+    Fence.withFence(spark, prefix, "saveSemIndex") {
     idx.docs.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_docs")
     import spark.implicits._
@@ -937,6 +942,7 @@ object Similarity {
         buckets))
       .toDF("id_col", "threshold", "seed", "coarse_l1", "coarse_l2", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
   }
 
   /** Load a [[saveSemIndex]]-persisted index by catalog name
@@ -1148,6 +1154,7 @@ object Similarity {
   def saveEmbedIndex(idx: EmbedIndex, prefix: String,
                      buckets: Int = 64): Unit = {
     val spark = idx.hashed.sparkSession
+    Fence.withFence(spark, prefix, "saveEmbedIndex") {
     idx.hashed.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "t", "h").sortBy("t", "h")
       .saveAsTable(s"${prefix}_hashed")
@@ -1157,6 +1164,7 @@ object Similarity {
     Seq((idx.idCol, idx.bitsPerTable, idx.numTables, idx.seed, idx.dim, buckets))
       .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim", "buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
   }
 
   /** Load a [[saveEmbedIndex]]-persisted index by catalog name

@@ -59,6 +59,28 @@ class FenceSpec extends AnyFunSuite {
     assert(Fence.holder(spark, p).isEmpty)
   }
 
+  test("batch saves are fenced too: a save cannot overwrite a family another writer holds") {
+    val p = "fence_sv"
+    cleanFamily(p)
+    try {
+      Fence.acquire(spark, p, "ingestMinhashBatch bid=7")
+      val e = intercept[IllegalStateException] {
+        graft.operators.Dedup.saveMinhashIndex(
+          graft.operators.Dedup.minhashIndex(docs.limit(50), "doc_id", "text"), p,
+          buckets = 8)
+      }
+      assert(e.getMessage.contains("ingestMinhashBatch bid=7"))
+      assert(!spark.catalog.tableExists(s"${p}_bands"),
+        "a refused save must not have begun overwriting")
+      Fence.release(spark, p, "ingestMinhashBatch bid=7")
+      graft.operators.Dedup.saveMinhashIndex(
+        graft.operators.Dedup.minhashIndex(docs.limit(50), "doc_id", "text"), p,
+        buckets = 8)
+      assert(spark.catalog.tableExists(s"${p}_bands"))
+      assert(Fence.holder(spark, p).isEmpty)
+    } finally cleanFamily(p)
+  }
+
   test("injected ordering: an ingest micro-batch arriving mid-compaction refuses loudly, then replays losing nothing") {
     val p = "fence_mh1"
     cleanFamily(p)
