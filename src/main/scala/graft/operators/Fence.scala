@@ -19,9 +19,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Mechanism: one fence file per family at
   * `<warehouse>/<prefix>__fence`, taken with a create-exclusive
-  * (`overwrite=false`) call — atomic on HDFS and HDFS-compatible object
-  * stores (the namenode arbitrates a single winner; the classic HDFS
-  * lock-file recipe) and NIO-atomic on a local filesystem. Every
+  * (`overwrite=false`) call — atomic on HDFS (the namenode arbitrates a
+  * single winner; the classic HDFS lock-file recipe) and NIO-atomic on
+  * a local filesystem. NOTE: S3-style object stores have no atomic
+  * create-exclusive — on those, point the warehouse at HDFS/a posix
+  * mount for the fence, or front the families with a real lock service;
+  * the fence narrows the overlap window there but cannot close it. Every
   * family-mutating entry point — the streaming ingest-batch paths, the
   * `compact*` passes, and the batch `save*Index` creators — takes the
   * fence for the duration of its write and releases it in a finally: a
