@@ -37,6 +37,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * output equals one batch [[Dedup.minhashLshPairs]] run over the whole
   * corpus — each (i, j) pair is emitted exactly once, by the later id's
   * batch. Pinned in IngestLoopSpec across ≥3 micro-batches.
+  *
+  * Concurrency (round 11): every batch writer holds the family's
+  * [[graft.operators.Fence]] for its whole write window, so a
+  * compaction, a batch re-save, or another loop's batch overlapping in
+  * TIME refuses loudly and replays — never a lost append. One contract
+  * the fence cannot express: run at most ONE loop (one checkpoint
+  * directory) per family prefix. Batch ids are checkpoint-local, so a
+  * second loop on the same prefix would reuse bids and its
+  * drop-own-partition retry step would clobber the first loop's
+  * partitions — serialized or not. One family, one writer loop; shards
+  * fan IN through the landing directory, not through parallel loops.
   */
 object IngestLoop {
 
