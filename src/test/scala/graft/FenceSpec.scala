@@ -59,6 +59,29 @@ class FenceSpec extends AnyFunSuite {
     assert(Fence.holder(spark, p).isEmpty)
   }
 
+  test("N-way acquire race: exactly one winner per round, every round") {
+    val p = "fence_nway"
+    Fence.forceRelease(spark, p)
+    (1 to 5).foreach { round =>
+      val n = 8
+      val start = new CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to n).map { i =>
+        new Thread(() => {
+          start.await()
+          try { Fence.acquire(spark, p, s"w$i"); wins.incrementAndGet() }
+          catch { case _: IllegalStateException => losses.incrementAndGet() }
+        })
+      }
+      threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+      assert(wins.get() == 1 && losses.get() == n - 1,
+        s"round $round: ${wins.get()} winners / ${losses.get()} losers — " +
+          "the create-exclusive acquire must admit exactly one writer")
+      assert(Fence.forceRelease(spark, p))
+    }
+  }
+
   test("batch saves are fenced too: a save cannot overwrite a family another writer holds") {
     val p = "fence_sv"
     cleanFamily(p)
