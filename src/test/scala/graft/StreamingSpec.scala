@@ -123,6 +123,30 @@ class StreamingSpec extends AnyFunSuite {
       "streaming scrub diverges from the batch gate")
   }
 
+  test("streaming token-window chunking matches batch q115 chunk-for-chunk") {
+    // chunkTokens is one posexplode over pure integer-expression
+    // arithmetic — stateless, so the SAME operator runs unchanged under
+    // readStream (the shard-arrival shape that feeds per-chunk
+    // embedding); the accumulated (doc, idx, size, text) set must equal
+    // the batch run exactly
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("docs_chunk").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    EventStream.runToMemory(
+      graft.operators.TextAnalysis.chunkTokens(stream, "doc_id", "text",
+        window = 32, overlap = 8),
+      "chunked", OutputMode.Append())
+    val streamed = spark.table("chunked")
+    val batch = graft.operators.TextAnalysis.chunkTokens(docs, "doc_id", "text",
+      window = 32, overlap = 8)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming chunking diverges from the batch operator")
+  }
+
   test("streaming line-dedup matches batch q81's explode+aggregate outputs") {
     // q81's 3-line documents (text twice + unique tail) through the
     // STATELESS array-expression twin under readStream, compared with
