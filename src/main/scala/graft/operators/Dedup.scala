@@ -526,6 +526,64 @@ object Dedup {
     labels.select(col("id"), col("comp").as("component"))
   }
 
+  /** Incremental connected components (round 12) — the shard-arrival
+    * twin of [[connectedComponents]], completing the ingestion story for
+    * the GROUP-SIZED consumer (the quote-cluster catalog) the way the
+    * incremental pair miners did for pair listings: when a new shard's
+    * edges arrive, re-propagate labels over only the components those
+    * edges TOUCH instead of re-running CC over the full accumulated pair
+    * graph.
+    *
+    * `labels` is a frozen fixpoint labeling — (id, component) with
+    * component = the min id of each component, exactly
+    * [[connectedComponents]]' output over all previously-seen edges.
+    * `newPairs` is the shard's edge set (any pairs touching the shard —
+    * the incremental pair miners' output is exactly this). The frozen
+    * components COLLAPSE to stars: each touched component contributes
+    * its (member → label) edges, which preserve both its connectivity
+    * and its min id (the label IS a member), so running the batch
+    * hash-min CC over star-edges ∪ new-edges yields, for every touched
+    * or new node, the same min-id label a full run over the union of
+    * all edges would — old components merge exactly when a new-edge
+    * path connects them, and the merged label is the global min.
+    * Untouched components cannot change and keep their frozen rows.
+    *
+    * Work is O(touched components + shard edges): the only corpus-side
+    * scans are one semi-join selecting touched labels (shuffles on id /
+    * component — at warehouse scale, persist labels bucketed on both to
+    * make them exchange-free) and one anti-join emitting the untouched
+    * rows; the CC rounds run on the star subgraph, not the corpus
+    * graph. Returns the complete updated labeling, same schema and
+    * semantics as [[connectedComponents]] over the union of all edges
+    * (pinned in DedupSpec; shard-scale cost measured by
+    * tools/CcIncProbe). */
+  def connectedComponentsIncremental(labels: DataFrame, newPairs: DataFrame,
+                                     aCol: String, bCol: String,
+                                     maxIter: Int = 25,
+                                     staging: Staging.Mode = Staging.Local): DataFrame = {
+    val fwd = newPairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    val lab = staging(labels.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("comp")))
+    val newNodes = staging(fwd.select(col("u")).union(fwd.select(col("v")))
+      .distinct().select(col("u").as("id")))
+    // components with any member incident to a new edge — everything
+    // else is provably unchanged and never enters the propagation
+    val touchedComps = lab.join(newNodes, Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    // the frozen component as a star: member — label edges (the label
+    // node itself contributes a harmless self-edge, so size-1 components
+    // a caller unioned in survive too)
+    val starPairs = lab.join(touchedComps, Seq("comp"), "left_semi")
+      .select(col("id").as("u"), col("comp").as("v"))
+    val sub = connectedComponents(
+      starPairs.union(fwd.select(col("u"), col("v"))), "u", "v",
+      maxIter, staging)
+    val untouched = lab.join(sub.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("comp").as("component"))
+    sub.select(col("id"), col("component")).union(untouched)
+  }
+
   /** Near-dup dedup survivors: every id in `df` except non-canonical
     * members of a duplicate component (canonical = min id). */
   def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,

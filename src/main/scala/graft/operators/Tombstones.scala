@@ -39,8 +39,23 @@ object Tombstones {
   /** Record `ids` (any single-keyed frame; `idCol` names the key) as
     * deleted for the `prefix` family. Append-only and idempotent in
     * effect: duplicate ids across calls are collapsed by the distinct
-    * in [[filter]]. */
+    * in [[filter]].
+    *
+    * Holds the family's writer [[Fence]] (round 12 — the advisor's
+    * lost-deletion window): `compact*` snapshots the tombstone set via
+    * its anti-join rewrites and then drops the whole table at the end,
+    * so a deletion committed mid-compaction (after a table's rewrite
+    * snapshot, before the clear) would be silently dropped WITHOUT
+    * being folded — the deleted id resurrects in every subsequent load.
+    * Fenced, an add arriving mid-compaction refuses loudly instead
+    * (retry after the pass — seconds of availability, never a lost
+    * delete), exactly the ingest-batch discipline. */
   def add(ids: DataFrame, idCol: String, prefix: String): Unit =
+    Fence.withFence(ids.sparkSession, prefix, "tombstoneAdd") {
+      addUnfenced(ids, idCol, prefix)
+    }
+
+  private def addUnfenced(ids: DataFrame, idCol: String, prefix: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").format("parquet").saveAsTable(table(prefix))
 
@@ -105,16 +120,65 @@ object Tombstones {
                   predicate: org.apache.spark.sql.Column,
                   maxTombstones: Long = defaultMaxTombstones): Long = {
     val spark = from.sparkSession
-    val sel = from.filter(predicate).select(col(idCol))
-    val n = sel.distinct().count()
-    val existing = ids(spark, prefix)
+    // fenced like [[add]] (the sweep commits through the same table);
+    // the budget check runs under the same fence so no concurrent add
+    // can invalidate it between count and commit
+    Fence.withFence(spark, prefix, "deleteWhere") {
+      // pin the swept set (round-12 advisory): `from` is lazily
+      // re-evaluated, so without this the counted set and the committed
+      // set could diverge if the source changes between count and add
+      val sel = from.filter(predicate).select(col(idCol).as("id"))
+        .distinct().localCheckpoint(true)
+      val n = sel.count()
+      // budget on the DISTINCT union (round-12 advisory): re-sweeping
+      // already-tombstoned ids must not double-count toward the cap
+      val combined = ids(spark, prefix) match {
+        case None => n
+        case Some(t) => t.select("id").union(sel).distinct().count()
+      }
+      require(combined <= maxTombstones,
+        s"deleteWhere would grow index family '$prefix''s tombstone set to " +
+          s"$combined distinct ids (> $maxTombstones budget): run the " +
+          "family's Tombstones.compact* pass first, then re-issue the sweep.")
+      if (n > 0) addUnfenced(sel, "id", prefix)
+      n
+    }
+  }
+
+  /** Auto-compaction policy (round 12): compact the family when its
+    * distinct-tombstone count crosses `fraction` of the broadcast budget
+    * every load enforces — turning the "[[filter]]'s refusal names
+    * compact* as the remedy" loop into a policy the engine owns (run it
+    * from whatever cron/maintenance window owns the warehouse). The
+    * family's kind is inferred from its signature table, so one entry
+    * point serves all six families. Returns true iff a compaction ran.
+    * Thresholds are checked OUTSIDE the fence (cheap reads); the
+    * compact* pass it dispatches to takes the fence itself. */
+  def maintain(spark: SparkSession, prefix: String, fraction: Double = 0.5,
+               maxTombstones: Long = defaultMaxTombstones): Boolean = {
+    require(fraction > 0 && fraction <= 1.0,
+      s"maintain fraction must be in (0, 1], got $fraction")
+    val n = ids(spark, prefix)
       .map(_.select("id").distinct().count()).getOrElse(0L)
-    require(existing + n <= maxTombstones,
-      s"deleteWhere would grow index family '$prefix''s tombstone set to " +
-        s"~${existing + n} distinct ids (> $maxTombstones budget): run the " +
-        "family's Tombstones.compact* pass first, then re-issue the sweep.")
-    if (n > 0) add(sel, idCol, prefix)
-    n
+    if (n == 0 || n < (maxTombstones * fraction).toLong) false
+    else {
+      val families: Seq[(String, () => Unit)] = Seq(
+        ("bands", () => compactMinhash(spark, prefix)),
+        ("chunked", () => compactSimhash(spark, prefix)),
+        ("posting", () => compactContainment(spark, prefix)),
+        ("hashed", () => compactEmbed(spark, prefix)),
+        ("codes", () => compactPq(spark, prefix)),
+        ("docs", () => compactSem(spark, prefix)))
+      val present = families.filter { case (sig, _) =>
+        spark.catalog.tableExists(s"${prefix}_$sig") }
+      require(present.size == 1,
+        s"maintain cannot infer the family kind for '$prefix': signature " +
+          s"tables present = ${present.map(_._1).mkString("[", ", ", "]")} " +
+          "(expected exactly one of bands/chunked/posting/hashed/codes/docs); " +
+          "run the family's Tombstones.compact* pass directly.")
+      present.head._2()
+      true
+    }
   }
 
   private def clear(spark: SparkSession, prefix: String): Unit =
@@ -200,6 +264,9 @@ object Tombstones {
       val idCol = metaIdCol(spark, prefix)
       val b = metaBuckets(spark, prefix, buckets)
       rewriteMinus(spark, s"${prefix}_bands", idCol, prefix, b, Seq("band", "bucket"))
+      // per-stage liveness beacon: lets an operator reading the fence's
+      // staleness tell a working multi-table compaction from a dead one
+      Fence.heartbeat(spark, prefix, "compactMinhash")
       rewriteMinus(spark, s"${prefix}_shingles", idCol, prefix, b, Seq(idCol))
       clear(spark, prefix)
     }
@@ -219,6 +286,7 @@ object Tombstones {
     Fence.withFence(spark, prefix, "compactContainment") {
       val b = metaBuckets(spark, prefix, buckets)
       rewriteMinus(spark, s"${prefix}_posting", "id", prefix, b, Seq("gram"))
+      Fence.heartbeat(spark, prefix, "compactContainment")
       rewriteMinus(spark, s"${prefix}_base", "id", prefix, b, Seq("id"))
       clear(spark, prefix)
     }
@@ -228,6 +296,7 @@ object Tombstones {
     Fence.withFence(spark, prefix, "compactEmbed") {
       val b = metaBuckets(spark, prefix, buckets)
       rewriteMinus(spark, s"${prefix}_hashed", "id", prefix, b, Seq("t", "h"))
+      Fence.heartbeat(spark, prefix, "compactEmbed")
       rewriteMinus(spark, s"${prefix}_vecs", "id", prefix, b, Seq("id"))
       clear(spark, prefix)
     }

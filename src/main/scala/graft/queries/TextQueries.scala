@@ -2041,6 +2041,101 @@ object TextQueries {
         FROM allm GROUP BY component ORDER BY component""")),
 
     // ----------------------------------------------------------------
+    // q118: INCREMENTAL connected components (round 12) — shard arrival
+    // for the quote-cluster catalog. q116 re-runs CC over the FULL pair
+    // graph on every shard; the incremental twin
+    // (Dedup.connectedComponentsIncremental) freezes the labeling over
+    // the old shard's pairs and re-propagates only the components the
+    // new shard's edges touch. This row runs exactly that two-step
+    // lifecycle on q116's corpus — old shard = doc_id % 20 == 0 sources
+    // AND their excerpts (excerpt id = source + 20M keeps the residue,
+    // so each excerpt lands with its source), new shard = the rest; the
+    // pair split (both-old vs touching-new) is the incremental pair
+    // miners' output contract — and emits the SAME cluster catalog, so
+    // the oracle is q116's batch-over-union SQL VERBATIM: the driver
+    // hash-checks that the incremental path is indistinguishable from
+    // one batch run over all edges, per cluster, per member-set.
+    "q118_components_incremental" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val excerpts = base
+          .withColumn("__toks", split(col("text"), " "))
+          .withColumn("text",
+            expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        val corpus = base.union(excerpts)
+        // one containment pass over the union, pinned (pairs feed both
+        // halves of the split below — recomputing the PPJoin flow twice
+        // would double the expensive step for no information)
+        val pairs = Dedup.containmentJoin(corpus, "doc_id", "text", tau = 0.5)
+          .select("a_id", "b_id").localCheckpoint(true)
+        val isOld = (c: org.apache.spark.sql.Column) => c % 20 === 0
+        val oldPairs = pairs.filter(isOld(col("a_id")) && isOld(col("b_id")))
+        val newPairs = pairs.filter(!(isOld(col("a_id")) && isOld(col("b_id"))))
+        // step 1 (frozen past): batch CC over the old shard's pairs
+        val frozen = Dedup.connectedComponents(oldPairs, "a_id", "b_id")
+        // step 2 (shard arrival): re-propagate only touched components
+        val comps = Dedup.connectedComponentsIncremental(frozen, newPairs,
+          "a_id", "b_id")
+        val singles = corpus
+          .join(comps.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("id"), col("doc_id").as("component"))
+        comps.select(col("id"), col("component")).union(singles)
+          .groupBy("component")
+          .agg(count(lit(1)).cast("int").as("csize"),
+            sum("id").as("id_sum"), max("id").as("max_id"))
+          .orderBy("component")
+      },
+      oracle = Some("""
+        WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        ex AS (SELECT doc_id + 20000000 AS doc_id,
+                      array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) // 2], ' ') AS text
+               FROM b0),
+        u AS (SELECT doc_id, text FROM b0 UNION ALL SELECT doc_id, text FROM ex),
+        sh0 AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+                FROM u),
+        s AS (SELECT doc_id, sh, len(sh) AS m FROM sh0 WHERE len(sh) > 0),
+        p AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM s a JOIN s b ON a.doc_id <> b.doc_id
+              WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1000000 // a.m AS DOUBLE) / 1000000 >= 0.5),
+        e AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
+        l0 AS MATERIALIZED (SELECT u AS id, MIN(u) AS comp FROM e GROUP BY u),
+        l1 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l0 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l0 l ON l.id = e.u) x GROUP BY id),
+        l2 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l1 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l1 l ON l.id = e.u) x GROUP BY id),
+        l3 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l2 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l2 l ON l.id = e.u) x GROUP BY id),
+        l4 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l3 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l3 l ON l.id = e.u) x GROUP BY id),
+        l5 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l4 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l4 l ON l.id = e.u) x GROUP BY id),
+        l6 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l5 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l5 l ON l.id = e.u) x GROUP BY id),
+        l7 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l6 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l6 l ON l.id = e.u) x GROUP BY id),
+        l8 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l7 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l7 l ON l.id = e.u) x GROUP BY id),
+        allm AS (SELECT id, comp AS component FROM l8
+                 UNION ALL
+                 SELECT doc_id AS id, doc_id AS component FROM u
+                 WHERE doc_id NOT IN (SELECT id FROM l8))
+        SELECT component, CAST(COUNT(*) AS INTEGER) AS csize,
+               CAST(SUM(id) AS BIGINT) AS id_sum, MAX(id) AS max_id
+        FROM allm GROUP BY component ORDER BY component""")),
+
+    // ----------------------------------------------------------------
     // q117: the chunk → embed → pool → semantic-dedup LIFECYCLE (round
     // 11) — the actual pre-training corpus pipeline as ONE hashed
     // composition row (the q113 treatment applied to the LLM side):

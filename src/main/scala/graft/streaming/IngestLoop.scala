@@ -42,14 +42,70 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * [[graft.operators.Fence]] for its whole write window, so a
   * compaction, a batch re-save, or another loop's batch overlapping in
   * TIME refuses loudly and replays — never a lost append. One contract
-  * the fence cannot express: run at most ONE loop (one checkpoint
-  * directory) per family prefix. Batch ids are checkpoint-local, so a
-  * second loop on the same prefix would reuse bids and its
-  * drop-own-partition retry step would clobber the first loop's
-  * partitions — serialized or not. One family, one writer loop; shards
-  * fan IN through the landing directory, not through parallel loops.
+  * the fence cannot express in time alone: run at most ONE loop (one
+  * checkpoint directory) per family prefix. Batch ids are
+  * checkpoint-local, so a second loop on the same prefix would reuse
+  * bids and its drop-own-partition retry step would clobber the first
+  * loop's partitions — serialized or not. Round 12 makes that contract
+  * ENFORCED, not documented: the family's `<prefix>_meta` records the
+  * loop id (the checkpoint location) that owns it — recorded at
+  * creation, or adopted by the first loop to touch a batch-save-created
+  * family — and every subsequent batch verifies it under the fence. A
+  * second loop's first micro-batch refuses loudly naming both ids; the
+  * deliberate hand-off (checkpoint restored elsewhere) is [[rebind]].
+  * One family, one writer loop; shards fan IN through the landing
+  * directory, not through parallel loops.
   */
 object IngestLoop {
+
+  /** Canonical form of a loop id — the checkpoint location with path
+    * noise (trailing slashes, `.`) normalized, so the same checkpoint
+    * spelled two ways still reads as the same loop. */
+  private def normLoopId(id: String): String =
+    if (id.isEmpty) "" else new org.apache.hadoop.fs.Path(id).toString
+
+  /** Bind-or-verify the family's owning loop (round 12). Called with
+    * the family [[graft.operators.Fence]] HELD. A meta without the
+    * `loop_id` column (batch-save-created, or pre-round-12) is ADOPTED
+    * by this loop — the one-row meta is rewritten with the column — so
+    * the second-loop refusal protects every family, however it was
+    * created. A meta bound to a DIFFERENT loop refuses loudly: its
+    * checkpoint-local batch ids would collide with the bound loop's
+    * partitions and the retry step's drop-own-partition would clobber
+    * them. */
+  private def bindLoop(spark: SparkSession, prefix: String,
+                       loopId: String): Unit = {
+    val meta = spark.table(s"${prefix}_meta")
+    if (!meta.columns.contains("loop_id")) {
+      meta.localCheckpoint(true).withColumn("loop_id", lit(loopId))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    } else {
+      val recorded = meta.head().getAs[String]("loop_id")
+      require(recorded == loopId,
+        s"index family '$prefix' is bound to ingest loop '$recorded' but " +
+          s"this batch belongs to loop '$loopId': batch ids are " +
+          "checkpoint-local, so a second loop on one family reuses bids " +
+          "and its drop-own-partition retry would clobber the bound " +
+          "loop's partitions. Resume from the bound checkpoint, or — " +
+          "after STOPPING the bound loop — hand the family over with " +
+          "IngestLoop.rebind (safe only if the new checkpoint continues " +
+          "the bound loop's batch-id sequence; anything else requires " +
+          "rebuilding the family).")
+    }
+  }
+
+  /** Deliberate loop hand-off: rewrite the family's recorded owning
+    * loop id under the fence. ONLY safe when the bound loop is stopped
+    * AND the new checkpoint continues its batch-id sequence (a restored
+    * backup of the same checkpoint, a relocated checkpoint dir) — a
+    * fresh checkpoint restarts bids at 0 and its retries would clobber
+    * the family's existing partitions. */
+  def rebind(spark: SparkSession, prefix: String, newLoopId: String): Unit =
+    graft.operators.Fence.withFence(spark, prefix, "rebindLoop") {
+      spark.table(s"${prefix}_meta").localCheckpoint(true)
+        .withColumn("loop_id", lit(normLoopId(newLoopId)))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
 
   /** Torn-first-batch detection: the first micro-batch creates the index
     * family's tables SEQUENTIALLY, so a crash mid-batch-0 can leave only
@@ -137,8 +193,9 @@ object IngestLoop {
   def ingestMinhashBatch(batch: DataFrame, bid: Long, idCol: String,
                          textCol: String, prefix: String, pairsDir: String,
                          threshold: Double, numPerms: Int, rowsPerBand: Int,
-                         buckets: Int): Unit = {
+                         buckets: Int, loopId: String = ""): Unit = {
     val spark = batch.sparkSession
+    val lid = normLoopId(loopId)
     // Writer fence (round 11): held for the whole batch so a concurrent
     // compact* cannot drop+recreate the family from a pre-append
     // snapshot and lose this batch's partition. If compaction holds the
@@ -154,7 +211,7 @@ object IngestLoop {
     require(corpus.numPerms == numPerms && corpus.rowsPerBand == rowsPerBand,
       s"persisted index family (${corpus.numPerms}, ${corpus.rowsPerBand}) != " +
         s"loop family ($numPerms, $rowsPerBand)")
-    if (exists) requireBucketAgreement(spark, prefix, buckets)
+    if (exists) { requireBucketAgreement(spark, prefix, buckets); bindLoop(spark, prefix, lid) }
     // leg 1 — pairs touching this batch, written to the batch's OWN
     // partition directory (overwrite => retry-idempotent)
     Dedup.minhashLshPairsIncremental(shard, corpus, threshold)
@@ -179,6 +236,7 @@ object IngestLoop {
       import spark.implicits._
       Seq((idCol, numPerms, rowsPerBand, buckets))
         .toDF("id_col", "num_perms", "rows_per_band", "buckets")
+        .withColumn("loop_id", lit(lid))
         .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
     }
     }
@@ -201,7 +259,7 @@ object IngestLoop {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestMinhashBatch(batch, bid, idCol, textCol, prefix, pairsDir,
-          threshold, numPerms, rowsPerBand, buckets)
+          threshold, numPerms, rowsPerBand, buckets, loopId = checkpointDir)
       }
       .start()
 
@@ -225,8 +283,10 @@ object IngestLoop {
   def ingestEmbedBatch(batch: DataFrame, bid: Long, idCol: String,
                        vecCol: String, prefix: String, pairsDir: String,
                        threshold: Double, bitsPerTable: Int, numTables: Int,
-                       seed: Long, dim: Int, buckets: Int): Unit = {
+                       seed: Long, dim: Int, buckets: Int,
+                       loopId: String = ""): Unit = {
     val spark = batch.sparkSession
+    val lid = normLoopId(loopId)
     // writer fence: see ingestMinhashBatch
     graft.operators.Fence.withFence(spark, prefix, s"ingestEmbedBatch bid=$bid") {
     val shard = Similarity.embedIndex(batch, idCol, vecCol,
@@ -241,7 +301,7 @@ object IngestLoop {
       s"persisted LSH family (bits=${corpus.bitsPerTable}, tables=${corpus.numTables}, " +
         s"seed=${corpus.seed}, dim=${corpus.dim}) != loop family " +
         s"(bits=$bitsPerTable, tables=$numTables, seed=$seed, dim=${shard.dim})")
-    if (exists) requireBucketAgreement(spark, prefix, buckets)
+    if (exists) { requireBucketAgreement(spark, prefix, buckets); bindLoop(spark, prefix, lid) }
     Similarity.lshDupPairsIncremental(shard, corpus, threshold)
       .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$bid")
     if (exists) Seq("hashed", "vecs").foreach { t =>
@@ -261,6 +321,7 @@ object IngestLoop {
       import spark.implicits._
       Seq((idCol, bitsPerTable, numTables, seed, shard.dim, buckets))
         .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim", "buckets")
+        .withColumn("loop_id", lit(lid))
         .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
     }
     }
@@ -284,8 +345,10 @@ object IngestLoop {
     * across partitions, so the ADC join stays co-located. */
   def ingestPqBatch(batch: DataFrame, bid: Long, idCol: String,
                     vecCol: String, prefix: String, nlist: Int, m: Int,
-                    ksub: Int, seed: Long, buckets: Int): Unit = {
+                    ksub: Int, seed: Long, buckets: Int,
+                    loopId: String = ""): Unit = {
     val spark = batch.sparkSession
+    val lid = normLoopId(loopId)
     // writer fence: see ingestMinhashBatch
     graft.operators.Fence.withFence(spark, prefix, s"ingestPqBatch bid=$bid") {
     val exists = familyExists(spark, prefix, Seq("codes", "meta"))
@@ -300,6 +363,7 @@ object IngestLoop {
             idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq, buckets))
           .toDF("id_col", "m", "ksub", "dim", "seed", "coarse_l1",
             "coarse_l2", "codebooks", "buckets")
+          .withColumn("loop_id", lit(lid))
           .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
         idx.codes
       } else {
@@ -307,6 +371,7 @@ object IngestLoop {
         require(idx.idCol == idCol,
           s"persisted PQ index keys on '${idx.idCol}', loop on '$idCol'")
         requireBucketAgreement(spark, prefix, buckets)
+        bindLoop(spark, prefix, lid)
         spark.sql(s"ALTER TABLE ${prefix}_codes DROP IF EXISTS PARTITION (ingest_batch=$bid)")
         graft.operators.Similarity.encodePq(batch, vecCol, idx)
       }
@@ -331,7 +396,7 @@ object IngestLoop {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestPqBatch(batch, bid, idCol, vecCol, prefix, nlist, m, ksub,
-          seed, buckets)
+          seed, buckets, loopId = checkpointDir)
       }
       .start()
 
@@ -350,8 +415,9 @@ object IngestLoop {
   def ingestSemBatch(batch: DataFrame, bid: Long, idCol: String,
                      vecCol: String, prefix: String, threshold: Double,
                      nlist: Int, seed: Long, maxPairs: Long,
-                     buckets: Int): Unit = {
+                     buckets: Int, loopId: String = ""): Unit = {
     val spark = batch.sparkSession
+    val lid = normLoopId(loopId)
     // writer fence: see ingestMinhashBatch
     graft.operators.Fence.withFence(spark, prefix, s"ingestSemBatch bid=$bid") {
     val exists = familyExists(spark, prefix, Seq("docs", "meta"))
@@ -364,6 +430,7 @@ object IngestLoop {
             idx.coarse.l1.map(_.toSeq).toSeq, idx.coarse.l2.map(_.toSeq).toSeq,
             buckets))
           .toDF("id_col", "threshold", "seed", "coarse_l1", "coarse_l2", "buckets")
+          .withColumn("loop_id", lit(lid))
           .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
         idx.docs
       } else {
@@ -371,6 +438,7 @@ object IngestLoop {
         require(idx0.idCol == idCol,
           s"persisted sem index keys on '${idx0.idCol}', loop on '$idCol'")
         requireBucketAgreement(spark, prefix, buckets)
+        bindLoop(spark, prefix, lid)
         spark.sql(s"ALTER TABLE ${prefix}_docs DROP IF EXISTS PARTITION (ingest_batch=$bid)")
         val idx = idx0.copy(docs = idx0.docs.filter(col("ingest_batch") < bid))
         graft.operators.Similarity.semanticDedupIncremental(
@@ -397,7 +465,7 @@ object IngestLoop {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestSemBatch(batch, bid, idCol, vecCol, prefix, threshold, nlist,
-          seed, maxPairs, buckets)
+          seed, maxPairs, buckets, loopId = checkpointDir)
       }
       .start()
 
@@ -459,7 +527,8 @@ object IngestLoop {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestEmbedBatch(batch, bid, idCol, vecCol, prefix, pairsDir,
-          threshold, bitsPerTable, numTables, seed, dim, buckets)
+          threshold, bitsPerTable, numTables, seed, dim, buckets,
+          loopId = checkpointDir)
       }
       .start()
 }

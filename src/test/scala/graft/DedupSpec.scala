@@ -641,4 +641,39 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L, 5L))
   }
+
+  test("connectedComponentsIncremental == batch CC over the union of all edges") {
+    // frozen past: four small components and one untouched bystander
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (30L, 31L),
+      (70L, 71L)).toDF("a_id", "b_id")
+    val frozen = Dedup.connectedComponents(old, "a_id", "b_id")
+    // the shard: merges {1,2,3} with {10,11}; grows {20,21} by a new
+    // node; a brand-new component; a DEEP chain hanging off {30,31}
+    // (exercises the subgraph CC's pointer jumping, not just stars)
+    val fresh = Seq((3L, 10L), (21L, 40L), (50L, 51L), (31L, 60L),
+      (60L, 61L), (61L, 62L), (62L, 63L)).toDF("a_id", "b_id")
+    val inc = Dedup.connectedComponentsIncremental(frozen, fresh, "a_id", "b_id")
+    val full = Dedup.connectedComponents(old.union(fresh), "a_id", "b_id")
+    assert(inc.count() == full.count())
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0,
+      "incremental labeling diverges from batch-over-union")
+    // spot-check the semantics: merged components take the global min
+    val byId = inc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(11L) == 1L, "merged component must relabel to the global min")
+    assert(byId(40L) == 20L, "a new node attaches to the touched component's min")
+    assert(byId(63L) == 30L, "a deep new chain propagates to the old min")
+    assert(byId(71L) == 70L, "an untouched component keeps its frozen label")
+    assert(byId(50L) == 50L && byId(51L) == 50L, "a brand-new component labels itself")
+    // an empty shard is the identity
+    val none = Dedup.connectedComponentsIncremental(frozen,
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"), "a_id", "b_id")
+    assert(none.exceptAll(frozen).count() == 0 &&
+      frozen.exceptAll(none).count() == 0)
+    // an empty past degenerates to batch CC of the shard alone
+    val scratch = Dedup.connectedComponentsIncremental(
+      Seq.empty[(Long, Long)].toDF("id", "component"), fresh, "a_id", "b_id")
+    val direct = Dedup.connectedComponents(fresh, "a_id", "b_id")
+    assert(scratch.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(scratch).count() == 0)
+  }
 }

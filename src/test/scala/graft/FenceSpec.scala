@@ -193,4 +193,107 @@ class FenceSpec extends AnyFunSuite {
       assert(Fence.holder(spark, p).isEmpty, "all fences released")
     } finally cleanFamily(p)
   }
+
+  test("non-atomic fence scheme refuses loudly; spark.graft.fence.dir routes the fence to an atomic location") {
+    val p = "fence_s3"
+    // an object-store scheme has no atomic create-exclusive: the fence
+    // must refuse BY NAME, before any filesystem call, naming both
+    // remedies — not silently degrade to check-then-create
+    spark.conf.set("spark.graft.fence.dir", "s3a://warehouse-bucket/locks")
+    try {
+      val e = intercept[IllegalStateException](Fence.acquire(spark, p, "writerA"))
+      assert(e.getMessage.contains("s3a") &&
+        e.getMessage.contains("spark.graft.fence.dir") &&
+        e.getMessage.contains("spark.graft.fence.atomicSchemes"),
+        s"scheme refusal must name the scheme and both remedies: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.fence.dir")
+    // the standard deployment shape: data on the object store, fence on
+    // an atomic location — every fence op routes to the configured dir
+    val lockDir = java.nio.file.Files.createTempDirectory("fence_locks").toString
+    spark.conf.set("spark.graft.fence.dir", lockDir)
+    try {
+      Fence.withFence(spark, p, "writerA") {
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(lockDir, s"${p}__fence")),
+          "the fence file must land in the configured lock dir")
+        assert(Fence.holder(spark, p).exists(_.startsWith("writerA @ ")))
+      }
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(lockDir, s"${p}__fence")))
+    } finally spark.conf.unset("spark.graft.fence.dir")
+    // a deployment that KNOWS its store has real conditional-put create
+    // can declare the scheme atomic — the gate opens (and the failure
+    // here is only the missing connector, not the fence's refusal)
+    spark.conf.set("spark.graft.fence.dir", "s3a://warehouse-bucket/locks")
+    spark.conf.set("spark.graft.fence.atomicSchemes", "s3a")
+    try {
+      val e = intercept[Exception](Fence.acquire(spark, p, "writerA"))
+      assert(!Option(e.getMessage).getOrElse("").contains("no atomic create-exclusive"),
+        s"a declared-atomic scheme must pass the gate: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.fence.dir")
+      spark.conf.unset("spark.graft.fence.atomicSchemes")
+    }
+  }
+
+  test("staleness: the fence records pid/host, heartbeat refreshes the liveness clock without breaking exclusivity") {
+    val p = "fence_hb"
+    Fence.forceRelease(spark, p)
+    Fence.acquire(spark, p, "compactLike")
+    try {
+      val tag = Fence.holder(spark, p).get
+      assert(tag.contains(" pid=") && tag.contains(" host="),
+        s"the tag must carry staleness metadata: $tag")
+      Thread.sleep(1200)
+      val before = Fence.holderAgeMillis(spark, p).get
+      assert(before >= 1000, s"age must accumulate while the holder is silent: $before ms")
+      Fence.heartbeat(spark, p, "compactLike")
+      val after = Fence.holderAgeMillis(spark, p).get
+      assert(after < before,
+        s"heartbeat must refresh the staleness clock: $after ms vs $before ms")
+      // a heart-beaten fence is still exclusive, and the refusal carries
+      // the staleness readout the operator needs before forceRelease
+      val e = intercept[IllegalStateException](Fence.acquire(spark, p, "writerB"))
+      assert(e.getMessage.contains("last heartbeat"),
+        s"the refusal must report staleness: ${e.getMessage}")
+      // a non-holder cannot stamp liveness on someone else's fence
+      intercept[IllegalStateException](Fence.heartbeat(spark, p, "writerB"))
+      assert(Fence.holder(spark, p).exists(_.startsWith("compactLike @ ")))
+    } finally Fence.forceRelease(spark, p)
+  }
+
+  test("tombstone add/deleteWhere arriving mid-compaction refuse loudly — a deletion is never dropped by the pass's clear") {
+    val p = "fence_tb"
+    cleanFamily(p)
+    val pairsDir = java.nio.file.Files.createTempDirectory("fence_pairs4").toString
+    try {
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      ingest(p, pairsDir, corpus, 0L)
+      // the injected point: compact* snapshots tombstones via its
+      // anti-join rewrites and DROPS the whole set at the end — a
+      // deletion committed in between would silently resurrect, so the
+      // tombstone writers hold the same fence and refuse instead
+      Fence.acquire(spark, p, "compactMinhash")
+      val e = intercept[IllegalStateException] {
+        Tombstones.add(corpus.filter(col("doc_id") % 8 === 0).select("doc_id"),
+          "doc_id", p)
+      }
+      assert(e.getMessage.contains("compactMinhash"))
+      assert(!spark.catalog.tableExists(s"${p}_tombstones"),
+        "a refused add must commit nothing")
+      val e2 = intercept[IllegalStateException] {
+        Tombstones.deleteWhere(corpus, "doc_id", p, col("doc_id") % 8 === 0)
+      }
+      assert(e2.getMessage.contains("compactMinhash"))
+      Fence.release(spark, p, "compactMinhash")
+      // the retried sweep lands, and the next pass folds it physically
+      val n = Tombstones.deleteWhere(corpus, "doc_id", p, col("doc_id") % 8 === 0)
+      assert(n == corpus.filter(col("doc_id") % 8 === 0).count())
+      Tombstones.compactMinhash(spark, p)
+      assert(!spark.catalog.tableExists(s"${p}_tombstones"))
+      assert(spark.table(s"${p}_shingles")
+        .filter(col("doc_id") % 8 === 0).count() == 0,
+        "the folded sweep must be physical after compaction")
+    } finally cleanFamily(p)
+  }
 }

@@ -231,10 +231,12 @@ class IngestLoopSpec extends AnyFunSuite {
       assert(viaLoaded.sameElements(viaRef),
         "reloaded incremental index serves differently from the batch encode")
       // retry idempotence: replaying a batch id leaves the table identical
+      // (a replay is the SAME loop redelivering, so it carries the loop's
+      // id — a foreign id would refuse, see the one-family-one-loop test)
       val before = spark.table("ing_pq_codes").collect().map(_.toString).toSet
       IngestLoop.ingestPqBatch(corpus.filter(col("vec_id") % 3 === 1), 1L,
         "vec_id", "embedding", "ing_pq", nlist = 16, m = 8, ksub = 16,
-        seed = 42L, buckets = 8)
+        seed = 42L, buckets = 8, loopId = ckpt)
       val after = spark.table("ing_pq_codes").collect().map(_.toString).toSet
       assert(after == before, "PQ batch replay changed the codes table")
     } finally drop("ing_pq_codes", "ing_pq_meta")
@@ -321,6 +323,68 @@ class IngestLoopSpec extends AnyFunSuite {
           full.exceptAll(streamed).count() == 0,
           s"pair set diverges after torn-batch recovery (missing=$missing)")
       } finally drop("ing_tn_bands", "ing_tn_shingles", "ing_tn_meta")
+    }
+  }
+
+  test("one family, one loop: a second loop on the same prefix refuses loudly; rebind is the deliberate hand-off") {
+    // batch ids are checkpoint-local: two loops on one prefix reuse bids
+    // and the retry's drop-own-partition would clobber each other's
+    // partitions even when the fence serializes them in TIME. The family
+    // records its owning loop id (the checkpoint location) in meta, so
+    // the second loop's FIRST micro-batch refuses — round 12.
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .limit(120)
+    val streamA = java.nio.file.Files.createTempDirectory("twoloop_a").toString
+    val streamB = java.nio.file.Files.createTempDirectory("twoloop_b").toString
+    stage(docs.filter(col("doc_id") % 2 === 0), streamA, "a.parquet")
+    stage(docs.filter(col("doc_id") % 2 === 1), streamB, "b.parquet")
+    val pairsDir = java.nio.file.Files.createTempDirectory("twoloop_pairs").toString
+    val ckptA = java.nio.file.Files.createTempDirectory("twoloop_ckptA").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("twoloop_ckptB").toString
+    def src(d: String) = spark.readStream.schema("doc_id LONG, text STRING").parquet(d)
+    try {
+      val qa = IngestLoop.minhashIngest(src(streamA), "doc_id", "text",
+        prefix = "ing_two", pairsDir = pairsDir, checkpointDir = ckptA)
+      qa.awaitTermination()
+      val afterA = spark.table("ing_two_shingles").count()
+      assert(afterA > 0)
+      // loop B, same family, its own checkpoint: first micro-batch refuses
+      val qb = IngestLoop.minhashIngest(src(streamB), "doc_id", "text",
+        prefix = "ing_two", pairsDir = pairsDir, checkpointDir = ckptB)
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        qb.awaitTermination())
+      val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("bound to ingest loop"),
+        s"the second loop must refuse naming the binding: $msgs")
+      // nothing half-committed by the refused loop, nothing of loop A lost
+      assert(spark.table("ing_two_shingles").count() == afterA)
+      assert(graft.operators.Fence.holder(spark, "ing_two").isEmpty,
+        "the refused batch must release the fence")
+      // the unit path refuses too, naming the remedy
+      val e = intercept[IllegalArgumentException] {
+        IngestLoop.ingestMinhashBatch(docs.limit(10), 1L, "doc_id", "text",
+          "ing_two", pairsDir, threshold = 0.5, numPerms = 32,
+          rowsPerBand = 4, buckets = 8, loopId = "/some/other/ckpt")
+      }
+      assert(e.getMessage.contains("rebind"), e.getMessage)
+      // deliberate hand-off: rebind, then the new loop id continues the
+      // bound loop's bid sequence and appends
+      IngestLoop.rebind(spark, "ing_two", ckptB)
+      IngestLoop.ingestMinhashBatch(docs.filter(col("doc_id") % 2 === 1), 1L,
+        "doc_id", "text", "ing_two", pairsDir, threshold = 0.5,
+        numPerms = 32, rowsPerBand = 4, buckets = 8, loopId = ckptB)
+      assert(spark.table("ing_two_shingles")
+        .filter(col("ingest_batch") === 1).count() > 0)
+      // ...and the ORIGINAL loop id is now the foreign one
+      intercept[IllegalArgumentException] {
+        IngestLoop.ingestMinhashBatch(docs.limit(10), 2L, "doc_id", "text",
+          "ing_two", pairsDir, threshold = 0.5, numPerms = 32,
+          rowsPerBand = 4, buckets = 8, loopId = ckptA)
+      }
+    } finally {
+      drop("ing_two_bands", "ing_two_shingles", "ing_two_meta")
+      graft.operators.Fence.forceRelease(spark, "ing_two")
     }
   }
 }

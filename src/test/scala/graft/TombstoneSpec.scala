@@ -383,4 +383,60 @@ class TombstoneSpec extends AnyFunSuite {
     } finally drop("tb_dw_bands", "tb_dw_shingles", "tb_dw_meta",
       "tb_dw_tombstones", "tb_dwpq_codes", "tb_dwpq_meta", "tb_dwpq_tombstones")
   }
+
+  test("deleteWhere budget counts the distinct UNION: re-sweeping already-tombstoned ids cannot refuse an in-budget sweep") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .limit(100)
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(docs, "doc_id", "text"),
+      "tb_db", buckets = 8)
+    try {
+      val dead = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+      val nDead = dead.count()
+      Tombstones.add(dead, "doc_id", "tb_db")
+      // re-sweep the SAME ids with a budget of exactly the distinct set:
+      // existing + n double-counting would read 2x and refuse; the
+      // distinct union is exactly in budget and must commit
+      val n = Tombstones.deleteWhere(docs, "doc_id", "tb_db",
+        col("doc_id") % 3 === 0, maxTombstones = nDead)
+      assert(n == nDead)
+      assert(spark.table("tb_db_tombstones").select("id").distinct().count() == nDead)
+      // a genuinely over-budget sweep still refuses pre-commit
+      intercept[IllegalArgumentException] {
+        Tombstones.deleteWhere(docs, "doc_id", "tb_db", lit(true),
+          maxTombstones = nDead)
+      }
+      assert(spark.table("tb_db_tombstones").select("id").distinct().count() == nDead,
+        "a refused sweep must commit nothing")
+    } finally drop("tb_db_bands", "tb_db_shingles", "tb_db_meta",
+      "tb_db_tombstones")
+  }
+
+  test("maintain: the engine-owned compaction policy — no-op below the budget fraction, compacts (and clears) above") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .limit(120)
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(docs, "doc_id", "text"),
+      "tb_mt", buckets = 8)
+    try {
+      // no tombstones at all: nothing to do
+      assert(!Tombstones.maintain(spark, "tb_mt"))
+      val dead = docs.filter(col("doc_id") % 4 === 0).select("doc_id")
+      val nDead = dead.count()
+      Tombstones.add(dead, "doc_id", "tb_mt")
+      // far below the fraction: no-op, the logical set stays
+      assert(!Tombstones.maintain(spark, "tb_mt", fraction = 0.5,
+        maxTombstones = 100 * nDead))
+      assert(spark.catalog.tableExists("tb_mt_tombstones"))
+      // at the fraction: the family's compact runs (kind inferred from
+      // the signature table, layout from meta) and clears the set
+      assert(Tombstones.maintain(spark, "tb_mt", fraction = 0.5,
+        maxTombstones = 2 * nDead))
+      assert(!spark.catalog.tableExists("tb_mt_tombstones"))
+      assert(spark.table("tb_mt_shingles")
+        .filter(col("doc_id") % 4 === 0).count() == 0,
+        "maintain's compaction must be physical")
+      // cleared: back to no-op
+      assert(!Tombstones.maintain(spark, "tb_mt"))
+    } finally drop("tb_mt_bands", "tb_mt_shingles", "tb_mt_meta",
+      "tb_mt_tombstones")
+  }
 }
