@@ -551,20 +551,36 @@ object Dedup {
     * Work is O(touched components + shard edges): the only corpus-side
     * scans are one semi-join selecting touched labels (shuffles on id /
     * component — at warehouse scale, persist labels bucketed on both to
-    * make them exchange-free) and one anti-join emitting the untouched
-    * rows; the CC rounds run on the star subgraph, not the corpus
-    * graph. Returns the complete updated labeling, same schema and
-    * semantics as [[connectedComponents]] over the union of all edges
-    * (pinned in DedupSpec; shard-scale cost measured by
-    * tools/CcIncProbe). */
+    * make them exchange-free) and, in full mode, one anti-join emitting
+    * the untouched rows; the CC rounds run on the star subgraph, not
+    * the corpus graph.
+    *
+    * Two output modes. Default (`deltaOnly = false`): the complete
+    * updated labeling, same schema and semantics as
+    * [[connectedComponents]] over the union of all edges — contract
+    * parity for a consumer that wants the whole catalog (q118). With
+    * `deltaOnly = true`: ONLY the re-propagated rows (members of
+    * touched components + the shard's new nodes) — the LSM shape for a
+    * PERSISTED labels table, where emitting (and re-materializing) the
+    * untouched corpus every shard would itself be the O(corpus) cost
+    * the incremental path exists to avoid; the caller appends the delta
+    * with a batch id and reads latest-batch-wins, exactly the
+    * `ingest_batch` discipline of the index families. Both modes pinned
+    * equal to batch-over-union in DedupSpec; the delta-vs-full cost gap
+    * is what tools/CcIncProbe measures. */
   def connectedComponentsIncremental(labels: DataFrame, newPairs: DataFrame,
                                      aCol: String, bCol: String,
                                      maxIter: Int = 25,
-                                     staging: Staging.Mode = Staging.Local): DataFrame = {
+                                     staging: Staging.Mode = Staging.Local,
+                                     deltaOnly: Boolean = false): DataFrame = {
     val fwd = newPairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
-    val lab = staging(labels.select(col("id").cast("long").as("id"),
-      col("component").cast("long").as("comp")))
+    // labels is NOT staged here: it is corpus-sized (typically a table
+    // read or already checkpointed by the caller), consumed only by
+    // scans below — eagerly materializing it would put the O(corpus)
+    // cost back into every shard arrival
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("comp"))
     val newNodes = staging(fwd.select(col("u")).union(fwd.select(col("v")))
       .distinct().select(col("u").as("id")))
     // components with any member incident to a new edge — everything
@@ -579,9 +595,12 @@ object Dedup {
     val sub = connectedComponents(
       starPairs.union(fwd.select(col("u"), col("v"))), "u", "v",
       maxIter, staging)
-    val untouched = lab.join(sub.select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("comp").as("component"))
-    sub.select(col("id"), col("component")).union(untouched)
+    if (deltaOnly) sub.select(col("id"), col("component"))
+    else {
+      val untouched = lab.join(sub.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("comp").as("component"))
+      sub.select(col("id"), col("component")).union(untouched)
+    }
   }
 
   /** Near-dup dedup survivors: every id in `df` except non-canonical

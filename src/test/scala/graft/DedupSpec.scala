@@ -675,5 +675,19 @@ class DedupSpec extends AnyFunSuite {
     val direct = Dedup.connectedComponents(fresh, "a_id", "b_id")
     assert(scratch.exceptAll(direct).count() == 0 &&
       direct.exceptAll(scratch).count() == 0)
+    // delta mode: ONLY the re-propagated rows (touched components' members
+    // + new nodes — the persisted-labels append shape), and delta ∪
+    // untouched-frozen == the full updated labeling
+    val delta = Dedup.connectedComponentsIncremental(frozen, fresh,
+      "a_id", "b_id", deltaOnly = true)
+    val deltaIds = delta.collect().map(_.getLong(0)).toSet
+    assert(deltaIds == Set(1L, 2L, 3L, 10L, 11L, 20L, 21L, 40L, 50L, 51L,
+      30L, 31L, 60L, 61L, 62L, 63L),
+      s"delta must cover exactly touched members + new nodes: $deltaIds")
+    val merged = delta.union(
+      frozen.join(delta.select(col("id")), Seq("id"), "left_anti"))
+    assert(merged.exceptAll(full).count() == 0 &&
+      full.exceptAll(merged).count() == 0,
+      "delta ∪ untouched diverges from batch-over-union")
   }
 }
