@@ -216,6 +216,9 @@ object IngestLoop {
     // partition directory (overwrite => retry-idempotent)
     Dedup.minhashLshPairsIncremental(shard, corpus, threshold)
       .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$bid")
+    // between-leg liveness beacon (see Fence.heartbeat): a long batch
+    // reads as alive, not crashed, to an operator eyeing forceRelease
+    graft.operators.Fence.heartbeat(spark, prefix, s"ingestMinhashBatch bid=$bid")
     // leg 2 — fold the shard in: append the batch's partition only; a
     // retry first drops its own half-written partition (corpus
     // partitions are untouched either way)
@@ -304,6 +307,8 @@ object IngestLoop {
     if (exists) { requireBucketAgreement(spark, prefix, buckets); bindLoop(spark, prefix, lid) }
     Similarity.lshDupPairsIncremental(shard, corpus, threshold)
       .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$bid")
+    // between-leg liveness beacon: see ingestMinhashBatch
+    graft.operators.Fence.heartbeat(spark, prefix, s"ingestEmbedBatch bid=$bid")
     if (exists) Seq("hashed", "vecs").foreach { t =>
       spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$bid)")
     }
@@ -510,6 +515,88 @@ object IngestLoop {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         servePqBatch(batch, bid, idCol, vecCol, prefix, vectors,
           resultsTable, k, nprobe, refine)
+      }
+      .start()
+
+  /** The persisted duplicate-components view as of batches strictly
+    * before `bid` — LATEST-BATCH-WINS per node: each appended delta
+    * supersedes the touched ids' earlier rows, so the view is always
+    * the exact fixpoint labeling over every edge seen so far (the
+    * invariant [[Dedup.connectedComponentsIncremental]] requires of its
+    * input). The labels table is bucketed on `id`, so the per-id window
+    * reads exchange-free. */
+  def ccComponentsBefore(spark: SparkSession, prefix: String,
+                         bid: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.table(s"${prefix}_labels").filter(col("ingest_batch") < bid)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("ingest_batch").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("component"))
+  }
+
+  /** The current persisted components catalog (all batches folded). */
+  def ccComponents(spark: SparkSession, prefix: String): DataFrame =
+    ccComponentsBefore(spark, prefix, Long.MaxValue)
+
+  /** One micro-batch of the CONNECTED-COMPONENTS ingestion loop (round
+    * 12) — the group-sized consumer's member of the incremental family:
+    * the stream carries duplicate-pair shards (any of the incremental
+    * pair miners' outputs), and the persisted `<prefix>_labels` table
+    * accumulates the component catalog. Batch 0 runs batch CC over its
+    * own pairs; every later batch computes ONLY the delta
+    * ([[Dedup.connectedComponentsIncremental]] `deltaOnly` — members of
+    * touched components + the shard's new nodes) against the
+    * latest-wins view of batches before it, and appends that delta as
+    * its own `ingest_batch` partition: per-shard work tracks touched
+    * components, the corpus-sized catalog is NEVER rewritten, and reads
+    * fold the deltas by [[ccComponentsBefore]]'s later-batch-wins rule.
+    * Same retry contract as the other loops (drop-own-partition before
+    * re-append; corpus view reads `< bid`), same fence, same loop
+    * binding. */
+  def ingestCcBatch(pairs: DataFrame, bid: Long, aCol: String, bCol: String,
+                    prefix: String, buckets: Int,
+                    loopId: String = ""): Unit = {
+    val spark = pairs.sparkSession
+    val lid = normLoopId(loopId)
+    graft.operators.Fence.withFence(spark, prefix, s"ingestCcBatch bid=$bid") {
+      val exists = familyExists(spark, prefix, Seq("labels", "meta"))
+      val delta =
+        if (!exists) Dedup.connectedComponents(pairs, aCol, bCol)
+        else {
+          requireBucketAgreement(spark, prefix, buckets)
+          bindLoop(spark, prefix, lid)
+          spark.sql(s"ALTER TABLE ${prefix}_labels DROP IF EXISTS PARTITION (ingest_batch=$bid)")
+          Dedup.connectedComponentsIncremental(
+            ccComponentsBefore(spark, prefix, bid), pairs, aCol, bCol,
+            deltaOnly = true)
+        }
+      delta.withColumn("ingest_batch", lit(bid))
+        .write.mode("append").format("parquet")
+        .partitionBy("ingest_batch")
+        .bucketBy(buckets, "id").sortBy("id")
+        .saveAsTable(s"${prefix}_labels")
+      if (!exists) {
+        import spark.implicits._
+        Seq(("id", buckets)).toDF("id_col", "buckets")
+          .withColumn("loop_id", lit(lid))
+          .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+      }
+    }
+  }
+
+  /** Drive a streaming pair source (duplicate edges) through the
+    * components ingestion loop — the catalog GROWS with the stream
+    * while per-shard work stays O(touched components). */
+  def ccIngest(pairs: DataFrame, aCol: String, bCol: String,
+               prefix: String, checkpointDir: String, buckets: Int = 8,
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    pairs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingestCcBatch(batch, bid, aCol, bCol, prefix, buckets,
+          loopId = checkpointDir)
       }
       .start()
 

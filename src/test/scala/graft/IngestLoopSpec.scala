@@ -326,6 +326,42 @@ class IngestLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("components ingestion loop: pair shards fold into a latest-wins catalog == one batch CC; deltas are shard-sized; replay idempotent") {
+    import spark.implicits._
+    def edges(rows: Seq[(Long, Long)]) = rows.toDF("a_id", "b_id")
+    // batch 0: sixty 2-node components (i — i+1M)
+    val b0 = (0L until 60L).map(i => (i, i + 1000000L))
+    // batch 1: every component grows by one node (touches all of them)
+    val b1 = (0L until 60L).map(i => (i + 1000000L, i + 2000000L))
+    // batch 2: merge component(i) with component(i+30) for i in
+    // {0,10,20}, plus one brand-new pair — the thin-slice arrival shape
+    val b2 = (0L until 30L by 10L).map(i => (i, i + 30L)) ++
+      Seq((9000000L, 9000001L))
+    val all = b0 ++ b1 ++ b2
+    def run(rows: Seq[(Long, Long)], bid: Long): Unit =
+      IngestLoop.ingestCcBatch(edges(rows), bid, "a_id", "b_id", "ing_cc",
+        buckets = 4)
+    try {
+      run(b0, 0L); run(b1, 1L); run(b2, 2L)
+      val streamed = IngestLoop.ccComponents(spark, "ing_cc")
+      val full = Dedup.connectedComponents(edges(all), "a_id", "b_id")
+      assert(streamed.count() == full.count())
+      assert(streamed.exceptAll(full).count() == 0 &&
+        full.exceptAll(streamed).count() == 0,
+        "folded incremental catalog diverges from one batch CC over all edges")
+      // the delta partitions are shard-sized: batch 2 re-propagated only
+      // the six merged components (3 members each) + the new pair
+      assert(spark.table("ing_cc_labels")
+        .filter(col("ingest_batch") === 2).count() == 20)
+      // replay batch 1 (foreachBatch redelivery): the catalog is identical
+      val before = streamed.collect().map(_.toString).toSet
+      run(b1, 1L)
+      assert(IngestLoop.ccComponents(spark, "ing_cc")
+        .collect().map(_.toString).toSet == before,
+        "batch replay changed the components catalog")
+    } finally drop("ing_cc_labels", "ing_cc_meta")
+  }
+
   test("one family, one loop: a second loop on the same prefix refuses loudly; rebind is the deliberate hand-off") {
     // batch ids are checkpoint-local: two loops on one prefix reuse bids
     // and the retry's drop-own-partition would clobber each other's
