@@ -553,7 +553,16 @@ object IngestLoop {
     * fold the deltas by [[ccComponentsBefore]]'s later-batch-wins rule.
     * Same retry contract as the other loops (drop-own-partition before
     * re-append; corpus view reads `< bid`), same fence, same loop
-    * binding. */
+    * binding.
+    *
+    * DELETION: this family deliberately has NO tombstone path. Labels
+    * are DERIVED state — removing a node can SPLIT a component (edges
+    * through it vanish), which a label table cannot express without the
+    * edge set; a label-only "compact" would silently keep severed
+    * members merged. Delete from the UPSTREAM pair/index families
+    * (their tombstones already hide dead ids from every pair source)
+    * and re-derive the touched components from the surviving pairs —
+    * derived state is re-derived, never patched. */
   def ingestCcBatch(pairs: DataFrame, bid: Long, aCol: String, bCol: String,
                     prefix: String, buckets: Int,
                     loopId: String = ""): Unit = {
