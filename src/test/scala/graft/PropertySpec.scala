@@ -319,4 +319,41 @@ class PropertySpec extends AnyFunSuite {
       if (m <= w) assert(out.length == 1 && out.head._3 == text, label)
     }
   }
+
+  test("connectedComponentsIncremental == batch CC for ANY random graph and ANY edge split") {
+    // the algebraic claim behind q118 and the components ingest loop:
+    // freeze the labeling over an arbitrary prefix of the edges, arrive
+    // the rest as a shard — the folded result must equal one batch run
+    // over all edges, whatever the graph (cliques, chains, crossings,
+    // self-loops via duplicate endpoints, isolated merges)
+    val edgeSets: Gen[(List[(Long, Long)], Int)] = for {
+      n <- Gen.chooseNum(2, 40)                       // node universe
+      m <- Gen.chooseNum(1, 60)                       // edge count
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+      cut <- Gen.chooseNum(0, m)                      // arbitrary split point
+    } yield (es, cut)
+    cases(edgeSets, 10).foreach { case (es, cut) =>
+      val (oldE, newE) = es.splitAt(cut)
+      def df(rows: List[(Long, Long)]) =
+        if (rows.isEmpty) List.empty[(Long, Long)].toDF("a_id", "b_id")
+        else rows.toDF("a_id", "b_id")
+      val frozen = Dedup.connectedComponents(df(oldE), "a_id", "b_id")
+      val inc = Dedup.connectedComponentsIncremental(frozen, df(newE),
+        "a_id", "b_id")
+      val full = Dedup.connectedComponents(df(es), "a_id", "b_id")
+      val label = s"edges=${es.size} cut=$cut"
+      assert(inc.exceptAll(full).count() == 0 &&
+        full.exceptAll(inc).count() == 0, label)
+      // delta ∪ untouched-frozen must agree too
+      val delta = Dedup.connectedComponentsIncremental(frozen, df(newE),
+        "a_id", "b_id", deltaOnly = true)
+      val merged = delta.union(
+        frozen.join(delta.select(col("id")), Seq("id"), "left_anti"))
+      assert(merged.exceptAll(full).count() == 0 &&
+        full.exceptAll(merged).count() == 0, label)
+    }
+  }
 }
