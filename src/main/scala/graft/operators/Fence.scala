@@ -264,9 +264,49 @@ object Fence {
     fs(spark, p).delete(p, false)
   }
 
-  /** Run `body` holding the family's writer fence. */
+  /** [[acquire]], waiting up to `waitMs` for a live holder to release
+    * before refusing — the shape a STREAMING writer wants: a foreachBatch
+    * exception fails its whole query (the checkpoint replay the refusal
+    * story leans on only happens when someone RESTARTS it), so a
+    * micro-batch that overlaps a compaction should absorb seconds of
+    * latency rather than die. Bounded and still loud: past the deadline
+    * the held-refusal (holder + staleness) is thrown exactly as
+    * [[acquire]] would. Non-atomic-scheme refusals are NOT retried —
+    * waiting cannot make a check-then-create atomic. Exponential backoff
+    * from 50 ms capped at 2 s keeps namenode chatter negligible. */
+  def acquireWait(spark: SparkSession, prefix: String, owner: String,
+                  waitMs: Long): Unit = {
+    requireAtomicScheme(spark, path(spark, prefix), owner) // not retryable
+    val deadline = System.currentTimeMillis() + math.max(waitMs, 0L)
+    var delay = 50L
+    var done = false
+    while (!done) {
+      try { acquire(spark, prefix, owner); done = true }
+      catch {
+        case e: IllegalStateException =>
+          val left = deadline - System.currentTimeMillis()
+          if (left <= 0) throw e
+          Thread.sleep(math.min(delay, left))
+          delay = math.min(delay * 2, 2000L)
+      }
+    }
+  }
+
+  /** How long [[withFence]] waits for a held fence before refusing:
+    * `spark.graft.fence.waitMs`, default 0 (refuse immediately — the
+    * loud-refusal default every spec pins). Deployments running live
+    * ingest loops alongside periodic compaction set it to bound the
+    * micro-batch latency a compaction window may add (e.g. 600000 for
+    * 10 min) instead of letting the overlap kill the streaming query. */
+  private def configuredWaitMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.fence.waitMs").map(_.toLong).getOrElse(0L)
+
+  /** Run `body` holding the family's writer fence (waiting up to
+    * `spark.graft.fence.waitMs` for a holder to release first). */
   def withFence[T](spark: SparkSession, prefix: String, owner: String)(body: => T): T = {
-    acquire(spark, prefix, owner)
+    val waitMs = configuredWaitMs(spark)
+    if (waitMs > 0) acquireWait(spark, prefix, owner, waitMs)
+    else acquire(spark, prefix, owner)
     try body finally release(spark, prefix, owner)
   }
 }

@@ -262,6 +262,62 @@ class FenceSpec extends AnyFunSuite {
     } finally Fence.forceRelease(spark, p)
   }
 
+  test("bounded fence wait: a streaming writer absorbs a compaction window instead of dying; past the deadline it refuses loudly") {
+    val p = "fence_wait"
+    Fence.forceRelease(spark, p)
+    // a compaction-like holder that releases after ~1.5 s
+    Fence.acquire(spark, p, "compactMinhash")
+    val releaser = new Thread(() => {
+      Thread.sleep(1500)
+      Fence.release(spark, p, "compactMinhash")
+    })
+    releaser.start()
+    try {
+      // with the wait configured, the arriving writer WAITS through the
+      // release and proceeds — no refusal, no dead streaming query
+      val t0 = System.nanoTime()
+      Fence.acquireWait(spark, p, "ingestLike", waitMs = 10000)
+      val waited = (System.nanoTime() - t0) / 1e6
+      assert(waited >= 1000, s"must have actually waited: $waited ms")
+      assert(Fence.holder(spark, p).exists(_.startsWith("ingestLike @ ")))
+      Fence.release(spark, p, "ingestLike")
+      // past the deadline: the held-refusal surfaces exactly as acquire's
+      Fence.acquire(spark, p, "compactMinhash")
+      val e = intercept[IllegalStateException](
+        Fence.acquireWait(spark, p, "ingestLike", waitMs = 300))
+      assert(e.getMessage.contains("compactMinhash"))
+      Fence.release(spark, p, "compactMinhash")
+      // withFence picks the wait up from conf — an ingest batch under a
+      // short-held fence completes instead of refusing
+      spark.conf.set("spark.graft.fence.waitMs", "10000")
+      try {
+        Fence.acquire(spark, p, "compactMinhash")
+        val r2 = new Thread(() => {
+          Thread.sleep(800)
+          Fence.release(spark, p, "compactMinhash")
+        })
+        r2.start()
+        val got = Fence.withFence(spark, p, "ingestLike") { 42 }
+        assert(got == 42)
+        r2.join()
+      } finally spark.conf.unset("spark.graft.fence.waitMs")
+      // a non-atomic scheme is NOT retried — waiting cannot make
+      // check-then-create atomic; the refusal is immediate
+      spark.conf.set("spark.graft.fence.dir", "s3a://bucket/locks")
+      try {
+        val t1 = System.nanoTime()
+        val e2 = intercept[IllegalStateException](
+          Fence.acquireWait(spark, p, "ingestLike", waitMs = 10000))
+        assert(e2.getMessage.contains("no atomic create-exclusive"))
+        assert((System.nanoTime() - t1) / 1e6 < 5000,
+          "scheme refusal must not burn the wait budget")
+      } finally spark.conf.unset("spark.graft.fence.dir")
+    } finally {
+      releaser.join()
+      Fence.forceRelease(spark, p)
+    }
+  }
+
   test("tombstone add/deleteWhere arriving mid-compaction refuse loudly — a deletion is never dropped by the pass's clear") {
     val p = "fence_tb"
     cleanFamily(p)
