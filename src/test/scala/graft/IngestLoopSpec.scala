@@ -362,6 +362,45 @@ class IngestLoopSpec extends AnyFunSuite {
     } finally drop("ing_cc_labels", "ing_cc_meta")
   }
 
+  test("STREAMED components ingestion over >=3 micro-batches == one batch CC over all pair shards") {
+    import spark.implicits._
+    // reuse the direct-batch test's graph, delivered as a real stream:
+    // chains grow then merge across micro-batches
+    val b0 = (0L until 60L).map(i => (i, i + 1000000L))
+    val b1 = (0L until 60L).map(i => (i + 1000000L, i + 2000000L))
+    val b2 = (0L until 30L by 10L).map(i => (i, i + 30L)) ++
+      Seq((9000000L, 9000001L))
+    val all = b0 ++ b1 ++ b2
+    val streamDir = java.nio.file.Files.createTempDirectory("cc_src").toString
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      stage(b.toDF("a_id", "b_id"), streamDir, s"f$i.parquet")
+      Thread.sleep(1100) // distinct mod-time second: one file per trigger
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val stream = spark.readStream.schema("a_id LONG, b_id LONG")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    try {
+      val q = IngestLoop.ccIngest(stream, "a_id", "b_id",
+        prefix = "ing_ccs", checkpointDir = ckpt, buckets = 4)
+      q.awaitTermination()
+      assert(spark.table("ing_ccs_labels")
+        .select("ingest_batch").distinct().count() >= 3,
+        "expected >=3 delta partitions, one per micro-batch")
+      val streamed = IngestLoop.ccComponents(spark, "ing_ccs")
+      val full = Dedup.connectedComponents(all.toDF("a_id", "b_id"),
+        "a_id", "b_id")
+      assert(streamed.exceptAll(full).count() == 0 &&
+        full.exceptAll(streamed).count() == 0,
+        "streamed components catalog diverges from one batch CC")
+      // the loop bound itself to its checkpoint: a foreign batch refuses
+      val e = intercept[IllegalArgumentException] {
+        IngestLoop.ingestCcBatch(b2.toDF("a_id", "b_id"), 9L, "a_id", "b_id",
+          "ing_ccs", buckets = 4, loopId = "/some/other/ckpt")
+      }
+      assert(e.getMessage.contains("bound to ingest loop"))
+    } finally drop("ing_ccs_labels", "ing_ccs_meta")
+  }
+
   test("one family, one loop: a second loop on the same prefix refuses loudly; rebind is the deliberate hand-off") {
     // batch ids are checkpoint-local: two loops on one prefix reuse bids
     // and the retry's drop-own-partition would clobber each other's
