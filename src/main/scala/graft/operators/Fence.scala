@@ -5,6 +5,46 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
+/** The held-fence refusal — a dedicated type so retry loops
+  * ([[Fence.acquireWait]]) can distinguish "held, wait for the release"
+  * from every other invariant violation raised inside an acquire (a
+  * non-atomic scheme, a mid-wait conf change): only a HELD fence can be
+  * released by waiting, so only this type is retried; anything else
+  * surfaces immediately instead of burning the wait budget (round-13
+  * advisory). Subtypes IllegalStateException so existing callers that
+  * catch the broad type keep working. */
+class FenceHeldException(message: String) extends IllegalStateException(message)
+
+/** The store-specific primitive behind the writer fence: an atomic
+  * create-exclusive plus the small read/touch/delete surface the fence
+  * needs. The default ([[Fence.HadoopLocker]]) covers posix (NIO
+  * O_EXCL) and HDFS (namenode-arbitrated create); deployments on a
+  * store with REAL conditional-put semantics (e.g. S3's
+  * `If-None-Match` conditional writes, GA since late 2024) plug their
+  * own in via `spark.graft.fence.locker.<scheme>` — declaring a locker
+  * for a scheme is the deployment's assertion that its create is
+  * atomic, so the scheme also passes the allowlist gate. A locker class
+  * must have a no-arg constructor; every method receives the session
+  * (for Hadoop conf access — custom lockers may ignore it) and the
+  * fence path. */
+trait FenceLocker {
+  /** Atomically create the fence file holding `tag`. MUST throw
+    * [[java.nio.file.FileAlreadyExistsException]] or
+    * [[org.apache.hadoop.fs.FileAlreadyExistsException]] if the fence
+    * already exists, and must not leave a half-written fence behind on
+    * any other failure (create-then-content implementations delete
+    * their own partial file before rethrowing). */
+  def createExclusive(spark: SparkSession, path: Path, tag: String): Unit
+  /** The recorded holder tag, if the fence exists. */
+  def readTag(spark: SparkSession, path: Path): Option[String]
+  /** Milliseconds since the holder last proved liveness, if held. */
+  def ageMillis(spark: SparkSession, path: Path): Option[Long]
+  /** Refresh the liveness stamp (mtime) of an existing fence. */
+  def touch(spark: SparkSession, path: Path): Unit
+  /** Remove the fence file; true iff one existed. */
+  def delete(spark: SparkSession, path: Path): Boolean
+}
+
 /** Writer fencing for the persisted index families (round 11) — closes
   * the one operational seam the round-10 audit left open: both the
   * streaming ingest loops ([[graft.streaming.IngestLoop]], append-only
@@ -40,16 +80,25 @@ import org.apache.spark.sql.SparkSession
   * `create(overwrite=false)` as a check-then-create, so two writers can
   * both "win" and the lost-append window the fence exists to close
   * silently reopens. [[acquire]] therefore checks the fence location's
-  * scheme against an atomic allowlist (`file`, `hdfs`, `viewfs`,
-  * `webhdfs`) BEFORE any filesystem call and refuses loudly on anything
-  * else. Two escape hatches, both deliberate configuration rather than
+  * scheme against an atomic allowlist (`file`, `hdfs`, `webhdfs`)
+  * BEFORE any filesystem call and refuses loudly on anything else.
+  * `viewfs` is deliberately NOT in the builtin list (round-13
+  * advisory): a viewfs mount table can front non-HDFS targets (e.g.
+  * s3a), so its scheme alone proves nothing about the resolved store —
+  * a deployment whose mounts are all-HDFS declares it explicitly.
+  * Three escape hatches, all deliberate configuration rather than
   * silent degradation:
   *   - `spark.graft.fence.dir` — point the fence files at an atomic
   *     location (data on S3, fence on HDFS or a posix mount is a
   *     standard deployment shape); every fence operation routes there.
   *   - `spark.graft.fence.atomicSchemes` — comma-separated extra
   *     schemes whose create-exclusive IS atomic on your deployment
-  *     (e.g. a store with real conditional-put semantics).
+  *     (e.g. a viewfs whose mounts are all HDFS).
+  *   - `spark.graft.fence.locker.<scheme>` — a [[FenceLocker]] class
+  *     implementing the store's OWN conditional-put primitive (round
+  *     13: the seam for S3 `If-None-Match`-style fencing without an
+  *     HDFS/posix sidecar); declaring one both routes every fence
+  *     operation for that scheme through it and passes the gate.
   *
   * Crash recovery: a holder that dies leaves the fence file behind, and
   * every subsequent writer refuses naming it — loud unavailability, not
@@ -66,11 +115,12 @@ import org.apache.spark.sql.SparkSession
 object Fence {
 
   /** Schemes whose Hadoop `create(overwrite=false)` is a true atomic
-    * create-exclusive: local posix (via NIO O_EXCL below), HDFS and its
-    * views/proxies (the namenode arbitrates one winner). Everything
-    * else — S3A, GCS, ABFS, ... — is check-then-create and MUST NOT
-    * carry the fence (see object-store contract above). */
-  private val builtinAtomicSchemes = Set("file", "hdfs", "viewfs", "webhdfs")
+    * create-exclusive: local posix (via NIO O_EXCL in [[HadoopLocker]]),
+    * HDFS and its HTTP proxy (the namenode arbitrates one winner).
+    * Everything else — S3A, GCS, ABFS, and notably viewfs (its mounts
+    * can front any store) — must be declared via conf or carry its own
+    * [[FenceLocker]] (see object-store contract above). */
+  private val builtinAtomicSchemes = Set("file", "hdfs", "webhdfs")
 
   private def allowedSchemes(spark: SparkSession): Set[String] =
     builtinAtomicSchemes ++ spark.conf
@@ -87,9 +137,6 @@ object Fence {
     new Path(new Path(base), s"${prefix}__fence")
   }
 
-  private def fs(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** The scheme the fence path resolves to, WITHOUT instantiating its
     * FileSystem (an s3a:// path must refuse by name, not by whatever
     * connector classes happen to be on the classpath). A scheme-less
@@ -100,9 +147,113 @@ object Fence {
         .get("fs.defaultFS", "file:///")).toUri.getScheme).getOrElse("file")
     }.toLowerCase
 
+  /** The default locker: NIO O_EXCL on local paths, Hadoop
+    * create-exclusive on HDFS-compatible stores. Non-atomic schemes
+    * never reach it — [[acquire]]'s gate refuses them first. */
+  object HadoopLocker extends FenceLocker {
+    private def fs(spark: SparkSession, p: Path): FileSystem =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    override def createExclusive(spark: SparkSession, p: Path, tag: String): Unit = {
+      val f = fs(spark, p)
+      // `created` splits the failure modes (round-12 advisory): a
+      // create-exclusive loss means HELD (rethrown as-is); any other IO
+      // failure AFTER our create succeeded must not leave a half-written
+      // fence nobody can release — delete it and rethrow.
+      var created = false
+      try {
+        val qualified = f.makeQualified(p)
+        if (qualified.toUri.getScheme == "file") {
+          // Hadoop's LocalFileSystem create(overwrite=false) is a
+          // check-then-create (TOCTOU) — two same-JVM writers could both
+          // win. NIO createFile is O_EXCL-atomic; the content write after
+          // it is safe because the winner is already exclusive.
+          val local = java.nio.file.Paths.get(qualified.toUri.getPath)
+          if (local.getParent != null) java.nio.file.Files.createDirectories(local.getParent)
+          java.nio.file.Files.createFile(local) // throws FileAlreadyExistsException
+          created = true
+          java.nio.file.Files.write(local, tag.getBytes(StandardCharsets.UTF_8))
+        } else {
+          // HDFS & compatible stores: create-exclusive is namenode-atomic
+          val out = f.create(p, /* overwrite = */ false)
+          created = true
+          try out.write(tag.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        }
+      } catch {
+        case e: java.io.IOException
+            if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] &&
+               !e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] =>
+          // a transient FS error, not a held fence: clean up our own
+          // half-created file (if any) so the family is not left
+          // permanently unavailable behind an ownerless fence
+          if (created) {
+            try f.delete(p, false) catch { case _: java.io.IOException => () }
+          }
+          throw e
+      }
+    }
+
+    override def readTag(spark: SparkSession, p: Path): Option[String] = {
+      val f = fs(spark, p)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val bytes = new Array[Byte](4096)
+          val n = math.max(in.read(bytes), 0)
+          Some(new String(bytes, 0, n, StandardCharsets.UTF_8).trim)
+        } finally in.close()
+      }
+    }
+
+    override def ageMillis(spark: SparkSession, p: Path): Option[Long] = {
+      val f = fs(spark, p)
+      if (!f.exists(p)) None
+      else Some(math.max(0L,
+        System.currentTimeMillis() - f.getFileStatus(p).getModificationTime))
+    }
+
+    override def touch(spark: SparkSession, p: Path): Unit = {
+      val f = fs(spark, p)
+      val qualified = f.makeQualified(p)
+      if (qualified.toUri.getScheme == "file")
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(qualified.toUri.getPath),
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      else f.setTimes(p, System.currentTimeMillis(), -1)
+    }
+
+    override def delete(spark: SparkSession, p: Path): Boolean =
+      fs(spark, p).delete(p, false)
+  }
+
+  /** Reflectively-loaded custom lockers, one instance per class —
+    * lockers are stateless adapters over the store's API, so a single
+    * instance serves every family. */
+  private val customLockers =
+    new java.util.concurrent.ConcurrentHashMap[String, FenceLocker]()
+
+  /** The locker carrying fence operations for this path's scheme: the
+    * deployment-declared one (`spark.graft.fence.locker.<scheme>`) if
+    * present, else the builtin Hadoop/NIO locker. */
+  private def lockerFor(spark: SparkSession, p: Path): FenceLocker =
+    spark.conf.getOption(s"spark.graft.fence.locker.${fenceScheme(spark, p)}")
+      .map { cls =>
+        customLockers.computeIfAbsent(cls, c =>
+          Class.forName(c).getDeclaredConstructor().newInstance()
+            .asInstanceOf[FenceLocker])
+      }
+      .getOrElse(HadoopLocker)
+
+  private def hasCustomLocker(spark: SparkSession, p: Path): Boolean =
+    spark.conf.getOption(s"spark.graft.fence.locker.${fenceScheme(spark, p)}").isDefined
+
   private def requireAtomicScheme(spark: SparkSession, p: Path,
                                   owner: String): Unit = {
     val scheme = fenceScheme(spark, p)
+    // a declared locker IS the atomicity assertion for its scheme: the
+    // deployment plugged in the store's own conditional-put primitive
+    if (hasCustomLocker(spark, p)) return
     if (!allowedSchemes(spark).contains(scheme))
       throw new IllegalStateException(
         s"writer fence for [$owner] would live on scheme '$scheme' ($p), " +
@@ -110,25 +261,18 @@ object Fence {
           "acquire and the lost-append window the fence exists to close " +
           "would silently reopen. Set spark.graft.fence.dir to an atomic " +
           "location (HDFS or a posix mount — data on the object store, " +
-          "fence elsewhere, is the standard shape), or declare the scheme " +
-          "atomic via spark.graft.fence.atomicSchemes if your store has " +
-          "real conditional-put create semantics.")
+          "fence elsewhere, is the standard shape), declare the scheme " +
+          "atomic via spark.graft.fence.atomicSchemes if its create is " +
+          "truly exclusive (e.g. a viewfs whose mounts are all HDFS), or " +
+          "plug the store's own conditional-put in via " +
+          s"spark.graft.fence.locker.$scheme.")
   }
 
   /** The current holder tag (+ acquisition time, pid, host), if the
     * fence is held. */
   def holder(spark: SparkSession, prefix: String): Option[String] = {
     val p = path(spark, prefix)
-    val f = fs(spark, p)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val bytes = new Array[Byte](4096)
-        val n = math.max(in.read(bytes), 0)
-        Some(new String(bytes, 0, n, StandardCharsets.UTF_8).trim)
-      } finally in.close()
-    }
+    lockerFor(spark, p).readTag(spark, p)
   }
 
   /** Milliseconds since the holder last proved liveness (acquire or
@@ -138,10 +282,7 @@ object Fence {
     * [[forceRelease]] is safe; "beat seconds ago" means it is not. */
   def holderAgeMillis(spark: SparkSession, prefix: String): Option[Long] = {
     val p = path(spark, prefix)
-    val f = fs(spark, p)
-    if (!f.exists(p)) None
-    else Some(math.max(0L,
-      System.currentTimeMillis() - f.getFileStatus(p).getModificationTime))
+    lockerFor(spark, p).ageMillis(spark, p)
   }
 
   private def staleness(spark: SparkSession, prefix: String): String =
@@ -150,20 +291,30 @@ object Fence {
       .getOrElse("liveness unknown")
 
   /** Refresh the fence file's mtime — the holder's liveness beacon.
-    * Long-running holders (compaction stages, ingest batches) call this
-    * between stages so [[holderAgeMillis]] distinguishes a working
-    * holder from a crashed one. Verifies ownership first and never
-    * recreates the file, so it cannot break exclusivity. */
+    * Long-running holders (compaction stages, ingest batches, CC rounds)
+    * call this between stages so [[holderAgeMillis]] distinguishes a
+    * working holder from a crashed one. Verifies ownership first and
+    * never recreates the file, so it cannot break exclusivity — and
+    * RE-READS the holder tag after stamping (round-13 advisory): the
+    * verify-then-stamp is not atomic, so a forceRelease plus a new
+    * writer's acquire landing in between would let this (stale) holder
+    * falsely reset the NEW holder's staleness clock. The post-stamp
+    * re-read turns that silent falsification into a loud throw; the
+    * new holder's next beat restores its true clock. */
   def heartbeat(spark: SparkSession, prefix: String, owner: String): Unit = {
     val p = path(spark, prefix)
+    val locker = lockerFor(spark, p)
     holder(spark, prefix) match {
       case Some(tag) if tag.startsWith(owner + " @ ") =>
-        val qualified = fs(spark, p).makeQualified(p)
-        if (qualified.toUri.getScheme == "file")
-          java.nio.file.Files.setLastModifiedTime(
-            java.nio.file.Paths.get(qualified.toUri.getPath),
-            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        else fs(spark, p).setTimes(p, System.currentTimeMillis(), -1)
+        locker.touch(spark, p)
+        val after = locker.readTag(spark, p)
+        if (!after.exists(_ == tag))
+          throw new IllegalStateException(
+            s"heartbeat for [$owner] on family '$prefix' raced a " +
+              s"forceRelease + re-acquire: the fence now reads " +
+              s"[${after.getOrElse("<gone>")}] — this holder was force-" +
+              "released and must stop writing; the stamped mtime belongs " +
+              "to the new holder and its next beat corrects it.")
       case other =>
         throw new IllegalStateException(
           s"heartbeat for [$owner] on family '$prefix' but the fence is " +
@@ -175,43 +326,21 @@ object Fence {
 
   /** Take the family's writer fence or refuse loudly. `owner` is a
     * human-readable tag recorded in the fence file and named by any
-    * refusal another writer hits while this one holds it. */
+    * refusal another writer hits while this one holds it. A HELD fence
+    * throws [[FenceHeldException]] (retryable by waiting); every other
+    * failure keeps its own type. */
   def acquire(spark: SparkSession, prefix: String, owner: String): Unit = {
     val p = path(spark, prefix)
     requireAtomicScheme(spark, p, owner)
-    val f = fs(spark, p)
     val tag = s"$owner @ ${java.time.Instant.ofEpochMilli(System.currentTimeMillis())}" +
       s" pid=${ProcessHandle.current().pid()}" +
       s" host=${java.net.InetAddress.getLocalHost.getHostName}"
-    // `created` splits the failure modes (round-12 advisory): a
-    // create-exclusive loss means HELD (refuse naming the holder); any
-    // other IO failure AFTER our create succeeded must not leave a
-    // half-written fence nobody can release — delete it and rethrow.
-    var created = false
-    try {
-      val qualified = f.makeQualified(p)
-      if (qualified.toUri.getScheme == "file") {
-        // Hadoop's LocalFileSystem create(overwrite=false) is a
-        // check-then-create (TOCTOU) — two same-JVM writers could both
-        // win. NIO createFile is O_EXCL-atomic; the content write after
-        // it is safe because the winner is already exclusive.
-        val local = java.nio.file.Paths.get(qualified.toUri.getPath)
-        if (local.getParent != null) java.nio.file.Files.createDirectories(local.getParent)
-        java.nio.file.Files.createFile(local) // throws FileAlreadyExistsException
-        created = true
-        java.nio.file.Files.write(local, tag.getBytes(StandardCharsets.UTF_8))
-      } else {
-        // HDFS & compatible stores: create-exclusive is namenode-atomic
-        // (non-atomic schemes were refused above, before any FS call)
-        val out = f.create(p, /* overwrite = */ false)
-        created = true
-        try out.write(tag.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      }
-    } catch {
+    try lockerFor(spark, p).createExclusive(spark, p, tag)
+    catch {
       case _: java.nio.file.FileAlreadyExistsException |
            _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         val held = holder(spark, prefix).getOrElse("<unreadable>")
-        throw new IllegalStateException(
+        throw new FenceHeldException(
           s"writer fence for index family '$prefix' is held by [$held] " +
             s"(${staleness(spark, prefix)}); " +
             s"refusing to start [$owner] concurrently — a compaction " +
@@ -219,15 +348,6 @@ object Fence {
             "Streaming micro-batches replay safely after the holder " +
             "releases; if the holder crashed, clear the fence with " +
             s"Fence.forceRelease (file: $p).")
-      case e: java.io.IOException =>
-        // a transient FS error, not a held fence: clean up our own
-        // half-created file (if any) so the family is not left
-        // permanently unavailable behind an ownerless fence, and let the
-        // real failure surface instead of a misleading 'held' refusal
-        if (created) {
-          try f.delete(p, false) catch { case _: java.io.IOException => () }
-        }
-        throw e
     }
   }
 
@@ -244,14 +364,13 @@ object Fence {
     * to prevent: NEVER forceRelease a fence that beat recently. */
   def release(spark: SparkSession, prefix: String, owner: String): Unit = {
     val p = path(spark, prefix)
-    val f = fs(spark, p)
     holder(spark, prefix) match {
       case None => // already gone (forceRelease raced us) — nothing to undo
       case Some(tag) =>
         require(tag.startsWith(owner + " @ "),
           s"writer fence for '$prefix' is held by [$tag], not [$owner]; " +
             "refusing to release another writer's fence.")
-        f.delete(p, false)
+        lockerFor(spark, p).delete(spark, p)
     }
   }
 
@@ -261,7 +380,7 @@ object Fence {
     * [[holderAgeMillis]] first (live holders heartbeat every stage). */
   def forceRelease(spark: SparkSession, prefix: String): Boolean = {
     val p = path(spark, prefix)
-    fs(spark, p).delete(p, false)
+    lockerFor(spark, p).delete(spark, p)
   }
 
   /** [[acquire]], waiting up to `waitMs` for a live holder to release
@@ -271,19 +390,20 @@ object Fence {
     * micro-batch that overlaps a compaction should absorb seconds of
     * latency rather than die. Bounded and still loud: past the deadline
     * the held-refusal (holder + staleness) is thrown exactly as
-    * [[acquire]] would. Non-atomic-scheme refusals are NOT retried —
-    * waiting cannot make a check-then-create atomic. Exponential backoff
+    * [[acquire]] would. ONLY the held-refusal ([[FenceHeldException]])
+    * is retried — waiting cannot fix a non-atomic scheme or any other
+    * invariant violation, so those surface immediately instead of
+    * burning the wait budget (round-13 advisory). Exponential backoff
     * from 50 ms capped at 2 s keeps namenode chatter negligible. */
   def acquireWait(spark: SparkSession, prefix: String, owner: String,
                   waitMs: Long): Unit = {
-    requireAtomicScheme(spark, path(spark, prefix), owner) // not retryable
     val deadline = System.currentTimeMillis() + math.max(waitMs, 0L)
     var delay = 50L
     var done = false
     while (!done) {
       try { acquire(spark, prefix, owner); done = true }
       catch {
-        case e: IllegalStateException =>
+        case e: FenceHeldException =>
           val left = deadline - System.currentTimeMillis()
           if (left <= 0) throw e
           Thread.sleep(math.min(delay, left))

@@ -2,10 +2,49 @@ package graft
 
 import java.util.concurrent.CountDownLatch
 
-import graft.operators.{Dedup, Fence, Tombstones}
+import graft.operators.{Dedup, Fence, FenceHeldException, FenceLocker, Tombstones}
 import graft.streaming.IngestLoop
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+
+/** A fake conditional-put store for the locker seam: an in-memory map
+  * with an atomic putIfAbsent standing in for S3-style
+  * `If-None-Match` conditional writes. Loaded reflectively via
+  * `spark.graft.fence.locker.<scheme>` — the path's scheme never
+  * resolves to a real FileSystem, proving every fence operation routes
+  * through the seam. */
+class CondPutLocker extends FenceLocker {
+  import CondPutLocker.store
+  override def createExclusive(spark: SparkSession, p: Path, tag: String): Unit =
+    if (store.putIfAbsent(p.toString, (tag, System.currentTimeMillis())) != null)
+      throw new java.nio.file.FileAlreadyExistsException(p.toString)
+  override def readTag(spark: SparkSession, p: Path): Option[String] =
+    Option(store.get(p.toString)).map(_._1)
+  override def ageMillis(spark: SparkSession, p: Path): Option[Long] =
+    Option(store.get(p.toString))
+      .map(e => math.max(0L, System.currentTimeMillis() - e._2))
+  override def touch(spark: SparkSession, p: Path): Unit =
+    store.computeIfPresent(p.toString, (_, e) => (e._1, System.currentTimeMillis()))
+  override def delete(spark: SparkSession, p: Path): Boolean =
+    store.remove(p.toString) != null
+}
+object CondPutLocker {
+  val store = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+}
+
+/** A locker whose create fails with a NON-held invariant violation —
+  * exercises acquireWait's retry discrimination: only the held-refusal
+  * is retryable by waiting. */
+class BrokenLocker extends FenceLocker {
+  override def createExclusive(spark: SparkSession, p: Path, tag: String): Unit =
+    throw new IllegalStateException("locker invariant violated: boom")
+  override def readTag(spark: SparkSession, p: Path): Option[String] = None
+  override def ageMillis(spark: SparkSession, p: Path): Option[Long] = None
+  override def touch(spark: SparkSession, p: Path): Unit = ()
+  override def delete(spark: SparkSession, p: Path): Boolean = false
+}
 
 /** Writer fencing between the streaming ingest loops and tombstone
   * compaction (round 11): both mutate the same persisted family tables —
@@ -315,6 +354,90 @@ class FenceSpec extends AnyFunSuite {
     } finally {
       releaser.join()
       Fence.forceRelease(spark, p)
+    }
+  }
+
+  test("pluggable locker seam: a conditional-put locker declared for a scheme carries the fence and keeps exclusivity") {
+    val p = "fence_locker"
+    // route the fence to a scheme with no FileSystem connector at all —
+    // only the declared locker can carry it, so every op below proves
+    // the seam (and the declaration itself passes the atomicity gate)
+    spark.conf.set("spark.graft.fence.dir", "condput://locks")
+    spark.conf.set("spark.graft.fence.locker.condput", "graft.CondPutLocker")
+    try {
+      Fence.acquire(spark, p, "writerA")
+      assert(CondPutLocker.store.containsKey("condput://locks/" + p + "__fence"),
+        "the fence must live in the locker's store, not on any filesystem")
+      assert(Fence.holder(spark, p).exists(_.startsWith("writerA @ ")))
+      // exclusivity THROUGH the locker: the second writer's conditional
+      // put loses and the refusal carries holder + staleness as always
+      val e = intercept[FenceHeldException](Fence.acquire(spark, p, "writerB"))
+      assert(e.getMessage.contains("writerA") &&
+        e.getMessage.contains("last heartbeat"))
+      // heartbeat + staleness flow through the locker's clock
+      Thread.sleep(60)
+      val before = Fence.holderAgeMillis(spark, p).get
+      Fence.heartbeat(spark, p, "writerA")
+      assert(Fence.holderAgeMillis(spark, p).get < math.max(before, 1),
+        "heartbeat must refresh the locker-held liveness clock")
+      // release verifies the owner and clears the conditional-put entry
+      intercept[IllegalArgumentException](Fence.release(spark, p, "writerB"))
+      Fence.release(spark, p, "writerA")
+      assert(Fence.holder(spark, p).isEmpty)
+      // N-way race through the locker: putIfAbsent admits exactly one
+      val start = new CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 8).map(i => new Thread(() => {
+        start.await()
+        try { Fence.acquire(spark, p, s"w$i"); wins.incrementAndGet() }
+        catch { case _: FenceHeldException => () }
+      }))
+      threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+      assert(wins.get() == 1, s"conditional-put must admit exactly one writer, got ${wins.get()}")
+      assert(Fence.forceRelease(spark, p))
+    } finally {
+      spark.conf.unset("spark.graft.fence.dir")
+      spark.conf.unset("spark.graft.fence.locker.condput")
+      CondPutLocker.store.clear()
+    }
+  }
+
+  test("acquireWait retries ONLY the held-refusal: a non-held invariant violation surfaces immediately") {
+    val p = "fence_broken"
+    spark.conf.set("spark.graft.fence.dir", "broken://locks")
+    spark.conf.set("spark.graft.fence.locker.broken", "graft.BrokenLocker")
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[IllegalStateException](
+        Fence.acquireWait(spark, p, "writerA", waitMs = 10000))
+      assert(e.getMessage.contains("boom"))
+      assert(!e.isInstanceOf[FenceHeldException])
+      assert((System.nanoTime() - t0) / 1e6 < 5000,
+        "a non-held IllegalStateException must not burn the wait budget")
+    } finally {
+      spark.conf.unset("spark.graft.fence.dir")
+      spark.conf.unset("spark.graft.fence.locker.broken")
+    }
+  }
+
+  test("viewfs is no longer builtin-atomic: a mount table can front s3a, so it must be declared") {
+    val p = "fence_vf"
+    spark.conf.set("spark.graft.fence.dir", "viewfs://cluster/locks")
+    try {
+      val e = intercept[IllegalStateException](Fence.acquire(spark, p, "writerA"))
+      assert(e.getMessage.contains("viewfs") &&
+        e.getMessage.contains("spark.graft.fence.atomicSchemes"),
+        s"viewfs must refuse until declared: ${e.getMessage}")
+      assert(!e.isInstanceOf[FenceHeldException])
+      // an all-HDFS deployment declares it and the gate opens (the
+      // failure past the gate is only the missing mount table here)
+      spark.conf.set("spark.graft.fence.atomicSchemes", "viewfs")
+      val e2 = intercept[Exception](Fence.acquire(spark, p, "writerA"))
+      assert(!Option(e2.getMessage).getOrElse("").contains("no atomic create-exclusive"),
+        s"a declared viewfs must pass the gate: ${e2.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.fence.dir")
+      spark.conf.unset("spark.graft.fence.atomicSchemes")
     }
   }
 
