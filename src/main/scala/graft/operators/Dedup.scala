@@ -482,7 +482,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          staging: Staging.Mode = Staging.Local): DataFrame = {
+                          staging: Staging.Mode = Staging.Local,
+                          onRound: () => Unit = () => ()): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val edges = staging(fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct())
@@ -500,6 +501,11 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      // per-round liveness hook: each round is a corpus-scale shuffle +
+      // aggregate, so a long CC run must prove progress to whoever is
+      // watching (the ingest loop beats its family Fence here — an
+      // operator reading staleness sees a working batch, not a dead one)
+      onRound()
       val neighborMin = edges
         .join(labels.select(col("id").as("u"), col("comp")), "u")
         .select(col("v").as("id"), col("comp"))
@@ -572,7 +578,8 @@ object Dedup {
                                      aCol: String, bCol: String,
                                      maxIter: Int = 25,
                                      staging: Staging.Mode = Staging.Local,
-                                     deltaOnly: Boolean = false): DataFrame = {
+                                     deltaOnly: Boolean = false,
+                                     onRound: () => Unit = () => ()): DataFrame = {
     val fwd = newPairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
     // labels is NOT staged here: it is corpus-sized (typically a table
@@ -594,7 +601,7 @@ object Dedup {
       .select(col("id").as("u"), col("comp").as("v"))
     val sub = connectedComponents(
       starPairs.union(fwd.select(col("u"), col("v"))), "u", "v",
-      maxIter, staging)
+      maxIter, staging, onRound)
     if (deltaOnly) sub.select(col("id"), col("component"))
     else {
       val untouched = lab.join(sub.select(col("id")), Seq("id"), "left_anti")

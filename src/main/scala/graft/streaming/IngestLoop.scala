@@ -568,18 +568,26 @@ object IngestLoop {
                     loopId: String = ""): Unit = {
     val spark = pairs.sparkSession
     val lid = normLoopId(loopId)
-    graft.operators.Fence.withFence(spark, prefix, s"ingestCcBatch bid=$bid") {
+    val owner = s"ingestCcBatch bid=$bid"
+    graft.operators.Fence.withFence(spark, prefix, owner) {
+      // per-CC-round liveness beacon (round 13): the incremental run is
+      // this batch's long leg — several corpus-touching rounds with no
+      // other fence activity, which read as "holder silent" to an
+      // operator eyeing forceRelease. Each round stamps the fence.
+      val beat = () => graft.operators.Fence.heartbeat(spark, prefix, owner)
       val exists = familyExists(spark, prefix, Seq("labels", "meta"))
       val delta =
-        if (!exists) Dedup.connectedComponents(pairs, aCol, bCol)
+        if (!exists) Dedup.connectedComponents(pairs, aCol, bCol, onRound = beat)
         else {
           requireBucketAgreement(spark, prefix, buckets)
           bindLoop(spark, prefix, lid)
           spark.sql(s"ALTER TABLE ${prefix}_labels DROP IF EXISTS PARTITION (ingest_batch=$bid)")
           Dedup.connectedComponentsIncremental(
             ccComponentsBefore(spark, prefix, bid), pairs, aCol, bCol,
-            deltaOnly = true)
+            deltaOnly = true, onRound = beat)
         }
+      // between-leg beacon before the append, mirroring the other loops
+      graft.operators.Fence.heartbeat(spark, prefix, owner)
       delta.withColumn("ingest_batch", lit(bid))
         .write.mode("append").format("parquet")
         .partitionBy("ingest_batch")

@@ -401,6 +401,42 @@ class IngestLoopSpec extends AnyFunSuite {
     } finally drop("ing_ccs_labels", "ing_ccs_meta")
   }
 
+  test("a long CC ingest batch heartbeats per round: the fence staleness clock resets while the batch works") {
+    import spark.implicits._
+    // a 1024-node chain: ~10 pointer-jump rounds, each a corpus-touching
+    // Spark job — the long-batch shape whose fence silence the per-round
+    // beacon exists to break (round 13; ingest batches previously beat
+    // only between legs, so a long CC run read as a silent holder)
+    val chain = (0L until 1024L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val p = "ing_hb"
+    val fenceFile = java.nio.file.Paths.get(
+      graft.operators.Fence.path(spark, p).toUri.getPath)
+    val mtimes = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    @volatile var stop = false
+    val watcher = new Thread(() => {
+      while (!stop) {
+        if (java.nio.file.Files.exists(fenceFile))
+          try mtimes.add(java.nio.file.Files.getLastModifiedTime(fenceFile).toMillis)
+          catch { case _: java.io.IOException => () } // released mid-sample
+        Thread.sleep(5)
+      }
+    })
+    watcher.start()
+    try {
+      IngestLoop.ingestCcBatch(chain, 0L, "a_id", "b_id", p, buckets = 4)
+      stop = true; watcher.join()
+      assert(mtimes.size >= 2,
+        s"the fence must be re-stamped while the CC batch works " +
+          s"(acquire + >=1 heartbeat), saw ${mtimes.size} distinct mtimes")
+      assert(graft.operators.Fence.holder(spark, p).isEmpty,
+        "the batch must still release its fence")
+    } finally {
+      stop = true
+      drop("ing_hb_labels", "ing_hb_meta")
+      graft.operators.Fence.forceRelease(spark, p)
+    }
+  }
+
   test("one family, one loop: a second loop on the same prefix refuses loudly; rebind is the deliberate hand-off") {
     // batch ids are checkpoint-local: two loops on one prefix reuse bids
     // and the retry's drop-own-partition would clobber each other's
