@@ -146,18 +146,37 @@ object Tombstones {
   }
 
   /** Auto-compaction policy (round 12): compact the family when its
-    * distinct-tombstone count crosses `fraction` of the broadcast budget
-    * every load enforces — turning the "[[filter]]'s refusal names
-    * compact* as the remedy" loop into a policy the engine owns (run it
-    * from whatever cron/maintenance window owns the warehouse). The
-    * family's kind is inferred from its signature table, so one entry
-    * point serves all six families. Returns true iff a compaction ran.
-    * Thresholds are checked OUTSIDE the fence (cheap reads); the
-    * compact* pass it dispatches to takes the fence itself. */
+    * compaction debt crosses `fraction` — turning the "[[filter]]'s
+    * refusal names compact* as the remedy" loop into a policy the
+    * engine owns (run it from whatever cron/maintenance window owns the
+    * warehouse). The family's kind is inferred from its signature
+    * table, so one entry point serves all seven families. Returns true
+    * iff a compaction ran. Thresholds are checked OUTSIDE the fence
+    * (cheap reads); the compact* pass it dispatches to takes the fence
+    * itself.
+    *
+    * The debt metric is per-family-kind. The six tombstoned families
+    * trigger on the distinct-tombstone count crossing `fraction` of the
+    * broadcast budget every load enforces. The components (labels)
+    * family (round 13) has NO tombstones — its debt is SUPERSEDED delta
+    * rows (each shard re-appends the full member list of every touched
+    * component; reads pay a latest-wins window over all of it), so it
+    * triggers on the superseded-row fraction of the labels table and
+    * dispatches to [[graft.streaming.IngestLoop.compactCc]]. */
   def maintain(spark: SparkSession, prefix: String, fraction: Double = 0.5,
                maxTombstones: Long = defaultMaxTombstones): Boolean = {
     require(fraction > 0 && fraction <= 1.0,
       s"maintain fraction must be in (0, 1], got $fraction")
+    if (spark.catalog.tableExists(s"${prefix}_labels")) {
+      // one count-distinct pass: total delta rows vs live (distinct) ids
+      val m = spark.table(s"${prefix}_labels")
+        .agg(count(lit(1)).as("total"), countDistinct(col("id")).as("live"))
+        .head()
+      val total = m.getLong(0)
+      val superseded = total - m.getLong(1)
+      if (total == 0 || superseded.toDouble / total < fraction) false
+      else { graft.streaming.IngestLoop.compactCc(spark, prefix); true }
+    } else {
     val n = ids(spark, prefix)
       .map(_.select("id").distinct().count()).getOrElse(0L)
     if (n == 0 || n < (maxTombstones * fraction).toLong) false
@@ -178,6 +197,7 @@ object Tombstones {
           "run the family's Tombstones.compact* pass directly.")
       present.head._2()
       true
+    }
     }
   }
 

@@ -136,8 +136,11 @@ object IngestLoop {
         .filter(spark.catalog.tableExists)
       val beyondBatch0 = present.filter(_ != "meta").filter { t =>
         val df = spark.table(s"${prefix}_$t")
+        // any batch other than 0 — including the compaction floor
+        // partition (ingest_batch = -1, see compactCc) — proves the
+        // family accumulated history and is NOT a torn first batch
         df.columns.contains("ingest_batch") &&
-          df.filter(col("ingest_batch") > 0).limit(1).count() > 0
+          df.filter(col("ingest_batch") =!= 0).limit(1).count() > 0
       }
       require(compactLeftovers.isEmpty && beyondBatch0.isEmpty,
         s"index family '$prefix' is PARTIAL (present: " +
@@ -148,7 +151,7 @@ object IngestLoop {
               "indicate a crashed compaction; re-run the family's " +
               "Tombstones.compact* pass to recover the live table from the temp"
           else
-            s" — ${beyondBatch0.mkString(", ")} hold(s) ingest batches beyond 0") +
+            s" — ${beyondBatch0.mkString(", ")} hold(s) ingest batches other than 0") +
           "; refusing to auto-drop the surviving tables.")
       present.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
       false
@@ -601,6 +604,60 @@ object IngestLoop {
       }
     }
   }
+
+  /** Fold the components family's delta log (round 13 — the LSM fold
+    * half [[ingestCcBatch]]'s append half requires): each appended
+    * delta carries the FULL member list of every component it touched,
+    * so a hot component (a big quote cluster most shards graze)
+    * re-appends its entire membership per batch — superseded rows
+    * accumulate without bound and every [[ccComponentsBefore]] read
+    * re-pays the per-id latest-wins window over all of them. This pass
+    * materializes the latest-wins snapshot once and rewrites the table
+    * as a single FLOOR partition, `ingest_batch = -1`, preserving the
+    * id bucketing (the exchange-free window/read contract).
+    *
+    * Why the floor sits BELOW every real bid instead of at the max
+    * folded bid: the loop's retry contract drops the batch's OWN
+    * partition before re-appending, so folding the corpus into the max
+    * bid's partition would let a crash-window replay of that batch
+    * (committed to the table but not yet to the checkpoint) DROP the
+    * entire folded catalog. At -1 the floor is invisible to every
+    * drop-own-partition (bids are >= 0), included by every `< bid`
+    * corpus view, and superseded per-id by any delta — including a
+    * replayed one, whose re-propagation against the folded view is
+    * idempotent (its edges are already folded in, so the delta carries
+    * the same labels). The loop's bid sequence continues untouched.
+    *
+    * Crash recovery: the same two-write temp-table shape as
+    * [[graft.operators.Tombstones]]' `rewriteMinus` — a leftover
+    * `__compact` temp with the live table missing restores it; with
+    * the live table present it is stale and dropped. Holds the family
+    * [[graft.operators.Fence]] for the duration: an ingest batch
+    * arriving mid-fold refuses (or waits, under
+    * `spark.graft.fence.waitMs`) and replays — never a lost append.
+    * Run it from [[graft.operators.Tombstones.maintain]], which
+    * triggers on the superseded-row fraction. */
+  def compactCc(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
+    graft.operators.Fence.withFence(spark, prefix, "compactCc") {
+      val tbl = s"${prefix}_labels"
+      val tmp = tbl + "__compact"
+      val b =
+        if (buckets > 0) buckets
+        else spark.table(s"${prefix}_meta").head().getAs[Int]("buckets")
+      def write(df: DataFrame, to: String): Unit =
+        df.write.mode("overwrite").format("parquet")
+          .partitionBy("ingest_batch")
+          .bucketBy(b, "id").sortBy("id")
+          .saveAsTable(to)
+      if (spark.catalog.tableExists(tmp)) {
+        if (!spark.catalog.tableExists(tbl)) write(spark.table(tmp), tbl)
+        spark.sql(s"DROP TABLE $tmp")
+      }
+      write(ccComponents(spark, prefix).withColumn("ingest_batch", lit(-1L)), tmp)
+      graft.operators.Fence.heartbeat(spark, prefix, "compactCc")
+      write(spark.table(tmp), tbl)
+      spark.sql(s"DROP TABLE $tmp")
+    }
 
   /** Drive a streaming pair source (duplicate edges) through the
     * components ingestion loop — the catalog GROWS with the stream

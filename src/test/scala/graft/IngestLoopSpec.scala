@@ -362,6 +362,80 @@ class IngestLoopSpec extends AnyFunSuite {
     } finally drop("ing_cc_labels", "ing_cc_meta")
   }
 
+  test("compactCc folds the delta log: catalog identical, superseded rows gone, the loop (and its replays) continue safely") {
+    import spark.implicits._
+    import graft.operators.{Fence, Tombstones}
+    val p = "ing_cp"
+    def edges(rows: Seq[(Long, Long)]) = rows.toDF("a_id", "b_id")
+    def run(rows: Seq[(Long, Long)], bid: Long): Unit =
+      IngestLoop.ingestCcBatch(edges(rows), bid, "a_id", "b_id", p, buckets = 4)
+    // three shards that keep touching the SAME components — the hot-
+    // component shape whose superseded rows compaction exists to fold
+    val b0 = (0L until 30L).map(i => (i, i + 1000000L))
+    val b1 = (0L until 30L).map(i => (i + 1000000L, i + 2000000L))
+    val b2 = (0L until 30L).map(i => (i + 2000000L, i + 3000000L))
+    val b3 = (0L until 10L).map(i => (i, i + 10L)) // merges after the fold
+    try {
+      run(b0, 0L); run(b1, 1L); run(b2, 2L)
+      val before = IngestLoop.ccComponents(spark, p)
+        .collect().map(_.toString).toSet
+      val live = before.size.toLong
+      val rowsBefore = spark.table(s"${p}_labels").count()
+      assert(rowsBefore > live,
+        s"the fixture must accumulate superseded rows ($rowsBefore vs $live)")
+      IngestLoop.compactCc(spark, p)
+      // catalog identical, debt zero, single floor partition
+      assert(IngestLoop.ccComponents(spark, p)
+        .collect().map(_.toString).toSet == before,
+        "compaction changed the components catalog")
+      assert(spark.table(s"${p}_labels").count() == live,
+        "superseded rows must be physically gone")
+      assert(spark.table(s"${p}_labels").select("ingest_batch").distinct()
+        .collect().map(_.getLong(0)).toSeq == Seq(-1L),
+        "the fold must land in the single floor partition")
+      assert(!spark.catalog.tableExists(s"${p}_labels__compact"))
+      // the crash-window replay: batch 2 committed to the table but not
+      // the checkpoint, compaction folded it, the loop restarts and
+      // redelivers bid=2 — drop-own-partition misses the floor and the
+      // re-propagation against the folded view is idempotent
+      run(b2, 2L)
+      assert(IngestLoop.ccComponents(spark, p)
+        .collect().map(_.toString).toSet == before,
+        "a replayed folded batch must not perturb the catalog")
+      // the loop continues: a post-compact shard merges components and
+      // the catalog equals one batch CC over every edge ever seen
+      run(b3, 3L)
+      val full = Dedup.connectedComponents(edges(b0 ++ b1 ++ b2 ++ b3),
+        "a_id", "b_id")
+      val folded = IngestLoop.ccComponents(spark, p)
+      assert(folded.exceptAll(full).count() == 0 &&
+        full.exceptAll(folded).count() == 0,
+        "post-compact appends diverge from one batch CC")
+      // fence race, both orders: the loser refuses loudly, loses nothing
+      Fence.acquire(spark, p, "compactCc")
+      val e1 = intercept[IllegalStateException](run(b3, 4L))
+      assert(e1.getMessage.contains("compactCc"))
+      Fence.release(spark, p, "compactCc")
+      Fence.acquire(spark, p, "ingestCcBatch bid=4")
+      val e2 = intercept[IllegalStateException](IngestLoop.compactCc(spark, p))
+      assert(e2.getMessage.contains("ingestCcBatch bid=4"))
+      Fence.release(spark, p, "ingestCcBatch bid=4")
+      // maintain owns the cadence: freshly folded -> below the fraction,
+      // no-op; superseding shards re-accumulate debt -> compacts
+      IngestLoop.compactCc(spark, p)
+      assert(!Tombstones.maintain(spark, p, fraction = 0.5),
+        "maintain must no-op below the superseded fraction")
+      run(b1, 5L); run(b1, 6L) // same edges: pure superseded-row debt
+      assert(Tombstones.maintain(spark, p, fraction = 0.3),
+        "maintain must fold past the superseded fraction")
+      assert(spark.table(s"${p}_labels").count() ==
+        IngestLoop.ccComponents(spark, p).count())
+    } finally {
+      drop(s"${p}_labels", s"${p}_meta", s"${p}_labels__compact")
+      graft.operators.Fence.forceRelease(spark, p)
+    }
+  }
+
   test("STREAMED components ingestion over >=3 micro-batches == one batch CC over all pair shards") {
     import spark.implicits._
     // reuse the direct-batch test's graph, delivered as a real stream:
