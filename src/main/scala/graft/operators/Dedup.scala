@@ -610,6 +610,66 @@ object Dedup {
     }
   }
 
+  /** Repair a components labeling after UPSTREAM deletions (round 13 —
+    * the re-derivation operator the labels family's no-tombstone rule
+    * points at): removing a node can SPLIT a component (every edge
+    * through it vanishes), which a label table cannot express by
+    * patching — a label-only "delete" would silently keep severed
+    * members merged. Derived state is re-derived instead: select the
+    * components the deleted ids TOUCH, re-run CC over their SURVIVING
+    * edges, and splice the result into the untouched catalog.
+    *
+    * `labels` is the frozen fixpoint labeling (id, component) over all
+    * previously-seen edges; `survivingPairs` is the upstream pair
+    * source with tombstones already applied (the incremental miners'
+    * corpus views hide dead ids the moment the tombstone commits) —
+    * and is defensively re-scrubbed here with a broadcast anti-join on
+    * both endpoints, so passing a stale pair listing cannot resurrect
+    * a deleted id. The result equals [[connectedComponents]] over the
+    * surviving pairs exactly: deleted ids leave the catalog, members
+    * severed from every surviving edge leave too (a from-scratch run
+    * never sees them), splits get fresh min-id labels, and untouched
+    * components keep their frozen rows without being rescanned.
+    *
+    * Work is O(touched components + their surviving edges): original
+    * components are edge-closed, so no surviving edge can cross from a
+    * touched into an untouched component — the sub-run over edges
+    * incident to touched members is exactly the global answer for
+    * them. There is deliberately NO deltaOnly mode: deletion can only
+    * REMOVE rows, which a latest-wins append cannot express — the
+    * persisted path ([[graft.streaming.IngestLoop.repairCc]]) folds
+    * the repaired catalog into the floor partition in one fenced
+    * rewrite, subsuming a compaction. */
+  def ccRepair(labels: DataFrame, survivingPairs: DataFrame,
+               aCol: String, bCol: String,
+               deletedIds: DataFrame, idCol: String,
+               maxIter: Int = 25,
+               staging: Staging.Mode = Staging.Local): DataFrame = {
+    val dead = deletedIds.select(col(idCol).cast("long").as("id")).distinct()
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("comp"))
+    val touchedComps = lab.join(broadcast(dead), Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    // the touched components' full member sets — the probe side of the
+    // edge selection below, and the universe the sub-run must relabel
+    val members = staging(lab.join(touchedComps, Seq("comp"), "left_semi")
+      .select(col("id")))
+    val fwd = survivingPairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .join(broadcast(dead.select(col("id").as("u"))), Seq("u"), "left_anti")
+      .join(broadcast(dead.select(col("id").as("v"))), Seq("v"), "left_anti")
+    // edge-closure of the frozen labeling means u-membership alone
+    // selects every surviving edge of a touched component; the v-side
+    // union guards against a caller whose labels lag the pair source
+    val sub = fwd.join(members.select(col("id").as("u")), Seq("u"), "left_semi")
+      .union(fwd.join(members.select(col("id").as("v")), Seq("v"), "left_semi"))
+      .distinct()
+    val repaired = connectedComponents(sub, "u", "v", maxIter, staging)
+    val untouched = lab.join(touchedComps, Seq("comp"), "left_anti")
+      .select(col("id"), col("comp").as("component"))
+    repaired.select(col("id"), col("component")).union(untouched)
+  }
+
   /** Near-dup dedup survivors: every id in `df` except non-canonical
     * members of a duplicate component (canonical = min id). */
   def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,

@@ -565,7 +565,10 @@ object IngestLoop {
     * members merged. Delete from the UPSTREAM pair/index families
     * (their tombstones already hide dead ids from every pair source)
     * and re-derive the touched components from the surviving pairs —
-    * derived state is re-derived, never patched. */
+    * derived state is re-derived, never patched: [[repairCc]] (round
+    * 13) is that entry point, re-running CC over only the touched
+    * components' surviving edges and folding the corrected catalog
+    * into the floor partition. */
   def ingestCcBatch(pairs: DataFrame, bid: Long, aCol: String, bCol: String,
                     prefix: String, buckets: Int,
                     loopId: String = ""): Unit = {
@@ -655,6 +658,52 @@ object IngestLoop {
       }
       write(ccComponents(spark, prefix).withColumn("ingest_batch", lit(-1L)), tmp)
       graft.operators.Fence.heartbeat(spark, prefix, "compactCc")
+      write(spark.table(tmp), tbl)
+      spark.sql(s"DROP TABLE $tmp")
+    }
+
+  /** Re-derive the persisted components catalog after UPSTREAM
+    * deletions (round 13 — the entry point [[ingestCcBatch]]'s
+    * no-tombstone rule documents): sweep the dead ids from the
+    * upstream pair/index families first (their tombstones hide them
+    * from every pair source immediately), then call this with those
+    * ids and the surviving pair listing. [[Dedup.ccRepair]] re-runs CC
+    * over only the touched components' surviving edges — deletions
+    * that SPLIT a component get fresh labels, severed members and the
+    * dead ids leave the catalog — and the result is folded into the
+    * single floor partition exactly as [[compactCc]] does (a repair IS
+    * a compaction with a corrected snapshot; the same crash recovery
+    * and replay-idempotence arguments apply verbatim).
+    *
+    * Run it as maintenance, like compaction: if the owning loop's
+    * UNCOMMITTED last batch replays edges mined BEFORE the upstream
+    * sweep, a dead id could transiently re-enter the catalog until the
+    * next repair — drain or stop the loop for the maintenance window
+    * (the fence serializes the writes either way; this caveat is about
+    * the pair STREAM's content, which no fence can rewrite). */
+  def repairCc(spark: SparkSession, prefix: String,
+               deletedIds: DataFrame, idCol: String,
+               survivingPairs: DataFrame, aCol: String, bCol: String,
+               buckets: Int = -1): Unit =
+    graft.operators.Fence.withFence(spark, prefix, "repairCc") {
+      val tbl = s"${prefix}_labels"
+      val tmp = tbl + "__compact"
+      val b =
+        if (buckets > 0) buckets
+        else spark.table(s"${prefix}_meta").head().getAs[Int]("buckets")
+      def write(df: DataFrame, to: String): Unit =
+        df.write.mode("overwrite").format("parquet")
+          .partitionBy("ingest_batch")
+          .bucketBy(b, "id").sortBy("id")
+          .saveAsTable(to)
+      if (spark.catalog.tableExists(tmp)) {
+        if (!spark.catalog.tableExists(tbl)) write(spark.table(tmp), tbl)
+        spark.sql(s"DROP TABLE $tmp")
+      }
+      val repaired = Dedup.ccRepair(ccComponents(spark, prefix),
+        survivingPairs, aCol, bCol, deletedIds, idCol)
+      write(repaired.withColumn("ingest_batch", lit(-1L)), tmp)
+      graft.operators.Fence.heartbeat(spark, prefix, "repairCc")
       write(spark.table(tmp), tbl)
       spark.sql(s"DROP TABLE $tmp")
     }

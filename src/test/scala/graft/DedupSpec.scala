@@ -690,4 +690,46 @@ class DedupSpec extends AnyFunSuite {
       full.exceptAll(merged).count() == 0,
       "delta ∪ untouched diverges from batch-over-union")
   }
+
+  test("ccRepair: deleting a cut vertex SPLITS its component; repaired catalog == from-scratch CC over surviving pairs") {
+    // {1..5} a path with cut vertex 3; {10,11,12} a triangle (deleting
+    // 10 only shrinks — cycle edges keep 11-12 connected); {20,21} a
+    // pair whose member 20 dies (21 is severed from every edge and must
+    // LEAVE the catalog, as a from-scratch run never sees it); {30,31}
+    // untouched bystander
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L), (30L, 31L))
+      .toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val dead = Seq(3L, 10L, 20L).toDF("doc_id")
+    // the upstream families hide tombstoned ids from their pair views
+    val surviving = pairs
+      .filter(!col("a_id").isin(3L, 10L, 20L) && !col("b_id").isin(3L, 10L, 20L))
+    val repaired = Dedup.ccRepair(labels, surviving, "a_id", "b_id",
+      dead, "doc_id")
+    val scratch = Dedup.connectedComponents(surviving, "a_id", "b_id")
+    assert(repaired.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(repaired).count() == 0,
+      "repaired catalog diverges from a from-scratch CC over surviving pairs")
+    val byId = repaired.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == 1L && byId(2L) == 1L, "left split keeps the old min")
+    assert(byId(4L) == 4L && byId(5L) == 4L,
+      "right split must take a FRESH min-id label — the case a label-only patch cannot express")
+    assert(byId(11L) == 11L && byId(12L) == 11L, "cycle survivors stay merged, relabeled")
+    assert(byId(30L) == 30L && byId(31L) == 30L, "untouched component keeps its frozen label")
+    assert(!byId.contains(3L) && !byId.contains(10L) && !byId.contains(20L),
+      "deleted ids must leave the catalog")
+    assert(!byId.contains(21L), "a member severed from every surviving edge leaves too")
+    // the defensive scrub: a STALE pair listing (tombstones not yet
+    // applied upstream) must not resurrect dead ids
+    val viaStale = Dedup.ccRepair(labels, pairs, "a_id", "b_id", dead, "doc_id")
+    assert(viaStale.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(viaStale).count() == 0,
+      "a stale pair listing resurrected deleted ids")
+    // deleting nothing is the identity
+    val noop = Dedup.ccRepair(labels, pairs, "a_id", "b_id",
+      Seq.empty[Long].toDF("doc_id"), "doc_id")
+    assert(noop.exceptAll(labels).count() == 0 &&
+      labels.exceptAll(noop).count() == 0)
+  }
 }

@@ -436,6 +436,51 @@ class IngestLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("repairCc re-derives after upstream deletes: a cut-vertex delete splits in the PERSISTED catalog; the loop continues") {
+    import spark.implicits._
+    val p = "ing_rp"
+    def edges(rows: Seq[(Long, Long)]) = rows.toDF("a_id", "b_id")
+    def run(rows: Seq[(Long, Long)], bid: Long): Unit =
+      IngestLoop.ingestCcBatch(edges(rows), bid, "a_id", "b_id", p, buckets = 4)
+    // two shards build 20 five-node paths 5i-...-5i+4 (cut vertex 5i+2)
+    val b0 = (0L until 100L by 5L).flatMap(i => Seq((i, i + 1), (i + 1, i + 2)))
+    val b1 = (0L until 100L by 5L).flatMap(i => Seq((i + 2, i + 3), (i + 3, i + 4)))
+    try {
+      run(b0, 0L); run(b1, 1L)
+      // upstream sweep: the cut vertices die; the surviving pair view is
+      // what the (tombstoned) upstream families now serve
+      val dead = (0L until 100L by 5L).map(_ + 2).toDF("doc_id")
+      val surviving = edges(b0 ++ b1)
+        .join(dead.select(col("doc_id").as("a_id")), Seq("a_id"), "left_anti")
+        .join(dead.select(col("doc_id").as("b_id")), Seq("b_id"), "left_anti")
+      IngestLoop.repairCc(spark, p, dead, "doc_id", surviving, "a_id", "b_id")
+      val got = IngestLoop.ccComponents(spark, p)
+      val scratch = Dedup.connectedComponents(surviving, "a_id", "b_id")
+      assert(got.exceptAll(scratch).count() == 0 &&
+        scratch.exceptAll(got).count() == 0,
+        "persisted repaired catalog diverges from from-scratch CC over surviving pairs")
+      // every path split in two: 40 components, the right halves on
+      // FRESH min labels, the dead ids gone
+      assert(got.select("component").distinct().count() == 40)
+      assert(got.filter(col("id").isin((0L until 100L by 5L).map(_ + 2): _*))
+        .count() == 0, "deleted ids must leave the persisted catalog")
+      assert(spark.table(s"${p}_labels").select("ingest_batch").distinct()
+        .collect().map(_.getLong(0)).toSeq == Seq(-1L),
+        "the repair folds into the single floor partition")
+      // the loop continues: a post-repair shard re-merges two halves
+      run(Seq((0L, 4L)), 2L)
+      val merged = IngestLoop.ccComponents(spark, p)
+      val expect = Dedup.connectedComponents(
+        surviving.union(edges(Seq((0L, 4L)))), "a_id", "b_id")
+      assert(merged.exceptAll(expect).count() == 0 &&
+        expect.exceptAll(merged).count() == 0,
+        "post-repair appends diverge from batch CC over surviving ∪ new edges")
+    } finally {
+      drop(s"${p}_labels", s"${p}_meta", s"${p}_labels__compact")
+      graft.operators.Fence.forceRelease(spark, p)
+    }
+  }
+
   test("STREAMED components ingestion over >=3 micro-batches == one batch CC over all pair shards") {
     import spark.implicits._
     // reuse the direct-batch test's graph, delivered as a real stream:
