@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Tombstones}
+import graft.streaming.IngestLoop
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2218,6 +2219,176 @@ object TextQueries {
                CAST(2 * SUM(1 + (greatest(len(string_split(text, ' ')) - 32, 0) + 23) // 24) AS BIGINT) AS n_chunks,
                TRUE AS clones_collapsed, TRUE AS dropped_witness_ok,
                TRUE AS kept_independent
-        FROM documents"""))
+        FROM documents""")),
+
+    // ----------------------------------------------------------------
+    // q119: the components family's PERSISTED LIFECYCLE (round 13) —
+    // the q112 treatment applied to the seventh family: inside one
+    // hashed row, q116's pair graph arrives as THREE deterministic
+    // shards through ingestCcBatch (batch CC, then two incremental
+    // deltas), compactCc folds the accumulated delta log into the
+    // floor partition BETWEEN arrivals (proving the loop appends on
+    // through a fold), and the final ccComponents read — latest-wins
+    // over floor + post-fold deltas — must hash-match q116's
+    // batch-over-union oracle cluster for cluster, member-set for
+    // member-set. The shard split (pmod(a+b, 3)) is arbitrary by
+    // design: the fixpoint is arrival-order-invariant, so ANY
+    // partition of the edges must converge to the same catalog.
+    "q119_components_lifecycle" -> QueryDef(
+      fn = (s, d) => {
+        // fresh family per run: catalog entries, orphaned warehouse
+        // dirs, and a possibly-held fence (the q112 discipline)
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+        val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("q119cc_labels", "q119cc_meta", "q119cc_labels__compact")
+          .foreach { t =>
+            s.sql(s"DROP TABLE IF EXISTS $t")
+            val loc = new org.apache.hadoop.fs.Path(wh, t)
+            if (whFs.exists(loc)) whFs.delete(loc, true)
+          }
+        graft.operators.Fence.forceRelease(s, "q119cc")
+        val base = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val excerpts = base
+          .withColumn("__toks", split(col("text"), " "))
+          .withColumn("text",
+            expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        val corpus = base.union(excerpts)
+        // one containment pass, pinned: the pairs feed all three shards
+        val pairs = Dedup.containmentJoin(corpus, "doc_id", "text", tau = 0.5)
+          .select("a_id", "b_id").localCheckpoint(true)
+        def shard(k: Int) = pairs
+          .filter(pmod(col("a_id") + col("b_id"), lit(3)) === k)
+        IngestLoop.ingestCcBatch(shard(0), 0L, "a_id", "b_id", "q119cc", buckets = 8)
+        IngestLoop.ingestCcBatch(shard(1), 1L, "a_id", "b_id", "q119cc", buckets = 8)
+        IngestLoop.compactCc(s, "q119cc")
+        IngestLoop.ingestCcBatch(shard(2), 2L, "a_id", "b_id", "q119cc", buckets = 8)
+        val comps = IngestLoop.ccComponents(s, "q119cc")
+        val singles = corpus
+          .join(comps.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("id"), col("doc_id").as("component"))
+        comps.select(col("id"), col("component")).union(singles)
+          .groupBy("component")
+          .agg(count(lit(1)).cast("int").as("csize"),
+            sum("id").as("id_sum"), max("id").as("max_id"))
+          .orderBy("component")
+      },
+      oracle = Some(ccCatalogOracle("TRUE"))),
+
+    // ----------------------------------------------------------------
+    // q120: components REPAIR after upstream deletes (round 13) — the
+    // derived-state re-derivation as a hashed row. Build the persisted
+    // catalog from two pair shards, then sweep every 4th SOURCE doc
+    // (id % 40 = 0 among the % 10 = 0 sources; excerpts live at +20M
+    // and survive) the way an upstream tombstone pass would, hand
+    // repairCc the dead ids + the surviving pair view, and emit the
+    // repaired catalog (+ surviving pair-free docs as singletons). The
+    // oracle re-derives FROM SCRATCH over the surviving corpus — the
+    // operator's exact contract: deleted ids and severed members leave,
+    // splits take fresh min-id labels, untouched clusters keep theirs.
+    "q120_components_repair" -> QueryDef(
+      fn = (s, d) => {
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+        val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("q120cc_labels", "q120cc_meta", "q120cc_labels__compact")
+          .foreach { t =>
+            s.sql(s"DROP TABLE IF EXISTS $t")
+            val loc = new org.apache.hadoop.fs.Path(wh, t)
+            if (whFs.exists(loc)) whFs.delete(loc, true)
+          }
+        graft.operators.Fence.forceRelease(s, "q120cc")
+        val base = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val excerpts = base
+          .withColumn("__toks", split(col("text"), " "))
+          .withColumn("text",
+            expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        val corpus = base.union(excerpts)
+        val pairs = Dedup.containmentJoin(corpus, "doc_id", "text", tau = 0.5)
+          .select("a_id", "b_id").localCheckpoint(true)
+        def shard(k: Int) = pairs
+          .filter(pmod(col("a_id") + col("b_id"), lit(2)) === k)
+        IngestLoop.ingestCcBatch(shard(0), 0L, "a_id", "b_id", "q120cc", buckets = 8)
+        IngestLoop.ingestCcBatch(shard(1), 1L, "a_id", "b_id", "q120cc", buckets = 8)
+        // the upstream sweep: dead sources, and the pair view their
+        // tombstoned families would serve from the moment it commits
+        val isDead = (c: org.apache.spark.sql.Column) =>
+          c % 40 === 0 && c < 20000000L
+        val dead = corpus.filter(isDead(col("doc_id"))).select("doc_id")
+        val surviving = pairs
+          .filter(!isDead(col("a_id")) && !isDead(col("b_id")))
+        IngestLoop.repairCc(s, "q120cc", dead, "doc_id",
+          surviving, "a_id", "b_id")
+        val comps = IngestLoop.ccComponents(s, "q120cc")
+        val singles = corpus.filter(!isDead(col("doc_id")))
+          .join(comps.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("id"), col("doc_id").as("component"))
+        comps.select(col("id"), col("component")).union(singles)
+          .groupBy("component")
+          .agg(count(lit(1)).cast("int").as("csize"),
+            sum("id").as("id_sum"), max("id").as("max_id"))
+          .orderBy("component")
+      },
+      oracle = Some(ccCatalogOracle(
+        "NOT (doc_id % 40 = 0 AND doc_id < 20000000)")))
   )
+
+  /** The quote-cluster catalog oracle — q116's 8-round bounded
+    * min-label propagation (common dialect, no recursive CTE; see the
+    * q116 comment for the depth-sufficiency argument), parameterized by
+    * a surviving-doc predicate: filtering docs BEFORE the pair
+    * computation removes exactly the pairs touching a dead endpoint,
+    * so the same SQL oracles both the full lifecycle (`TRUE`, q119 —
+    * semantically q116's oracle verbatim) and the post-repair catalog
+    * (q120). */
+  private def ccCatalogOracle(liveCond: String): String = s"""
+        WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        ex AS (SELECT doc_id + 20000000 AS doc_id,
+                      array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) // 2], ' ') AS text
+               FROM b0),
+        u0 AS (SELECT doc_id, text FROM b0 UNION ALL SELECT doc_id, text FROM ex),
+        u AS (SELECT doc_id, text FROM u0 WHERE $liveCond),
+        sh0 AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+                FROM u),
+        s AS (SELECT doc_id, sh, len(sh) AS m FROM sh0 WHERE len(sh) > 0),
+        p AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM s a JOIN s b ON a.doc_id <> b.doc_id
+              WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1000000 // a.m AS DOUBLE) / 1000000 >= 0.5),
+        e AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
+        l0 AS MATERIALIZED (SELECT u AS id, MIN(u) AS comp FROM e GROUP BY u),
+        l1 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l0 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l0 l ON l.id = e.u) x GROUP BY id),
+        l2 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l1 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l1 l ON l.id = e.u) x GROUP BY id),
+        l3 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l2 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l2 l ON l.id = e.u) x GROUP BY id),
+        l4 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l3 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l3 l ON l.id = e.u) x GROUP BY id),
+        l5 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l4 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l4 l ON l.id = e.u) x GROUP BY id),
+        l6 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l5 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l5 l ON l.id = e.u) x GROUP BY id),
+        l7 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l6 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l6 l ON l.id = e.u) x GROUP BY id),
+        l8 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+                 SELECT l.id, l.comp FROM l7 l UNION ALL
+                 SELECT e.v AS id, l.comp FROM e JOIN l7 l ON l.id = e.u) x GROUP BY id),
+        allm AS (SELECT id, comp AS component FROM l8
+                 UNION ALL
+                 SELECT doc_id AS id, doc_id AS component FROM u
+                 WHERE doc_id NOT IN (SELECT id FROM l8))
+        SELECT component, CAST(COUNT(*) AS INTEGER) AS csize,
+               CAST(SUM(id) AS BIGINT) AS id_sum, MAX(id) AS max_id
+        FROM allm GROUP BY component ORDER BY component"""
 }
