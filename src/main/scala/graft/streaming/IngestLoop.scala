@@ -64,6 +64,116 @@ object IngestLoop {
   private def normLoopId(id: String): String =
     if (id.isEmpty) "" else new org.apache.hadoop.fs.Path(id).toString
 
+  /** The loop id recorded in a MULTI-WRITER family's meta: no single
+    * loop owns it — every batch resolves its partition id through the
+    * `<prefix>_commits` mapping instead (round 13). */
+  private[streaming] val MultiWriterMarker = "__multi-writer__"
+
+  /** One batch's resolved identity under the multi-writer protocol:
+    * the global partition id, the partitions this batch must NOT read
+    * (frozen at first assignment), and the later partitions it must
+    * COMPENSATE for (they ran while this batch was an unreplayed
+    * orphan, so they could not have mined against it). */
+  private case class GlobalBid(gbid: Long, missingBelow: Seq[Long],
+                               compensate: Seq[Long], created: Boolean)
+
+  /** Resolve (loop_id, local_bid) → global partition id under the
+    * family fence (round 13 — TRUE multi-writer ingestion, SURVEY §10's
+    * deferred design made concrete). The `<prefix>_commits` table maps
+    * each loop's checkpoint-local batch ids onto one global, gap-free-
+    * in-assignment sequence; a replay REUSES its mapping, so
+    * drop-own-partition stays safe with any number of loops.
+    *
+    * The sketch alone ("corpus views read partitions < own") has a
+    * lost-pair hole: batch g can fail AFTER assignment, and a later
+    * batch h > g (possibly another loop's) commits while g is an
+    * unreplayed orphan — h mined against a corpus missing g, and g's
+    * replay reads `< g` which misses h, so a cross pair between their
+    * shards would be emitted by NEITHER side. Two frozen-at-assignment
+    * sets close it exactly once per pair:
+    *   - `missing_below`: the assigned-but-absent partitions at this
+    *     batch's FIRST run. The corpus view excludes them on every
+    *     replay too (they may exist by then), keeping the replay
+    *     byte-deterministic — and keeping responsibility for those
+    *     cross pairs with the orphan's own replay.
+    *   - compensation (computed, not stored): the batches h > g whose
+    *     `missing_below` lists g. Their runs provably never saw g, so
+    *     g's replay mines against them as well. At first assignment
+    *     this set is empty (nothing above g exists yet); it only kicks
+    *     in on the replay the checkpoint guarantees.
+    * Pair (i∈g, j∈h), g<h is thus emitted exactly once: by h if h's
+    * frozen view saw g, else by g's replay. */
+  private def resolveGlobalBid(spark: SparkSession, prefix: String,
+                               loopId: String, localBid: Long,
+                               partitionsOf: String): GlobalBid = {
+    require(loopId.nonEmpty,
+      "multi-writer ingest requires a loop id (the checkpoint location): " +
+        "global partition ids are keyed on (loop_id, local_bid)")
+    import spark.implicits._
+    val t = s"${prefix}_commits"
+    val commits =
+      if (spark.catalog.tableExists(t)) Some(spark.table(t)) else None
+    val existing = commits.flatMap(
+      _.filter(col("loop_id") === loopId && col("local_bid") === localBid)
+        .limit(1).collect().headOption)
+    existing match {
+      case Some(r) =>
+        val g = r.getAs[Long]("global_bid")
+        val missing =
+          r.getAs[scala.collection.Seq[Long]]("missing_below").toSeq
+        // batches above g whose frozen view never saw g — bounded by
+        // the number of batches that ran while g was an orphan
+        val comp = commits.get
+          .filter(array_contains(col("missing_below"), g))
+          .select("global_bid").limit(1025).collect().map(_.getLong(0)).toSeq
+        require(comp.size <= 1024,
+          s"batch $g of '$prefix' has ${comp.size}+ compensation partitions — " +
+            "more than 1024 batches committed while it was an orphan; " +
+            "rebuild the family (this means the loop was dead for its " +
+            "entire ingest history).")
+        GlobalBid(g, missing, comp, created = false)
+      case None =>
+        val next = commits
+          .map(_.agg(coalesce(max("global_bid"), lit(-1L))).head.getLong(0) + 1L)
+          .getOrElse(0L)
+        // assigned-but-absent partitions below us: their replays own
+        // the cross pairs against this batch (we record, they read).
+        // A missing partitions TABLE (a torn creation familyExists just
+        // auto-dropped) means every assigned bid is absent.
+        val missing = commits.map { c =>
+          val assigned = c.select(col("global_bid"))
+          val m = (if (spark.catalog.tableExists(partitionsOf))
+            assigned.join(
+              spark.table(partitionsOf).select("ingest_batch").distinct()
+                .withColumnRenamed("ingest_batch", "global_bid"),
+              Seq("global_bid"), "left_anti")
+          else assigned)
+            .limit(1025).collect().map(_.getLong(0)).toSeq
+          require(m.size <= 1024,
+            s"family '$prefix' has ${m.size}+ orphaned (assigned, never " +
+              "committed) partitions — the crashed loops must replay or " +
+              "the family be rebuilt before new batches land.")
+          m
+        }.getOrElse(Seq.empty)
+        Seq((loopId, localBid, next, missing))
+          .toDF("loop_id", "local_bid", "global_bid", "missing_below")
+          .write.mode("append").format("parquet").saveAsTable(t)
+        GlobalBid(next, missing, Seq.empty, created = true)
+    }
+  }
+
+  /** The multi-writer corpus view for batch `gbid`: partitions strictly
+    * below it MINUS its frozen missing set, PLUS its compensation set —
+    * see [[resolveGlobalBid]]. Collapses to plain `< gbid` when both
+    * sets are empty (the no-crash fast path). */
+  private def multiCorpusFilter(gbid: Long, missing: Seq[Long],
+                                comp: Seq[Long]): org.apache.spark.sql.Column = {
+    val below =
+      if (missing.isEmpty) col("ingest_batch") < gbid
+      else col("ingest_batch") < gbid && !col("ingest_batch").isin(missing: _*)
+    if (comp.isEmpty) below else below || col("ingest_batch").isin(comp: _*)
+  }
+
   /** Bind-or-verify the family's owning loop (round 12). Called with
     * the family [[graft.operators.Fence]] HELD. A meta without the
     * `loop_id` column (batch-save-created, or pre-round-12) is ADOPTED
@@ -81,6 +191,11 @@ object IngestLoop {
         .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
     } else {
       val recorded = meta.head().getAs[String]("loop_id")
+      require(recorded != MultiWriterMarker,
+        s"index family '$prefix' is MULTI-WRITER: its partition ids are " +
+          "global (assigned through the commits mapping), so a " +
+          "single-writer loop's checkpoint-local bids would collide — " +
+          "pass multiWriter = true.")
       require(recorded == loopId,
         s"index family '$prefix' is bound to ingest loop '$recorded' but " +
           s"this batch belongs to loop '$loopId': batch ids are " +
@@ -92,6 +207,22 @@ object IngestLoop {
           "the bound loop's batch-id sequence; anything else requires " +
           "rebuilding the family).")
     }
+  }
+
+  /** Verify the family was CREATED multi-writer: a single-loop family's
+    * partitions are keyed on that loop's checkpoint-local bids, which a
+    * global assignment would collide with — there is deliberately no
+    * in-place conversion (rebuild, or keep the single loop). */
+  private def bindMulti(spark: SparkSession, prefix: String): Unit = {
+    val meta = spark.table(s"${prefix}_meta")
+    val recorded =
+      if (meta.columns.contains("loop_id")) meta.head().getAs[String]("loop_id")
+      else "<none>"
+    require(recorded == MultiWriterMarker,
+      s"index family '$prefix' is bound to single-writer loop '$recorded': " +
+        "its partition ids are that loop's checkpoint-local bids, which " +
+        "the multi-writer global assignment would collide with. Keep the " +
+        "owning loop (or rebind), or rebuild the family multi-writer.")
   }
 
   /** Deliberate loop hand-off: rewrite the family's recorded owning
@@ -191,12 +322,44 @@ object IngestLoop {
       m.getInt(1), m.getInt(2))
   }
 
+  /** The multi-writer MinHash corpus view for a resolved batch:
+    * partitions strictly below its global id minus its frozen missing
+    * set, plus its compensation set — [[resolveGlobalBid]]'s read
+    * contract. Tombstone-filtered like [[minhashCorpusBefore]]. */
+  private def minhashCorpusMulti(spark: SparkSession, prefix: String,
+                                 g: GlobalBid): Dedup.MinHashIndex = {
+    val m = spark.table(s"${prefix}_meta").head()
+    val idCol = m.getString(0)
+    def live(t: String) = graft.operators.Tombstones.filter(
+      spark.table(s"${prefix}_$t")
+        .filter(multiCorpusFilter(g.gbid, g.missingBelow, g.compensate))
+        .drop("ingest_batch"), idCol, prefix)
+    Dedup.MinHashIndex(idCol, live("shingles"), live("bands"),
+      m.getInt(1), m.getInt(2))
+  }
+
   /** One micro-batch of the MinHash ingestion loop (exposed separately so
-    * a retry can be replayed deterministically — and tested). */
+    * a retry can be replayed deterministically — and tested).
+    *
+    * `multiWriter = true` (round 13) opts the family into PARALLEL
+    * loops on one prefix: the batch's partition id is resolved through
+    * the fenced `<prefix>_commits` mapping ([[resolveGlobalBid]] — a
+    * replay reuses its mapping, so drop-own-partition can never clobber
+    * another loop's partition), the corpus view reads the mapping's
+    * frozen below/compensation sets, and the family meta records the
+    * multi-writer marker instead of an owning loop. The pair-set
+    * contract survives verbatim: each cross pair is emitted exactly
+    * once, by the later GLOBAL partition's batch (or by an orphan's
+    * replay when the later batch provably never saw it). Concurrent
+    * loops should set `spark.graft.fence.waitMs` so an arriving batch
+    * WAITS for the fence instead of dying with its streaming query —
+    * serialization costs seconds of latency, never an append. The
+    * default stays single-writer: one loop per family, enforced. */
   def ingestMinhashBatch(batch: DataFrame, bid: Long, idCol: String,
                          textCol: String, prefix: String, pairsDir: String,
                          threshold: Double, numPerms: Int, rowsPerBand: Int,
-                         buckets: Int, loopId: String = ""): Unit = {
+                         buckets: Int, loopId: String = "",
+                         multiWriter: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val lid = normLoopId(loopId)
     // Writer fence (round 11): held for the whole batch so a concurrent
@@ -207,18 +370,28 @@ object IngestLoop {
     graft.operators.Fence.withFence(spark, prefix, s"ingestMinhashBatch bid=$bid") {
     val shard = Dedup.minhashIndex(batch, idCol, textCol, numPerms, rowsPerBand)
     val exists = familyExists(spark, prefix, Seq("bands", "shingles", "meta"))
+    // the partition id this batch owns: checkpoint-local by default,
+    // global via the fenced commits mapping under multi-writer
+    val resolved =
+      if (multiWriter) resolveGlobalBid(spark, prefix, lid, bid, s"${prefix}_bands")
+      else GlobalBid(bid, Seq.empty, Seq.empty, created = !exists)
+    val pid = resolved.gbid
     val corpus =
-      if (exists) minhashCorpusBefore(spark, prefix, bid)
-      else Dedup.MinHashIndex(idCol, shard.shingles.limit(0),
+      if (!exists) Dedup.MinHashIndex(idCol, shard.shingles.limit(0),
         shard.bands.limit(0), numPerms, rowsPerBand)
+      else if (multiWriter) minhashCorpusMulti(spark, prefix, resolved)
+      else minhashCorpusBefore(spark, prefix, pid)
     require(corpus.numPerms == numPerms && corpus.rowsPerBand == rowsPerBand,
       s"persisted index family (${corpus.numPerms}, ${corpus.rowsPerBand}) != " +
         s"loop family ($numPerms, $rowsPerBand)")
-    if (exists) { requireBucketAgreement(spark, prefix, buckets); bindLoop(spark, prefix, lid) }
+    if (exists) {
+      requireBucketAgreement(spark, prefix, buckets)
+      if (multiWriter) bindMulti(spark, prefix) else bindLoop(spark, prefix, lid)
+    }
     // leg 1 — pairs touching this batch, written to the batch's OWN
     // partition directory (overwrite => retry-idempotent)
     Dedup.minhashLshPairsIncremental(shard, corpus, threshold)
-      .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$bid")
+      .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$pid")
     // between-leg liveness beacon (see Fence.heartbeat): a long batch
     // reads as alive, not crashed, to an operator eyeing forceRelease
     graft.operators.Fence.heartbeat(spark, prefix, s"ingestMinhashBatch bid=$bid")
@@ -226,14 +399,14 @@ object IngestLoop {
     // retry first drops its own half-written partition (corpus
     // partitions are untouched either way)
     if (exists) Seq("bands", "shingles").foreach { t =>
-      spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$bid)")
+      spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
     }
-    shard.bands.withColumn("ingest_batch", lit(bid))
+    shard.bands.withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(s"${prefix}_bands")
-    shard.shingles.withColumn("ingest_batch", lit(bid))
+    shard.shingles.withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, idCol).sortBy(idCol)
@@ -242,7 +415,8 @@ object IngestLoop {
       import spark.implicits._
       Seq((idCol, numPerms, rowsPerBand, buckets))
         .toDF("id_col", "num_perms", "rows_per_band", "buckets")
-        .withColumn("loop_id", lit(lid))
+        .withColumn("loop_id",
+          lit(if (multiWriter) MultiWriterMarker else lid))
         .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
     }
     }
@@ -259,13 +433,15 @@ object IngestLoop {
                     prefix: String, pairsDir: String, checkpointDir: String,
                     threshold: Double = 0.5, numPerms: Int = 32,
                     rowsPerBand: Int = 4, buckets: Int = 8,
-                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                    trigger: Trigger = Trigger.AvailableNow(),
+                    multiWriter: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestMinhashBatch(batch, bid, idCol, textCol, prefix, pairsDir,
-          threshold, numPerms, rowsPerBand, buckets, loopId = checkpointDir)
+          threshold, numPerms, rowsPerBand, buckets, loopId = checkpointDir,
+          multiWriter = multiWriter)
       }
       .start()
 

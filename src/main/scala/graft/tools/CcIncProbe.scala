@@ -49,18 +49,30 @@ object CcIncProbe {
     val spark = Tables.session(32)
     import spark.implicits._
     val baseIds = Tables(spark, dir, "documents").select(col("doc_id"))
+    // id arithmetic derived from the DATA, not hardcoded (round-13
+    // advisory): the copy stride comes from max(doc_id)+1 so copies
+    // can never overlap, the per-chain-level stride must clear every
+    // copied id, and the new-node offset sits one level past the
+    // deepest chain level — all three require()d below so a collision
+    // cannot silently misreport component/touched counts.
+    val copyStride = baseIds.agg(max("doc_id")).head.getLong(0) + 1L
+    val levelStride = 100000000L
+    require(copies.toLong * copyStride <= levelStride,
+      s"copies*stride = ${copies * copyStride} must stay under the " +
+        s"chain-level stride $levelStride or chain levels collide")
+    val newNodeOffset = chainLen.toLong * levelStride
     val ids = (0 until copies).map(k =>
-      baseIds.select((col("doc_id") + k * 1000000L).as("id")))
+      baseIds.select((col("doc_id") + k * copyStride).as("id")))
       .reduce(_ union _).localCheckpoint(true)
     val corpusEdges = (0 until chainLen - 1).map(k =>
-      ids.select((col("id") + k * 100000000L).as("a_id"),
-        (col("id") + (k + 1) * 100000000L).as("b_id")))
+      ids.select((col("id") + k * levelStride).as("a_id"),
+        (col("id") + (k + 1) * levelStride).as("b_id")))
       .reduce(_ union _).localCheckpoint(true)
     // the new node attaches to the chain's DEEP end — farthest from the
     // component min, the worst case for a naive full re-run
     val shardEdges = ids.filter(pmod(col("id"), lit(shardMod)) === 0)
-      .select((col("id") + 900000000L).as("a_id"),
-        (col("id") + (chainLen - 1) * 100000000L).as("b_id"))
+      .select((col("id") + newNodeOffset).as("a_id"),
+        (col("id") + (chainLen - 1) * levelStride).as("b_id"))
       .localCheckpoint(true)
     val nComp = ids.count(); val nTouched = shardEdges.count()
     println(s"[ccinc] components=$nComp (chainLen=$chainLen) touched=$nTouched copies=$copies ($dir)")

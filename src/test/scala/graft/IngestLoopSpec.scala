@@ -556,6 +556,135 @@ class IngestLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("MULTI-WRITER: two PARALLEL real loops on one prefix == one batch full run; replay idempotent per loop; single-writer refused") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    // loop A carries the even docs in two shards, loop B the odd in two
+    // — clone families scatter across BOTH loops, so cross-loop pairs
+    // exist and the global-bid ordering is what keeps them exactly-once
+    val streamA = java.nio.file.Files.createTempDirectory("mw_a").toString
+    val streamB = java.nio.file.Files.createTempDirectory("mw_b").toString
+    Seq(0, 2).zipWithIndex.foreach { case (r, i) =>
+      stage(corpus.filter(col("doc_id") % 4 === r), streamA, s"f$i.parquet") }
+    Seq(1, 3).zipWithIndex.foreach { case (r, i) =>
+      stage(corpus.filter(col("doc_id") % 4 === r), streamB, s"f$i.parquet") }
+    val pairsDir = java.nio.file.Files.createTempDirectory("mw_pairs").toString
+    val ckptA = java.nio.file.Files.createTempDirectory("mw_ckptA").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("mw_ckptB").toString
+    def src(d: String) = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    // concurrent loops WAIT for the fence instead of dying with their
+    // streaming query — the acquireWait shape multi-writer leans on
+    spark.conf.set("spark.graft.fence.waitMs", "120000")
+    try {
+      val qa = IngestLoop.minhashIngest(src(streamA), "doc_id", "text",
+        prefix = "ing_mw", pairsDir = pairsDir, checkpointDir = ckptA,
+        multiWriter = true)
+      val qb = IngestLoop.minhashIngest(src(streamB), "doc_id", "text",
+        prefix = "ing_mw", pairsDir = pairsDir, checkpointDir = ckptB,
+        multiWriter = true)
+      qa.awaitTermination(); qb.awaitTermination()
+      // four batches -> four GLOBAL partitions, no collisions
+      assert(spark.table("ing_mw_bands").select("ingest_batch").distinct()
+        .count() == 4, "each of the four batches must own a global partition")
+      assert(spark.table("ing_mw_commits").count() == 4)
+      // union of both loops' pair outputs == one batch run over everything
+      val streamed = spark.read.parquet(pairsDir).select("a_id", "b_id", "jaccard")
+      val full = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      assert(streamed.count() > 0, "clone families must produce pairs")
+      assert(streamed.exceptAll(full).count() == 0 &&
+        full.exceptAll(streamed).count() == 0,
+        "two-loop pair union diverges from the batch full run")
+      // the folded index IS the full corpus index
+      val shard = docs.limit(40).withColumn("doc_id", col("doc_id") + 2000000L)
+      val sIdx = Dedup.minhashIndex(shard, "doc_id", "text")
+      val viaTables = Dedup.minhashLshPairsIncremental(sIdx,
+        IngestLoop.minhashCorpusBefore(spark, "ing_mw", Long.MaxValue), threshold = 0.5)
+      val viaMem = Dedup.minhashLshPairsIncremental(sIdx,
+        Dedup.minhashIndex(corpus, "doc_id", "text"), threshold = 0.5)
+      assert(viaTables.exceptAll(viaMem).count() == 0 &&
+        viaMem.exceptAll(viaTables).count() == 0,
+        "multi-writer folded index diverges from the in-memory full index")
+      // replay idempotence PER LOOP: redeliver each loop's local bid 1 —
+      // the mapping is reused, so the tables and pairs stay identical
+      def snapshot() = (
+        spark.read.parquet(pairsDir).collect().map(_.toString).toSet,
+        spark.table("ing_mw_bands").collect().map(_.toString).toSet,
+        spark.table("ing_mw_commits").collect().map(_.toString).toSet)
+      val before = snapshot()
+      IngestLoop.ingestMinhashBatch(corpus.filter(col("doc_id") % 4 === 2), 1L,
+        "doc_id", "text", "ing_mw", pairsDir, threshold = 0.5, numPerms = 32,
+        rowsPerBand = 4, buckets = 8, loopId = ckptA, multiWriter = true)
+      IngestLoop.ingestMinhashBatch(corpus.filter(col("doc_id") % 4 === 3), 1L,
+        "doc_id", "text", "ing_mw", pairsDir, threshold = 0.5, numPerms = 32,
+        rowsPerBand = 4, buckets = 8, loopId = ckptB, multiWriter = true)
+      assert(snapshot() == before,
+        "a replayed multi-writer batch changed the pairs, index, or mapping")
+      // a single-writer loop cannot touch a multi-writer family
+      val e = intercept[IllegalArgumentException] {
+        IngestLoop.ingestMinhashBatch(docs.limit(10), 0L, "doc_id", "text",
+          "ing_mw", pairsDir, threshold = 0.5, numPerms = 32,
+          rowsPerBand = 4, buckets = 8, loopId = "/some/ckpt")
+      }
+      assert(e.getMessage.contains("multiWriter"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.graft.fence.waitMs")
+      drop("ing_mw_bands", "ing_mw_shingles", "ing_mw_meta", "ing_mw_commits")
+      graft.operators.Fence.forceRelease(spark, "ing_mw")
+    }
+  }
+
+  test("MULTI-WRITER orphan compensation: a batch that crashed after assignment replays without losing cross pairs") {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val a0 = corpus.filter(col("doc_id") % 3 === 0)
+    val a1 = corpus.filter(col("doc_id") % 3 === 1)
+    val b0 = corpus.filter(col("doc_id") % 3 === 2)
+    val pairsDir = java.nio.file.Files.createTempDirectory("mo_pairs").toString
+    val ckptA = "/mw/ckptA"; val ckptB = "/mw/ckptB"
+    def run(batch: org.apache.spark.sql.DataFrame, bid: Long, ckpt: String): Unit =
+      IngestLoop.ingestMinhashBatch(batch, bid, "doc_id", "text", "ing_mo",
+        pairsDir, threshold = 0.5, numPerms = 32, rowsPerBand = 4,
+        buckets = 8, loopId = ckpt, multiWriter = true)
+    try {
+      run(a0, 0L, ckptA) // global 0, committed
+      // loop A's (A,1) crashed AFTER assignment: the mapping row exists,
+      // the partition does not — exactly the state resolveGlobalBid
+      // leaves between its append and the batch's data writes
+      Seq((ckptA, 1L, 1L, Seq.empty[Long]))
+        .toDF("loop_id", "local_bid", "global_bid", "missing_below")
+        .write.mode("append").format("parquet").saveAsTable("ing_mo_commits")
+      // loop B lands while global 1 is an orphan: it records 1 as
+      // missing (it provably cannot mine against it) and reads {0}
+      run(b0, 0L, ckptB) // global 2
+      val bRow = spark.table("ing_mo_commits")
+        .filter(col("loop_id") === ckptB).head()
+      assert(bRow.getAs[Long]("global_bid") == 2L)
+      assert(bRow.getAs[scala.collection.Seq[Long]]("missing_below").toSeq == Seq(1L),
+        "the later batch must record the orphan it could not see")
+      // the orphan's replay: reuses global 1, COMPENSATES against 2 —
+      // the cross pairs a plain <1 read would lose land here
+      run(a1, 1L, ckptA)
+      val streamed = spark.read.parquet(pairsDir).select("a_id", "b_id", "jaccard")
+      val full = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(full).count() == 0 &&
+        full.exceptAll(streamed).count() == 0,
+        "orphan-replay pair union diverges from the batch full run " +
+          "(cross pairs lost or duplicated)")
+      // B's replay stays FROZEN: its view still excludes 1 (now present),
+      // so its output is byte-identical and nothing double-emits
+      val before = spark.read.parquet(pairsDir).collect().map(_.toString).toSet
+      run(b0, 0L, ckptB)
+      assert(spark.read.parquet(pairsDir).collect().map(_.toString).toSet == before,
+        "a replay after the orphan's recovery must not re-see it")
+    } finally {
+      drop("ing_mo_bands", "ing_mo_shingles", "ing_mo_meta", "ing_mo_commits")
+      graft.operators.Fence.forceRelease(spark, "ing_mo")
+    }
+  }
+
   test("one family, one loop: a second loop on the same prefix refuses loudly; rebind is the deliberate hand-off") {
     // batch ids are checkpoint-local: two loops on one prefix reuse bids
     // and the retry's drop-own-partition would clobber each other's
