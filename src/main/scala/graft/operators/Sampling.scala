@@ -191,4 +191,117 @@ object Sampling {
       .select(col("anchor"), col("slot").cast("int").as("slot"),
         col("__pick").as("neg_id"))
   }
+
+  /** Budget-weighted mixture sampling WITH repeat factors — the
+    * training-mixture materializer (the LLaMA/Pile recipe shape): given
+    * per-source target weights and a total row budget, each source
+    * contributes `need_s = floor(budget * w_s / Σw)` rows, UP-sampled by
+    * whole-corpus repeats when the source is smaller than its share and
+    * DOWN-sampled when larger. Sources absent from `weights` are
+    * dropped (weight 0).
+    *
+    * One deterministic formula covers both directions. With `n_s` the
+    * source's row count, every row gets
+    *
+    *   copies = need_s DIV n_s  +  (1 if selectionHash(id) < t_s else 0),
+    *   t_s    = ((need_s MOD n_s) * 2^32) DIV n_s
+    *
+    * and the output repeats the row as `epoch` = 1..copies. When
+    * need_s < n_s the DIV term is 0 and this IS the hash-threshold
+    * down-sample ([[capPerKeyHash]]'s selection, binomial around
+    * need_s); when need_s > n_s every row appears `need DIV n` times
+    * and the hash picks the remainder — re-runs select the SAME rows
+    * and the SAME copy counts (pure function of the id, no RNG).
+    *
+    * Scale shape: one count aggregate on the key column (map-side
+    * combined), a broadcast join of the key-cardinality needs table,
+    * then a codegen'd integer comparison + a bounded `sequence` explode
+    * per row. No sort, no window, no corpus shuffle. `maxEpochs` guards
+    * the explode: a tiny source given a huge weight would otherwise
+    * amplify by need/n unbounded — refuse loudly instead of silently
+    * materializing it (the check is one aggregate over the
+    * key-cardinality frame, not a corpus action).
+    *
+    * Cross-engine determinism: `budget * w_s / Σw` is two correctly-
+    * rounded IEEE-754 ops (bit-identical in DuckDB), everything after
+    * is integer SQL; the `copies >= 1` filter runs BEFORE the explode
+    * because Spark's `sequence(1, 0)` counts DOWN (step inference)
+    * while SQL `generate_series(1, 0)` is empty. */
+  def mixtureSample(df: DataFrame, keyCol: String, idCol: String,
+                    weights: Map[String, Double], budget: Long,
+                    maxEpochs: Int = 100,
+                    staging: Staging.Mode = Staging.Local): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
+      "mixture weights must be non-negative and non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wSum = weights.values.sum
+    require(wSum > 0.0, "mixture weights must not all be zero")
+    val wTab = weights.toSeq.toDF(keyCol, "__w")
+    // staged: the key-cardinality needs table feeds both the epoch
+    // guard (one aggregate action) and the broadcast join — without
+    // staging each would re-scan the corpus for the counts
+    val needs = staging(df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(wTab), Seq(keyCol)) // inner: unweighted sources drop
+      .withColumn("__need",
+        floor(lit(budget.toDouble) * col("__w") / lit(wSum)).cast("long"))
+      .withColumn("__e", expr("__need DIV __n"))
+      .withColumn("__t", expr("((__need % __n) * 4294967296L) DIV __n")))
+    val worst = needs.agg(coalesce(max("__e"), lit(0L))).head().getLong(0)
+    require(worst <= maxEpochs,
+      s"mixture up-samples a source ${worst}x (> maxEpochs=$maxEpochs): " +
+        "a tiny source carries too large a weight for this budget — " +
+        "raise maxEpochs deliberately or fix the weights")
+    df.join(broadcast(needs.select(col(keyCol), col("__e"), col("__t"))), Seq(keyCol))
+      .withColumn("__c",
+        col("__e") + when(selectionHash(col(idCol)) < col("__t"), 1L).otherwise(0L))
+      .filter(col("__c") >= 1L)
+      .withColumn("epoch", explode(expr("sequence(1L, __c)")))
+      .drop("__e", "__t", "__c")
+  }
+
+  /** Keep the best `frac` of each source by score — the quality-pareto
+    * selection step (score with a quality classifier, keep the top
+    * slice per domain so no domain is judged by another's scale).
+    * EXACT tier: `ceil(n_s * frac)` rows per key, highest score first,
+    * ties broken by id (total order — re-runs and oracles pick
+    * identical rows). One row_number window partitioned by key: the
+    * whole key's rows pass through one partition, so this is the
+    * SMALL-key tier, same caveat as [[capPerKeyExact]].
+    *
+    * For corpus-scale keys use [[topFractionByScoreApprox]]: an
+    * approx-quantile threshold + a stateless filter — no window, no
+    * sort, kept count binomial around the target. */
+  def topFractionByScore(df: DataFrame, keyCol: String, scoreCol: String,
+                         idCol: String, frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1]: $frac")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__keep", ceil(col("__n").cast("double") * lit(frac)).cast("long"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.join(broadcast(counts), Seq(keyCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__keep"))
+      .drop("__n", "__keep", "__rn")
+  }
+
+  /** The 100-TB tier of [[topFractionByScore]]: per-key score threshold
+    * from one `approx_percentile` pass (relative error `eps`), then a
+    * stateless `score >= threshold` filter — no window, no per-key
+    * sort, hot keys cost the same per row as small ones. Kept count is
+    * approximate (the sketch's rank error around the cut), which is the
+    * right trade at corpus scale; the exact tier exists for eval-sized
+    * keys and for oracles. */
+  def topFractionByScoreApprox(df: DataFrame, keyCol: String,
+                               scoreCol: String, frac: Double,
+                               eps: Double = 0.001): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1]: $frac")
+    val thr = df.groupBy(col(keyCol))
+      .agg(expr(s"approx_percentile($scoreCol, ${1.0 - frac}, ${math.ceil(1.0 / eps).toInt})")
+        .as("__thr"))
+    df.join(broadcast(thr), Seq(keyCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -2333,6 +2333,79 @@ object TextQueries {
       },
       oracle = Some(ccCatalogOracle(
         "NOT (doc_id % 40 = 0 AND doc_id < 20000000)")))
+,
+    // ----------------------------------------------------------------
+    // q121: budget-weighted mixture sampling WITH repeat factors — the
+    // training-mixture materializer (Sampling.mixtureSample): target
+    // weights + a total row budget, each source up-sampled by whole
+    // epochs when smaller than its share and hash-down-sampled when
+    // larger, one deterministic formula (copies = need DIV n + hash
+    // remainder pick). Weights are exact binary fractions summing to
+    // 1.0, so the float leg (need = floor(budget * w / Σw)) is
+    // bit-identical across engines; everything after is integer SQL.
+    // Budget 130 puts src0/src1 in the up-sampling branch (2 resp. 1
+    // full epochs + a hash remainder) and src2/src3 in the pure
+    // hash-threshold branch at sf0.01 — both paths inside the hash.
+    // Row-level output (doc_id, epoch): one copy-count drift anywhere
+    // mismatches.
+    "q121_mixture_sample" -> QueryDef(
+      fn = (s, d) => {
+        val mixed = Sampling.mixtureSample(
+          docs(s, d).select("doc_id", "source"), "source", "doc_id",
+          weights = Map("src0" -> 0.5, "src1" -> 0.25,
+            "src2" -> 0.125, "src3" -> 0.125),
+          budget = 130L)
+        mixed.select(col("doc_id"), col("source"), col("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      oracle = Some("""
+        WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.25),
+                                     ('src2', 0.125), ('src3', 0.125)),
+        n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY source),
+        t AS (SELECT n.source, n.n,
+                     CAST(FLOOR(130.0 * w.w / 1.0) AS BIGINT) AS need
+              FROM n JOIN w USING (source)),
+        th AS (SELECT source, n, need, need // n AS e,
+                      ((need % n) * 4294967296) // n AS thr
+               FROM t),
+        c AS (SELECT d.doc_id, d.source,
+                     th.e + CASE WHEN (d.doc_id * 2654435761) % 4294967296 < th.thr
+                                 THEN 1 ELSE 0 END AS copies
+              FROM documents d JOIN th USING (source))
+        SELECT doc_id, source,
+               unnest(range(1, copies + 1)) AS epoch
+        FROM c WHERE copies >= 1
+        ORDER BY doc_id, epoch""")),
+
+    // ----------------------------------------------------------------
+    // q122: quality-pareto selection — keep the best 25% of each source
+    // by score, ties by id (Sampling.topFractionByScore, the exact
+    // tier; the approx_percentile tier is the corpus-scale path,
+    // spec-pinned against this one). ceil(n * 0.25) is exact float
+    // math (0.25 is a power of two), the rest is a row_number window
+    // both engines order identically. Row-level output: one boundary
+    // or tie-break drift mismatches.
+    "q122_quality_pareto" -> QueryDef(
+      fn = (s, d) => {
+        Sampling.topFractionByScore(
+          docs(s, d).select("doc_id", "source", "n_chars"),
+          "source", "n_chars", "doc_id", frac = 0.25)
+          .select("doc_id", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents GROUP BY source),
+        k AS (SELECT source, CAST(CEIL(n * 0.25) AS BIGINT) AS keep FROM n),
+        r AS (SELECT doc_id, source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+        SELECT doc_id, source, n_chars
+        FROM r JOIN k USING (source)
+        WHERE rn <= keep
+        ORDER BY doc_id"""))
   )
 
   /** The quote-cluster catalog oracle — q116's 8-round bounded

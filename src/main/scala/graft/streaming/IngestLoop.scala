@@ -459,14 +459,36 @@ object IngestLoop {
       m.getInt(1), m.getInt(2), m.getLong(3), m.getInt(4))
   }
 
+  /** The multi-writer sign-LSH corpus view for a resolved batch —
+    * [[minhashCorpusMulti]]'s vector twin: partitions strictly below
+    * the global id minus the frozen missing set, plus the compensation
+    * set. Tombstone-filtered like [[embedCorpusBefore]]. */
+  private def embedCorpusMulti(spark: SparkSession, prefix: String,
+                               g: GlobalBid): Similarity.EmbedIndex = {
+    val m = spark.table(s"${prefix}_meta").head()
+    def live(t: String) = graft.operators.Tombstones.filter(
+      spark.table(s"${prefix}_$t")
+        .filter(multiCorpusFilter(g.gbid, g.missingBelow, g.compensate))
+        .drop("ingest_batch"), "id", prefix)
+    Similarity.EmbedIndex(m.getString(0), live("vecs"), live("hashed"),
+      m.getInt(1), m.getInt(2), m.getLong(3), m.getInt(4))
+  }
+
   /** One micro-batch of the embedding (sign-LSH) ingestion loop — same
     * append-only partition design and retry contract as
-    * [[ingestMinhashBatch]]. */
+    * [[ingestMinhashBatch]].
+    *
+    * `multiWriter = true` opts the family into PARALLEL loops exactly
+    * as the MinHash loop does (round 13): sign-LSH collision is a
+    * pairwise predicate too, so [[resolveGlobalBid]]'s exactly-once
+    * argument — each cross pair emitted by the later GLOBAL partition,
+    * or by an orphan's compensating replay — carries over verbatim. */
   def ingestEmbedBatch(batch: DataFrame, bid: Long, idCol: String,
                        vecCol: String, prefix: String, pairsDir: String,
                        threshold: Double, bitsPerTable: Int, numTables: Int,
                        seed: Long, dim: Int, buckets: Int,
-                       loopId: String = ""): Unit = {
+                       loopId: String = "",
+                       multiWriter: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val lid = normLoopId(loopId)
     // writer fence: see ingestMinhashBatch
@@ -474,29 +496,37 @@ object IngestLoop {
     val shard = Similarity.embedIndex(batch, idCol, vecCol,
       bitsPerTable, numTables, seed, dim)
     val exists = familyExists(spark, prefix, Seq("hashed", "vecs", "meta"))
+    val resolved =
+      if (multiWriter) resolveGlobalBid(spark, prefix, lid, bid, s"${prefix}_hashed")
+      else GlobalBid(bid, Seq.empty, Seq.empty, created = !exists)
+    val pid = resolved.gbid
     val corpus =
-      if (exists) embedCorpusBefore(spark, prefix, bid)
-      else Similarity.EmbedIndex(idCol, shard.vecs.limit(0),
+      if (!exists) Similarity.EmbedIndex(idCol, shard.vecs.limit(0),
         shard.hashed.limit(0), bitsPerTable, numTables, seed, shard.dim)
+      else if (multiWriter) embedCorpusMulti(spark, prefix, resolved)
+      else embedCorpusBefore(spark, prefix, pid)
     require(corpus.bitsPerTable == bitsPerTable && corpus.numTables == numTables &&
       corpus.seed == seed && corpus.dim == shard.dim,
       s"persisted LSH family (bits=${corpus.bitsPerTable}, tables=${corpus.numTables}, " +
         s"seed=${corpus.seed}, dim=${corpus.dim}) != loop family " +
         s"(bits=$bitsPerTable, tables=$numTables, seed=$seed, dim=${shard.dim})")
-    if (exists) { requireBucketAgreement(spark, prefix, buckets); bindLoop(spark, prefix, lid) }
+    if (exists) {
+      requireBucketAgreement(spark, prefix, buckets)
+      if (multiWriter) bindMulti(spark, prefix) else bindLoop(spark, prefix, lid)
+    }
     Similarity.lshDupPairsIncremental(shard, corpus, threshold)
-      .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$bid")
+      .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$pid")
     // between-leg liveness beacon: see ingestMinhashBatch
     graft.operators.Fence.heartbeat(spark, prefix, s"ingestEmbedBatch bid=$bid")
     if (exists) Seq("hashed", "vecs").foreach { t =>
-      spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$bid)")
+      spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
     }
-    shard.hashed.withColumn("ingest_batch", lit(bid))
+    shard.hashed.withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "t", "h").sortBy("t", "h")
       .saveAsTable(s"${prefix}_hashed")
-    shard.vecs.withColumn("ingest_batch", lit(bid))
+    shard.vecs.withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "id").sortBy("id")
@@ -505,7 +535,8 @@ object IngestLoop {
       import spark.implicits._
       Seq((idCol, bitsPerTable, numTables, seed, shard.dim, buckets))
         .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim", "buckets")
-        .withColumn("loop_id", lit(lid))
+        .withColumn("loop_id",
+          lit(if (multiWriter) MultiWriterMarker else lid))
         .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
     }
     }
@@ -526,16 +557,35 @@ object IngestLoop {
     * the batch's partition is dropped before re-append, and a torn batch
     * 0 (codes without meta) is detected and re-run clean. Serving reads
     * the whole table via [[Similarity.loadPqIndex]] — bucketed on `cell`
-    * across partitions, so the ADC join stays co-located. */
+    * across partitions, so the ADC join stays co-located.
+    *
+    * `multiWriter = true` (round 13): parallel encoding loops on one
+    * serving index — the SIMPLEST member of the multi-writer family
+    * because there is no cross-batch pair contract to keep: batches
+    * only encode against the frozen model and append, and serving
+    * reads the WHOLE codes table, so [[resolveGlobalBid]]'s frozen
+    * missing/compensation sets are irrelevant here. What the mapping
+    * still buys is the part that cannot be skipped: collision-free
+    * global partition ids, and replay-reuse so one loop's
+    * drop-own-partition retry can never clobber another loop's codes.
+    * Whichever loop CREATES the family trains the quantizers (under
+    * the fence, so creation races serialize); every other batch — any
+    * loop — encodes against that frozen model, which is exactly the
+    * train-once/stream-encode discipline the single-writer loop has. */
   def ingestPqBatch(batch: DataFrame, bid: Long, idCol: String,
                     vecCol: String, prefix: String, nlist: Int, m: Int,
                     ksub: Int, seed: Long, buckets: Int,
-                    loopId: String = ""): Unit = {
+                    loopId: String = "",
+                    multiWriter: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val lid = normLoopId(loopId)
     // writer fence: see ingestMinhashBatch
     graft.operators.Fence.withFence(spark, prefix, s"ingestPqBatch bid=$bid") {
     val exists = familyExists(spark, prefix, Seq("codes", "meta"))
+    val pid =
+      if (multiWriter)
+        resolveGlobalBid(spark, prefix, lid, bid, s"${prefix}_codes").gbid
+      else bid
     val codes =
       if (!exists) {
         val idx = graft.operators.Similarity.pqIndex(
@@ -547,7 +597,8 @@ object IngestLoop {
             idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq, buckets))
           .toDF("id_col", "m", "ksub", "dim", "seed", "coarse_l1",
             "coarse_l2", "codebooks", "buckets")
-          .withColumn("loop_id", lit(lid))
+          .withColumn("loop_id",
+            lit(if (multiWriter) MultiWriterMarker else lid))
           .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
         idx.codes
       } else {
@@ -555,11 +606,11 @@ object IngestLoop {
         require(idx.idCol == idCol,
           s"persisted PQ index keys on '${idx.idCol}', loop on '$idCol'")
         requireBucketAgreement(spark, prefix, buckets)
-        bindLoop(spark, prefix, lid)
-        spark.sql(s"ALTER TABLE ${prefix}_codes DROP IF EXISTS PARTITION (ingest_batch=$bid)")
+        if (multiWriter) bindMulti(spark, prefix) else bindLoop(spark, prefix, lid)
+        spark.sql(s"ALTER TABLE ${prefix}_codes DROP IF EXISTS PARTITION (ingest_batch=$pid)")
         graft.operators.Similarity.encodePq(batch, vecCol, idx)
       }
-    codes.withColumn("ingest_batch", lit(bid))
+    codes.withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "cell").sortBy("cell")
@@ -574,13 +625,14 @@ object IngestLoop {
                prefix: String, checkpointDir: String, nlist: Int = 16,
                m: Int = 8, ksub: Int = 16, seed: Long = 42L,
                buckets: Int = 8,
-               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+               trigger: Trigger = Trigger.AvailableNow(),
+               multiWriter: Boolean = false): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestPqBatch(batch, bid, idCol, vecCol, prefix, nlist, m, ksub,
-          seed, buckets, loopId = checkpointDir)
+          seed, buckets, loopId = checkpointDir, multiWriter = multiWriter)
       }
       .start()
 
@@ -595,7 +647,19 @@ object IngestLoop {
     * contract as the family's other loops: the batch's partition drops
     * before re-append, and the corpus view reads partitions strictly
     * before `bid`, so a half-appended retry neither sees itself nor
-    * double-decides. */
+    * double-decides.
+    *
+    * DELIBERATELY SINGLE-WRITER (round 13, while the pairwise families
+    * gained `multiWriter`): SemDeDup's keep/drop decision is
+    * FIRST-IN-WINS — an ORDER-dependent function of the corpus view,
+    * not a pairwise predicate. Under the multi-writer read contract an
+    * orphaned batch's replay would re-decide against a compensation
+    * view that differs from any serial order (two batches could each
+    * keep a doc the other's view said to drop, or both drop docs whose
+    * keeps were in the partitions neither saw), so union-of-loops ==
+    * some serial run simply does not hold. The single-writer loop's
+    * total batch order IS the semantic; parallel arrival fans in
+    * through the landing directory, not through parallel deciders. */
   def ingestSemBatch(batch: DataFrame, bid: Long, idCol: String,
                      vecCol: String, prefix: String, threshold: Double,
                      nlist: Int, seed: Long, maxPairs: Long,
@@ -744,7 +808,20 @@ object IngestLoop {
     * derived state is re-derived, never patched: [[repairCc]] (round
     * 13) is that entry point, re-running CC over only the touched
     * components' surviving edges and folding the corrected catalog
-    * into the floor partition. */
+    * into the floor partition.
+    *
+    * DELIBERATELY SINGLE-WRITER (round 13, while the pairwise families
+    * gained `multiWriter`): each delta is computed against the
+    * latest-wins fold of every partition before it and then SUPERSEDES
+    * those rows — a stateful read-modify-write, not a pairwise
+    * predicate. Under the multi-writer contract an orphan's replay
+    * would fold its delta against a view that already contains LATER
+    * batches' labels (its compensation set), and the per-id
+    * later-batch-wins rule would then let the orphan's stale labels
+    * overwrite newer merges for ids both touched — the catalog would
+    * no longer be the fixpoint over the union of edges. Edges from
+    * parallel miners fan IN through one pair stream; the single loop's
+    * total order is what makes each delta's supersession sound. */
   def ingestCcBatch(pairs: DataFrame, bid: Long, aCol: String, bCol: String,
                     prefix: String, buckets: Int,
                     loopId: String = ""): Unit = {
@@ -907,14 +984,15 @@ object IngestLoop {
                   prefix: String, pairsDir: String, checkpointDir: String,
                   threshold: Double = 0.9, bitsPerTable: Int = 10,
                   numTables: Int = 8, seed: Long = 42L, buckets: Int = 8,
-                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  multiWriter: Boolean = false): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestEmbedBatch(batch, bid, idCol, vecCol, prefix, pairsDir,
           threshold, bitsPerTable, numTables, seed, dim, buckets,
-          loopId = checkpointDir)
+          loopId = checkpointDir, multiWriter = multiWriter)
       }
       .start()
 }

@@ -746,4 +746,150 @@ class IngestLoopSpec extends AnyFunSuite {
       graft.operators.Fence.forceRelease(spark, "ing_two")
     }
   }
+
+  test("MULTI-WRITER embed: two PARALLEL sign-LSH loops on one prefix == one batch full run; replay idempotent; single-writer refused") {
+    import graft.operators.Similarity
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = embs.union(embs.withColumn("vec_id", col("vec_id") + 10000000L))
+    // clone families scatter across BOTH loops — cross-loop pairs exist,
+    // so the global-bid ordering is what keeps them exactly-once
+    val streamA = java.nio.file.Files.createTempDirectory("emw_a").toString
+    val streamB = java.nio.file.Files.createTempDirectory("emw_b").toString
+    Seq(0, 2).zipWithIndex.foreach { case (r, i) =>
+      stage(corpus.filter(col("vec_id") % 4 === r), streamA, s"f$i.parquet") }
+    Seq(1, 3).zipWithIndex.foreach { case (r, i) =>
+      stage(corpus.filter(col("vec_id") % 4 === r), streamB, s"f$i.parquet") }
+    val pairsDir = java.nio.file.Files.createTempDirectory("emw_pairs").toString
+    val ckptA = java.nio.file.Files.createTempDirectory("emw_ckptA").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("emw_ckptB").toString
+    def src(d: String) = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    spark.conf.set("spark.graft.fence.waitMs", "120000")
+    try {
+      val qa = IngestLoop.embedIngest(src(streamA), "vec_id", "embedding",
+        dim = 64, prefix = "ing_emw", pairsDir = pairsDir,
+        checkpointDir = ckptA, multiWriter = true)
+      val qb = IngestLoop.embedIngest(src(streamB), "vec_id", "embedding",
+        dim = 64, prefix = "ing_emw", pairsDir = pairsDir,
+        checkpointDir = ckptB, multiWriter = true)
+      qa.awaitTermination(); qb.awaitTermination()
+      assert(spark.table("ing_emw_hashed").select("ingest_batch").distinct()
+        .count() == 4, "each of the four batches must own a global partition")
+      assert(spark.table("ing_emw_commits").count() == 4)
+      // union of both loops' pair outputs == one batch run over everything
+      val streamed = spark.read.parquet(pairsDir).select("a_id", "b_id", "cos")
+      val full = Similarity.lshDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9)
+      assert(streamed.count() > 0, "clone families must produce pairs")
+      assert(streamed.exceptAll(full).count() == 0 &&
+        full.exceptAll(streamed).count() == 0,
+        "two-loop embed pair union diverges from the batch full run")
+      // the folded index IS the full corpus index
+      val shard = embs.limit(40).withColumn("vec_id", col("vec_id") + 20000000L)
+      val sIdx = Similarity.embedIndex(shard, "vec_id", "embedding", 10, 8, 42L, 64)
+      val viaTables = Similarity.lshDupPairsIncremental(sIdx,
+        IngestLoop.embedCorpusBefore(spark, "ing_emw", Long.MaxValue),
+        threshold = 0.9)
+      val viaMem = Similarity.lshDupPairsIncremental(sIdx,
+        Similarity.embedIndex(corpus, "vec_id", "embedding", 10, 8, 42L, 64),
+        threshold = 0.9)
+      assert(viaTables.exceptAll(viaMem).count() == 0 &&
+        viaMem.exceptAll(viaTables).count() == 0,
+        "multi-writer folded embed index diverges from the in-memory full index")
+      // replay idempotence PER LOOP: redeliver each loop's local bid 1
+      def snapshot() = (
+        spark.read.parquet(pairsDir).collect().map(_.toString).toSet,
+        spark.table("ing_emw_hashed").collect().map(_.toString).toSet,
+        spark.table("ing_emw_commits").collect().map(_.toString).toSet)
+      val before = snapshot()
+      IngestLoop.ingestEmbedBatch(corpus.filter(col("vec_id") % 4 === 2), 1L,
+        "vec_id", "embedding", "ing_emw", pairsDir, threshold = 0.9,
+        bitsPerTable = 10, numTables = 8, seed = 42L, dim = 64, buckets = 8,
+        loopId = ckptA, multiWriter = true)
+      IngestLoop.ingestEmbedBatch(corpus.filter(col("vec_id") % 4 === 3), 1L,
+        "vec_id", "embedding", "ing_emw", pairsDir, threshold = 0.9,
+        bitsPerTable = 10, numTables = 8, seed = 42L, dim = 64, buckets = 8,
+        loopId = ckptB, multiWriter = true)
+      assert(snapshot() == before,
+        "a replayed multi-writer embed batch changed the pairs, index, or mapping")
+      // a single-writer loop cannot touch a multi-writer family
+      val e = intercept[IllegalArgumentException] {
+        IngestLoop.ingestEmbedBatch(embs.limit(10), 0L, "vec_id", "embedding",
+          "ing_emw", pairsDir, threshold = 0.9, bitsPerTable = 10,
+          numTables = 8, seed = 42L, dim = 64, buckets = 8,
+          loopId = "/some/ckpt")
+      }
+      assert(e.getMessage.contains("multiWriter"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.graft.fence.waitMs")
+      drop("ing_emw_hashed", "ing_emw_vecs", "ing_emw_meta", "ing_emw_commits")
+      graft.operators.Fence.forceRelease(spark, "ing_emw")
+    }
+  }
+
+  test("MULTI-WRITER PQ: parallel encode loops share one serving index; codes == frozen-model encode; replay idempotent; single-writer refused") {
+    import graft.operators.Similarity
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = embs.union(embs.withColumn("vec_id", col("vec_id") + 10000000L))
+    // boot batch trains the quantizers (global 0); the two parallel
+    // loops then ENCODE their shards against the frozen model — the
+    // Faiss arrival shape with multiple encode streams
+    val boot = corpus.filter(col("vec_id") % 3 === 0)
+    val streamA = java.nio.file.Files.createTempDirectory("pmw_a").toString
+    val streamB = java.nio.file.Files.createTempDirectory("pmw_b").toString
+    stage(corpus.filter(col("vec_id") % 3 === 1), streamA, "f0.parquet")
+    stage(corpus.filter(col("vec_id") % 3 === 2), streamB, "f0.parquet")
+    val ckptA = java.nio.file.Files.createTempDirectory("pmw_ckptA").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("pmw_ckptB").toString
+    def src(d: String) = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    spark.conf.set("spark.graft.fence.waitMs", "120000")
+    try {
+      IngestLoop.ingestPqBatch(boot, 0L, "vec_id", "embedding", "ing_pmw",
+        nlist = 16, m = 8, ksub = 16, seed = 42L, buckets = 8,
+        loopId = "/mw/pqboot", multiWriter = true)
+      val qa = IngestLoop.pqIngest(src(streamA), "vec_id", "embedding",
+        "ing_pmw", ckptA, multiWriter = true)
+      val qb = IngestLoop.pqIngest(src(streamB), "vec_id", "embedding",
+        "ing_pmw", ckptB, multiWriter = true)
+      qa.awaitTermination(); qb.awaitTermination()
+      // boot + one batch per loop: three collision-free global partitions
+      assert(spark.table("ing_pmw_codes").select("ingest_batch").distinct()
+        .count() == 3, "boot + two loops must each own a global partition")
+      assert(spark.table("ing_pmw_commits").count() == 3)
+      // the shared codes table IS the frozen-model encode of the corpus
+      // (pqIndex and encodePq share encodeAgainst, so this is exact)
+      val idx = Similarity.loadPqIndex(spark, "ing_pmw")
+      val got = idx.codes.select("c_id", "cell", "codes", "cn")
+      val want = Similarity.encodePq(corpus, "embedding", idx)
+        .select("c_id", "cell", "codes", "cn")
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "multi-writer codes table diverges from the frozen-model encode")
+      // replay idempotence: redeliver loop A's local bid 0 — the
+      // mapping is reused, nothing moves
+      def snapshot() = (
+        spark.table("ing_pmw_codes").collect().map(_.toString).toSet,
+        spark.table("ing_pmw_commits").collect().map(_.toString).toSet)
+      val before = snapshot()
+      IngestLoop.ingestPqBatch(corpus.filter(col("vec_id") % 3 === 1), 0L,
+        "vec_id", "embedding", "ing_pmw", nlist = 16, m = 8, ksub = 16,
+        seed = 42L, buckets = 8, loopId = ckptA, multiWriter = true)
+      assert(snapshot() == before,
+        "a replayed multi-writer PQ batch changed the codes or the mapping")
+      // a single-writer loop cannot touch a multi-writer family
+      val e = intercept[IllegalArgumentException] {
+        IngestLoop.ingestPqBatch(embs.limit(10), 0L, "vec_id", "embedding",
+          "ing_pmw", nlist = 16, m = 8, ksub = 16, seed = 42L, buckets = 8,
+          loopId = "/some/ckpt")
+      }
+      assert(e.getMessage.contains("multiWriter"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.graft.fence.waitMs")
+      drop("ing_pmw_codes", "ing_pmw_meta", "ing_pmw_commits")
+      graft.operators.Fence.forceRelease(spark, "ing_pmw")
+    }
+  }
 }

@@ -223,6 +223,92 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.operators.Sampling.negativeSample(one, one, "id", 3, 4).count() == 0)
   }
 
+  test("mixtureSample: copies = need DIV n (+1 on the hash remainder), epochs dense, deterministic") {
+    import graft.operators.Sampling
+    val geoms: Gen[(Int, Long)] = for {
+      n <- Gen.choose(4, 150)
+      budget <- Gen.choose(1L, 400L)
+    } yield (n, budget)
+    cases(geoms, 8).foreach { case (n, budget) =>
+      // two weighted sources of known size + one unweighted (must drop)
+      val df = (0L until n.toLong)
+        .map(i => (i, if (i < n / 2) "s0" else if (i % 7 == 0) "s2" else "s1"))
+        .toDF("id", "src")
+      val sizes = df.groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val w = Map("s0" -> 0.5, "s1" -> 0.5)
+      val out = Sampling.mixtureSample(df, "src", "id", w, budget, maxEpochs = 1000)
+        .groupBy("src", "id")
+        .agg(count(lit(1)).as("c"), min("epoch").as("mi"), max("epoch").as("ma"))
+        .collect()
+      assert(out.forall(_.getAs[String]("src") != "s2"),
+        s"unweighted source leaked at n=$n budget=$budget")
+      // epochs are dense 1..copies per row
+      assert(out.forall(r => r.getAs[Long]("mi") == 1L &&
+        r.getAs[Long]("ma") == r.getAs[Long]("c")),
+        s"epoch numbering not dense at n=$n budget=$budget")
+      // every emitted row's copy count is e or e+1 for its source
+      out.groupBy(_.getAs[String]("src")).foreach { case (src, rows) =>
+        val need = math.floor(budget.toDouble * w(src) / 1.0).toLong
+        val e = need / sizes(src)
+        assert(rows.forall { r =>
+          val c = r.getAs[Long]("c"); c == e || c == e + 1
+        }, s"copies outside {e, e+1} for $src at n=$n budget=$budget")
+      }
+      // deterministic re-run
+      val again = Sampling.mixtureSample(df, "src", "id", w, budget, maxEpochs = 1000)
+        .collect().map(_.toString).sorted
+      val first = Sampling.mixtureSample(df, "src", "id", w, budget, maxEpochs = 1000)
+        .collect().map(_.toString).sorted
+      assert(again.sameElements(first))
+    }
+    // exact-epoch case: need divides n evenly -> every doc exactly e copies
+    val even = (0L until 20L).map(i => (i, if (i < 10) "a" else "b")).toDF("id", "src")
+    val exact = Sampling.mixtureSample(even, "src", "id",
+      Map("a" -> 0.5, "b" -> 0.5), budget = 40L)
+    assert(exact.count() == 40L)
+    assert(exact.groupBy("id").count().collect().forall(_.getLong(1) == 2L),
+      "an evenly-divisible budget must give every doc the same copy count")
+    // the explode guard refuses a runaway up-sample
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(even, "src", "id",
+        Map("a" -> 0.5, "b" -> 0.5), budget = 100000L, maxEpochs = 100)
+    }
+    assert(e.getMessage.contains("maxEpochs"), e.getMessage)
+  }
+
+  test("topFractionByScore: exact tier keeps ceil(n*frac) best per key; approx tier is a valid top slice") {
+    import graft.operators.Sampling
+    val rows = (0 until 120).map(i =>
+      (i.toLong, s"k${i % 4}", ((i * 37) % 101).toDouble))
+    val df = rows.toDF("id", "key", "score")
+    val kept = Sampling.topFractionByScore(df, "key", "score", "id", 0.25)
+    // n = 30 per key -> ceil(7.5) = 8 kept
+    val perKey = kept.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey.size == 4 && perKey.values.forall(_ == 8L), perKey.toString)
+    // slice validity: per key, min kept score >= max dropped score
+    // (equality allowed — the id tie-break splits boundary ties)
+    val keptSet = kept.select("id").collect().map(_.getLong(0)).toSet
+    rows.groupBy(_._2).foreach { case (k, rs) =>
+      val (in, outRows) = rs.partition(r => keptSet.contains(r._1))
+      assert(in.map(_._3).min >= outRows.map(_._3).max,
+        s"kept slice not on top for $k")
+    }
+    // approx tier: same slice property, count near the exact keep
+    val approx = Sampling.topFractionByScoreApprox(df, "key", "score", 0.25)
+    val aSet = approx.select("id").collect().map(_.getLong(0)).toSet
+    rows.groupBy(_._2).foreach { case (k, rs) =>
+      val (in, outRows) = rs.partition(r => aSet.contains(r._1))
+      assert(in.nonEmpty && (outRows.isEmpty ||
+        in.map(_._3).min >= outRows.map(_._3).max),
+        s"approx slice not on top for $k")
+    }
+    val aPerKey = approx.groupBy("key").count().collect().map(_.getLong(1))
+    assert(aPerKey.forall(c => math.abs(c - 8L) <= 2L),
+      s"approx kept counts far from the target: ${aPerKey.toSeq}")
+  }
+
   test("OlsSufficient recovers an exact linear relationship") {
     // y = 1 + 2*x1 - 3*x2 with no noise: the normal equations are exactly
     // consistent, so the Cramer solve must return the true coefficients
