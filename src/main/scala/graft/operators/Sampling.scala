@@ -226,10 +226,19 @@ object Sampling {
     * rounded IEEE-754 ops (bit-identical in DuckDB), everything after
     * is integer SQL; the `copies >= 1` filter runs BEFORE the explode
     * because Spark's `sequence(1, 0)` counts DOWN (step inference)
-    * while SQL `generate_series(1, 0)` is empty. */
+    * while SQL `generate_series(1, 0)` is empty.
+    *
+    * `massCol`: when set, the budget and the per-source masses are in
+    * that column's units (TOKENS — the unit real mixtures budget in)
+    * instead of rows: n_s = Σ mass over the source, need_s the
+    * source's token share, epochs whole-corpus repeats as before, and
+    * the hash remainder picks rows totalling ~the remaining token mass
+    * (binomial in mass — the hash is independent of the row's size).
+    * The column must be a non-negative integer per row. */
   def mixtureSample(df: DataFrame, keyCol: String, idCol: String,
                     weights: Map[String, Double], budget: Long,
                     maxEpochs: Int = 100,
+                    massCol: String = "",
                     staging: Staging.Mode = Staging.Local): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
       "mixture weights must be non-negative and non-empty")
@@ -241,8 +250,9 @@ object Sampling {
     // staged: the key-cardinality needs table feeds both the epoch
     // guard (one aggregate action) and the broadcast join — without
     // staging each would re-scan the corpus for the counts
+    val mass = if (massCol.isEmpty) count(lit(1)) else sum(col(massCol).cast("long"))
     val needs = staging(df.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__n"))
+      .agg(mass.as("__n"))
       .join(broadcast(wTab), Seq(keyCol)) // inner: unweighted sources drop
       .withColumn("__need",
         floor(lit(budget.toDouble) * col("__w") / lit(wSum)).cast("long"))
@@ -253,12 +263,96 @@ object Sampling {
       s"mixture up-samples a source ${worst}x (> maxEpochs=$maxEpochs): " +
         "a tiny source carries too large a weight for this budget — " +
         "raise maxEpochs deliberately or fix the weights")
+    epochExplode(df, keyCol, idCol, needs)
+  }
+
+  /** Shared materializer for the per-source-budget samplers: `needs`
+    * is the key-cardinality frame (keyCol, __n, __e, __t) — broadcast
+    * it, compute copies = __e + the hash-remainder pick, repeat each
+    * row as epoch = 1..copies. The `copies >= 1` filter runs BEFORE
+    * the explode (Spark's `sequence(1, 0)` counts DOWN while SQL
+    * `generate_series(1, 0)` is empty). */
+  private def epochExplode(df: DataFrame, keyCol: String, idCol: String,
+                           needs: DataFrame): DataFrame =
     df.join(broadcast(needs.select(col(keyCol), col("__e"), col("__t"))), Seq(keyCol))
       .withColumn("__c",
         col("__e") + when(selectionHash(col(idCol)) < col("__t"), 1L).otherwise(0L))
       .filter(col("__c") >= 1L)
       .withColumn("epoch", explode(expr("sequence(1L, __c)")))
       .drop("__e", "__t", "__c")
+
+  /** UniMax epoch-capped budget allocation (Chung et al. '23): spread a
+    * total budget as UNIFORMLY as possible across sources, never
+    * up-sampling any source past `epochCap` whole-corpus repeats — the
+    * fairness-first alternative to [[mixtureSample]]'s fixed weights
+    * (hand weights over-sample head sources; UniMax gives every source
+    * an equal share until its epoch cap binds, then waterfills the
+    * excess into the sources that still have headroom).
+    *
+    * The waterfill, exactly and in integers: with `n_s` the source's
+    * mass (rows, or Σ `massCol`) and `cap_s = epochCap · n_s`, sort
+    * sources ascending by (cap, key). The capped set is a PREFIX of
+    * that order (a source smaller than the fair share implies every
+    * smaller source is too): prefix length
+    *
+    *   p = max { j : cap_j · (k − j) ≤ budget − cum_j }   (0 if none),
+    *
+    * with `cum_j` the prefix cap sum — each capped source contributes
+    * its whole corpus epochCap times; the `m = k − p` uncapped sources
+    * each get `need = (budget − cum_p) DIV m`. Rows then materialize
+    * through the same copies/epoch formula as [[mixtureSample]]
+    * ([[epochExplode]]). All-integer comparisons — bit-identical in
+    * the DuckDB oracle — and deterministic (hash of the id, no RNG).
+    *
+    * If `budget ≥ epochCap · Σ n_s` EVERY source caps (p = k): the
+    * output is exactly epochCap full corpus repeats and the shortfall
+    * is deliberately unallocated — raising repeats past the cap is
+    * the failure mode the operator exists to prevent.
+    *
+    * Scale shape: one mass aggregate on the key column (map-side
+    * combined), the waterfill windows run over the KEY-CARDINALITY
+    * frame (k rows, one partition — k is the source count, never
+    * corpus-sized), a 1-row prefix aggregate (same bounded-action
+    * shape as mixtureSample's epoch guard), then one broadcast join +
+    * a codegen'd comparison + a bounded explode per row. No corpus
+    * shuffle, no corpus window. The explode needs no separate guard:
+    * capped sources repeat exactly epochCap times and uncapped needs
+    * sit strictly below their cap, so copies ≤ epochCap by
+    * construction. */
+  def unimaxSample(df: DataFrame, keyCol: String, idCol: String,
+                   budget: Long, epochCap: Int,
+                   massCol: String = "",
+                   staging: Staging.Mode = Staging.Local): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative: $budget")
+    require(epochCap >= 1, s"epochCap must be >= 1: $epochCap")
+    val mass = if (massCol.isEmpty) count(lit(1)) else sum(col(massCol).cast("long"))
+    val wAsc = Window.orderBy(col("__cap"), col(keyCol))
+    val stats = staging(df.groupBy(col(keyCol)).agg(mass.as("__n"))
+      .withColumn("__cap", col("__n") * lit(epochCap.toLong))
+      .withColumn("__j", row_number().over(wAsc).cast("long"))
+      .withColumn("__cum", sum(col("__cap")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__k", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__flag",
+        when(col("__j") < col("__k"),
+          col("__cap") * (col("__k") - col("__j")) <= lit(budget) - col("__cum"))
+          .otherwise(col("__cum") <= lit(budget))))
+    // prefix aggregate: p and its cap sum (cum is increasing and the
+    // flagged set is a prefix, so max-over-flagged reads both)
+    val pr = stats.agg(
+      coalesce(max(when(col("__flag"), col("__j"))), lit(0L)),
+      coalesce(max(when(col("__flag"), col("__cum"))), lit(0L)),
+      coalesce(max(col("__k")), lit(0L))).head()
+    val (p, cump, k) = (pr.getLong(0), pr.getLong(1), pr.getLong(2))
+    val needs = stats
+      .withColumn("__need",
+        when(col("__j") <= lit(p), col("__cap"))
+          .otherwise(lit((budget - cump) / math.max(k - p, 1L))))
+      .withColumn("__e", expr("__need DIV __n"))
+      .withColumn("__t", expr("((__need % __n) * 4294967296L) DIV __n"))
+    epochExplode(df, keyCol, idCol, needs)
   }
 
   /** Keep the best `frac` of each source by score — the quality-pareto

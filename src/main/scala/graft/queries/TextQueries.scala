@@ -2405,7 +2405,105 @@ object TextQueries {
         SELECT doc_id, source, n_chars
         FROM r JOIN k USING (source)
         WHERE rn <= keep
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q123: TOKEN-budget mixture — q121's formula with the per-source
+    // masses in n_chars units (massCol), the unit real training
+    // mixtures budget in: need_s is the source's share of a 20 000-char
+    // budget, epochs are whole-corpus repeats, and the hash remainder
+    // picks rows totalling ~the remaining char mass (binomial in mass —
+    // the selection hash is independent of row size). At sf0.01 src0's
+    // share EXCEEDS its corpus (epoch 1 + remainder) while src1-3
+    // down-sample — both branches inside the hash.
+    "q123_token_budget_mix" -> QueryDef(
+      fn = (s, d) => {
+        val mixed = Sampling.mixtureSample(
+          docs(s, d).select("doc_id", "source", "n_chars"), "source", "doc_id",
+          weights = Map("src0" -> 0.5, "src1" -> 0.25,
+            "src2" -> 0.125, "src3" -> 0.125),
+          budget = 20000L, massCol = "n_chars")
+        mixed.select(col("doc_id"), col("source"), col("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      oracle = Some("""
+        WITH w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.25),
+                                     ('src2', 0.125), ('src3', 0.125)),
+        n AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n
+              FROM documents GROUP BY source),
+        t AS (SELECT n.source, n.n,
+                     CAST(FLOOR(20000.0 * w.w / 1.0) AS BIGINT) AS need
+              FROM n JOIN w USING (source)),
+        th AS (SELECT source, n, need, need // n AS e,
+                      ((need % n) * 4294967296) // n AS thr
+               FROM t),
+        c AS (SELECT d.doc_id, d.source,
+                     th.e + CASE WHEN (d.doc_id * 2654435761) % 4294967296 < th.thr
+                                 THEN 1 ELSE 0 END AS copies
+              FROM documents d JOIN th USING (source))
+        SELECT doc_id, source,
+               unnest(range(1, copies + 1)) AS epoch
+        FROM c WHERE copies >= 1
+        ORDER BY doc_id, epoch""")),
+
+    // ----------------------------------------------------------------
+    // q124: UniMax epoch-capped allocation (Chung '23) — budget spread
+    // as uniformly as possible, no source past epochCap=3 repeats, the
+    // integer waterfill picking the capped prefix. The input skews the
+    // near-uniform sources with per-source id filters (src1 keeps
+    // doc_id%3==0, src2 doc_id%7==0) so at sf0.01 src2 CAPS at exactly
+    // 3 epochs while the free sources waterfill to e=2 (src1) and e=1
+    // (src0/src3) + hash remainders — capped, up-sample, and remainder
+    // branches all inside the one hashed row. The oracle replays the
+    // same all-integer waterfill with window SQL.
+    "q124_unimax_mix" -> QueryDef(
+      fn = (s, d) => {
+        val inp = docs(s, d).select("doc_id", "source", "n_chars")
+          .filter(col("source") === "src0" ||
+            (col("source") === "src1" && pmod(col("doc_id"), lit(3L)) === 0) ||
+            (col("source") === "src2" && pmod(col("doc_id"), lit(7L)) === 0) ||
+            col("source") === "src3")
+        val mixed = Sampling.unimaxSample(inp, "source", "doc_id",
+          budget = 30000L, epochCap = 3, massCol = "n_chars")
+        mixed.select(col("doc_id"), col("source"), col("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      oracle = Some("""
+        WITH inp AS (
+          SELECT doc_id, source, n_chars FROM documents
+          WHERE source = 'src0' OR (source = 'src1' AND doc_id % 3 = 0)
+             OR (source = 'src2' AND doc_id % 7 = 0) OR source = 'src3'
+        ),
+        n AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n
+              FROM inp GROUP BY source),
+        o AS (SELECT source, n, 3 * n AS cap,
+                     CAST(ROW_NUMBER() OVER (ORDER BY 3 * n, source) AS BIGINT) AS j,
+                     CAST(SUM(3 * n) OVER (ORDER BY 3 * n, source
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS k
+              FROM n),
+        f AS (SELECT *, CASE WHEN j < k THEN cap * (k - j) <= 30000 - cum
+                             ELSE cum <= 30000 END AS flag
+              FROM o),
+        p AS (SELECT COALESCE(MAX(CASE WHEN flag THEN j END), 0) AS p,
+                     COALESCE(MAX(CASE WHEN flag THEN cum END), 0) AS cump
+              FROM f),
+        a AS (SELECT f.source, f.n,
+                     CAST(CASE WHEN f.j <= p.p THEN f.cap
+                               ELSE (30000 - p.cump) // (f.k - p.p)
+                          END AS BIGINT) AS need
+              FROM f CROSS JOIN p),
+        th AS (SELECT source, n, need, need // n AS e,
+                      ((need % n) * 4294967296) // n AS thr
+               FROM a),
+        c AS (SELECT i.doc_id, i.source,
+                     th.e + CASE WHEN (i.doc_id * 2654435761) % 4294967296 < th.thr
+                                 THEN 1 ELSE 0 END AS copies
+              FROM inp i JOIN th USING (source))
+        SELECT doc_id, source,
+               unnest(range(1, copies + 1)) AS epoch
+        FROM c WHERE copies >= 1
+        ORDER BY doc_id, epoch"""))
   )
 
   /** The quote-cluster catalog oracle — q116's 8-round bounded

@@ -275,6 +275,94 @@ class PropertySpec extends AnyFunSuite {
         Map("a" -> 0.5, "b" -> 0.5), budget = 100000L, maxEpochs = 100)
     }
     assert(e.getMessage.contains("maxEpochs"), e.getMessage)
+    // massCol: the same formula in token units — copies ∈ {e, e+1}
+    // with e = need DIV (source token mass), deterministic
+    val toks = (0L until 60L)
+      .map(i => (i, if (i < 30) "a" else "b", 1L + i % 7))
+      .toDF("id", "src", "tok")
+    val massBySrc = toks.groupBy("src").agg(sum("tok").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tb = 150L
+    val byTok = Sampling.mixtureSample(toks, "src", "id",
+      Map("a" -> 0.5, "b" -> 0.5), budget = tb, massCol = "tok",
+      maxEpochs = 1000)
+      .groupBy("src", "id").agg(count(lit(1)).as("c")).collect()
+    byTok.groupBy(_.getAs[String]("src")).foreach { case (src, rows) =>
+      val need = math.floor(tb.toDouble * 0.5).toLong
+      val ep = need / massBySrc(src)
+      assert(rows.forall { r =>
+        val c = r.getAs[Long]("c"); c == ep || c == ep + 1
+      }, s"token-budget copies outside {e, e+1} for $src")
+    }
+    val byTok2 = Sampling.mixtureSample(toks, "src", "id",
+      Map("a" -> 0.5, "b" -> 0.5), budget = tb, massCol = "tok",
+      maxEpochs = 1000).collect().map(_.toString).sorted
+    val byTok3 = Sampling.mixtureSample(toks, "src", "id",
+      Map("a" -> 0.5, "b" -> 0.5), budget = tb, massCol = "tok",
+      maxEpochs = 1000).collect().map(_.toString).sorted
+    assert(byTok2.sameElements(byTok3))
+  }
+
+  test("unimaxSample: capped prefix at exactly epochCap, free sources waterfill, copies in {e, e+1}, all-capped and p=0 edges, deterministic") {
+    import graft.operators.Sampling
+    // masses 10/40/400, epochCap=2 -> caps 20/80/800. budget=160:
+    // asc (a,b,c): j=1 20*2=40 <= 160-20 capped; j=2 80*1 > 160-100 free
+    // -> p=1, R=140, m=2, need_b = need_c = 70: b e=1+rem, c e=0+rem
+    val df = (0L until 450L)
+      .map(i => (i, if (i < 10) "a" else if (i < 50) "b" else "c"))
+      .toDF("id", "src")
+    val counts = Sampling.unimaxSample(df, "src", "id", budget = 160L, epochCap = 2)
+      .groupBy("src", "id").agg(count(lit(1)).as("c"),
+        min("epoch").as("mi"), max("epoch").as("ma")).collect()
+    assert(counts.forall(r => r.getAs[Long]("mi") == 1L &&
+      r.getAs[Long]("ma") == r.getAs[Long]("c")), "epochs not dense")
+    val bySrc = counts.groupBy(_.getAs[String]("src"))
+    // capped source: EVERY row exactly epochCap copies, whole corpus kept
+    assert(bySrc("a").length == 10 &&
+      bySrc("a").forall(_.getAs[Long]("c") == 2L),
+      "capped source must repeat its whole corpus exactly epochCap times")
+    // free sources: copies in {e, e+1} for need = 70
+    assert(bySrc("b").forall { r =>
+      val c = r.getAs[Long]("c"); c == 1L || c == 2L }, "b outside {1,2}")
+    assert(bySrc("c").forall(_.getAs[Long]("c") == 1L),
+      "c rows appear once (e=0 + hash pick)")
+    assert(bySrc("c").length < 400, "c must down-sample, not keep all")
+    // all-capped: budget >= epochCap * total mass -> exactly epochCap
+    // whole-corpus repeats, shortfall unallocated
+    val all = Sampling.unimaxSample(df, "src", "id", budget = 5000L, epochCap = 2)
+    assert(all.count() == 900L, "all-capped output must be epochCap * corpus")
+    assert(all.groupBy("id").count().collect().forall(_.getLong(1) == 2L))
+    // p=0: budget below every cap's bind point -> uniform split
+    val p0 = Sampling.unimaxSample(df, "src", "id", budget = 50L, epochCap = 2)
+      .groupBy("src", "id").agg(count(lit(1)).as("c")).collect()
+    p0.groupBy(_.getAs[String]("src")).foreach { case (src, rows) =>
+      val e = (50L / 3) / Map("a" -> 10L, "b" -> 40L, "c" -> 400L)(src)
+      assert(rows.forall { r =>
+        val c = r.getAs[Long]("c"); c == e || c == e + 1
+      }, s"p=0 copies outside {e, e+1} for $src")
+    }
+    // deterministic re-run
+    val r1 = Sampling.unimaxSample(df, "src", "id", budget = 160L, epochCap = 2)
+      .collect().map(_.toString).sorted
+    val r2 = Sampling.unimaxSample(df, "src", "id", budget = 160L, epochCap = 2)
+      .collect().map(_.toString).sorted
+    assert(r1.sameElements(r2))
+    // mass units: budget and caps in token mass; capped source still
+    // repeats exactly epochCap times per ROW
+    val toks = (0L until 60L)
+      .map(i => (i, if (i < 6) "a" else "b", 1L + i % 5))
+      .toDF("id", "src", "tok")
+    val ma = toks.filter(col("src") === "a").agg(sum("tok")).head.getLong(0)
+    val mb = toks.filter(col("src") === "b").agg(sum("tok")).head.getLong(0)
+    // budget between 2*ma's bind point and total: a caps, b waterfills
+    val tbud = 2 * ma + mb / 2
+    val tcounts = Sampling.unimaxSample(toks, "src", "id", budget = tbud,
+      epochCap = 2, massCol = "tok")
+      .groupBy("src", "id").agg(count(lit(1)).as("c")).collect()
+    val tBySrc = tcounts.groupBy(_.getAs[String]("src"))
+    assert(tBySrc("a").length == 6 && tBySrc("a").forall(_.getAs[Long]("c") == 2L),
+      s"mass-capped source must repeat exactly epochCap (ma=$ma mb=$mb)")
+    assert(tBySrc("b").forall(_.getAs[Long]("c") == 1L), "b is e=0 + hash pick")
   }
 
   test("topFractionByScore: exact tier keeps ceil(n*frac) best per key; approx tier is a valid top slice") {
