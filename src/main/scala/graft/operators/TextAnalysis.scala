@@ -414,6 +414,91 @@ object TextAnalysis {
         first(col("n_grams")).cast("int").as("n_grams"))
   }
 
+  /** The 100-TB tier of [[contaminationHits]]: a BLOOM-FILTER prefilter
+    * ahead of the exact gram join, for the regime where the benchmark
+    * gram set is too big to broadcast as strings (a few hundred million
+    * grams = multi-GB of text; the exact tier's broadcast join then
+    * degrades to a corpus-wide shuffle of every exploded gram). The
+    * bloom costs ~`-log2(fpp)/ln2` BITS per gram (1.4 MB per million
+    * grams at 1%), the corpus side drops all but hits + fpp of its
+    * grams BEFORE any shuffle, and the exact join on the survivors
+    * removes the false positives — the OUTPUT IS IDENTICAL to
+    * [[contaminationHits]] (a bloom has no false negatives: equal grams
+    * compute equal probe positions), so the exact tier's oracle serves
+    * this one verbatim.
+    *
+    * No UDF, no sketch library, no internal API: the filter is an
+    * ARRAY<LONG> word vector built in DataFrame algebra (per-gram
+    * double-hash probe positions → `bit_or` per 64-bit word → one
+    * dense `transform(sequence(...))` row, broadcast by a 1-row cross
+    * join) and the membership test is integer arithmetic + `element_at`
+    * + bitwise AND inside a `forall` — every stage whole-stage-codegen
+    * built-ins. Probe positions use xxhash64 double hashing
+    * (pos_i = (h1 + i·h2) mod m, both residues reduced BEFORE the
+    * multiply so no intermediate leaves 2^63). xxhash64 never reaches
+    * the output, so cross-engine oracle parity is untouched.
+    *
+    * `expectedGrams` <= 0 derives the sizing from a count of the staged
+    * benchmark gram set (one benchmark-sized aggregate action — the
+    * frame is reused for the build and the confirm join). The word
+    * vector is capped at 32 MB (`require`) — at 10 bits/gram that is
+    * ~270 M benchmark grams, far past any eval suite. */
+  def contaminationHitsBloom(df: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String, n: Int = 5,
+                             fpp: Double = 0.01, expectedGrams: Long = 0L,
+                             staging: Staging.Mode = Staging.Local): DataFrame = {
+    require(fpp > 0.0 && fpp < 0.5, s"fpp must be in (0, 0.5): $fpp")
+    val gramArr =
+      s"""array_distinct(IF(size(__toks) >= $n,
+            transform(sequence(1, size(__toks) - ${n - 1}),
+              i -> concat_ws(' ', ${(0 until n).map(k => s"element_at(__toks, i + $k)").mkString(", ")})),
+            CAST(array() AS ARRAY<STRING>)))"""
+    val bg = staging(benchmark
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(explode(expr(gramArr)).as("gram")).distinct())
+    val est = math.max(if (expectedGrams > 0) expectedGrams else bg.count(), 1L)
+    val k = math.max(1, math.round(-math.log(fpp) / math.log(2.0)).toInt)
+    val m = ((math.ceil(est.toDouble * k / math.log(2.0)).toLong max 64L) + 63L) / 64L * 64L
+    val nWords = m / 64L
+    require(nWords <= (1L << 22),
+      s"bloom word vector would be ${nWords * 8} bytes (> 32 MB): " +
+        s"$est grams at fpp=$fpp — raise fpp or shrink the benchmark")
+    def res1(c: Column) = pmod(xxhash64(c), lit(m))
+    def res2(c: Column) = pmod(xxhash64(c, lit(0x9E3779B9L)), lit(m - 1L)) + lit(1L)
+    val sparse = bg
+      .withColumn("__i", explode(expr(s"sequence(0L, ${k - 1}L)")))
+      .withColumn("__pos",
+        pmod(res1(col("gram")) + col("__i") * res2(col("gram")), lit(m)))
+      .groupBy(expr("__pos DIV 64").as("__w"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(__pos % 64 AS INT))")).as("__bits"))
+    val bloom = sparse
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits")))).as("__m"))
+      .select(expr(
+        s"transform(sequence(0L, ${nWords - 1L}L), w -> coalesce(element_at(__m, w), 0L))")
+        .as("__bloom"))
+    val docGrams = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__gs", expr(gramArr))
+      .select(col(idCol), size(col("__gs")).as("n_grams"),
+        explode(col("__gs")).as("gram"))
+    val pre = docGrams.crossJoin(broadcast(bloom))
+      .withColumn("__r1", res1(col("gram")))
+      .withColumn("__r2", res2(col("gram")))
+      .filter(expr(
+        s"""forall(sequence(0L, ${k - 1L}L), i ->
+              (element_at(__bloom, CAST(pmod(__r1 + i * __r2, ${m}L) DIV 64 AS INT) + 1)
+               & shiftleft(1L, CAST(pmod(__r1 + i * __r2, ${m}L) % 64 AS INT))) != 0L)"""))
+      .drop("__bloom", "__r1", "__r2")
+    // exact confirm: deliberately NO broadcast hint — the tier's premise
+    // is a benchmark too big for one; the prefilter has already shrunk
+    // the probe side to hits + fpp, and AQE still picks broadcast when
+    // the benchmark turns out small
+    pre.join(bg, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_hits"),
+        first(col("n_grams")).cast("int").as("n_grams"))
+  }
+
   /** Stateless twin of [[contaminationHits]] for streams: the benchmark
     * gram set rides along as a LITERAL array (benchmark suites are tiny
     * and static by nature), so per-document hit counting is one

@@ -2503,7 +2503,56 @@ object TextQueries {
         SELECT doc_id, source,
                unnest(range(1, copies + 1)) AS epoch
         FROM c WHERE copies >= 1
-        ORDER BY doc_id, epoch"""))
+        ORDER BY doc_id, epoch""")),
+
+    // ----------------------------------------------------------------
+    // q125: q85's decontamination scenario driven through the BLOOM
+    // prefilter tier (contaminationHitsBloom) — the 100-TB shape for a
+    // benchmark gram set too big to broadcast as strings: an ARRAY<LONG>
+    // bloom built and probed entirely in codegen DataFrame algebra
+    // drops all but hits + fpp of the corpus grams BEFORE the exact
+    // confirm join. A bloom has no false negatives and the confirm join
+    // removes the false positives, so the output is IDENTICAL to the
+    // exact tier — q85's oracle serves verbatim, and the hash pins that
+    // the prefilter dropped nothing it shouldn't.
+    "q125_decontam_bloom" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val bench = base.filter(col("doc_id") % 50 === 0)
+        val aug = base
+          .withColumn("bkey", expr("(doc_id DIV 50) * 50"))
+          .join(bench.select(col("doc_id").as("bkey"), col("text").as("btext")),
+            Seq("bkey"))
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 3,
+              concat(col("text"), lit(" "),
+                concat_ws(" ", slice(split(col("btext"), " "), 1, 5))))
+              .otherwise(col("text")).as("t"))
+          .filter(col("doc_id") % 50 =!= 0)
+        TextAnalysis.contaminationHitsBloom(aug,
+          bench.select(col("text").as("t")), "doc_id", "t", n = 5)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        btok AS (SELECT string_split(text, ' ') AS tk FROM bench),
+        bg AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(tk) - 3, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS gram
+               FROM btok),
+        aug AS (SELECT d.doc_id,
+                  CASE WHEN d.doc_id % 7 = 3
+                       THEN d.text || ' ' || array_to_string(string_split(b.text, ' ')[1:5], ' ')
+                       ELSE d.text END AS t
+                FROM documents d JOIN bench b ON b.doc_id = (d.doc_id // 50) * 50
+                WHERE d.doc_id % 50 <> 0),
+        dtok AS (SELECT doc_id, string_split(t, ' ') AS tk FROM aug),
+        dg AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 3, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS gs
+               FROM dtok),
+        x AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM dg)
+        SELECT x.doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits,
+               CAST(MIN(n_grams) AS INTEGER) AS n_grams
+        FROM x JOIN bg USING (gram) GROUP BY x.doc_id ORDER BY x.doc_id"""))
   )
 
   /** The quote-cluster catalog oracle — q116's 8-round bounded

@@ -512,6 +512,33 @@ class DedupSpec extends AnyFunSuite {
     assert(hits(3L) == 1) // "beta gamma delta epsilon zeta"
   }
 
+  test("contaminationHitsBloom == contaminationHits row-for-row; a saturated filter stays exact") {
+    val bench = (0 until 8)
+      .map(b => s"bench$b w${b}a w${b}b w${b}c w${b}d w${b}e extra$b tokens here")
+      .toDF("t")
+    val docsDf = (0L until 200L).map { i =>
+      val planted =
+        if (i % 5 == 0) s" bench${i % 8} w${i % 8}a w${i % 8}b w${i % 8}c w${i % 8}d"
+        else ""
+      (i, s"doc $i body t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f$planted")
+    }.toDF("doc_id", "t")
+    val exact = TextAnalysis.contaminationHits(docsDf, bench, "doc_id", "t")
+    val blm = TextAnalysis.contaminationHitsBloom(docsDf, bench, "doc_id", "t")
+    assert(blm.exceptAll(exact).isEmpty && exact.exceptAll(blm).isEmpty,
+      "bloom tier diverged from the exact tier")
+    assert(exact.count() == 40L, "the planted contamination must all be found")
+    // a deliberately SATURATED filter (64 bits for ~50 grams): the
+    // prefilter passes nearly everything and the exact confirm join is
+    // what keeps the contract — still row-identical
+    val sat = TextAnalysis.contaminationHitsBloom(docsDf, bench, "doc_id", "t",
+      fpp = 0.4, expectedGrams = 1L)
+    assert(sat.exceptAll(exact).isEmpty && exact.exceptAll(sat).isEmpty,
+      "saturated bloom tier diverged from the exact tier")
+    // an empty benchmark yields an empty result, not a crash
+    assert(TextAnalysis.contaminationHitsBloom(docsDf,
+      Seq.empty[String].toDF("t"), "doc_id", "t").count() == 0L)
+  }
+
   test("capPerKeyExact keeps exactly min(n, cap) per key; reruns pick identical rows") {
     import graft.operators.Sampling
     val df = (1L to 100L).map(i => (if (i <= 80) "big" else "small", i))
