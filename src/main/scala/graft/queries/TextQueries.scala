@@ -2552,7 +2552,91 @@ object TextQueries {
         x AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM dg)
         SELECT x.doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits,
                CAST(MIN(n_grams) AS INTEGER) AS n_grams
-        FROM x JOIN bg USING (gram) GROUP BY x.doc_id ORDER BY x.doc_id"""))
+        FROM x JOIN bg USING (gram) GROUP BY x.doc_id ORDER BY x.doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q126: the END-TO-END curation pipeline a training-data user
+    // actually runs, composed from the engine's own operators inside
+    // ONE hashed row: quality gate (>= 20 tokens) → bloom-tier
+    // decontamination against the q85 benchmark (planted hits) → exact
+    // dedup (planted clones at doc_id + 1e6 collapse to the original)
+    // → uniform mixture materialization (budget 600 over 20 sources,
+    // epochs + hash remainder). Every stage's membership decisions
+    // reach the output: a silently-skipped stage (clones surviving,
+    // contaminated docs leaking, a gate off by one token) changes the
+    // hash. The oracle replays the full chain in SQL.
+    "q126_pipeline_e2e" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+        val bench = base.filter(col("doc_id") % 50 === 0)
+        val aug = base
+          .withColumn("bkey", expr("(doc_id DIV 50) * 50"))
+          .join(bench.select(col("doc_id").as("bkey"), col("text").as("btext")),
+            Seq("bkey"))
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 7 === 3,
+              concat(col("text"), lit(" "),
+                concat_ws(" ", slice(split(col("btext"), " "), 1, 5))))
+              .otherwise(col("text")).as("t"))
+          .filter(col("doc_id") % 50 =!= 0)
+        val corp = aug.union(aug.filter(col("doc_id") % 9 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        val gated = corp.filter(size(split(col("t"), " ")) >= 20)
+        val contaminated = TextAnalysis.contaminationHitsBloom(gated,
+          bench.select(col("text").as("t")), "doc_id", "t", n = 5)
+          .select("doc_id")
+        val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+        val keep = Dedup.exactGroups(clean, "doc_id", "t")
+          .select(col("keep_id").as("doc_id"))
+        val uniq = clean.join(keep, Seq("doc_id"), "left_semi")
+        val weights = (0 until 20).map(i => s"src$i" -> 1.0).toMap
+        Sampling.mixtureSample(uniq.select("doc_id", "source"), "source",
+          "doc_id", weights, budget = 600L)
+          .select(col("doc_id"), col("source"), col("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      oracle = Some("""
+        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        aug AS (SELECT d.doc_id, d.source,
+                  CASE WHEN d.doc_id % 7 = 3
+                       THEN d.text || ' ' || array_to_string(string_split(b.text, ' ')[1:5], ' ')
+                       ELSE d.text END AS t
+                FROM documents d JOIN bench b ON b.doc_id = (d.doc_id // 50) * 50
+                WHERE d.doc_id % 50 <> 0),
+        corp AS (SELECT doc_id, source, t FROM aug
+                 UNION ALL
+                 SELECT doc_id + 1000000, source, t FROM aug WHERE doc_id % 9 = 2),
+        gated AS (SELECT * FROM corp WHERE len(string_split(t, ' ')) >= 20),
+        btok AS (SELECT string_split(text, ' ') AS tk FROM bench),
+        bg AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(tk) - 3, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS gram
+               FROM btok),
+        dtok AS (SELECT doc_id, string_split(t, ' ') AS tk FROM gated),
+        dg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 3, 1)),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS gram
+               FROM dtok),
+        bad AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram)),
+        clean AS (SELECT * FROM gated
+                  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        keep AS (SELECT t, MIN(doc_id) AS doc_id FROM clean GROUP BY t),
+        uniq AS (SELECT c.doc_id, c.source FROM clean c
+                 JOIN keep k ON k.doc_id = c.doc_id),
+        n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM uniq GROUP BY source),
+        th AS (SELECT source, n,
+                      CAST(FLOOR(CAST(600.0 AS DOUBLE) * 1.0 / 20.0) AS BIGINT) AS need
+               FROM n),
+        t2 AS (SELECT source, n, need, need // n AS e,
+                      ((need % n) * 4294967296) // n AS thr
+               FROM th),
+        c AS (SELECT u.doc_id, u.source,
+                     t2.e + CASE WHEN (u.doc_id * 2654435761) % 4294967296 < t2.thr
+                                 THEN 1 ELSE 0 END AS copies
+              FROM uniq u JOIN t2 USING (source))
+        SELECT doc_id, source,
+               unnest(range(1, copies + 1)) AS epoch
+        FROM c WHERE copies >= 1
+        ORDER BY doc_id, epoch"""))
   )
 
   /** The quote-cluster catalog oracle — q116's 8-round bounded
