@@ -537,6 +537,15 @@ class DedupSpec extends AnyFunSuite {
     // an empty benchmark yields an empty result, not a crash
     assert(TextAnalysis.contaminationHitsBloom(docsDf,
       Seq.empty[String].toDF("t"), "doc_id", "t").count() == 0L)
+    // refusal contracts: fpp domain, and the 32 MB word-vector cap
+    // refuses loudly instead of building an unbroadcastable filter
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.contaminationHitsBloom(docsDf, bench, "doc_id", "t", fpp = 0.9)
+    }.getMessage.contains("fpp"))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.contaminationHitsBloom(docsDf, bench, "doc_id", "t",
+        fpp = 1e-9, expectedGrams = 1L << 40)
+    }.getMessage.contains("32 MB"))
   }
 
   test("capPerKeyExact keeps exactly min(n, cap) per key; reruns pick identical rows") {

@@ -363,6 +363,82 @@ class PropertySpec extends AnyFunSuite {
     assert(tBySrc("a").length == 6 && tBySrc("a").forall(_.getAs[Long]("c") == 2L),
       s"mass-capped source must repeat exactly epochCap (ma=$ma mb=$mb)")
     assert(tBySrc("b").forall(_.getAs[Long]("c") == 1L), "b is e=0 + hash pick")
+    // refusal contracts
+    assert(intercept[IllegalArgumentException] {
+      Sampling.unimaxSample(df, "src", "id", budget = -1L, epochCap = 2)
+    }.getMessage.contains("budget"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.unimaxSample(df, "src", "id", budget = 10L, epochCap = 0)
+    }.getMessage.contains("epochCap"))
+  }
+
+  test("unimaxSample matches a brute-force waterfill on random geometries") {
+    import graft.operators.Sampling
+    val geoms: Gen[(Seq[Int], Long, Int)] = for {
+      k <- Gen.choose(1, 6)
+      sizes <- Gen.listOfN(k, Gen.choose(1, 80))
+      budget <- Gen.choose(0L, 600L)
+      cap <- Gen.choose(1, 4)
+    } yield (sizes, budget, cap)
+    cases(geoms, 10).foreach { case (sizes, budget, cap) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s * 1000L + i, s"k$s"))
+      }
+      val df = rows.toDF("id", "src")
+      // brute-force reference waterfill (independent of the operator's
+      // prefix formulation): raise a shared level until the budget is
+      // spent or every source caps
+      val caps = sizes.zipWithIndex
+        .map { case (n, s) => s"k$s" -> cap.toLong * n }.toMap
+      var need = caps.keys.map(_ -> 0L).toMap
+      var remaining = budget
+      var free = caps.keySet
+      var continue = true
+      while (continue && free.nonEmpty && remaining > 0) {
+        val share = remaining / free.size
+        if (share == 0) continue = false
+        else {
+          val binding = free.filter(s => caps(s) - need(s) <= share)
+          if (binding.isEmpty) {
+            need = need ++ free.map(s => s -> (need(s) + share))
+            remaining -= share * free.size
+            continue = false // uniform level reached; leftover < free.size stays
+          } else {
+            binding.foreach { s =>
+              remaining -= caps(s) - need(s); need += s -> caps(s)
+            }
+            free = free -- binding
+          }
+        }
+      }
+      val out = Sampling.unimaxSample(df, "src", "id", budget, cap)
+        .groupBy("src").agg(count(lit(1)).as("rows")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      sizes.zipWithIndex.foreach { case (n, s) =>
+        val key = s"k$s"
+        val got = out.getOrElse(key, 0L)
+        val want = need(key)
+        // the operator floors per-source needs; the hash remainder makes
+        // row counts binomial around need for down-sampled sources, but
+        // NEVER above cap, never whole-epochs wrong, and capped sources
+        // are exact
+        assert(got <= caps(key),
+          s"$key exceeded its cap: $got > ${caps(key)} (sizes=$sizes b=$budget c=$cap)")
+        if (want == caps(key))
+          assert(got == want,
+            s"capped $key must be exact: $got != $want (sizes=$sizes b=$budget c=$cap)")
+        else {
+          val e = want / n
+          assert(got >= e * n && got <= (e + 1) * n,
+            s"$key rows $got outside [${e * n}, ${(e + 1) * n}] for need~$want " +
+              s"(sizes=$sizes b=$budget c=$cap)")
+        }
+      }
+      // total never exceeds budget + the remainder picks' binomial slack
+      // (each source can overshoot its fractional remainder by < n_s)
+      assert(out.values.sum <= budget + rows.length,
+        s"total ${out.values.sum} above budget+slack (sizes=$sizes b=$budget c=$cap)")
+    }
   }
 
   test("topFractionByScore: exact tier keeps ceil(n*frac) best per key; approx tier is a valid top slice") {
