@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, all designed for
@@ -678,6 +679,34 @@ object Dedup {
     df.join(comps.filter(col("id") =!= col("component"))
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
+  }
+
+  /** [[keepCanonical]] with QUALITY-aware survivor selection — what
+    * production dedup actually wants: within each duplicate component
+    * keep the member with the BEST `scoreCol` (highest score, ties by
+    * min id — "keep the longest/highest-quality copy", not "keep the
+    * smallest id"). Rows absent from the pair graph are singletons and
+    * always survive.
+    *
+    * Scale shape: one CC over the PAIR set (dup components only — the
+    * corpus never enters the propagation), one corpus-side left join
+    * against the component labels, then the argmax as a row_number
+    * window PARTITIONED BY component — a component's rows pass through
+    * one partition, which is exactly the safe size here: duplicate
+    * clusters are collapse-bounded (the same reason the banded tiers
+    * cap candidate growth), never corpus-sized. */
+  def keepBestCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+                        aCol: String, bCol: String,
+                        scoreCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component"))
+    val withComp = df.join(comps, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    withComp.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("component", "__comp", "__rn")
   }
 
   /** 64-bit SimHash over a token array column: per-bit vote of token

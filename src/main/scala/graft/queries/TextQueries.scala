@@ -2636,7 +2636,57 @@ object TextQueries {
         SELECT doc_id, source,
                unnest(range(1, copies + 1)) AS epoch
         FROM c WHERE copies >= 1
-        ORDER BY doc_id, epoch"""))
+        ORDER BY doc_id, epoch""")),
+
+    // ----------------------------------------------------------------
+    // q127: quality-aware dedup survivor selection — keepBestCanonical
+    // keeps the HIGHEST-score member of each duplicate component (ties
+    // by min id), the keep-the-longest-copy semantics production dedup
+    // wants, vs keepCanonical's min-id. Planted clone CHAINS (d →
+    // d+1e6 → d+2e6, each strictly longer) force real transitive CC on
+    // the Spark side; the oracle knows the chain structure and groups
+    // by doc_id % 1e6, so the hash pins both the component closure and
+    // the argmax (survivor = the DEEPEST clone, never the original).
+    "q127_keep_best_dedup" -> QueryDef(
+      fn = (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+        val c1 = base.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            concat(col("text"), lit(" clonextra")).as("text"))
+        val c2 = base.filter(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+            concat(col("text"), lit(" clonextra clonextra2")).as("text"))
+        val corp = base.unionByName(c1).unionByName(c2)
+        val pairs = base.filter(col("doc_id") % 4 === 1)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+          .union(base.filter(col("doc_id") % 8 === 1)
+            .select((col("doc_id") + 1000000L).as("a"),
+              (col("doc_id") + 2000000L).as("b")))
+        val scored = corp.withColumn("score", length(col("text")))
+        Dedup.keepBestCanonical(scored, "doc_id", pairs, "a", "b", "score")
+          .select(col("doc_id"), col("source"),
+            col("score").as("n_chars_kept"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT doc_id, source, text FROM documents),
+        c1 AS (SELECT doc_id + 1000000 AS doc_id, source,
+                      text || ' clonextra' AS text
+               FROM base WHERE doc_id % 4 = 1),
+        c2 AS (SELECT doc_id + 2000000 AS doc_id, source,
+                      text || ' clonextra clonextra2' AS text
+               FROM base WHERE doc_id % 8 = 1),
+        corp AS (SELECT * FROM base UNION ALL
+                 SELECT * FROM c1 UNION ALL
+                 SELECT * FROM c2),
+        grp AS (SELECT doc_id, source, length(text) AS sc,
+                       doc_id % 1000000 AS g
+                FROM corp),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+                        ORDER BY sc DESC, doc_id) AS rn
+              FROM grp)
+        SELECT doc_id, source, CAST(sc AS INTEGER) AS n_chars_kept
+        FROM r WHERE rn = 1 ORDER BY doc_id"""))
   )
 
   /** The quote-cluster catalog oracle — q116's 8-round bounded

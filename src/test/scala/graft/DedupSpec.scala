@@ -577,6 +577,26 @@ class DedupSpec extends AnyFunSuite {
     assert(again.sameElements(kept.select("id").collect().map(_.getLong(0)).sorted))
   }
 
+  test("keepBestCanonical keeps the highest-score member per component; singletons survive; differs from min-id") {
+    val docsDf = Seq(
+      (1L, "a", 10.0), (2L, "a2", 30.0), (3L, "a3", 30.0), // 1-2-3 chain
+      (4L, "b", 5.0), (5L, "b2", 9.0),                     // 4-5 pair
+      (6L, "solo", 1.0)
+    ).toDF("id", "t", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val kept = Dedup.keepBestCanonical(docsDf, "id", pairs, "a", "b", "score")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // chain: max score 30.0 ties between 2 and 3 -> min id 2; pair: 5
+    assert(kept == Set(2L, 5L, 6L), s"got $kept")
+    val minId = Dedup.keepCanonical(docsDf, "id", pairs, "a", "b")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 4L, 6L), "min-id variant must differ")
+    // kept rows carry their full original columns
+    val row = Dedup.keepBestCanonical(docsDf, "id", pairs, "a", "b", "score")
+      .filter($"id" === 2L).head()
+    assert(row.getAs[String]("t") == "a2" && row.getAs[Double]("score") == 30.0)
+  }
+
   test("negativeSample: k deterministic negatives per anchor, never self, pool-closed") {
     import graft.operators.Sampling
     val pool = (0L until 1000L).toDF("id")
