@@ -698,15 +698,18 @@ object Dedup {
   def keepBestCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
                         aCol: String, bCol: String,
                         scoreCol: String): DataFrame = {
+    // the CC label joins in under a reserved __-name: a caller column
+    // literally called "component" must survive untouched (and must not
+    // make the coalesce ambiguous after the join)
     val comps = connectedComponents(pairs, aCol, bCol)
-      .select(col("id").as(idCol), col("component"))
+      .select(col("id").as(idCol), col("component").as("__cc_comp"))
     val withComp = df.join(comps, Seq(idCol), "left")
-      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+      .withColumn("__comp", coalesce(col("__cc_comp"), col(idCol)))
     val w = Window.partitionBy(col("__comp"))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     withComp.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("component", "__comp", "__rn")
+      .drop("__cc_comp", "__comp", "__rn")
   }
 
   /** 64-bit SimHash over a token array column: per-bit vote of token

@@ -62,8 +62,12 @@ object Sampling {
   def capPerKeyHash(df: DataFrame, keyCol: String, idCol: String, cap: Long): DataFrame = {
     val counts = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("__n"))
-      // integer threshold: cap * 2^32 / n, floored — both engines agree
-      .withColumn("__t", expr(s"($cap * 4294967296L) DIV __n"))
+      // integer threshold: cap * 2^32 / n, floored — both engines agree.
+      // DECIMAL(38,0) product: a BIGINT `cap * 2^32` wraps once cap hits
+      // 2^31 (row counts in the billions are routine at corpus scale);
+      // the decimal product is exact to 10^38 and `DIV` truncates exactly
+      .withColumn("__t",
+        expr(s"CAST((CAST($cap AS DECIMAL(38,0)) * 4294967296) DIV __n AS BIGINT)"))
     df.join(broadcast(counts), Seq(keyCol))
       .filter(selectionHash(col(idCol)) < col("__t"))
       .drop("__n", "__t")
@@ -257,7 +261,12 @@ object Sampling {
       .withColumn("__need",
         floor(lit(budget.toDouble) * col("__w") / lit(wSum)).cast("long"))
       .withColumn("__e", expr("__need DIV __n"))
-      .withColumn("__t", expr("((__need % __n) * 4294967296L) DIV __n")))
+      // remainder threshold in DECIMAL(38,0): with massCol in TOKEN
+      // units a per-source mass n_s >= 2^31 is the NORM, and a BIGINT
+      // `r * 2^32` then wraps negative (non-ANSI) or throws (ANSI) —
+      // the decimal product is exact (r < n < 2^63, so r*2^32 < 2^95
+      // < 10^38) and `DIV` truncates exactly, no rounding edge
+      .withColumn("__t", remainderThreshold))
     val worst = needs.agg(coalesce(max("__e"), lit(0L))).head().getLong(0)
     require(worst <= maxEpochs,
       s"mixture up-samples a source ${worst}x (> maxEpochs=$maxEpochs): " +
@@ -265,6 +274,14 @@ object Sampling {
         "raise maxEpochs deliberately or fix the weights")
     epochExplode(df, keyCol, idCol, needs)
   }
+
+  /** `((__need % __n) * 2^32) DIV __n` computed in DECIMAL(38,0) so the
+    * product cannot wrap when a source's mass reaches 2^31 (token-unit
+    * masses in the billions are the normal case). Exact: the remainder
+    * is < __n < 2^63, so the product is < 2^95 < 10^38, and Spark's
+    * integral `DIV` on decimals truncates without intermediate rounding. */
+  private val remainderThreshold: Column =
+    expr("CAST((CAST(__need % __n AS DECIMAL(38,0)) * 4294967296) DIV __n AS BIGINT)")
 
   /** Shared materializer for the per-source-budget samplers: `needs`
     * is the key-cardinality frame (keyCol, __n, __e, __t) — broadcast
@@ -351,7 +368,7 @@ object Sampling {
         when(col("__j") <= lit(p), col("__cap"))
           .otherwise(lit((budget - cump) / math.max(k - p, 1L))))
       .withColumn("__e", expr("__need DIV __n"))
-      .withColumn("__t", expr("((__need % __n) * 4294967296L) DIV __n"))
+      .withColumn("__t", remainderThreshold) // see mixtureSample: decimal, 2^31-safe
     epochExplode(df, keyCol, idCol, needs)
   }
 
@@ -391,6 +408,13 @@ object Sampling {
                                scoreCol: String, frac: Double,
                                eps: Double = 0.001): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1]: $frac")
+    // boundary short-circuits so the tiers agree where the sketch
+    // can't: at frac=0 the percentile is the per-key max and the
+    // `>=` filter would keep every row TIED at the max (the exact
+    // tier keeps ceil(n*0)=0); at frac=1 keep everything without a
+    // sketch pass
+    if (frac == 0.0) return df.limit(0)
+    if (frac == 1.0) return df
     val thr = df.groupBy(col(keyCol))
       .agg(expr(s"approx_percentile($scoreCol, ${1.0 - frac}, ${math.ceil(1.0 / eps).toInt})")
         .as("__thr"))

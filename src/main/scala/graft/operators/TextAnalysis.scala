@@ -756,4 +756,30 @@ object TextAnalysis {
           .divide(size(col("__toks"))).as("score"))
       .withColumn("pred", when(col("score") > 0, lit("keep")).otherwise(lit("drop")))
   }
+
+  /** A small frozen demonstration vocabulary for [[bpeTokenCount]] —
+    * common English subword pieces, maxPieceLen 4. A real deployment
+    * passes its tokenizer's piece list instead (50k+ pieces ride as one
+    * referenced HashSet per task — see [[graft.functions.BpeCount]]);
+    * the demo set exists so catalog rows and specs pin the greedy
+    * longest-match semantics with an oracle-replayable literal. */
+  val demoBpeVocab: Seq[String] = Seq(
+    "the", "tion", "ing", "ment", "ness", "able", "ers", "est",
+    "ed", "er", "es", "re", "in", "on", "at", "en", "an", "or",
+    "ar", "al", "st", "th", "te", "ti", "nd", "to", "it", "is",
+    "ou", "of", "and", "ent", "ion", "for", "pro", "con", "com",
+    "qu", "ch", "sh", "wh", "ll", "ss", "ee", "oo")
+
+  /** Frozen-vocab greedy subword token count per document — the
+    * BPE-unit twin of the whitespace `n_tokens` every budget in the
+    * engine otherwise uses. Pure projection (one codegen'd kernel call
+    * per row, no shuffle, no UDF); feed the output column to
+    * [[Sampling.mixtureSample]]/[[Sampling.unimaxSample]] as `massCol`
+    * or to [[Packing]] as the size column to budget in subword units.
+    * Semantics and the engine-parity contract: [[graft.functions.BpeKernel]]. */
+  def bpeTokenCount(df: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[String] = demoBpeVocab,
+                    out: String = "bpe_tokens"): DataFrame =
+    df.withColumn(out,
+      graft.functions.BpeExpression.bpeCount(col(textCol), vocab))
 }

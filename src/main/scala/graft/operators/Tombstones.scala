@@ -204,6 +204,43 @@ object Tombstones {
   private def clear(spark: SparkSession, prefix: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${table(prefix)}")
 
+  /** The family's physical-layout GENERATION: bumped (under the writer
+    * fence) at the START of every pass that rewrites existing
+    * partitions in place — `compact*` here, `compactCc`/`repairCc` in
+    * [[graft.streaming.IngestLoop]]. The narrow-fence ingest paths mine
+    * pairs OUTSIDE the fence against the append-only partition set,
+    * which is sound precisely because only these passes ever mutate an
+    * existing partition: a miner snapshots the generation in its fenced
+    * append window, mines unfenced, then re-reads the generation under
+    * a brief re-acquire — a changed value proves a rewrite pass ran (or
+    * crashed mid-run) while its corpus reads were in flight, and the
+    * mine re-runs against the settled layout. Bumping FIRST (before any
+    * rewrite) closes the crash hole: a compaction that dies between
+    * rewriting a table and recording the bump would otherwise let a
+    * concurrent miner accept pairs read from the torn state.
+    *
+    * Append-only one-column table, `generation` = MAX(gen): an
+    * overwritten single-row cell could crash back to absent and
+    * re-count to a previously-seen value, blinding an in-flight miner;
+    * the append-max is monotone across any crash interleaving and grows
+    * one tiny row per compaction. Tombstone `add`s deliberately do NOT
+    * bump: they append a new file the miner's snapshot either wholly
+    * sees or wholly misses (either is a linearizable delete point). */
+  def generation(spark: SparkSession, prefix: String): Long = {
+    val t = s"${prefix}_gen"
+    if (spark.catalog.tableExists(t))
+      spark.table(t).agg(coalesce(max("gen"), lit(0L))).head().getLong(0)
+    else 0L
+  }
+
+  /** Record a layout rewrite: see [[generation]]. Caller must hold the
+    * family's writer fence. */
+  def bumpGeneration(spark: SparkSession, prefix: String): Unit = {
+    import spark.implicits._
+    Seq(generation(spark, prefix) + 1L).toDF("gen")
+      .write.mode("append").format("parquet").saveAsTable(s"${prefix}_gen")
+  }
+
   /** Rewrite one bucketed family table minus the tombstoned rows,
     * preserving its bucket/sort layout (and the `ingest_batch`
     * partitioning if the table grew through an [[graft.streaming.IngestLoop]]).
@@ -281,6 +318,7 @@ object Tombstones {
     * append to the drop+recreate rewrite. */
   def compactMinhash(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
     Fence.withFence(spark, prefix, "compactMinhash") {
+      bumpGeneration(spark, prefix) // FIRST: see generation
       val idCol = metaIdCol(spark, prefix)
       val b = metaBuckets(spark, prefix, buckets)
       rewriteMinus(spark, s"${prefix}_bands", idCol, prefix, b, Seq("band", "bucket"))
@@ -294,6 +332,7 @@ object Tombstones {
   /** [[compactMinhash]] for the SimHash family. */
   def compactSimhash(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
     Fence.withFence(spark, prefix, "compactSimhash") {
+      bumpGeneration(spark, prefix) // FIRST: see generation
       val idCol = metaIdCol(spark, prefix)
       val b = metaBuckets(spark, prefix, buckets)
       rewriteMinus(spark, s"${prefix}_chunked", idCol, prefix, b, Seq("chunk", "ckey"))
@@ -304,6 +343,7 @@ object Tombstones {
     * is the normalized `id`). */
   def compactContainment(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
     Fence.withFence(spark, prefix, "compactContainment") {
+      bumpGeneration(spark, prefix) // FIRST: see generation
       val b = metaBuckets(spark, prefix, buckets)
       rewriteMinus(spark, s"${prefix}_posting", "id", prefix, b, Seq("gram"))
       Fence.heartbeat(spark, prefix, "compactContainment")
@@ -314,6 +354,7 @@ object Tombstones {
   /** [[compactMinhash]] for the sign-LSH embedding family. */
   def compactEmbed(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
     Fence.withFence(spark, prefix, "compactEmbed") {
+      bumpGeneration(spark, prefix) // FIRST: see generation
       val b = metaBuckets(spark, prefix, buckets)
       rewriteMinus(spark, s"${prefix}_hashed", "id", prefix, b, Seq("t", "h"))
       Fence.heartbeat(spark, prefix, "compactEmbed")
@@ -324,6 +365,7 @@ object Tombstones {
   /** [[compactMinhash]] for the IVF-PQ serving family. */
   def compactPq(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
     Fence.withFence(spark, prefix, "compactPq") {
+      bumpGeneration(spark, prefix) // FIRST: see generation
       val b = metaBuckets(spark, prefix, buckets)
       rewriteMinus(spark, s"${prefix}_codes", "c_id", prefix, b, Seq("cell"))
       clear(spark, prefix)
@@ -332,6 +374,7 @@ object Tombstones {
   /** [[compactMinhash]] for the semantic-dedup family. */
   def compactSem(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
     Fence.withFence(spark, prefix, "compactSem") {
+      bumpGeneration(spark, prefix) // FIRST: see generation
       val b = metaBuckets(spark, prefix, buckets)
       rewriteMinus(spark, s"${prefix}_docs", "id", prefix, b, Seq("cell"))
       clear(spark, prefix)

@@ -285,6 +285,12 @@ object IngestLoop {
             s" — ${beyondBatch0.mkString(", ")} hold(s) ingest batches other than 0") +
           "; refusing to auto-drop the surviving tables.")
       present.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+      // a torn FIRST batch may still have recorded its global-bid
+      // mapping (resolveGlobalBid runs before the data tables land):
+      // a stale commits row against a recreated family would mis-assign
+      // partition ids, so the mapping dies with the family
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_commits")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_gen")
       false
     } else present.size == tables.size
   }
@@ -362,50 +368,87 @@ object IngestLoop {
                          multiWriter: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val lid = normLoopId(loopId)
-    // Writer fence (round 11): held for the whole batch so a concurrent
-    // compact* cannot drop+recreate the family from a pre-append
-    // snapshot and lose this batch's partition. If compaction holds the
-    // fence, this throws — the micro-batch fails and the checkpoint
-    // replays it after the release (exact by the retry contract above).
-    graft.operators.Fence.withFence(spark, prefix, s"ingestMinhashBatch bid=$bid") {
+    val owner = s"ingestMinhashBatch bid=$bid"
     val shard = Dedup.minhashIndex(batch, idCol, textCol, numPerms, rowsPerBand)
+    // Fence window 1 (round 14 — narrowed from the whole batch): bid
+    // resolution + the batch-local APPEND legs only. The expensive leg
+    // — pair mining against the corpus-sized index — runs OUTSIDE the
+    // fence (below), so concurrent loops on ONE family overlap their
+    // mining instead of serializing batch-by-batch. Soundness:
+    //  - appending the data partition INSIDE the resolve window keeps
+    //    assign→append atomic, so "assigned-but-absent" stays a
+    //    crash-only state and resolveGlobalBid's frozen missing/
+    //    compensation exactly-once argument carries over unchanged;
+    //  - every concurrent batch's corpus view reads partitions
+    //    STRICTLY BELOW its own global bid, which are already fully
+    //    appended by this atomicity — append-only and immutable
+    //    outside the compact*/repair* rewrite passes;
+    //  - those rewrite passes are exactly what the family GENERATION
+    //    (Tombstones.generation, bumped fence-held at rewrite entry)
+    //    tracks: the unfenced mine snapshots it here and re-checks it
+    //    after publishing (mineAndPublish) — a change proves a rewrite
+    //    raced the corpus reads and the mine re-runs against the
+    //    settled layout. Compaction is rare; the retry is cheap and
+    //    exact.
+    val (pid, mkCorpus, gen0) =
+      graft.operators.Fence.withFence(spark, prefix, owner) {
     val exists = familyExists(spark, prefix, Seq("bands", "shingles", "meta"))
+    // multi-writer eligibility is checked BEFORE the commits mapping is
+    // touched: resolveGlobalBid creates and appends to <prefix>_commits,
+    // and a mistaken multiWriter=true batch against a single-writer
+    // family must be refused without permanently recording a bogus
+    // global-bid mapping (which would corrupt accounting if the family
+    // were later rebuilt under the same prefix without dropping it)
+    if (exists && multiWriter) bindMulti(spark, prefix)
     // the partition id this batch owns: checkpoint-local by default,
     // global via the fenced commits mapping under multi-writer
     val resolved =
       if (multiWriter) resolveGlobalBid(spark, prefix, lid, bid, s"${prefix}_bands")
       else GlobalBid(bid, Seq.empty, Seq.empty, created = !exists)
     val pid = resolved.gbid
-    val corpus =
-      if (!exists) Dedup.MinHashIndex(idCol, shard.shingles.limit(0),
+    // a BUILDER, not a captured plan: a re-mine after a racing
+    // compaction must re-derive the view from the catalog — the
+    // pre-compaction plan pins dropped files (e.g. the cleared
+    // tombstone table) and would fail or read torn state
+    val mkCorpus: () => Dedup.MinHashIndex =
+      if (!exists) () => Dedup.MinHashIndex(idCol, shard.shingles.limit(0),
         shard.bands.limit(0), numPerms, rowsPerBand)
-      else if (multiWriter) minhashCorpusMulti(spark, prefix, resolved)
-      else minhashCorpusBefore(spark, prefix, pid)
+      else if (multiWriter) () => minhashCorpusMulti(spark, prefix, resolved)
+      else () => minhashCorpusBefore(spark, prefix, pid)
+    val corpus = mkCorpus()
     require(corpus.numPerms == numPerms && corpus.rowsPerBand == rowsPerBand,
       s"persisted index family (${corpus.numPerms}, ${corpus.rowsPerBand}) != " +
         s"loop family ($numPerms, $rowsPerBand)")
     if (exists) {
       requireBucketAgreement(spark, prefix, buckets)
-      if (multiWriter) bindMulti(spark, prefix) else bindLoop(spark, prefix, lid)
+      if (!multiWriter) bindLoop(spark, prefix, lid) // bindMulti ran pre-resolve
     }
-    // leg 1 — pairs touching this batch, written to the batch's OWN
-    // partition directory (overwrite => retry-idempotent)
-    Dedup.minhashLshPairsIncremental(shard, corpus, threshold)
-      .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$pid")
-    // between-leg liveness beacon (see Fence.heartbeat): a long batch
-    // reads as alive, not crashed, to an operator eyeing forceRelease
-    graft.operators.Fence.heartbeat(spark, prefix, s"ingestMinhashBatch bid=$bid")
-    // leg 2 — fold the shard in: append the batch's partition only; a
-    // retry first drops its own half-written partition (corpus
-    // partitions are untouched either way)
-    if (exists) Seq("bands", "shingles").foreach { t =>
-      spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
+    // fold the shard in: append the batch's partition only; a retry
+    // first drops its own half-written partition (corpus partitions
+    // are untouched either way; under multi-writer the replayed
+    // mapping pins pid, so the drop can never hit a foreign partition).
+    // A drop that actually removes files is a REWRITE of an existing
+    // partition (a crash replay), which a concurrent unfenced miner of
+    // another batch could be mid-scan over — bump the generation so its
+    // check re-mines instead of accepting a torn (partially re-listed)
+    // read of this partition.
+    if (exists) {
+      val replayed = spark.table(s"${prefix}_bands")
+        .filter(col("ingest_batch") === pid).limit(1).count() > 0
+      Seq("bands", "shingles").foreach { t =>
+        spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
+      }
+      if (replayed) graft.operators.Tombstones.bumpGeneration(spark, prefix)
     }
     shard.bands.withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(s"${prefix}_bands")
+    // between-append liveness beacon (see Fence.heartbeat): a large
+    // batch reads as alive, not crashed, to an operator eyeing
+    // forceRelease
+    graft.operators.Fence.heartbeat(spark, prefix, owner)
     shard.shingles.withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
@@ -419,8 +462,71 @@ object IngestLoop {
           lit(if (multiWriter) MultiWriterMarker else lid))
         .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
     }
+    (pid, mkCorpus, graft.operators.Tombstones.generation(spark, prefix))
+      } // fence released — the corpus-sized leg below runs unfenced
+    // pairs touching this batch, written to the batch's OWN partition
+    // directory (overwrite => retry- and re-mine-idempotent); the
+    // corpus view is re-derived per attempt (see mkCorpus above)
+    mineAndPublish(spark, prefix, owner, gen0) {
+      Dedup.minhashLshPairsIncremental(shard, mkCorpus(), threshold)
+        .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$pid")
     }
   }
+
+  /** Run the unfenced mining leg, then verify under a brief fence
+    * re-acquire that the family's layout [[graft.operators.Tombstones.generation]]
+    * still equals the append-window snapshot `gen0` — re-mining on
+    * mismatch (a compact or repair pass rewrote partitions while the
+    * corpus reads were in flight, so the published pairs may reflect a
+    * torn read). The check runs AFTER the publish: generation unchanged
+    * across [snapshot → reads → publish → check] proves no rewrite
+    * overlapped the reads, and a rewrite that starts after the check
+    * is the ordinary post-publish compaction case the family contract
+    * already covers (pairs are materialized; deletions filter at read).
+    * A rewrite pass racing the reads can also surface as a read failure
+    * (files dropped mid-scan) — then the micro-batch fails and the
+    * checkpoint replays it, which is the same exactness by a slower
+    * road. Bounded attempts: maintenance passes are rare; a family
+    * compacting continuously enough to starve this loop is an
+    * operational fault worth a loud stop.
+    *
+    * Crash accounting (order flipped round 14: data lands before
+    * pairs): a batch that dies between the append window and the pair
+    * publish leaves its partition in the index WITHOUT its pairs —
+    * exactly the orphan state the replay contract already owns (the
+    * checkpoint must replay the bid, or the family be rebuilt; under
+    * multi-writer the commits mapping records the debt). Readers see
+    * the same eventual consistency as before the flip, mirrored:
+    * pre-round-14 a crashed batch could leave pairs whose partitions
+    * never landed. */
+  private def mineAndPublish(spark: SparkSession, prefix: String,
+                             owner: String, gen0: Long)(mine: => Unit): Unit = {
+    var gen = gen0
+    var attempts = 0
+    var settled = false
+    while (!settled) {
+      attempts += 1
+      require(attempts <= 5,
+        s"index family '$prefix' was rewritten (compact*/repair*) under " +
+          s"$attempts consecutive mining attempts of '$owner' — pause the " +
+          "maintenance cadence; a family compacting continuously cannot " +
+          "settle an ingest batch's pair mine.")
+      mine
+      midMineProbe(prefix)
+      val now = graft.operators.Fence.withFence(spark, prefix, s"$owner genCheck") {
+        graft.operators.Tombstones.generation(spark, prefix)
+      }
+      if (now == gen) settled = true else gen = now
+    }
+    lastMineAttempts = attempts
+  }
+
+  /** Test seam: invoked between a mine attempt's publish and its
+    * generation check — specs inject a compaction here to prove the
+    * check forces a re-mine. No-op in production. */
+  private[graft] var midMineProbe: String => Unit = _ => ()
+  /** Test seam: attempts the last [[mineAndPublish]] took. */
+  private[graft] var lastMineAttempts: Int = 0
 
   /** Drive a streaming document source through the MinHash ingestion
     * loop. Returns the started query; accumulated pairs live under
@@ -491,20 +597,28 @@ object IngestLoop {
                        multiWriter: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val lid = normLoopId(loopId)
-    // writer fence: see ingestMinhashBatch
-    graft.operators.Fence.withFence(spark, prefix, s"ingestEmbedBatch bid=$bid") {
+    val owner = s"ingestEmbedBatch bid=$bid"
     val shard = Similarity.embedIndex(batch, idCol, vecCol,
       bitsPerTable, numTables, seed, dim)
+    // fence window 1 — resolve + append only; the corpus-sized pair
+    // mine runs unfenced below with the generation check. Full
+    // soundness argument: see ingestMinhashBatch (round 14).
+    val (pid, mkCorpus, gen0) =
+      graft.operators.Fence.withFence(spark, prefix, owner) {
     val exists = familyExists(spark, prefix, Seq("hashed", "vecs", "meta"))
+    // meta check before the commits mapping is touched: see ingestMinhashBatch
+    if (exists && multiWriter) bindMulti(spark, prefix)
     val resolved =
       if (multiWriter) resolveGlobalBid(spark, prefix, lid, bid, s"${prefix}_hashed")
       else GlobalBid(bid, Seq.empty, Seq.empty, created = !exists)
     val pid = resolved.gbid
-    val corpus =
-      if (!exists) Similarity.EmbedIndex(idCol, shard.vecs.limit(0),
+    // builder, not captured plan — re-mines re-derive: see ingestMinhashBatch
+    val mkCorpus: () => Similarity.EmbedIndex =
+      if (!exists) () => Similarity.EmbedIndex(idCol, shard.vecs.limit(0),
         shard.hashed.limit(0), bitsPerTable, numTables, seed, shard.dim)
-      else if (multiWriter) embedCorpusMulti(spark, prefix, resolved)
-      else embedCorpusBefore(spark, prefix, pid)
+      else if (multiWriter) () => embedCorpusMulti(spark, prefix, resolved)
+      else () => embedCorpusBefore(spark, prefix, pid)
+    val corpus = mkCorpus()
     require(corpus.bitsPerTable == bitsPerTable && corpus.numTables == numTables &&
       corpus.seed == seed && corpus.dim == shard.dim,
       s"persisted LSH family (bits=${corpus.bitsPerTable}, tables=${corpus.numTables}, " +
@@ -512,20 +626,25 @@ object IngestLoop {
         s"(bits=$bitsPerTable, tables=$numTables, seed=$seed, dim=${shard.dim})")
     if (exists) {
       requireBucketAgreement(spark, prefix, buckets)
-      if (multiWriter) bindMulti(spark, prefix) else bindLoop(spark, prefix, lid)
+      if (!multiWriter) bindLoop(spark, prefix, lid) // bindMulti ran pre-resolve
     }
-    Similarity.lshDupPairsIncremental(shard, corpus, threshold)
-      .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$pid")
-    // between-leg liveness beacon: see ingestMinhashBatch
-    graft.operators.Fence.heartbeat(spark, prefix, s"ingestEmbedBatch bid=$bid")
-    if (exists) Seq("hashed", "vecs").foreach { t =>
-      spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
+    // replay rewrite of an existing partition bumps the generation so a
+    // concurrent miner re-mines: see ingestMinhashBatch
+    if (exists) {
+      val replayed = spark.table(s"${prefix}_hashed")
+        .filter(col("ingest_batch") === pid).limit(1).count() > 0
+      Seq("hashed", "vecs").foreach { t =>
+        spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
+      }
+      if (replayed) graft.operators.Tombstones.bumpGeneration(spark, prefix)
     }
     shard.hashed.withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "t", "h").sortBy("t", "h")
       .saveAsTable(s"${prefix}_hashed")
+    // between-append liveness beacon: see ingestMinhashBatch
+    graft.operators.Fence.heartbeat(spark, prefix, owner)
     shard.vecs.withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
@@ -539,6 +658,11 @@ object IngestLoop {
           lit(if (multiWriter) MultiWriterMarker else lid))
         .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
     }
+    (pid, mkCorpus, graft.operators.Tombstones.generation(spark, prefix))
+      } // fence released — mine unfenced
+    mineAndPublish(spark, prefix, owner, gen0) {
+      Similarity.lshDupPairsIncremental(shard, mkCorpus(), threshold)
+        .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$pid")
     }
   }
 
@@ -582,6 +706,8 @@ object IngestLoop {
     // writer fence: see ingestMinhashBatch
     graft.operators.Fence.withFence(spark, prefix, s"ingestPqBatch bid=$bid") {
     val exists = familyExists(spark, prefix, Seq("codes", "meta"))
+    // meta check before the commits mapping is touched: see ingestMinhashBatch
+    if (exists && multiWriter) bindMulti(spark, prefix)
     val pid =
       if (multiWriter)
         resolveGlobalBid(spark, prefix, lid, bid, s"${prefix}_codes").gbid
@@ -606,7 +732,7 @@ object IngestLoop {
         require(idx.idCol == idCol,
           s"persisted PQ index keys on '${idx.idCol}', loop on '$idCol'")
         requireBucketAgreement(spark, prefix, buckets)
-        if (multiWriter) bindMulti(spark, prefix) else bindLoop(spark, prefix, lid)
+        if (!multiWriter) bindLoop(spark, prefix, lid) // bindMulti ran pre-resolve
         spark.sql(s"ALTER TABLE ${prefix}_codes DROP IF EXISTS PARTITION (ingest_batch=$pid)")
         graft.operators.Similarity.encodePq(batch, vecCol, idx)
       }
@@ -895,6 +1021,8 @@ object IngestLoop {
     * triggers on the superseded-row fraction. */
   def compactCc(spark: SparkSession, prefix: String, buckets: Int = -1): Unit =
     graft.operators.Fence.withFence(spark, prefix, "compactCc") {
+      // layout rewrite: see Tombstones.generation (bump-first contract)
+      graft.operators.Tombstones.bumpGeneration(spark, prefix)
       val tbl = s"${prefix}_labels"
       val tmp = tbl + "__compact"
       val b =
@@ -939,6 +1067,8 @@ object IngestLoop {
                survivingPairs: DataFrame, aCol: String, bCol: String,
                buckets: Int = -1): Unit =
     graft.operators.Fence.withFence(spark, prefix, "repairCc") {
+      // layout rewrite: see Tombstones.generation (bump-first contract)
+      graft.operators.Tombstones.bumpGeneration(spark, prefix)
       val tbl = s"${prefix}_labels"
       val tmp = tbl + "__compact"
       val b =

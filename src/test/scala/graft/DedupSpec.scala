@@ -597,6 +597,22 @@ class DedupSpec extends AnyFunSuite {
     assert(row.getAs[String]("t") == "a2" && row.getAs[Double]("score") == 30.0)
   }
 
+  test("keepBestCanonical tolerates a caller column named 'component' and keeps it intact") {
+    // the CC labels join in under a reserved __-name: a real caller
+    // column called "component" must neither make the coalesce
+    // ambiguous (AnalysisException) nor be silently dropped
+    val docsDf = Seq(
+      (1L, 10.0, "keep-me-1"), (2L, 30.0, "keep-me-2"),
+      (3L, 1.0, "keep-me-3")
+    ).toDF("id", "score", "component")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val kept = Dedup.keepBestCanonical(docsDf, "id", pairs, "a", "b", "score")
+    assert(kept.columns.toSeq == Seq("id", "score", "component"))
+    val rows = kept.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq == Seq((2L, "keep-me-2"), (3L, "keep-me-3")), rows.mkString(","))
+  }
+
   test("negativeSample: k deterministic negatives per anchor, never self, pool-closed") {
     import graft.operators.Sampling
     val pool = (0L until 1000L).toDF("id")

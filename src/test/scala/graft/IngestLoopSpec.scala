@@ -186,7 +186,57 @@ class IngestLoopSpec extends AnyFunSuite {
       run(b1, 1L) // redelivery: same batch id replayed
       val after = snapshot()
       assert(after == before, "batch replay changed the pair output or the index")
-    } finally drop("ing_rt_bands", "ing_rt_shingles", "ing_rt_meta")
+    } finally drop("ing_rt_bands", "ing_rt_shingles", "ing_rt_meta", "ing_rt_gen")
+  }
+
+  test("a compaction racing the unfenced mine is caught by the generation check and re-mined") {
+    import graft.operators.{Dedup, Tombstones}
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val b0 = corpus.filter(col("doc_id") % 2 === 0)
+    val b1 = corpus.filter(col("doc_id") % 2 === 1)
+    val pairsDir = java.nio.file.Files.createTempDirectory("ingest_gen").toString
+    def run(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      IngestLoop.ingestMinhashBatch(batch, bid, "doc_id", "text", "ing_gc",
+        pairsDir, threshold = 0.5, numPerms = 32, rowsPerBand = 4, buckets = 8)
+    try {
+      run(b0, 0L)
+      // give the racing compaction a real rewrite: tombstone one clone
+      // family (both members even => both in partition 0)
+      val x = b0.select(min("doc_id")).head().getLong(0)
+      import spark.implicits._
+      Tombstones.add(Seq(x, x + 1000000L).toDF("doc_id"), "doc_id", "ing_gc")
+      val gen0 = Tombstones.generation(spark, "ing_gc")
+      // inject a full compaction between batch 1's pair publish and its
+      // generation check — the window where a racing maintenance pass
+      // invalidates the corpus reads the pairs were mined from
+      var fired = 0
+      IngestLoop.midMineProbe = p =>
+        if (p == "ing_gc" && fired == 0) {
+          fired += 1
+          Tombstones.compactMinhash(spark, "ing_gc")
+        }
+      try run(b1, 1L) finally IngestLoop.midMineProbe = _ => ()
+      assert(fired == 1, "the mid-mine compaction never ran")
+      assert(IngestLoop.lastMineAttempts == 2,
+        s"generation check missed the racing compaction " +
+          s"(attempts=${IngestLoop.lastMineAttempts})")
+      assert(Tombstones.generation(spark, "ing_gc") == gen0 + 1)
+      // the settled batch-1 pairs == an incremental mine against the
+      // post-compact corpus view (what the accepted re-mine saw)
+      val expected = Dedup.minhashLshPairsIncremental(
+        Dedup.minhashIndex(b1, "doc_id", "text"),
+        IngestLoop.minhashCorpusBefore(spark, "ing_gc", 1L), threshold = 0.5)
+      val actual = spark.read.parquet(s"$pairsDir/ingest_batch=1")
+      assert(actual.count() > 0, "batch 1 must mine real pairs")
+      assert(actual.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(actual).count() == 0,
+        "re-mined pairs diverge from the post-compact corpus view")
+      // no racing rewrite -> the mine settles first try
+      run(corpus.limit(20).withColumn("doc_id", col("doc_id") + 2000000L), 2L)
+      assert(IngestLoop.lastMineAttempts == 1)
+    } finally drop("ing_gc_bands", "ing_gc_shingles", "ing_gc_meta",
+      "ing_gc_tombstones", "ing_gc_gen")
   }
 
   test("streamed IVF-PQ serving-index ingestion == same-model batch encode; retry idempotent") {

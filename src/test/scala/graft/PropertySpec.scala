@@ -303,6 +303,53 @@ class PropertySpec extends AnyFunSuite {
     assert(byTok2.sameElements(byTok3))
   }
 
+  test("mixtureSample: token masses past 2^31 do not wrap the remainder threshold") {
+    import graft.operators.Sampling
+    // per-source mass n_s = 6e9 > 2^31: the old BIGINT `r * 2^32`
+    // product wrapped negative for r >= 2^31 and silently picked zero
+    // rows; the DECIMAL(38,0) threshold must reproduce the exact
+    // BigInt formula. Expected copies replicated per id below.
+    val big = Seq(
+      (1L, "big", 1500000000L), (2L, "big", 1500000000L),
+      (3L, "big", 1500000000L), (4L, "big", 1500000000L),
+      (10L, "small", 500000000L), (11L, "small", 500000000L)
+    ).toDF("id", "src", "tok")
+    val budget = 5000000000L // need_big = 4.5e9 -> e=0, r=4.5e9 >= 2^31
+    val out = Sampling.mixtureSample(big, "src", "id",
+      Map("big" -> 0.9, "small" -> 0.1), budget, massCol = "tok")
+      .groupBy("id").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hash(id: Long): BigInt = (BigInt(id) * 2654435761L).mod(BigInt(1) << 32)
+    def expected(ids: Seq[Long], n: Long, need: Long): Map[Long, Long] = {
+      val e = need / n
+      val t = (BigInt(need % n) << 32) / n
+      ids.map(i => i -> (e + (if (hash(i) < t) 1L else 0L)))
+        .filter(_._2 >= 1L).toMap
+    }
+    val exp = expected(Seq(1L, 2L, 3L, 4L), 6000000000L, 4500000000L) ++
+      expected(Seq(10L, 11L), 1000000000L, 500000000L)
+    assert(out == exp, s"got $out expected $exp")
+    // big source: t = 0.75 * 2^32, so SOME row must be picked here
+    // (all four hashes known < t) — guards against the wrap-to-zero bug
+    assert(Seq(1L, 2L, 3L, 4L).exists(out.contains), "big source picked zero rows")
+  }
+
+  test("capPerKeyHash: cap past 2^31 keeps every row instead of wrapping") {
+    import graft.operators.Sampling
+    val df = (0L until 50L).map((_, "k")).toDF("id", "src")
+    val kept = Sampling.capPerKeyHash(df, "src", "id", cap = 3000000000L)
+    assert(kept.count() == 50L, "a cap above n must keep the whole key")
+  }
+
+  test("topFractionByScoreApprox: frac=0 keeps nothing, frac=1 keeps all (exact-tier boundary parity)") {
+    import graft.operators.Sampling
+    val df = (0L until 40L).map(i => (i, "k", i.toDouble)).toDF("id", "src", "score")
+    assert(Sampling.topFractionByScoreApprox(df, "src", "score", 0.0).count() == 0L)
+    assert(Sampling.topFractionByScore(df, "src", "score", "id", 0.0).count() == 0L)
+    assert(Sampling.topFractionByScoreApprox(df, "src", "score", 1.0).count() == 40L)
+    assert(Sampling.topFractionByScore(df, "src", "score", "id", 1.0).count() == 40L)
+  }
+
   test("unimaxSample: capped prefix at exactly epochCap, free sources waterfill, copies in {e, e+1}, all-capped and p=0 edges, deterministic") {
     import graft.operators.Sampling
     // masses 10/40/400, epochCap=2 -> caps 20/80/800. budget=160:
