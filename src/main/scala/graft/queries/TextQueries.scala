@@ -2686,8 +2686,141 @@ object TextQueries {
                         ORDER BY sc DESC, doc_id) AS rn
               FROM grp)
         SELECT doc_id, source, CAST(sc AS INTEGER) AS n_chars_kept
-        FROM r WHERE rn = 1 ORDER BY doc_id"""))
+        FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q128: frozen-vocab greedy subword token counting (the BPE unit
+    // real training mixtures budget in — whitespace counts under-count
+    // code/CJK by multiples). Spark runs the codegen'd greedy
+    // longest-match kernel (functions/BpeExpression.scala); the oracle
+    // replays the SAME function without recursion via POINTER DOUBLING
+    // over the per-position jump table — next(p) = p + l(p) computed in
+    // parallel for every position by list_transform, composed in six
+    // log2 rounds (j0..j5 cover 63 jumps = words to 64 tokens; fixture
+    // max word length is 8, and a longer regenerated fixture would
+    // hash-mismatch loudly, not silently), then a binary-counting
+    // descent reads off the greedy token count. Vocab membership is a
+    // delimiter-string probe ('|piece|'), exact because neither the
+    // vocab nor the fixture contains '|'.
+    "q128_bpe_count" -> QueryDef(
+      fn = (s, d) =>
+        TextAnalysis.bpeTokenCount(
+          docs(s, d).select(col("doc_id"), col("text")), "doc_id", "text")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_ws"),
+            col("bpe_tokens").as("n_bpe"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH $bpeTokensSql
+        , ws AS (SELECT doc_id, len(string_split(text, ' ')) AS n_ws
+                 FROM documents)
+        SELECT w.doc_id, CAST(w.n_ws AS INTEGER) AS n_ws,
+               CAST(SUM(t.t) AS INTEGER) AS n_bpe
+        FROM ws w JOIN __bpe_wt t USING (doc_id)
+        GROUP BY w.doc_id, w.n_ws
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // q129: training mixture budgeted in BPE units — q123's token-mass
+    // formula with massCol = the q128 greedy subword counts, closing
+    // the loop the round-13 verdict called out (every budget was
+    // whitespace units). The oracle recomputes the subword masses with
+    // the q128 pointer-doubling CTE, then replays the mixture formula
+    // (need // n epochs + the 2^32 hash-remainder pick) exactly.
+    "q129_mixture_bpe" -> QueryDef(
+      fn = (s, d) => {
+        val counted = TextAnalysis.bpeTokenCount(
+          docs(s, d).select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "text")
+        Sampling.mixtureSample(
+          counted.select("doc_id", "source", "bpe_tokens"), "source", "doc_id",
+          weights = Map("src0" -> 0.5, "src1" -> 0.25,
+            "src2" -> 0.125, "src3" -> 0.125),
+          budget = 30000L, massCol = "bpe_tokens")
+          .select(col("doc_id"), col("source"), col("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      oracle = Some(s"""
+        WITH $bpeTokensSql
+        , dm AS (SELECT doc_id, CAST(SUM(t) AS BIGINT) AS bpe
+                 FROM __bpe_wt GROUP BY doc_id),
+        w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.25),
+                                ('src2', 0.125), ('src3', 0.125)),
+        n AS (SELECT d.source, CAST(SUM(m.bpe) AS BIGINT) AS n
+              FROM documents d JOIN dm m USING (doc_id) GROUP BY d.source),
+        t AS (SELECT n.source, n.n,
+                     CAST(FLOOR(30000.0 * w.w / 1.0) AS BIGINT) AS need
+              FROM n JOIN w USING (source)),
+        th AS (SELECT source, n, need, need // n AS e,
+                      ((need % n) * 4294967296) // n AS thr
+               FROM t),
+        c AS (SELECT d.doc_id, d.source,
+                     th.e + CASE WHEN (d.doc_id * 2654435761) % 4294967296 < th.thr
+                                 THEN 1 ELSE 0 END AS copies
+              FROM documents d JOIN th USING (source))
+        SELECT doc_id, source,
+               unnest(range(1, copies + 1)) AS epoch
+        FROM c WHERE copies >= 1
+        ORDER BY doc_id, epoch"""))
   )
+
+  /** The q128/q129 shared oracle CTE chain: per-word greedy subword
+    * token counts via pointer doubling (see the q128 comment), ending
+    * in `__bpe_wt(doc_id, t)` — one row per word, t = its token count.
+    * The vocabulary and its delimiter-probe string interpolate from
+    * [[TextAnalysis.demoBpeVocab]] so Scala and SQL can never skew. */
+  private def bpeTokensSql: String = {
+    val v = graft.operators.TextAnalysis.demoBpeVocab.mkString("|", "|", "|")
+    def probe(l: Int) =
+      s"strpos('$v', '|' || substring(w, CAST(p AS INTEGER), $l) || '|') > 0"
+    s"""__bpe_wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+        __bpe_wl AS (SELECT doc_id, w, length(w) AS m FROM __bpe_wd),
+        __bpe_j0 AS (SELECT doc_id, m,
+            list_transform(range(1, m + 2), p ->
+              CASE WHEN p > m THEN m + 1
+                   ELSE least(p + CASE WHEN ${probe(4)} THEN 4
+                                       WHEN ${probe(3)} THEN 3
+                                       WHEN ${probe(2)} THEN 2
+                                       ELSE 1 END, m + 1) END) AS j0
+          FROM __bpe_wl),
+        __bpe_j1 AS (SELECT doc_id, m, j0,
+            list_transform(j0, v -> j0[v]) AS j1 FROM __bpe_j0),
+        __bpe_j2 AS (SELECT doc_id, m, j0, j1,
+            list_transform(j1, v -> j1[v]) AS j2 FROM __bpe_j1),
+        __bpe_j3 AS (SELECT doc_id, m, j0, j1, j2,
+            list_transform(j2, v -> j2[v]) AS j3 FROM __bpe_j2),
+        __bpe_j4 AS (SELECT doc_id, m, j0, j1, j2, j3,
+            list_transform(j3, v -> j3[v]) AS j4 FROM __bpe_j3),
+        __bpe_j5 AS (SELECT doc_id, m, j0, j1, j2, j3, j4,
+            list_transform(j4, v -> j4[v]) AS j5 FROM __bpe_j4),
+        __bpe_g5 AS (SELECT doc_id, m, j0, j1, j2, j3, j4,
+            CASE WHEN j5[1] <= m THEN j5[1] ELSE 1 END AS p5,
+            CASE WHEN j5[1] <= m THEN 32 ELSE 0 END AS c5
+          FROM __bpe_j5),
+        __bpe_g4 AS (SELECT doc_id, m, j0, j1, j2, j3,
+            CASE WHEN j4[p5] <= m THEN j4[p5] ELSE p5 END AS p4,
+            c5 + CASE WHEN j4[p5] <= m THEN 16 ELSE 0 END AS c4
+          FROM __bpe_g5),
+        __bpe_g3 AS (SELECT doc_id, m, j0, j1, j2,
+            CASE WHEN j3[p4] <= m THEN j3[p4] ELSE p4 END AS p3,
+            c4 + CASE WHEN j3[p4] <= m THEN 8 ELSE 0 END AS c3
+          FROM __bpe_g4),
+        __bpe_g2 AS (SELECT doc_id, m, j0, j1,
+            CASE WHEN j2[p3] <= m THEN j2[p3] ELSE p3 END AS p2,
+            c3 + CASE WHEN j2[p3] <= m THEN 4 ELSE 0 END AS c2
+          FROM __bpe_g3),
+        __bpe_g1 AS (SELECT doc_id, m, j0,
+            CASE WHEN j1[p2] <= m THEN j1[p2] ELSE p2 END AS p1,
+            c2 + CASE WHEN j1[p2] <= m THEN 2 ELSE 0 END AS c1
+          FROM __bpe_g2),
+        __bpe_g0 AS (SELECT doc_id, m,
+            c1 + CASE WHEN j0[p1] <= m THEN 1 ELSE 0 END AS c0
+          FROM __bpe_g1),
+        __bpe_wt AS (SELECT doc_id,
+            CASE WHEN m = 0 THEN 0 ELSE c0 + 1 END AS t
+          FROM __bpe_g0)"""
+  }
 
   /** The quote-cluster catalog oracle — q116's 8-round bounded
     * min-label propagation (common dialect, no recursive CTE; see the
