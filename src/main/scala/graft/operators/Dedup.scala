@@ -777,6 +777,57 @@ object Dedup {
       .select(col(idCol), col("__sig"), col("cb.chunk").as("chunk"), col("cb.ckey").as("ckey"))))
   }
 
+  /** [[SimHashIndex]] over a PRECOMPUTED 64-bit signature column — the
+    * banding entry point for non-text perceptual fingerprints (the
+    * multimodal dHash of [[Multimodal.decodeImageDHash]]): the 16-bit
+    * chunk buckets and the pigeonhole recall bound depend only on the
+    * signature being 64 bits, not on where it came from. */
+  def signatureIndex(df: DataFrame, idCol: String, sigCol: String,
+                     staging: Staging.Mode = Staging.Local): SimHashIndex = {
+    val sigd = df.withColumn("__sig", col(sigCol).cast("long"))
+    SimHashIndex(idCol, staging(sigd.select(col(idCol), col("__sig"),
+      explode(expr("transform(sequence(0, 3), c -> " +
+        "named_struct('chunk', c, 'ckey', shiftright(`__sig`, c * 16) & 65535))")).as("cb"))
+      .select(col(idCol), col("__sig"), col("cb.chunk").as("chunk"), col("cb.ckey").as("ckey"))))
+  }
+
+  /** Near-dup pairs over a precomputed 64-bit signature column — the
+    * perceptual-hash dedup path (image corpora dedup on dHash the way
+    * text dedups on MinHash/SimHash): chunk-bucket candidates + exact
+    * Hamming verify, recall 1.0 at Hamming <= 3 by the pigeonhole
+    * bound. Same conditional exact-dup collapse as [[simhashPairs]],
+    * keyed on the signature itself (re-encoded copies of one image
+    * share a signature exactly, so clone-heavy image corpora would
+    * otherwise inflate the candidate join g²·4-ish): past
+    * `collapsePairsPerDoc` within-group pairs per row the chunk join
+    * runs over min-id representatives and member pairs are restored by
+    * id-only expansions (hamming exactly 0 within a signature group). */
+  def signaturePairs(df: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3,
+                     staging: Staging.Mode = Staging.Local,
+                     collapsePairsPerDoc: Double = 2.0): DataFrame = {
+    val sigd = df.select(col(idCol), col(sigCol).cast("long").as("__sig"))
+    def chunksOf(d: DataFrame) = signatureIndex(d, idCol, "__sig", Staging.None).chunked
+    if (!heavyDupMass(sigd, col("__sig"), staging, collapsePairsPerDoc))
+      return simhashChunkPairs(staging(chunksOf(sigd)), idCol, maxHamming)
+    val members = staging(sigd)
+    val reps = members.groupBy("__sig").agg(min(col(idCol)).as(idCol))
+    val repPairs = simhashChunkPairs(
+      staging(chunksOf(reps.select(col(idCol), col("__sig")))), idCol, maxHamming)
+    val within = members.select(col("__sig"), col(idCol).as("a_id"))
+      .join(members.select(col("__sig"), col(idCol).as("b_id")), Seq("__sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0).cast("int").as("hamming"))
+    val cross = repPairs
+      .join(reps.select(col("__sig").as("__sa"), col(idCol).as("a_id")), Seq("a_id"))
+      .join(reps.select(col("__sig").as("__sb"), col(idCol).as("b_id")), Seq("b_id"))
+      .join(members.select(col("__sig").as("__sa"), col(idCol).as("__ma")), Seq("__sa"))
+      .join(members.select(col("__sig").as("__sb"), col(idCol).as("__mb")), Seq("__sb"))
+      .select(least(col("__ma"), col("__mb")).as("a_id"),
+        greatest(col("__ma"), col("__mb")).as("b_id"), col("hamming"))
+    within.union(cross)
+  }
+
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit
     * signature chunks (guarantees recall for distance <= 3), verified by
     * exact Hamming distance. Chunk-bucket join, not O(n^2).

@@ -107,6 +107,81 @@ object Multimodal {
         Option(img).map(features)
       } catch { case scala.util.control.NonFatal(_) => None }
     }
+
+    /** 64-bit difference hash (dHash) — the perceptual fingerprint image
+      * corpora dedup on the way text dedups on MinHash: downsample the
+      * luma plane to a 9×8 grid by exact integer box sums, bit (gx, gy)
+      * = cell (gx, gy) brighter than its right neighbor. Comparisons
+      * cross-multiply the integer sums (sum_a·n_b > sum_b·n_a) so no
+      * division rounding enters — the hash is a pure function of the
+      * pixels. Identical pixels (lossless re-encode, container/color-
+      * type changes) give the SAME hash; clean k× resampling with the
+      * grid aligned (width a multiple of 9, height of 8) preserves
+      * every cell mean exactly; a global brightness shift preserves
+      * every difference (up to clipping). Mild lossy edits land within
+      * a few bits — the Hamming ≤ 3 banding tier's territory
+      * ([[Dedup.signaturePairs]]).
+      *
+      * Images past 256 MP are refused (None upstream): the cross-
+      * multiplied cell sums are Long-exact only below that bound, and a
+      * crawl image that size is itself suspect. */
+    def dhash64(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val gw = 9
+      val gh = 8
+      val sums = Array.ofDim[Long](gw, gh)
+      val cnts = Array.ofDim[Long](gw, gh)
+      var gy = 0
+      while (gy < gh) {
+        val y0 = gy * h / gh
+        val y1 = math.min(math.max((gy + 1) * h / gh, y0 + 1), h)
+        var gx = 0
+        while (gx < gw) {
+          val x0 = gx * w / gw
+          val x1 = math.min(math.max((gx + 1) * w / gw, x0 + 1), w)
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = img.getRGB(x, y)
+              // Rec.601 luma scaled by 1000 — integer, exact
+              s += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+                114L * (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          sums(gx)(gy) = s
+          cnts(gx)(gy) = (y1 - y0).toLong * (x1 - x0)
+          gx += 1
+        }
+        gy += 1
+      }
+      var sig = 0L
+      gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw - 1) {
+          if (sums(gx)(gy) * cnts(gx + 1)(gy) > sums(gx + 1)(gy) * cnts(gx)(gy))
+            sig |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      sig
+    }
+
+    /** Decode + dHash; None for undecodable or oversized payloads. */
+    def decodeDHash(bytes: Array[Byte]): Option[Long] = {
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          .filter(i => i.getWidth.toLong * i.getHeight <= 268435456L)
+          .map(dhash64)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** [[decodeFeatures]] with the REAL codec: same mapPartitions shape
@@ -130,6 +205,27 @@ object Multimodal {
         }
       }
     }.toDF(idCol, "decoded", "features")
+  }
+
+  /** [[decodeImageFeatures]]'s perceptual-hash twin: decode via the real
+    * codec and emit the 64-bit dHash ([[ImageCodec.dhash64]]) — the
+    * input to [[Dedup.signaturePairs]]' banded near-dup join. Same
+    * mapPartitions shape (per-partition codec init); undecodable or
+    * oversized payloads survive as decoded=false / dhash=0. */
+  def decodeImageDHash(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+    ds.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      iter.map { case (id, bytes) =>
+        ImageCodec.decodeDHash(bytes) match {
+          case Some(sig) => (id, true, sig)
+          case None      => (id, false, 0L)
+        }
+      }
+    }.toDF(idCol, "decoded", "dhash")
   }
 
   /** Resize analog (image-thumbnail stand-in): stride-resample the

@@ -2761,7 +2761,98 @@ object TextQueries {
         SELECT doc_id, source,
                unnest(range(1, copies + 1)) AS epoch
         FROM c WHERE copies >= 1
-        ORDER BY doc_id, epoch"""))
+        ORDER BY doc_id, epoch""")),
+
+    // ----------------------------------------------------------------
+    // q130: perceptual-hash multimodal dedup — image corpora dedup on
+    // dHash the way text dedups on MinHash. A deterministic synthetic
+    // PNG corpus (one textured image per doc_id < 400, REAL ImageIO
+    // encode/decode in the multimodal mapPartitions codec stage) plants
+    // two copy classes: a re-encode under a different color model
+    // (id%5==1 — bytes and sha256 differ, pixels identical) and a 2x
+    // nearest-neighbor upscale (id%5==2 — grid-aligned dims, so every
+    // 9x8 dHash cell mean is preserved exactly). Both copy classes land
+    // at Hamming 0, where the banded candidate join's pigeonhole recall
+    // is exactly 1.0 — the output row pins corpus size, decode rate,
+    // per-class recall, and the Hamming-0 claim. DuckDB cannot decode
+    // PNGs, so the oracle is the q44-style CONTRACT row computed from
+    // the plant arithmetic; the dHash bit semantics are pinned
+    // byte-level in MultimodalFixtureSpec.
+    "q130_phash_dedup" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val idsDf = docs(s, d).select(col("doc_id")).filter(col("doc_id") < 400)
+        val images = idsDf.as[Long].mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // codec init, per partition
+          def mk(id: Long, scale: Int, argb: Boolean): Array[Byte] = {
+            // grid-aligned dims (w % 9 == 0, h % 8 == 0): the 2x resize
+            // then preserves every dHash cell mean exactly
+            val w = 9 * (2 + (id % 3).toInt) * scale
+            val h = 8 * (2 + (id % 4).toInt) * scale
+            val img = new java.awt.image.BufferedImage(w, h,
+              if (argb) java.awt.image.BufferedImage.TYPE_INT_ARGB
+              else java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val a = (id * 37 % 97 + 3).toInt
+            val b = (id * 53 % 89 + 5).toInt
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val sx = x / scale
+                val sy = y / scale
+                val r = (sx * a + sy * b + (sx * sy % 31) * 7 + id.toInt) % 256
+                val g = (sx * b + sy * a * 2 + id.toInt * 3) % 256
+                val bl = ((sx + sy) * a + (sx * sx % 23) * b) % 256
+                img.setRGB(x, y, 0xff000000 | (r << 16) | (g << 8) | bl)
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            baos.toByteArray
+          }
+          it.flatMap { id =>
+            Seq((id, mk(id, 1, argb = false))) ++
+              (if (id % 5 == 1) Seq((id + 1000000L, mk(id, 1, argb = true)))
+               else Seq.empty) ++
+              (if (id % 5 == 2) Seq((id + 2000000L, mk(id, 2, argb = false)))
+               else Seq.empty)
+          }
+        }.toDF("media_id", "bytes")
+        val hashed = Multimodal.decodeImageDHash(images, "media_id", "bytes")
+          .localCheckpoint(true)
+        val pairs = Dedup.signaturePairs(
+          hashed.filter(col("decoded")), "media_id", "dhash")
+          .localCheckpoint(true)
+        val expReenc = idsDf.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id").as("a_id"), (col("doc_id") + 1000000L).as("b_id"))
+        val expResize = idsDf.filter(col("doc_id") % 5 === 2)
+          .select(col("doc_id").as("a_id"), (col("doc_id") + 2000000L).as("b_id"))
+        val planted = expReenc.union(expResize)
+        hashed.agg(count(lit(1)).as("n_images"),
+            sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"))
+          .crossJoin(broadcast(expReenc.join(pairs, Seq("a_id", "b_id"), "left_anti")
+            .agg(count(lit(1)).as("__mr"))))
+          .crossJoin(broadcast(expResize.join(pairs, Seq("a_id", "b_id"), "left_anti")
+            .agg(count(lit(1)).as("__mz"))))
+          .crossJoin(broadcast(planted.join(pairs, Seq("a_id", "b_id"))
+            .agg(coalesce(max("hamming"), lit(0)).as("__mh"))))
+          .select(col("n_images"), col("n_decoded"),
+            (col("__mr") === 0L).as("reenc_found"),
+            (col("__mz") === 0L).as("resize_found"),
+            (col("__mh") === 0).as("planted_hamming_zero"))
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*)
+                 + SUM(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+               CAST(COUNT(*)
+                 + SUM(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+               TRUE AS reenc_found, TRUE AS resize_found,
+               TRUE AS planted_hamming_zero
+        FROM documents WHERE doc_id < 400"""))
   )
 
   /** The q128/q129 shared oracle CTE chain: per-word greedy subword

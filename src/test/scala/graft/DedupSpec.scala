@@ -597,6 +597,47 @@ class DedupSpec extends AnyFunSuite {
     assert(row.getAs[String]("t") == "a2" && row.getAs[Double]("score") == 30.0)
   }
 
+  test("signaturePairs == brute-force Hamming pairs; clone collapse branch row-identical") {
+    // pseudo-random 64-bit signatures + planted near sigs (<=3 bit
+    // flips) and far sigs — the dHash banding reuse must equal the
+    // all-pairs Hamming filter exactly
+    def sig(i: Long): Long = {
+      var h = i * 0x9E3779B97F4A7C15L
+      h ^= h >>> 32; h *= 0xBF58476D1CE4E5B9L; h ^= h >>> 29
+      h
+    }
+    val rows = (0L until 60L).map(i => (i, sig(i))) ++
+      (0L until 60L by 7L).map(i => (i + 100L, sig(i) ^ (1L << (i % 60).toInt))) ++ // 1 bit
+      (0L until 60L by 11L).map(i => (i + 200L, sig(i) ^ 7L))                        // 3 bits
+    val df = rows.toDF("id", "s")
+    val got = Dedup.signaturePairs(df, "id", "s", maxHamming = 3)
+      .select("a_id", "b_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(brute.nonEmpty, "fixture must contain near pairs")
+    assert(got == brute, s"banded pairs diverge: missing=${brute -- got} extra=${got -- brute}")
+    // heavy exact-dup mass (re-encoded copies share a signature):
+    // clone families trip the collapse branch, output identical
+    val clones = rows ++ (0L until 60L).flatMap(i =>
+      (1 to 5).map(k => (i + 300L * k, sig(i))))
+    val cdf = clones.toDF("id", "s")
+    val gotC = Dedup.signaturePairs(cdf, "id", "s", maxHamming = 3)
+      .select("a_id", "b_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bruteC = (for {
+      (a, sa) <- clones; (b, sb) <- clones if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(gotC == bruteC,
+      s"collapse branch diverges: missing=${(bruteC -- gotC).take(5)} extra=${(gotC -- bruteC).take(5)}")
+    // and the collapse branch actually engaged (pair mass >= 2x rows)
+    val dupPairs = clones.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(dupPairs > 2.0 * clones.size, "fixture must trip the collapse threshold")
+  }
+
   test("keepBestCanonical tolerates a caller column named 'component' and keeps it intact") {
     // the CC labels join in under a reserved __-name: a real caller
     // column called "component" must neither make the coalesce

@@ -131,6 +131,69 @@ class MultimodalFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash: pixel-determined, invariant under re-encode/aligned-resize/brightness, flips under edits") {
+    import Multimodal.ImageCodec
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // grid-aligned textured image (w % 9 == 0, h % 8 == 0)
+    def base(): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        27, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // channels bounded to 200 so the +24 brightness case stays
+      // clip-free (difference hashes are shift-invariant only unclipped)
+      for (y <- 0 until 24; x <- 0 until 27)
+        img.setRGB(x, y, ((x * 41 + y * 13) % 200 << 16) |
+          ((y * 67 + x) % 200 << 8) | ((x * y + 5) % 200))
+      img
+    }
+    val h0 = ImageCodec.dhash64(base())
+    // decode(encode(img)) reproduces the hash (PNG lossless)
+    assert(ImageCodec.decodeDHash(encode(base())).contains(h0))
+    // re-encode under ARGB: different bytes, identical pixels, same hash
+    val argb = new java.awt.image.BufferedImage(
+      27, 24, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 24; x <- 0 until 27)
+      argb.setRGB(x, y, 0xff000000 | (base().getRGB(x, y) & 0xffffff))
+    assert(!java.util.Arrays.equals(encode(argb), encode(base())),
+      "re-encode should change bytes")
+    assert(ImageCodec.decodeDHash(encode(argb)).contains(h0))
+    // 2x nearest-neighbor upscale with aligned grid: identical hash
+    val up = new java.awt.image.BufferedImage(
+      54, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 54)
+      up.setRGB(x, y, base().getRGB(x / 2, y / 2))
+    assert(ImageCodec.dhash64(up) == h0)
+    // +24 global brightness (clip-free range by construction of the
+    // comparison being difference-based): hash unchanged
+    val bright = new java.awt.image.BufferedImage(
+      27, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 27) {
+      val p = base().getRGB(x, y)
+      def c(v: Int) = math.min(v + 24, 255)
+      bright.setRGB(x, y,
+        (c((p >> 16) & 0xff) << 16) | (c((p >> 8) & 0xff) << 8) | c(p & 0xff))
+    }
+    assert(ImageCodec.dhash64(bright) == h0)
+    // a genuinely different image has a far hash
+    val other = new java.awt.image.BufferedImage(
+      27, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 27)
+      other.setRGB(x, y, ((255 - x * 9 % 256) << 16) | ((y * 91) % 256 << 8))
+    assert(java.lang.Long.bitCount(ImageCodec.dhash64(other) ^ h0) > 3,
+      "distinct textures must not collide within the banding radius")
+    // non-image payloads refuse quietly
+    assert(ImageCodec.decodeDHash(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageCodec.decodeDHash(Array.emptyByteArray).isEmpty)
+    // the committed fixture PNGs hash deterministically
+    (16 to 19).foreach { i =>
+      assert(ImageCodec.decodeDHash(MakeMediaFixture.payload(i))
+        .contains(ImageCodec.dhash64(MakeMediaFixture.pngImage(i))))
+    }
+  }
+
   test("sampleChunks fingerprints byte slices") {
     val chunks = Multimodal.sampleChunks(fixture.filter(col("media_id") >= 4),
         "media_id", "bytes", n = 4)
