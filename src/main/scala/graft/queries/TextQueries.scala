@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Tombstones}
+import graft.operators.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, Staging, TextAnalysis, Tombstones}
 import graft.streaming.IngestLoop
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -2581,17 +2581,16 @@ object TextQueries {
           .filter(col("doc_id") % 50 =!= 0)
         val corp = aug.union(aug.filter(col("doc_id") % 9 === 2)
           .withColumn("doc_id", col("doc_id") + 1000000L))
-        val gated = corp.filter(size(split(col("t"), " ")) >= 20)
-        val contaminated = TextAnalysis.contaminationHitsBloom(gated,
-          bench.select(col("text").as("t")), "doc_id", "t", n = 5)
-          .select("doc_id")
-        val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-        val keep = Dedup.exactGroups(clean, "doc_id", "t")
-          .select(col("keep_id").as("doc_id"))
-        val uniq = clean.join(keep, Seq("doc_id"), "left_semi")
+        // round 14: the chain now drives the STAGED production entry
+        // point (Curation.pipeline) — stage semantics unchanged, so the
+        // full-chain oracle below now covers the entry point itself;
+        // each stage materializes once instead of re-deriving the scan
         val weights = (0 until 20).map(i => s"src$i" -> 1.0).toMap
-        Sampling.mixtureSample(uniq.select("doc_id", "source"), "source",
-          "doc_id", weights, budget = 600L)
+        Curation.pipeline(corp, "doc_id", "t", "source",
+            weights, budget = 600L, minTokens = 20,
+            benchmark = Some(bench.select(col("text").as("t"))),
+            staging = Staging.Local)
+          .mixed
           .select(col("doc_id"), col("source"), col("epoch"))
           .orderBy("doc_id", "epoch")
       },
