@@ -227,6 +227,104 @@ object Fence {
       fs(spark, p).delete(p, false)
   }
 
+  /** The shipped object-store [[FenceLocker]] (round 14 — the round-13
+    * seam, now with a reference implementation): for stores whose
+    * Hadoop connector maps `create(overwrite = false)` onto a REAL
+    * conditional put — S3A on Hadoop 3.4.1+ with
+    * `fs.s3a.create.conditional.enabled` (an `If-None-Match: *` PUT,
+    * GA on S3 since late 2024), ABFS (conditional Create), GCS
+    * (`x-goog-if-generation-match: 0`). Config example (data on s3a,
+    * fence beside it, no HDFS/posix sidecar):
+    * {{{
+    * spark.graft.fence.locker.s3a = graft.operators.Fence$ConditionalCreateLocker
+    * spark.hadoop.fs.s3a.create.conditional.enabled = true
+    * }}}
+    * Declaring the locker for a scheme is the deployment's atomicity
+    * assertion and passes the allowlist gate — but this locker also
+    * REFUSES AT FIRST USE unless the filesystem itself advertises a
+    * conditional-create path capability (default probe list
+    * `fs.option.create.conditional.overwrite` — the Hadoop 3.4.1+
+    * option key S3A registers — overridable via
+    * `spark.graft.fence.conditionalCapability`, comma-separated), so a
+    * mis-pointed connector whose create is check-then-create fails
+    * loudly instead of silently reopening the lost-append window. A
+    * deployment whose connector implements conditional create but
+    * predates the capability string asserts it explicitly with
+    * `spark.graft.fence.assumeConditionalCreate = true`.
+    *
+    * `touch` re-puts the fence object with its current tag (object
+    * stores reject mtime mutation): the overwrite refreshes
+    * LastModified, and [[Fence.heartbeat]]'s post-stamp tag re-read
+    * catches the theoretical clobber of a force-released-and-re-taken
+    * fence, same as the HDFS path. */
+  class ConditionalCreateLocker extends FenceLocker {
+    private def fs(spark: SparkSession, p: Path): FileSystem =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def requireConditional(spark: SparkSession, f: FileSystem, p: Path): Unit = {
+      if (spark.conf.getOption("spark.graft.fence.assumeConditionalCreate")
+            .contains("true")) return
+      val caps = spark.conf
+        .getOption("spark.graft.fence.conditionalCapability")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq("fs.option.create.conditional.overwrite"))
+      require(caps.exists(c =>
+        try f.hasPathCapability(p, c) catch { case _: Exception => false }),
+        s"ConditionalCreateLocker is declared for '${p.toUri.getScheme}' but " +
+          s"the filesystem advertises none of [${caps.mkString(", ")}]: its " +
+          "create(overwrite=false) may be check-then-create, which silently " +
+          "reopens the lost-append window the fence closes. Enable the " +
+          "connector's conditional create (s3a: " +
+          "fs.s3a.create.conditional.enabled on Hadoop 3.4.1+), point " +
+          "spark.graft.fence.conditionalCapability at the capability your " +
+          "connector registers, or assert it deliberately with " +
+          "spark.graft.fence.assumeConditionalCreate=true.")
+    }
+
+    override def createExclusive(spark: SparkSession, p: Path, tag: String): Unit = {
+      val f = fs(spark, p)
+      requireConditional(spark, f, p)
+      // the conditional PUT: the builder's overwrite(false) reaches the
+      // store as If-None-Match-style create on capable connectors —
+      // content rides IN the conditional request (single object PUT at
+      // close), so unlike the HDFS create-then-write path there is no
+      // half-written fence to clean up: either our PUT wins with the
+      // tag inside, or FileAlreadyExistsException says held
+      val out = f.createFile(p).overwrite(false).build()
+      try out.write(tag.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+
+    override def readTag(spark: SparkSession, p: Path): Option[String] = {
+      val f = fs(spark, p)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val bytes = new Array[Byte](4096)
+          val n = math.max(in.read(bytes), 0)
+          Some(new String(bytes, 0, n, StandardCharsets.UTF_8).trim)
+        } finally in.close()
+      }
+    }
+
+    override def ageMillis(spark: SparkSession, p: Path): Option[Long] = {
+      val f = fs(spark, p)
+      if (!f.exists(p)) None
+      else Some(math.max(0L,
+        System.currentTimeMillis() - f.getFileStatus(p).getModificationTime))
+    }
+
+    override def touch(spark: SparkSession, p: Path): Unit = {
+      val f = fs(spark, p)
+      val tag = readTag(spark, p).getOrElse("")
+      val out = f.createFile(p).overwrite(true).build()
+      try out.write(tag.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+
+    override def delete(spark: SparkSession, p: Path): Boolean =
+      fs(spark, p).delete(p, false)
+  }
+
   /** Reflectively-loaded custom lockers, one instance per class —
     * lockers are stateless adapters over the store's API, so a single
     * instance serves every family. */

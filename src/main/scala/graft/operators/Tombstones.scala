@@ -237,9 +237,29 @@ object Tombstones {
     * family's writer fence. */
   def bumpGeneration(spark: SparkSession, prefix: String): Unit = {
     import spark.implicits._
+    clearOrphanLocation(spark, s"${prefix}_gen")
     Seq(generation(spark, prefix) + 1L).toDF("gen")
       .write.mode("append").format("parquet").saveAsTable(s"${prefix}_gen")
   }
+
+  /** Delete a managed side table's warehouse directory when the table
+    * is NOT in the catalog — the orphaned-location state an ephemeral
+    * (in-memory derby) metastore leaves behind: the session that
+    * created the table is gone, its catalog entry with it, but the
+    * warehouse dir persists and an append-mode create then refuses
+    * with LOCATION_ALREADY_EXISTS. Only ENGINE-OWNED side tables whose
+    * content is meaningless without their catalog entry route through
+    * this (`<prefix>_gen` here, `<prefix>_commits` in IngestLoop —
+    * the round-13 advisory's stale-mapping corruption is exactly what
+    * adopting such a dir would cause); with a persistent metastore the
+    * table stays cataloged and this is a no-op. */
+  private[graft] def clearOrphanLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 
   /** Rewrite one bucketed family table minus the tombstoned rows,
     * preserving its bucket/sort layout (and the `ingest_batch`

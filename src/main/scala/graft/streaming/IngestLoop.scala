@@ -111,6 +111,11 @@ object IngestLoop {
         "global partition ids are keyed on (loop_id, local_bid)")
     import spark.implicits._
     val t = s"${prefix}_commits"
+    // an orphaned commits LOCATION (catalog entry lost to an ephemeral
+    // metastore) must die before the append-create both to avoid the
+    // LOCATION_ALREADY_EXISTS refusal and because adopting its rows
+    // would be the stale-mapping corruption the round-13 advisory named
+    graft.operators.Tombstones.clearOrphanLocation(spark, t)
     val commits =
       if (spark.catalog.tableExists(t)) Some(spark.table(t)) else None
     val existing = commits.flatMap(

@@ -66,7 +66,7 @@ class FenceSpec extends AnyFunSuite {
   private def cleanFamily(prefix: String): Unit = {
     drop(s"${prefix}_bands", s"${prefix}_shingles", s"${prefix}_meta",
       s"${prefix}_tombstones", s"${prefix}_bands__compact",
-      s"${prefix}_shingles__compact")
+      s"${prefix}_shingles__compact", s"${prefix}_gen", s"${prefix}_commits")
     Fence.forceRelease(spark, prefix)
   }
 
@@ -399,6 +399,45 @@ class FenceSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.fence.dir")
       spark.conf.unset("spark.graft.fence.locker.condput")
       CondPutLocker.store.clear()
+    }
+  }
+
+  test("ConditionalCreateLocker: refuses without the store capability; full lifecycle under the explicit assertion") {
+    val p = "fence_ccl"
+    val lockDir = java.nio.file.Files.createTempDirectory("ccl_locks").toString
+    spark.conf.set("spark.graft.fence.dir", lockDir)
+    spark.conf.set("spark.graft.fence.locker.file",
+      "graft.operators.Fence$ConditionalCreateLocker")
+    try {
+      // the local connector advertises no conditional-create capability:
+      // first use must refuse loudly naming the remedy, never silently
+      // degrade to check-then-create
+      val e = intercept[IllegalArgumentException](
+        Fence.acquire(spark, p, "writerA"))
+      assert(e.getMessage.contains("conditional") &&
+        e.getMessage.contains("assumeConditionalCreate"), e.getMessage)
+      // the deployment's deliberate assertion unlocks the locker; the
+      // whole lifecycle then flows through the builder-API conditional
+      // put: exclusive create with the tag IN the put, held-refusal,
+      // re-put heartbeat (object stores reject mtime mutation), delete
+      spark.conf.set("spark.graft.fence.assumeConditionalCreate", "true")
+      Fence.acquire(spark, p, "writerA")
+      assert(Fence.holder(spark, p).exists(_.startsWith("writerA @ ")))
+      val held = intercept[FenceHeldException](Fence.acquire(spark, p, "writerB"))
+      assert(held.getMessage.contains("writerA"))
+      Thread.sleep(60)
+      val before = Fence.holderAgeMillis(spark, p).get
+      Fence.heartbeat(spark, p, "writerA")
+      assert(Fence.holderAgeMillis(spark, p).get < math.max(before, 1),
+        "re-put heartbeat must refresh the liveness clock")
+      assert(Fence.holder(spark, p).exists(_.startsWith("writerA @ ")),
+        "heartbeat re-put must preserve the tag")
+      Fence.release(spark, p, "writerA")
+      assert(Fence.holder(spark, p).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.fence.dir")
+      spark.conf.unset("spark.graft.fence.locker.file")
+      spark.conf.unset("spark.graft.fence.assumeConditionalCreate")
     }
   }
 
