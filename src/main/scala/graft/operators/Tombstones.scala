@@ -206,40 +206,59 @@ object Tombstones {
 
   /** The family's physical-layout GENERATION: bumped (under the writer
     * fence) at the START of every pass that rewrites existing
-    * partitions in place — `compact*` here, `compactCc`/`repairCc` in
+    * partitions in place — `compact*` here, `compactCc`/`repairCc` and
+    * a replay's drop-own-partition rewrite in
     * [[graft.streaming.IngestLoop]]. The narrow-fence ingest paths mine
     * pairs OUTSIDE the fence against the append-only partition set,
     * which is sound precisely because only these passes ever mutate an
     * existing partition: a miner snapshots the generation in its fenced
-    * append window, mines unfenced, then re-reads the generation under
-    * a brief re-acquire — a changed value proves a rewrite pass ran (or
-    * crashed mid-run) while its corpus reads were in flight, and the
-    * mine re-runs against the settled layout. Bumping FIRST (before any
-    * rewrite) closes the crash hole: a compaction that dies between
-    * rewriting a table and recording the bump would otherwise let a
-    * concurrent miner accept pairs read from the torn state.
+    * append window, mines unfenced, then re-reads it after publishing —
+    * a changed value proves a rewrite pass ran (or crashed mid-run)
+    * while its corpus reads were in flight, and the mine re-runs
+    * against the settled layout. Bumping FIRST (before any rewrite)
+    * closes the crash hole: a compaction that dies between rewriting a
+    * table and recording the bump would otherwise let a concurrent
+    * miner accept pairs read from the torn state.
     *
-    * Append-only one-column table, `generation` = MAX(gen): an
-    * overwritten single-row cell could crash back to absent and
-    * re-count to a previously-seen value, blinding an in-flight miner;
-    * the append-max is monotone across any crash interleaving and grows
-    * one tiny row per compaction. Tombstone `add`s deliberately do NOT
-    * bump: they append a new file the miner's snapshot either wholly
-    * sees or wholly misses (either is a linearizable delete point). */
+    * Representation: MARKER FILES `g<N>` in a `<prefix>__gen` directory
+    * beside the family's fence file ([[Fence.path]]'s parent), value =
+    * max N listed. Pure filesystem metadata ops — no Spark job per
+    * read or bump (a one-row table append cost ~0.5 s of job+commit
+    * per compaction and forced a fenced re-read; file creation is
+    * atomic, so the post-publish check reads UNFENCED: if the bump's
+    * file is not visible at check time, the rewrite it precedes had
+    * not begun when the mine's reads finished — either way the check
+    * is race-free). Monotone across any crash interleaving: files are
+    * only added, one per rewrite pass ever; two same-instant bumps
+    * colliding on one N still CHANGE the value, which is all the
+    * equality check consumes. Values survive session and even family
+    * rebuild — stale ones are harmless because nothing compares
+    * generations across families or interprets magnitudes. Tombstone
+    * `add`s deliberately do NOT bump: they append a new file the
+    * miner's snapshot either wholly sees or wholly misses (either is a
+    * linearizable delete point). */
   def generation(spark: SparkSession, prefix: String): Long = {
-    val t = s"${prefix}_gen"
-    if (spark.catalog.tableExists(t))
-      spark.table(t).agg(coalesce(max("gen"), lit(0L))).head().getLong(0)
-    else 0L
+    val d = genDir(spark, prefix)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) 0L
+    else fs.listStatus(d).iterator.map(_.getPath.getName)
+      .filter(n => n.length > 1 && n.startsWith("g") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).foldLeft(0L)(math.max)
   }
 
   /** Record a layout rewrite: see [[generation]]. Caller must hold the
     * family's writer fence. */
   def bumpGeneration(spark: SparkSession, prefix: String): Unit = {
-    import spark.implicits._
-    clearOrphanLocation(spark, s"${prefix}_gen")
-    Seq(generation(spark, prefix) + 1L).toDF("gen")
-      .write.mode("append").format("parquet").saveAsTable(s"${prefix}_gen")
+    val d = genDir(spark, prefix)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(d)
+    fs.create(new org.apache.hadoop.fs.Path(d, s"g${generation(spark, prefix) + 1L}"),
+      /* overwrite = */ true).close()
+  }
+
+  private def genDir(spark: SparkSession, prefix: String): org.apache.hadoop.fs.Path = {
+    val f = Fence.path(spark, prefix)
+    new org.apache.hadoop.fs.Path(f.getParent, s"${prefix}__gen")
   }
 
   /** Delete a managed side table's warehouse directory when the table
@@ -249,10 +268,10 @@ object Tombstones {
     * warehouse dir persists and an append-mode create then refuses
     * with LOCATION_ALREADY_EXISTS. Only ENGINE-OWNED side tables whose
     * content is meaningless without their catalog entry route through
-    * this (`<prefix>_gen` here, `<prefix>_commits` in IngestLoop —
-    * the round-13 advisory's stale-mapping corruption is exactly what
-    * adopting such a dir would cause); with a persistent metastore the
-    * table stays cataloged and this is a no-op. */
+    * this (`<prefix>_commits` in IngestLoop — the round-13 advisory's
+    * stale-mapping corruption is exactly what adopting such a dir
+    * would cause); with a persistent metastore the table stays
+    * cataloged and this is a no-op. */
   private[graft] def clearOrphanLocation(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")

@@ -636,8 +636,7 @@ object TextQueries {
         val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
         Seq("q112mh_bands", "q112mh_shingles", "q112mh_meta",
             "q112mh_tombstones", "q112mh_bands__compact",
-            "q112mh_shingles__compact", "q112mh_gen",
-            "q112pq_codes", "q112pq_meta", "q112pq_gen",
+            "q112mh_shingles__compact", "q112pq_codes", "q112pq_meta",
             "q112pq_tombstones", "q112pq_codes__compact")
           .foreach { t =>
             s.sql(s"DROP TABLE IF EXISTS $t")
@@ -2241,8 +2240,7 @@ object TextQueries {
         // dirs, and a possibly-held fence (the q112 discipline)
         val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
         val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        Seq("q119cc_labels", "q119cc_meta", "q119cc_labels__compact",
-            "q119cc_gen")
+        Seq("q119cc_labels", "q119cc_meta", "q119cc_labels__compact")
           .foreach { t =>
             s.sql(s"DROP TABLE IF EXISTS $t")
             val loc = new org.apache.hadoop.fs.Path(wh, t)
@@ -2293,8 +2291,7 @@ object TextQueries {
       fn = (s, d) => {
         val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
         val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        Seq("q120cc_labels", "q120cc_meta", "q120cc_labels__compact",
-            "q120cc_gen")
+        Seq("q120cc_labels", "q120cc_meta", "q120cc_labels__compact")
           .foreach { t =>
             s.sql(s"DROP TABLE IF EXISTS $t")
             val loc = new org.apache.hadoop.fs.Path(wh, t)

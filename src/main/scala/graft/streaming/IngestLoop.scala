@@ -295,7 +295,6 @@ object IngestLoop {
       // a stale commits row against a recreated family would mis-assign
       // partition ids, so the mapping dies with the family
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_commits")
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_gen")
       false
     } else present.size == tables.size
   }
@@ -438,8 +437,7 @@ object IngestLoop {
     // check re-mines instead of accepting a torn (partially re-listed)
     // read of this partition.
     if (exists) {
-      val replayed = spark.table(s"${prefix}_bands")
-        .filter(col("ingest_batch") === pid).limit(1).count() > 0
+      val replayed = partitionExists(spark, s"${prefix}_bands", pid)
       Seq("bands", "shingles").foreach { t =>
         spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
       }
@@ -518,13 +516,25 @@ object IngestLoop {
           "settle an ingest batch's pair mine.")
       mine
       midMineProbe(prefix)
-      val now = graft.operators.Fence.withFence(spark, prefix, s"$owner genCheck") {
-        graft.operators.Tombstones.generation(spark, prefix)
-      }
+      // UNFENCED generation read — race-free because the bump is an
+      // atomic marker-file create that every rewrite pass commits
+      // BEFORE touching a partition (Tombstones.generation): a bump not
+      // visible here means its rewrite had not begun when the mine's
+      // reads finished, so the published pairs are consistent either
+      // way. Pure FS metadata, no job, no fence round-trip per batch.
+      val now = graft.operators.Tombstones.generation(spark, prefix)
       if (now == gen) settled = true else gen = now
     }
     lastMineAttempts = attempts
   }
+
+  /** Catalog-metadata partition probe (no scan job): SHOW PARTITIONS
+    * with an explicit spec returns empty for an absent partition —
+    * the per-batch replay detection must not cost a Spark job. */
+  private def partitionExists(spark: SparkSession, table: String,
+                              pid: Long): Boolean =
+    spark.sql(s"SHOW PARTITIONS $table PARTITION (ingest_batch=$pid)")
+      .collect().nonEmpty
 
   /** Test seam: invoked between a mine attempt's publish and its
     * generation check — specs inject a compaction here to prove the
@@ -636,8 +646,7 @@ object IngestLoop {
     // replay rewrite of an existing partition bumps the generation so a
     // concurrent miner re-mines: see ingestMinhashBatch
     if (exists) {
-      val replayed = spark.table(s"${prefix}_hashed")
-        .filter(col("ingest_batch") === pid).limit(1).count() > 0
+      val replayed = partitionExists(spark, s"${prefix}_hashed", pid)
       Seq("hashed", "vecs").foreach { t =>
         spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
       }
@@ -952,7 +961,34 @@ object IngestLoop {
     * overwrite newer merges for ids both touched — the catalog would
     * no longer be the fixpoint over the union of edges. Edges from
     * parallel miners fan IN through one pair stream; the single loop's
-    * total order is what makes each delta's supersession sound. */
+    * total order is what makes each delta's supersession sound.
+    *
+    * THE MIN-FOLD ROUTE FAILS TOO (round 14 — the investigated
+    * alternative): replacing latest-wins with a per-id MIN(component)
+    * merge looks attractive because true min-labels only DECREASE
+    * under append-only edge arrival (merges only; splits route through
+    * [[repairCc]]), so the fold itself is commutative and idempotent
+    * and orphan replays would need no compensation sets. But
+    * commutativity of the VALUES does not buy the FIXPOINT property
+    * the read contract promises. Counterexample: loops A and B run in
+    * parallel against the same empty family; A's batch carries edge
+    * (1, 5) and appends {5 → 1}; B's batch carries edge (5, 9) and —
+    * its view not containing A's unpublished delta — appends
+    * {5 → 5, 9 → 5}. The min-fold reads {5 → 1, 9 → 5}: node 9's
+    * label points at a node whose own label is smaller. That is a
+    * label CHAIN, not a labeling — every consumer (canonical-survivor
+    * selection, component joins) would treat 5 and 9 as different
+    * components though the edge union connects them. Repairing at read
+    * time means iterating label-of-label to fixpoint, and the chain
+    * depth grows with the number of interleaved batches — unbounded
+    * pointer-chasing on the corpus-sized catalog per read, which is
+    * the cost the incremental design exists to avoid. The sequential
+    * loop needs NO propagation at read time precisely because each
+    * delta is computed against the already-settled view: supersession
+    * collapses chains at write time, where the work is delta-sized.
+    * Multi-writer CC therefore stays out; parallelism belongs on the
+    * pair-mining side (which IS multi-writer), fanning edges into this
+    * one loop. */
   def ingestCcBatch(pairs: DataFrame, bid: Long, aCol: String, bCol: String,
                     prefix: String, buckets: Int,
                     loopId: String = ""): Unit = {

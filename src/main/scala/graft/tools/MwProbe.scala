@@ -56,7 +56,7 @@ object MwProbe {
     def src(d: String) = spark.readStream.schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", "1").parquet(d)
     def drop(prefix: String): Unit =
-      Seq("bands", "shingles", "meta", "commits", "gen")
+      Seq("bands", "shingles", "meta", "commits")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()

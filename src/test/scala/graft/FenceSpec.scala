@@ -66,7 +66,7 @@ class FenceSpec extends AnyFunSuite {
   private def cleanFamily(prefix: String): Unit = {
     drop(s"${prefix}_bands", s"${prefix}_shingles", s"${prefix}_meta",
       s"${prefix}_tombstones", s"${prefix}_bands__compact",
-      s"${prefix}_shingles__compact", s"${prefix}_gen", s"${prefix}_commits")
+      s"${prefix}_shingles__compact", s"${prefix}_commits")
     Fence.forceRelease(spark, prefix)
   }
 

@@ -186,7 +186,7 @@ class IngestLoopSpec extends AnyFunSuite {
       run(b1, 1L) // redelivery: same batch id replayed
       val after = snapshot()
       assert(after == before, "batch replay changed the pair output or the index")
-    } finally drop("ing_rt_bands", "ing_rt_shingles", "ing_rt_meta", "ing_rt_gen")
+    } finally drop("ing_rt_bands", "ing_rt_shingles", "ing_rt_meta")
   }
 
   test("a compaction racing the unfenced mine is caught by the generation check and re-mined") {
@@ -236,7 +236,7 @@ class IngestLoopSpec extends AnyFunSuite {
       run(corpus.limit(20).withColumn("doc_id", col("doc_id") + 2000000L), 2L)
       assert(IngestLoop.lastMineAttempts == 1)
     } finally drop("ing_gc_bands", "ing_gc_shingles", "ing_gc_meta",
-      "ing_gc_tombstones", "ing_gc_gen")
+      "ing_gc_tombstones")
   }
 
   test("streamed IVF-PQ serving-index ingestion == same-model batch encode; retry idempotent") {

@@ -60,7 +60,7 @@ class TombstoneSpec extends AnyFunSuite {
           Dedup.loadMinhashIndex(spark, "tb_mh"), threshold = 0.5)
         .collect().map(_.toString).toSet
       assert(physical == expected)
-    } finally drop("tb_mh_bands", "tb_mh_shingles", "tb_mh_meta", "tb_mh_tombstones", "tb_mh_gen")
+    } finally drop("tb_mh_bands", "tb_mh_shingles", "tb_mh_meta", "tb_mh_tombstones")
   }
 
   test("IVF-PQ: tombstoned candidates vanish from serving; compact preserves the ingest_batch partitioning") {
@@ -116,7 +116,7 @@ class TombstoneSpec extends AnyFunSuite {
           embs, queries, "vec_id", "embedding", k = 5, nprobe = 8, refine = 8)
         .collect()
       assert(replay.forall(r => !dead.contains(r.getLong(1))))
-    } finally drop("tb_pq_codes", "tb_pq_meta", "tb_pq_tombstones", "tb_pq_gen")
+    } finally drop("tb_pq_codes", "tb_pq_meta", "tb_pq_tombstones")
   }
 
   test("streaming corpus views (minhashCorpusBefore) respect tombstones: deleted docs emit no pairs") {
@@ -146,7 +146,7 @@ class TombstoneSpec extends AnyFunSuite {
         col("b_id") === deadCorpusId).count() == 0,
         "tombstoned corpus doc still emits pairs through the streaming corpus view")
       assert(after.count() < batch1Count)
-    } finally drop("tb_il_bands", "tb_il_shingles", "tb_il_meta", "tb_il_tombstones", "tb_il_gen")
+    } finally drop("tb_il_bands", "tb_il_shingles", "tb_il_meta", "tb_il_tombstones")
   }
 
   test("SimHash / containment / sign-LSH / SemDeDup: load filters tombstones; compact is physical") {
@@ -195,10 +195,10 @@ class TombstoneSpec extends AnyFunSuite {
         .filter(col("id").isin(deadVecs: _*)).count() == 0)
       assert(spark.table("tb_sm_docs")
         .filter(col("id").isin(deadVecs: _*)).count() == 0)
-    } finally drop("tb_sh_chunked", "tb_sh_meta", "tb_sh_tombstones", "tb_sh_gen",
-      "tb_ct_base", "tb_ct_posting", "tb_ct_meta", "tb_ct_tombstones", "tb_ct_gen",
-      "tb_em_vecs", "tb_em_hashed", "tb_em_meta", "tb_em_tombstones", "tb_em_gen",
-      "tb_sm_docs", "tb_sm_meta", "tb_sm_tombstones", "tb_sm_gen")
+    } finally drop("tb_sh_chunked", "tb_sh_meta", "tb_sh_tombstones",
+      "tb_ct_base", "tb_ct_posting", "tb_ct_meta", "tb_ct_tombstones",
+      "tb_em_vecs", "tb_em_hashed", "tb_em_meta", "tb_em_tombstones",
+      "tb_sm_docs", "tb_sm_meta", "tb_sm_tombstones")
   }
 
   test("filter refuses past the broadcast budget, naming compact* as the remedy") {
@@ -223,7 +223,7 @@ class TombstoneSpec extends AnyFunSuite {
       assert(!spark.catalog.tableExists("tb_bg_tombstones"))
       assert(Tombstones.filter(spark.table("tb_bg_shingles"), "doc_id", "tb_bg",
         maxTombstones = 5L).count() > 0)
-    } finally drop("tb_bg_bands", "tb_bg_shingles", "tb_bg_meta", "tb_bg_tombstones", "tb_bg_gen")
+    } finally drop("tb_bg_bands", "tb_bg_shingles", "tb_bg_meta", "tb_bg_tombstones")
   }
 
   test("compaction self-heals from a crash between the temp write and the live overwrite") {
@@ -264,7 +264,7 @@ class TombstoneSpec extends AnyFunSuite {
       assert(!spark.catalog.tableExists("tb_cr_bands__compact"))
       assert(spark.table("tb_cr_shingles").count() == liveRows)
     } finally drop("tb_cr_bands", "tb_cr_shingles", "tb_cr_meta",
-      "tb_cr_tombstones", "tb_cr_gen", "tb_cr_bands__compact")
+      "tb_cr_tombstones", "tb_cr_bands__compact")
   }
 
   test("ingest loop refuses a partial family that is not a torn first batch") {
@@ -317,7 +317,7 @@ class TombstoneSpec extends AnyFunSuite {
       Tombstones.add(idsDf(Seq(0L, 2L), "vec_id"), "vec_id", "tb_bk")
       Tombstones.compactPq(spark, "tb_bk")
       assert(!spark.catalog.tableExists("tb_bk_tombstones"))
-    } finally drop("tb_bk_codes", "tb_bk_meta", "tb_bk_tombstones", "tb_bk_gen")
+    } finally drop("tb_bk_codes", "tb_bk_meta", "tb_bk_tombstones")
   }
 
   test("budget counts DISTINCT ids: repeated adds of the same set do not inflate toward the cap") {
@@ -437,6 +437,6 @@ class TombstoneSpec extends AnyFunSuite {
       // cleared: back to no-op
       assert(!Tombstones.maintain(spark, "tb_mt"))
     } finally drop("tb_mt_bands", "tb_mt_shingles", "tb_mt_meta",
-      "tb_mt_tombstones", "tb_mt_gen")
+      "tb_mt_tombstones")
   }
 }
