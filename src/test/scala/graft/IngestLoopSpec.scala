@@ -239,6 +239,46 @@ class IngestLoopSpec extends AnyFunSuite {
       "ing_gc_tombstones")
   }
 
+  test("embed path: a compaction racing the unfenced mine re-mines too (generation check, vector twin)") {
+    import graft.operators.{Similarity, Tombstones}
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = embs.union(embs.withColumn("vec_id", col("vec_id") + 10000000L))
+    val b0 = corpus.filter(col("vec_id") % 2 === 0)
+    val b1 = corpus.filter(col("vec_id") % 2 === 1)
+    val pairsDir = java.nio.file.Files.createTempDirectory("eingest_gen").toString
+    def run(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      IngestLoop.ingestEmbedBatch(batch, bid, "vec_id", "embedding", "ing_eg",
+        pairsDir, threshold = 0.9, bitsPerTable = 12, numTables = 4,
+        seed = 42L, dim = 64, buckets = 8)
+    try {
+      run(b0, 0L)
+      val x = b0.select(min("vec_id")).head().getLong(0)
+      import spark.implicits._
+      Tombstones.add(Seq(x, x + 10000000L).toDF("vec_id"), "vec_id", "ing_eg")
+      val gen0 = Tombstones.generation(spark, "ing_eg")
+      var fired = 0
+      IngestLoop.midMineProbe = p =>
+        if (p == "ing_eg" && fired == 0) {
+          fired += 1
+          Tombstones.compactEmbed(spark, "ing_eg")
+        }
+      try run(b1, 1L) finally IngestLoop.midMineProbe = _ => ()
+      assert(fired == 1 && IngestLoop.lastMineAttempts == 2,
+        s"embed generation check missed the racing compaction " +
+          s"(attempts=${IngestLoop.lastMineAttempts})")
+      assert(Tombstones.generation(spark, "ing_eg") == gen0 + 1)
+      val expected = Similarity.lshDupPairsIncremental(
+        Similarity.embedIndex(b1, "vec_id", "embedding", 12, 4, 42L, 64),
+        IngestLoop.embedCorpusBefore(spark, "ing_eg", 1L), threshold = 0.9)
+      val actual = spark.read.parquet(s"$pairsDir/ingest_batch=1")
+      assert(actual.count() > 0)
+      assert(actual.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(actual).count() == 0,
+        "re-mined embed pairs diverge from the post-compact corpus view")
+    } finally drop("ing_eg_hashed", "ing_eg_vecs", "ing_eg_meta",
+      "ing_eg_tombstones")
+  }
+
   test("streamed IVF-PQ serving-index ingestion == same-model batch encode; retry idempotent") {
     import graft.operators.Similarity
     val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
