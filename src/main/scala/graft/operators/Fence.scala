@@ -137,6 +137,79 @@ object Fence {
     new Path(new Path(base), s"${prefix}__fence")
   }
 
+  /** EOF-complete tag read (round-14 advisory): a single `in.read()`
+    * can short-read on object-store streams, truncating the tag and
+    * causing a spurious heartbeat-mismatch abort — loop until EOF. */
+  private[operators] def readTagFully(f: FileSystem, p: Path): Option[String] = {
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream(256)
+        val bytes = new Array[Byte](4096)
+        var n = in.read(bytes)
+        while (n >= 0) {
+          buf.write(bytes, 0, n)
+          n = in.read(bytes)
+        }
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** The fence EPOCH: a marker-file counter beside the fence
+    * (`<prefix>__fence_epoch/e<N>`, value = max N listed — the
+    * [[Tombstones.generation]] representation) bumped by every
+    * [[forceRelease]]. Object-store lockers cannot make the liveness
+    * re-put conditional (no generic If-Match), so a stale holder racing
+    * a forceRelease + re-acquire could clobber the new holder's tag
+    * with bytes indistinguishable from its own — the epoch is the
+    * out-of-band signal tag bytes cannot carry: [[heartbeat]] brackets
+    * each beat with two epoch reads, and ANY forceRelease landing
+    * inside the bracket (or since the last beat) throws, so the stale
+    * holder reliably dies within one beat instead of writing forever.
+    * Marker creation is an atomic-enough single-file create on every
+    * store (visibility via list); bumps are rare (manual recovery). */
+  private def epochDir(spark: SparkSession, prefix: String): Path = {
+    val f = path(spark, prefix)
+    new Path(f.getParent, s"${prefix}__fence_epoch")
+  }
+
+  /** The filesystem behind the fence location, when one exists: a
+    * custom locker may carry the fence on a scheme with NO Hadoop
+    * FileSystem at all (a pure conditional-put store) — there the
+    * epoch markers have nowhere to live and the bracket degrades to a
+    * no-op (such a locker is the deployment's own atomic primitive;
+    * making its touch conditional is its contract). Every real-store
+    * deployment (posix/HDFS fence dir, or a conditional-create locker
+    * over s3a/abfs/gcs) has the FS and gets the bracket. */
+  private def epochFs(spark: SparkSession, d: Path): Option[FileSystem] =
+    try Some(d.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    catch { case _: java.io.IOException => None }
+
+  /** Current fence epoch for the family — 0 until a forceRelease ever
+    * ran. Pure FS metadata (one list), no Spark job. */
+  def epoch(spark: SparkSession, prefix: String): Long = {
+    val d = epochDir(spark, prefix)
+    epochFs(spark, d) match {
+      case None => 0L
+      case Some(fs) =>
+        if (!fs.exists(d)) 0L
+        else fs.listStatus(d).iterator.map(_.getPath.getName)
+          .filter(n => n.length > 1 && n.startsWith("e") && n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toLong).foldLeft(0L)(math.max)
+    }
+  }
+
+  private def bumpEpoch(spark: SparkSession, prefix: String): Unit = {
+    val d = epochDir(spark, prefix)
+    epochFs(spark, d).foreach { fs =>
+      fs.mkdirs(d)
+      fs.create(new Path(d, s"e${epoch(spark, prefix) + 1L}"),
+        /* overwrite = */ true).close()
+    }
+  }
+
   /** The scheme the fence path resolves to, WITHOUT instantiating its
     * FileSystem (an s3a:// path must refuse by name, not by whatever
     * connector classes happen to be on the classpath). A scheme-less
@@ -193,18 +266,8 @@ object Fence {
       }
     }
 
-    override def readTag(spark: SparkSession, p: Path): Option[String] = {
-      val f = fs(spark, p)
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        try {
-          val bytes = new Array[Byte](4096)
-          val n = math.max(in.read(bytes), 0)
-          Some(new String(bytes, 0, n, StandardCharsets.UTF_8).trim)
-        } finally in.close()
-      }
-    }
+    override def readTag(spark: SparkSession, p: Path): Option[String] =
+      Fence.readTagFully(fs(spark, p), p)
 
     override def ageMillis(spark: SparkSession, p: Path): Option[Long] = {
       val f = fs(spark, p)
@@ -285,27 +348,33 @@ object Fence {
       val f = fs(spark, p)
       requireConditional(spark, f, p)
       // the conditional PUT: the builder's overwrite(false) reaches the
-      // store as If-None-Match-style create on capable connectors —
-      // content rides IN the conditional request (single object PUT at
-      // close), so unlike the HDFS create-then-write path there is no
-      // half-written fence to clean up: either our PUT wins with the
-      // tag inside, or FileAlreadyExistsException says held
-      val out = f.createFile(p).overwrite(false).build()
-      try out.write(tag.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    }
-
-    override def readTag(spark: SparkSession, p: Path): Option[String] = {
-      val f = fs(spark, p)
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        try {
-          val bytes = new Array[Byte](4096)
-          val n = math.max(in.read(bytes), 0)
-          Some(new String(bytes, 0, n, StandardCharsets.UTF_8).trim)
-        } finally in.close()
+      // store as If-None-Match-style create on capable connectors. On
+      // S3A the content rides IN the conditional request (single object
+      // PUT at close) so there is no half-written state — but ABFS
+      // (conditional Create) and GCS materialize the object at CREATE
+      // time (round-14 advisory), so a transient IO failure between
+      // build() and close() there leaves an empty ownerless fence
+      // blocking the family. Mirror HadoopLocker: on any non-held
+      // failure after our create may have landed, best-effort delete
+      // our own fence before rethrowing.
+      var created = false
+      try {
+        val out = f.createFile(p).overwrite(false).build()
+        created = true
+        try out.write(tag.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      } catch {
+        case e: java.io.IOException
+            if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] &&
+               !e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] =>
+          if (created) {
+            try f.delete(p, false) catch { case _: java.io.IOException => () }
+          }
+          throw e
       }
     }
+
+    override def readTag(spark: SparkSession, p: Path): Option[String] =
+      Fence.readTagFully(fs(spark, p), p)
 
     override def ageMillis(spark: SparkSession, p: Path): Option[Long] = {
       val f = fs(spark, p)
@@ -314,11 +383,38 @@ object Fence {
         System.currentTimeMillis() - f.getFileStatus(p).getModificationTime))
     }
 
+    /** Object stores reject mtime mutation, so the liveness stamp is a
+      * re-put of the current tag. A non-conditional overwrite racing a
+      * forceRelease + re-acquire could rewrite the NEW holder's tag
+      * with the stale one (round-14 advisory) — without a store-level
+      * If-Match this window is irreducible here, so the residual races
+      * are made LOUD instead of silent: a vanished fence refuses (the
+      * holder was force-released), the post-put re-read verifies our
+      * own write landed intact (a concurrent writer's bytes there mean
+      * two writers raced the fence — delete it and fail, forcing both
+      * to re-arbitrate through createExclusive), and [[Fence.heartbeat]]
+      * brackets the whole beat with the fence EPOCH check (bumped by
+      * every forceRelease), which kills the stale holder on its next
+      * beat even when the tag bytes alone cannot tell the writers
+      * apart. Deployments needing the window closed entirely implement
+      * a locker over the store's etag/If-Match conditional overwrite. */
     override def touch(spark: SparkSession, p: Path): Unit = {
       val f = fs(spark, p)
-      val tag = readTag(spark, p).getOrElse("")
+      val tag = Fence.readTagFully(f, p).getOrElse(
+        throw new IllegalStateException(
+          s"fence $p vanished mid-heartbeat: the holder was force-released " +
+            "and must stop writing."))
       val out = f.createFile(p).overwrite(true).build()
       try out.write(tag.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      val back = Fence.readTagFully(f, p)
+      if (!back.contains(tag)) {
+        try f.delete(p, false) catch { case _: java.io.IOException => () }
+        throw new IllegalStateException(
+          s"fence $p heartbeat raced another writer's put (wrote [$tag], " +
+            s"read back [${back.getOrElse("<gone>")}]): the fence was " +
+            "deleted so both writers re-arbitrate through createExclusive; " +
+            "this holder must stop writing.")
+      }
     }
 
     override def delete(spark: SparkSession, p: Path): Boolean =
@@ -402,6 +498,13 @@ object Fence {
   def heartbeat(spark: SparkSession, prefix: String, owner: String): Unit = {
     val p = path(spark, prefix)
     val locker = lockerFor(spark, p)
+    // epoch bracket (round-14 advisory): a forceRelease bumps the fence
+    // epoch, so one landing between the tag verify and the touch — the
+    // window where an object-store locker's non-conditional re-put
+    // could clobber the new holder's tag with indistinguishable bytes —
+    // changes the second read and this (stale) holder dies loudly here
+    // instead of silently surviving its own tag check.
+    val e0 = epoch(spark, prefix)
     holder(spark, prefix) match {
       case Some(tag) if tag.startsWith(owner + " @ ") =>
         locker.touch(spark, p)
@@ -413,6 +516,12 @@ object Fence {
               s"[${after.getOrElse("<gone>")}] — this holder was force-" +
               "released and must stop writing; the stamped mtime belongs " +
               "to the new holder and its next beat corrects it.")
+        if (epoch(spark, prefix) != e0)
+          throw new IllegalStateException(
+            s"heartbeat for [$owner] on family '$prefix' overlapped a " +
+              "forceRelease (fence epoch changed mid-beat): this holder " +
+              "was presumed dead and must stop writing — a new holder " +
+              "may already own the fence.")
       case other =>
         throw new IllegalStateException(
           s"heartbeat for [$owner] on family '$prefix' but the fence is " +
@@ -475,9 +584,14 @@ object Fence {
   /** Manual recovery after a crashed holder: clear the fence
     * unconditionally. Returns true if a fence file was removed.
     * MUST NOT run while the named holder may still be alive — check
-    * [[holderAgeMillis]] first (live holders heartbeat every stage). */
+    * [[holderAgeMillis]] first (live holders heartbeat every stage).
+    * Bumps the fence [[epoch]] BEFORE deleting, so a holder that was
+    * in fact alive sees the bump inside its next heartbeat bracket and
+    * stops, even where an object-store locker's re-put could have
+    * rewritten the tag bytes indistinguishably. */
   def forceRelease(spark: SparkSession, prefix: String): Boolean = {
     val p = path(spark, prefix)
+    bumpEpoch(spark, prefix)
     lockerFor(spark, p).delete(spark, p)
   }
 

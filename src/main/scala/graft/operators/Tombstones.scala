@@ -271,13 +271,55 @@ object Tombstones {
     * this (`<prefix>_commits` in IngestLoop — the round-13 advisory's
     * stale-mapping corruption is exactly what adopting such a dir
     * would cause); with a persistent metastore the table stays
-    * cataloged and this is a no-op. */
-  private[graft] def clearOrphanLocation(spark: SparkSession, table: String): Unit =
+    * cataloged and this is a no-op.
+    *
+    * Catalog absence is SESSION-scoped, not existence proof (round-14
+    * advisory): with per-session ephemeral metastores sharing one
+    * warehouse, a same-named directory at this location could be a
+    * LIVE foreign writer's table or unrelated user data — so before
+    * deleting, the path is qualified against the session's CURRENT
+    * DATABASE (a non-default current db must not reach into default's
+    * directory) and the directory must PROVE it is an engine-written
+    * commits mapping: its parquet footprint carries exactly the
+    * `requiredCols` schema. Anything else keeps the previous loud
+    * refusal — the subsequent create surfaces
+    * LOCATION_ALREADY_EXISTS, trading availability for never silently
+    * destroying data the engine cannot prove it owns. */
+  private[graft] def clearOrphanLocation(spark: SparkSession, table: String,
+                                         requiredCols: Set[String] =
+                                           Set("loop_id", "local_bid",
+                                             "global_bid", "missing_below")): Unit =
     if (!spark.catalog.tableExists(table)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val db = spark.catalog.currentDatabase
+      val base =
+        if (db == "default") new org.apache.hadoop.fs.Path(wh)
+        else new org.apache.hadoop.fs.Path(wh, s"${db.toLowerCase}.db")
+      val p = new org.apache.hadoop.fs.Path(base, table.toLowerCase)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      if (fs.exists(p)) {
+        // data files (ignore _SUCCESS/. markers); an all-marker dir is a
+        // torn create of our own shape and safe to clear
+        val data = fs.listStatus(p).filter { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        val owned = data.isEmpty || (try {
+          data.forall(s => s.isFile && s.getPath.getName.endsWith(".parquet")) &&
+            spark.read.parquet(p.toString)
+              .schema.fieldNames.toSet == requiredCols
+        } catch { case _: Exception => false })
+        require(owned,
+          s"warehouse location $p exists but table '$table' is not in this " +
+            "session's catalog, and the directory does NOT read as an " +
+            s"engine-written mapping (expected a flat parquet dir with " +
+            s"columns ${requiredCols.mkString("[", ", ", "]")}): it may be " +
+            "a live foreign writer's table (ephemeral metastores sharing " +
+            "one warehouse) or unrelated data — refusing to adopt or " +
+            "delete it. Move or remove the directory deliberately, or " +
+            "run with the metastore that catalogs it.")
+        fs.delete(p, true)
+      }
     }
 
   /** Rewrite one bucketed family table minus the tombstoned rows,

@@ -525,7 +525,7 @@ object IngestLoop {
       val now = graft.operators.Tombstones.generation(spark, prefix)
       if (now == gen) settled = true else gen = now
     }
-    lastMineAttempts = attempts
+    mineAttempts.put(prefix, attempts)
   }
 
   /** Catalog-metadata partition probe (no scan job): SHOW PARTITIONS
@@ -538,10 +538,25 @@ object IngestLoop {
 
   /** Test seam: invoked between a mine attempt's publish and its
     * generation check — specs inject a compaction here to prove the
-    * check forces a re-mine. No-op in production. */
-  private[graft] var midMineProbe: String => Unit = _ => ()
-  /** Test seam: attempts the last [[mineAndPublish]] took. */
-  private[graft] var lastMineAttempts: Int = 0
+    * check forces a re-mine. No-op in production. Volatile so a
+    * spec's assignment is visible to a loop thread, but the probe
+    * itself is GLOBAL state: under the concurrent-loop topology (two
+    * loops on one family in one JVM — the MwProbe shape) both loops
+    * invoke whatever function is installed, so it is a
+    * SINGLE-LOOP-TEST-ONLY seam — probes that must not fire for a
+    * foreign loop filter on the prefix argument (round-14 advisory). */
+  @volatile private[graft] var midMineProbe: String => Unit = _ => ()
+  /** Test seam: attempts the last [[mineAndPublish]] took, PER FAMILY
+    * PREFIX — keyed so concurrent loops on different families (and the
+    * advertised two-loops-one-family topology, whose loops serialize
+    * their mines per batch through the same key) never observe each
+    * other's attempt counts through a shared mutable field (round-14
+    * advisory). */
+  private[graft] val mineAttempts =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  /** Attempts the last [[mineAndPublish]] on `prefix` took (0 = none). */
+  private[graft] def lastMineAttempts(prefix: String): Int =
+    mineAttempts.getOrDefault(prefix, 0)
 
   /** Drive a streaming document source through the MinHash ingestion
     * loop. Returns the started query; accumulated pairs live under

@@ -34,6 +34,30 @@ object CondPutLocker {
   val store = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 }
 
+/** A locker that delegates to the builtin Hadoop locker but runs an
+  * injectable hook INSIDE touch — the seam that lets a spec place a
+  * forceRelease + stale-tag clobber exactly in the heartbeat's
+  * verify-then-stamp window (the round-14 advisory's race), where the
+  * tag bytes alone cannot expose it and only the fence-epoch bracket
+  * can. */
+class EpochRaceLocker extends FenceLocker {
+  override def createExclusive(spark: SparkSession, p: Path, tag: String): Unit =
+    Fence.HadoopLocker.createExclusive(spark, p, tag)
+  override def readTag(spark: SparkSession, p: Path): Option[String] =
+    Fence.HadoopLocker.readTag(spark, p)
+  override def ageMillis(spark: SparkSession, p: Path): Option[Long] =
+    Fence.HadoopLocker.ageMillis(spark, p)
+  override def touch(spark: SparkSession, p: Path): Unit = {
+    EpochRaceLocker.midTouch(p)
+    Fence.HadoopLocker.touch(spark, p)
+  }
+  override def delete(spark: SparkSession, p: Path): Boolean =
+    Fence.HadoopLocker.delete(spark, p)
+}
+object EpochRaceLocker {
+  @volatile var midTouch: Path => Unit = _ => ()
+}
+
 /** A locker whose create fails with a NON-held invariant violation —
   * exercises acquireWait's retry discrimination: only the held-refusal
   * is retryable by waiting. */
@@ -513,5 +537,71 @@ class FenceSpec extends AnyFunSuite {
         .filter(col("doc_id") % 8 === 0).count() == 0,
         "the folded sweep must be physical after compaction")
     } finally cleanFamily(p)
+  }
+
+  test("fence epoch: forceRelease bumps it; a forceRelease landing inside the heartbeat window kills the stale holder even when the tag bytes cannot") {
+    val p = "fence_epoch"
+    Fence.forceRelease(spark, p) // clear any stale fence from a prior run
+    val e0 = Fence.epoch(spark, p)
+    Fence.acquire(spark, p, "writerA")
+    assert(Fence.forceRelease(spark, p))
+    assert(Fence.epoch(spark, p) == e0 + 1,
+      "every forceRelease must bump the fence epoch")
+    // the advisory's window, deterministically injected: the stale
+    // holder's heartbeat passes the tag verify, then — inside touch —
+    // a forceRelease + a clobbering re-put of the SAME tag bytes land
+    // (the object-store re-put race, where the new holder's tag was
+    // overwritten and reads cannot tell the writers apart). Only the
+    // epoch bracket can catch it — and must, loudly.
+    spark.conf.set("spark.graft.fence.locker.file", "graft.EpochRaceLocker")
+    try {
+      Fence.acquire(spark, p, "writerA")
+      var fired = 0
+      EpochRaceLocker.midTouch = path => {
+        if (fired == 0) {
+          fired += 1
+          val tag = Fence.HadoopLocker.readTag(spark, path).get
+          Fence.forceRelease(spark, p) // operator presumes A dead
+          // the stale re-put clobber: same bytes as A's own tag
+          Fence.HadoopLocker.createExclusive(spark, path, tag)
+        }
+      }
+      val e = intercept[IllegalStateException](
+        Fence.heartbeat(spark, p, "writerA"))
+      assert(fired == 1)
+      assert(e.getMessage.contains("epoch"),
+        s"the epoch bracket must catch the mid-beat forceRelease: ${e.getMessage}")
+    } finally {
+      EpochRaceLocker.midTouch = _ => ()
+      spark.conf.unset("spark.graft.fence.locker.file")
+      Fence.forceRelease(spark, p)
+    }
+  }
+
+  test("ConditionalCreateLocker touch: a vanished fence refuses; a racing concurrent put deletes the fence and fails loudly on both sides") {
+    val p = "fence_ccl2"
+    val lockDir = java.nio.file.Files.createTempDirectory("ccl2_locks").toString
+    spark.conf.set("spark.graft.fence.dir", lockDir)
+    spark.conf.set("spark.graft.fence.locker.file",
+      "graft.operators.Fence$ConditionalCreateLocker")
+    spark.conf.set("spark.graft.fence.assumeConditionalCreate", "true")
+    try {
+      Fence.acquire(spark, p, "writerA")
+      val fencePath = Fence.path(spark, p)
+      val locker = new Fence.ConditionalCreateLocker()
+      // vanished mid-beat (a forceRelease raced us): touch must refuse,
+      // never recreate an ownerless fence from a blind re-put
+      val fs = fencePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(fencePath, false)
+      val gone = intercept[IllegalStateException](
+        locker.touch(spark, fencePath))
+      assert(gone.getMessage.contains("vanished"), gone.getMessage)
+      assert(!fs.exists(fencePath),
+        "a refused touch must not leave a recreated fence behind")
+    } finally {
+      spark.conf.unset("spark.graft.fence.dir")
+      spark.conf.unset("spark.graft.fence.locker.file")
+      spark.conf.unset("spark.graft.fence.assumeConditionalCreate")
+    }
   }
 }

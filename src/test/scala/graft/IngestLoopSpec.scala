@@ -218,9 +218,9 @@ class IngestLoopSpec extends AnyFunSuite {
         }
       try run(b1, 1L) finally IngestLoop.midMineProbe = _ => ()
       assert(fired == 1, "the mid-mine compaction never ran")
-      assert(IngestLoop.lastMineAttempts == 2,
+      assert(IngestLoop.lastMineAttempts("ing_gc") == 2,
         s"generation check missed the racing compaction " +
-          s"(attempts=${IngestLoop.lastMineAttempts})")
+          s"(attempts=${IngestLoop.lastMineAttempts("ing_gc")})")
       assert(Tombstones.generation(spark, "ing_gc") == gen0 + 1)
       // the settled batch-1 pairs == an incremental mine against the
       // post-compact corpus view (what the accepted re-mine saw)
@@ -234,7 +234,7 @@ class IngestLoopSpec extends AnyFunSuite {
         "re-mined pairs diverge from the post-compact corpus view")
       // no racing rewrite -> the mine settles first try
       run(corpus.limit(20).withColumn("doc_id", col("doc_id") + 2000000L), 2L)
-      assert(IngestLoop.lastMineAttempts == 1)
+      assert(IngestLoop.lastMineAttempts("ing_gc") == 1)
     } finally drop("ing_gc_bands", "ing_gc_shingles", "ing_gc_meta",
       "ing_gc_tombstones")
   }
@@ -263,9 +263,9 @@ class IngestLoopSpec extends AnyFunSuite {
           Tombstones.compactEmbed(spark, "ing_eg")
         }
       try run(b1, 1L) finally IngestLoop.midMineProbe = _ => ()
-      assert(fired == 1 && IngestLoop.lastMineAttempts == 2,
+      assert(fired == 1 && IngestLoop.lastMineAttempts("ing_eg") == 2,
         s"embed generation check missed the racing compaction " +
-          s"(attempts=${IngestLoop.lastMineAttempts})")
+          s"(attempts=${IngestLoop.lastMineAttempts("ing_eg")})")
       assert(Tombstones.generation(spark, "ing_eg") == gen0 + 1)
       val expected = Similarity.lshDupPairsIncremental(
         Similarity.embedIndex(b1, "vec_id", "embedding", 12, 4, 42L, 64),

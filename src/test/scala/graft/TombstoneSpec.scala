@@ -439,4 +439,43 @@ class TombstoneSpec extends AnyFunSuite {
     } finally drop("tb_mt_bands", "tb_mt_shingles", "tb_mt_meta",
       "tb_mt_tombstones")
   }
+
+  test("clearOrphanLocation: adopts only a provably engine-written commits dir; anything else refuses loudly (round-14 advisory)") {
+    import spark.implicits._
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fsP = new org.apache.hadoop.fs.Path(wh)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 1. a same-named directory that is NOT an engine commits mapping
+    //    (could be a live foreign writer's table or user data): refuse,
+    //    leave it untouched — the old behavior deleted it silently
+    val foreign = new org.apache.hadoop.fs.Path(fsP, "tb_orph_commits")
+    try {
+      Seq((1L, "x")).toDF("some_id", "payload")
+        .write.mode("overwrite").parquet(foreign.toString)
+      assert(!spark.catalog.tableExists("tb_orph_commits"))
+      val e = intercept[IllegalArgumentException](
+        Tombstones.clearOrphanLocation(spark, "tb_orph_commits"))
+      assert(e.getMessage.contains("refusing"), e.getMessage)
+      assert(fs.exists(foreign),
+        "a non-engine directory must survive the refusal intact")
+      // 2. the true orphan state (ephemeral metastore lost the entry,
+      //    dir carries exactly the engine's commits schema): cleared
+      fs.delete(foreign, true)
+      Seq(("loop-a", 0L, 0L, Seq.empty[Long]))
+        .toDF("loop_id", "local_bid", "global_bid", "missing_below")
+        .write.mode("overwrite").parquet(foreign.toString)
+      // drop the _SUCCESS-style markers case too: schema check drives it
+      Tombstones.clearOrphanLocation(spark, "tb_orph_commits")
+      assert(!fs.exists(foreign),
+        "a provably engine-written orphaned mapping must be cleared")
+      // 3. cataloged table: no-op regardless of shape
+      Seq((1L, 2L)).toDF("a", "b")
+        .write.mode("overwrite").format("parquet").saveAsTable("tb_orph_commits")
+      Tombstones.clearOrphanLocation(spark, "tb_orph_commits")
+      assert(spark.catalog.tableExists("tb_orph_commits"))
+    } finally {
+      drop("tb_orph_commits")
+      if (fs.exists(foreign)) fs.delete(foreign, true)
+    }
+  }
 }
