@@ -129,8 +129,163 @@ case class BpeCount(child: Expression, vocab: Seq[String]) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** MERGE-ORDER byte-pair encoding (round 15) — the GPT-2/tiktoken
+  * family's semantics, vs [[BpeKernel]]'s greedy longest-match
+  * (WordPiece/SentencePiece serving). A merge-LIST tokenizer does not
+  * probe a vocabulary: it starts each word as single codepoints and
+  * repeatedly applies the LOWEST-RANKED merge rule present among the
+  * word's adjacent symbol pairs — merging every disjoint occurrence of
+  * that pair left-to-right — until no adjacent pair is a rule. The two
+  * countings provably differ (a low-rank merge can cross a boundary a
+  * greedy longest-match already committed to: with vocab {ti, in, ing}
+  * greedy takes "ti" first in "ting" → 3 tokens, while merge-order
+  * builds (i,n) then (in,g) → [t, ing] = 2), so a deployment budgeting
+  * in "tokenizer units" must pick the semantics its real tokenizer
+  * uses — q131 pins a fixture where they disagree, both DuckDB-oracled.
+  *
+  * Each round merges all DISJOINT occurrences of the chosen pair in
+  * one left-to-right sweep (exactly GPT-2 encoder.py's inner loop), so
+  * a word of n codepoints settles in at most n−1 rounds — the bound
+  * the unrolled DuckDB replay leans on (q131: per-round "first pattern
+  * present wins" nested CASE over the rank-ordered rules, applied to a
+  * delimiter-wrapped symbol string where `replace` is exactly the
+  * disjoint left-to-right sweep).
+  */
+object BpeMergeKernel extends Serializable {
+
+  /** Total merge-order tokens across all space-separated words.
+    * `ranks` maps "left right" (single-space-joined — pieces contain
+    * no spaces) to the rule's rank; lower rank wins each round. */
+  def count(text: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
+    if (text == null) return 0
+    val s = text.toString
+    var total = 0
+    var ws = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        total += countWord(s, ws, i, ranks)
+        ws = i + 1
+      }
+      i += 1
+    }
+    total
+  }
+
+  private def countWord(s: String, from: Int, until: Int,
+                        ranks: java.util.HashMap[String, Integer]): Int = {
+    if (from >= until) return 0
+    // initial symbols: one per codepoint
+    var syms = new java.util.ArrayList[String]()
+    var p = from
+    while (p < until) {
+      val c = Character.charCount(s.codePointAt(p))
+      syms.add(s.substring(p, p + c))
+      p += c
+    }
+    var done = false
+    while (!done && syms.size > 1) {
+      // lowest-ranked rule present among adjacent pairs
+      var best: String = null
+      var bestRank = Integer.MAX_VALUE
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = ranks.get(syms.get(i) + " " + syms.get(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; best = syms.get(i) + " " + syms.get(i + 1) }
+        i += 1
+      }
+      if (best == null) done = true
+      else {
+        val sp = best.indexOf(' ')
+        val a = best.substring(0, sp)
+        val b = best.substring(sp + 1)
+        // one left-to-right sweep merging every disjoint occurrence
+        val next = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        while (j < syms.size) {
+          if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
+            next.add(a + b); j += 2
+          } else { next.add(syms.get(j)); j += 1 }
+        }
+        syms = next
+      }
+    }
+    syms.size
+  }
+}
+
+/** `graft_bpe_merge_count(text)`: total merge-order BPE tokens of a
+  * document under a frozen rank-ordered merge list — see
+  * [[BpeMergeKernel]]. The rank map rides into generated code as one
+  * referenced HashMap per task (the [[BpeCount]] discipline), so a
+  * 50k-rule GPT-2-style merge table costs plan size O(1). */
+case class BpeMergeCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.nonEmpty, "BPE merge list must not be empty")
+  require(merges.forall { case (a, b) =>
+    a.nonEmpty && b.nonEmpty && !a.contains(" ") && !b.contains(" ") },
+    "BPE merge sides must be non-empty and contain no spaces " +
+      "(the pre-tokenizer splits on single spaces)")
+  // a trained merge table is CONSISTENT: every rule's sides are single
+  // codepoints or outputs of earlier rules — which is what guarantees
+  // pairs involving a merged symbol rank strictly after the rule that
+  // built it. Enforced here to catch hand-built lists that could never
+  // come out of a trainer.
+  require({
+    val built = scala.collection.mutable.Set[String]()
+    merges.forall { case (a, b) =>
+      val ok = (a.codePointCount(0, a.length) == 1 || built.contains(a)) &&
+        (b.codePointCount(0, b.length) == 1 || built.contains(b))
+      built += (a + b)
+      ok
+    }
+  }, "BPE merge list is inconsistent: every rule's sides must be single " +
+    "codepoints or the output of an EARLIER rule (trained merge tables " +
+    "satisfy this by construction)")
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val h = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      // first occurrence wins: a duplicated rule can never fire at its
+      // later rank (the pair is gone or re-formed identically)
+      h.putIfAbsent(a + " " + b, i)
+    }
+    h
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bpe_merge_count needs a string column, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_merge_count"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeMergeKernel.count(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeMerges", ranks,
+      "java.util.HashMap<String,Integer>")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.BpeMergeKernel.count($t, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeCount =
+    copy(child = newChild)
+}
+
 object BpeExpression {
   /** Greedy frozen-vocab subword token count of a text column. */
   def bpeCount(text: Column, vocab: Seq[String]): Column =
     Bridge.column(BpeCount(Bridge.expression(text), vocab))
+
+  /** Merge-order BPE token count of a text column under a frozen
+    * rank-ordered merge list. */
+  def bpeMergeCount(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeMergeCount(Bridge.expression(text), merges))
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *
   * Stage semantics (each independently oracled by its own catalog row):
   *  - gate: keep docs with at least `minTokens` whitespace tokens
-  *    (swap in [[TextAnalysis.bpeTokenCount]] upstream and pass its
+  *    (swap in [[TextAnalysis.subwordTokenCount]] upstream and pass its
   *    column as `massCol` to budget the mixture in subword units);
   *  - decontaminate: drop docs sharing any benchmark word `benchGramN`-
   *    gram ([[TextAnalysis.contaminationHitsBloom]] — the codegen bloom

@@ -770,16 +770,135 @@ object TextAnalysis {
     "ou", "of", "and", "ent", "ion", "for", "pro", "con", "com",
     "qu", "ch", "sh", "wh", "ll", "ss", "ee", "oo")
 
-  /** Frozen-vocab greedy subword token count per document — the
-    * BPE-unit twin of the whitespace `n_tokens` every budget in the
-    * engine otherwise uses. Pure projection (one codegen'd kernel call
+  /** Frozen-vocab GREEDY-LONGEST-MATCH subword token count per document
+    * — the WordPiece/SentencePiece serving-side unit, the twin of the
+    * whitespace `n_tokens` every budget in the engine otherwise uses.
+    * NOT merge-order BPE: a GPT-2/tiktoken-style merge-list tokenizer
+    * segments differently (see [[mergeTokenCount]], and q131 for a
+    * pinned fixture where the counts disagree) — pick the variant your
+    * real tokenizer uses. Pure projection (one codegen'd kernel call
     * per row, no shuffle, no UDF); feed the output column to
     * [[Sampling.mixtureSample]]/[[Sampling.unimaxSample]] as `massCol`
     * or to [[Packing]] as the size column to budget in subword units.
     * Semantics and the engine-parity contract: [[graft.functions.BpeKernel]]. */
+  def subwordTokenCount(df: DataFrame, idCol: String, textCol: String,
+                        vocab: Seq[String] = demoBpeVocab,
+                        out: String = "bpe_tokens"): DataFrame =
+    df.withColumn(out,
+      graft.functions.BpeExpression.bpeCount(col(textCol), vocab))
+
+  /** Renamed to [[subwordTokenCount]] (round 15): the old name
+    * oversold — greedy longest-match is the WordPiece serving
+    * formulation, not merge-order BPE. Kept as an alias so round-14
+    * callers keep compiling. */
+  @deprecated("use subwordTokenCount (greedy longest-match) or " +
+    "mergeTokenCount (merge-order BPE)", "round 15")
   def bpeTokenCount(df: DataFrame, idCol: String, textCol: String,
                     vocab: Seq[String] = demoBpeVocab,
                     out: String = "bpe_tokens"): DataFrame =
+    subwordTokenCount(df, idCol, textCol, vocab, out)
+
+  /** A small frozen demonstration MERGE LIST for [[mergeTokenCount]] —
+    * rank-ordered, consistent (every side is a single codepoint or an
+    * earlier rule's output, which [[graft.functions.BpeMergeCount]]
+    * enforces). Its output pieces double as the greedy vocabulary in
+    * q131's greedy-vs-merge-order comparison, so both countings run
+    * over the same piece inventory and any count difference is pure
+    * SEMANTICS, not vocabulary. */
+  val demoBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("i", "n"), ("th", "e"), ("in", "g"), ("e", "r"),
+    ("o", "n"), ("a", "n"), ("e", "s"), ("t", "i"), ("ti", "on"),
+    ("e", "d"), ("o", "r"), ("a", "l"), ("s", "t"), ("a", "r"), ("o", "u"))
+
+  /** MERGE-ORDER BPE token count per document — the GPT-2/tiktoken
+    * semantics ([[graft.functions.BpeMergeKernel]]): per word, start
+    * from single codepoints and repeatedly apply the lowest-ranked
+    * merge rule present, merging all disjoint occurrences per round.
+    * Same execution shape as [[subwordTokenCount]]: one codegen'd
+    * kernel call per row, rule table as one referenced HashMap per
+    * task, no shuffle, no UDF. Budget mixtures in these units when the
+    * deployment's tokenizer is a merge-list one (q133). */
+  def mergeTokenCount(df: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)] = demoBpeMerges,
+                      out: String = "bpe_tokens"): DataFrame =
     df.withColumn(out,
-      graft.functions.BpeExpression.bpeCount(col(textCol), vocab))
+      graft.functions.BpeExpression.bpeMergeCount(col(textCol), merges))
+
+  /** DISTRIBUTED BPE vocabulary training (round 15) — learn a
+    * merge-rank list from the corpus itself, the Sennrich et al. 2016
+    * procedure re-expressed as k bounded Spark rounds:
+    *
+    *   1. ONE corpus-sized pass folds the corpus to its WORD-TYPE
+    *      frequency table (`groupBy(word).count` — the only shuffle
+    *      that scales with data volume; everything after is
+    *      O(word types), which a frequency floor `minWordFreq` bounds
+    *      at 100 TB where the type table itself gets heavy with
+    *      typos/URLs — the standard trainer discipline).
+    *   2. Each of the ≤ `numMerges` rounds: extract adjacent symbol
+    *      pairs from every type (weighted by type frequency, one
+    *      count per adjacent position), aggregate, take the
+    *      (count desc, pair asc) argmax — a ONE-ROW collect — and
+    *      apply the winning rule to every type via a literal
+    *      `replace` over the delimiter-wrapped symbol string (each
+    *      symbol wrapped `<s>`, so the pattern `<a><b>` → `<ab>`
+    *      matches exactly at symbol boundaries and one left-to-right
+    *      pass merges every disjoint occurrence — the same sweep the
+    *      encode kernel does). The per-round frame is
+    *      localCheckpoint'd: lineage stays flat across rounds.
+    *   3. Stop early when the best pair's count drops below
+    *      `minFreq`.
+    *
+    * Returns the learned rules in rank order with their winning
+    * counts — feed `.map(m => (m._1, m._2))` straight to
+    * [[mergeTokenCount]]. DuckDB-oracled end-to-end in q132 (the
+    * k-unrolled-rounds pattern); symbols never contain the `<`/`>`
+    * delimiters or spaces because words are space-split and the
+    * delimiters are excluded from the corpus (loudly, not silently). */
+  def trainBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+                     minFreq: Long = 2L,
+                     minWordFreq: Long = 1L): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    val bad = df.filter(col(textCol).contains("<") || col(textCol).contains(">"))
+      .limit(1).count()
+    require(bad == 0,
+      "trainBpeMerges uses '<'/'>' as symbol delimiters; the corpus " +
+        "contains them — pre-scrub the text or remap the delimiters")
+    var types = df
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .filter(col("__f") >= minWordFreq)
+      .select(col("__f"), expr(
+        """array_join(transform(sequence(1, length(__w)),
+             i -> concat('<', substring(__w, i, 1), '>')), '')""").as("__ws"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val winner = types
+        .select(col("__f"), expr(
+          "split(substring(__ws, 2, length(__ws) - 2), '><')").as("__syms"))
+        .filter(size(col("__syms")) >= 2)
+        .select(col("__f"), explode(expr(
+          """transform(sequence(1, size(__syms) - 1),
+               i -> concat(element_at(__syms, i), ' ', element_at(__syms, i + 1)))"""))
+          .as("__pr"))
+        .groupBy("__pr").agg(sum("__f").as("__c"))
+        .orderBy(desc("__c"), asc("__pr")).limit(1).collect()
+      if (winner.isEmpty || winner.head.getLong(1) < minFreq) done = true
+      else {
+        val pr = winner.head.getString(0)
+        val c = winner.head.getLong(1)
+        val sp = pr.indexOf(' ')
+        val (a, b) = (pr.substring(0, sp), pr.substring(sp + 1))
+        merges += ((a, b, c))
+        types = types.select(col("__f"),
+          replace(col("__ws"), lit(s"<$a><$b>"), lit(s"<${a}$b>")).as("__ws"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
 }

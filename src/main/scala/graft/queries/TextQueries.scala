@@ -2703,7 +2703,7 @@ object TextQueries {
     // vocab nor the fixture contains '|'.
     "q128_bpe_count" -> QueryDef(
       fn = (s, d) =>
-        TextAnalysis.bpeTokenCount(
+        TextAnalysis.subwordTokenCount(
           docs(s, d).select(col("doc_id"), col("text")), "doc_id", "text")
           .select(col("doc_id"),
             size(split(col("text"), " ")).as("n_ws"),
@@ -2728,7 +2728,7 @@ object TextQueries {
     // (need // n epochs + the 2^32 hash-remainder pick) exactly.
     "q129_mixture_bpe" -> QueryDef(
       fn = (s, d) => {
-        val counted = TextAnalysis.bpeTokenCount(
+        val counted = TextAnalysis.subwordTokenCount(
           docs(s, d).select(col("doc_id"), col("source"), col("text")),
           "doc_id", "text")
         Sampling.mixtureSample(
@@ -2851,7 +2851,118 @@ object TextQueries {
                  + SUM(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
                TRUE AS reenc_found, TRUE AS resize_found,
                TRUE AS planted_hamming_zero
-        FROM documents WHERE doc_id < 400"""))
+        FROM documents WHERE doc_id < 400""")),
+
+    // ----------------------------------------------------------------
+    // q131: GREEDY vs MERGE-ORDER subword counting provably differ —
+    // the round-14 verdict's top task. Both countings run over the SAME
+    // piece inventory (greedy vocab = the merge list's outputs), so any
+    // count difference is pure tokenizer SEMANTICS: greedy longest-match
+    // commits to the longest piece at each position (WordPiece serving),
+    // merge-order replays the ranked rules (GPT-2/tiktoken) and a
+    // low-rank merge can cross a boundary greedy already took — 'ting':
+    // greedy ti|n|g = 3, merge-order t|ing = 2. The corpus words alone
+    // happen to agree under the demo rules, so two literal fixture docs
+    // are unioned IN BOTH ENGINES to pin the disagreement into the
+    // hashed output. Oracles: the greedy pointer-doubling chain and the
+    // merge-round chain (7 rounds ≥ maxWordLen−1 = 7), both replaying
+    // the codegen kernels bit-for-bit in DuckDB.
+    "q131_bpe_merge_vs_greedy" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val rules = TextAnalysis.demoBpeMerges
+        val vocab = rules.map { case (a, b) => a + b }
+        val src = docs(s, d).select(col("doc_id"), col("text")).union(
+          Seq((90000001L, "ting testing sorting"),
+            (90000002L, "counting the tion")).toDF("doc_id", "text"))
+        val g = TextAnalysis.subwordTokenCount(src, "doc_id", "text",
+          vocab, out = "n_greedy")
+        TextAnalysis.mergeTokenCount(g, "doc_id", "text", rules, out = "n_merge")
+          .select(col("doc_id"), col("n_greedy"), col("n_merge"),
+            (col("n_greedy") =!= col("n_merge")).as("differs"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val rules = graft.operators.TextAnalysis.demoBpeMerges
+        val vocab = rules.map { case (a, b) => a + b }
+        s"""
+        WITH __q131_lit(doc_id, text) AS (VALUES
+            (CAST(90000001 AS BIGINT), 'ting testing sorting'),
+            (CAST(90000002 AS BIGINT), 'counting the tion')),
+        __q131_src AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM __q131_lit),
+        ${greedySubwordSql("__q131_src", vocab, "__gd")},
+        ${mergeTokensSql("__q131_src", rules, rounds = 7, "__mg")},
+        g AS (SELECT doc_id, CAST(SUM(t) AS INTEGER) AS n_greedy
+              FROM __gd_wt GROUP BY doc_id)
+        SELECT g.doc_id, g.n_greedy, m.n_merge,
+               g.n_greedy <> m.n_merge AS differs
+        FROM g JOIN __mg_dt m USING (doc_id)
+        ORDER BY doc_id"""
+      }),
+
+    // ----------------------------------------------------------------
+    // q132: DISTRIBUTED BPE vocabulary training — learn the merge list
+    // from the corpus itself (Sennrich et al. 2016 as k bounded Spark
+    // rounds over the word-TYPE table; see TextAnalysis.trainBpeMerges).
+    // The oracle re-learns it in DuckDB: 8 unrolled rounds of
+    // pair-count → argmax (count desc, pair asc) → wrapped-string
+    // replace — identical state representation, so the learned rules,
+    // their ranks, AND their winning counts must agree exactly.
+    "q132_bpe_train" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        TextAnalysis.trainBpeMerges(docs(s, d).select("text"), "text",
+          numMerges = 8, minFreq = 2L)
+          .zipWithIndex
+          .map { case ((a, b, c), i) => (i, a, b, c) }
+          .toDF("merge_rank", "merge_left", "merge_right", "pair_count")
+          .orderBy("merge_rank")
+      },
+      oracle = Some(bpeTrainSql("documents", numMerges = 8, minFreq = 2L))),
+
+    // ----------------------------------------------------------------
+    // q133: training mixture budgeted in MERGE-ORDER units — q129's
+    // mixture with massCol = the merge-order counts, closing the
+    // round-14 verdict's "mixture row budgeted in merge-order units".
+    // The oracle recomputes the masses with the q131 merge-round chain,
+    // then replays the mixture formula (need // n epochs + the 2^32
+    // hash-remainder pick) exactly as q129 does.
+    "q133_mixture_merge_bpe" -> QueryDef(
+      fn = (s, d) => {
+        val counted = TextAnalysis.mergeTokenCount(
+          docs(s, d).select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "text")
+        Sampling.mixtureSample(
+          counted.select("doc_id", "source", "bpe_tokens"), "source", "doc_id",
+          weights = Map("src0" -> 0.5, "src1" -> 0.25,
+            "src2" -> 0.125, "src3" -> 0.125),
+          budget = 30000L, massCol = "bpe_tokens")
+          .select(col("doc_id"), col("source"), col("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      oracle = Some(s"""
+        WITH ${mergeTokensSql("documents",
+          graft.operators.TextAnalysis.demoBpeMerges, rounds = 7, "__mg")}
+        , dm AS (SELECT doc_id, CAST(n_merge AS BIGINT) AS bpe FROM __mg_dt),
+        w(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.25),
+                                ('src2', 0.125), ('src3', 0.125)),
+        n AS (SELECT d.source, CAST(SUM(m.bpe) AS BIGINT) AS n
+              FROM documents d JOIN dm m USING (doc_id) GROUP BY d.source),
+        t AS (SELECT n.source, n.n,
+                     CAST(FLOOR(30000.0 * w.w / 1.0) AS BIGINT) AS need
+              FROM n JOIN w USING (source)),
+        th AS (SELECT source, n, need, need // n AS e,
+                      ((need % n) * 4294967296) // n AS thr
+               FROM t),
+        c AS (SELECT d.doc_id, d.source,
+                     th.e + CASE WHEN (d.doc_id * 2654435761) % 4294967296 < th.thr
+                                 THEN 1 ELSE 0 END AS copies
+              FROM documents d JOIN th USING (source))
+        SELECT doc_id, source,
+               unnest(range(1, copies + 1)) AS epoch
+        FROM c WHERE copies >= 1
+        ORDER BY doc_id, epoch"""))
   )
 
   /** The q128/q129 shared oracle CTE chain: per-word greedy subword
@@ -2859,57 +2970,149 @@ object TextQueries {
     * in `__bpe_wt(doc_id, t)` — one row per word, t = its token count.
     * The vocabulary and its delimiter-probe string interpolate from
     * [[TextAnalysis.demoBpeVocab]] so Scala and SQL can never skew. */
-  private def bpeTokensSql: String = {
-    val v = graft.operators.TextAnalysis.demoBpeVocab.mkString("|", "|", "|")
+  private def bpeTokensSql: String =
+    greedySubwordSql("documents", graft.operators.TextAnalysis.demoBpeVocab, "__bpe")
+
+  /** Generalized greedy-subword CTE generator (round 15): the q128
+    * pointer-doubling chain parameterized by source CTE/table, greedy
+    * vocabulary, and CTE name prefix — ends in `{pfx}_wt(doc_id, t)`.
+    * Probe lengths run maxPieceLen..2; the six jump rounds cover words
+    * to 64 tokens (fixture max word length is 8). */
+  private def greedySubwordSql(src: String, vocab: Seq[String],
+                               pfx: String): String = {
+    val v = vocab.mkString("|", "|", "|")
+    val maxPiece = vocab.map(p => p.codePointCount(0, p.length)).max
     def probe(l: Int) =
       s"strpos('$v', '|' || substring(w, CAST(p AS INTEGER), $l) || '|') > 0"
-    s"""__bpe_wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                     FROM documents),
-        __bpe_wl AS (SELECT doc_id, w, length(w) AS m FROM __bpe_wd),
-        __bpe_j0 AS (SELECT doc_id, m,
+    val probes = (maxPiece to 2 by -1)
+      .map(l => s"WHEN ${probe(l)} THEN $l").mkString("\n                                       ")
+    s"""${pfx}_wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM $src),
+        ${pfx}_wl AS (SELECT doc_id, w, length(w) AS m FROM ${pfx}_wd),
+        ${pfx}_j0 AS (SELECT doc_id, m,
             list_transform(range(1, m + 2), p ->
               CASE WHEN p > m THEN m + 1
-                   ELSE least(p + CASE WHEN ${probe(4)} THEN 4
-                                       WHEN ${probe(3)} THEN 3
-                                       WHEN ${probe(2)} THEN 2
+                   ELSE least(p + CASE $probes
                                        ELSE 1 END, m + 1) END) AS j0
-          FROM __bpe_wl),
-        __bpe_j1 AS (SELECT doc_id, m, j0,
-            list_transform(j0, v -> j0[v]) AS j1 FROM __bpe_j0),
-        __bpe_j2 AS (SELECT doc_id, m, j0, j1,
-            list_transform(j1, v -> j1[v]) AS j2 FROM __bpe_j1),
-        __bpe_j3 AS (SELECT doc_id, m, j0, j1, j2,
-            list_transform(j2, v -> j2[v]) AS j3 FROM __bpe_j2),
-        __bpe_j4 AS (SELECT doc_id, m, j0, j1, j2, j3,
-            list_transform(j3, v -> j3[v]) AS j4 FROM __bpe_j3),
-        __bpe_j5 AS (SELECT doc_id, m, j0, j1, j2, j3, j4,
-            list_transform(j4, v -> j4[v]) AS j5 FROM __bpe_j4),
-        __bpe_g5 AS (SELECT doc_id, m, j0, j1, j2, j3, j4,
+          FROM ${pfx}_wl),
+        ${pfx}_j1 AS (SELECT doc_id, m, j0,
+            list_transform(j0, v -> j0[v]) AS j1 FROM ${pfx}_j0),
+        ${pfx}_j2 AS (SELECT doc_id, m, j0, j1,
+            list_transform(j1, v -> j1[v]) AS j2 FROM ${pfx}_j1),
+        ${pfx}_j3 AS (SELECT doc_id, m, j0, j1, j2,
+            list_transform(j2, v -> j2[v]) AS j3 FROM ${pfx}_j2),
+        ${pfx}_j4 AS (SELECT doc_id, m, j0, j1, j2, j3,
+            list_transform(j3, v -> j3[v]) AS j4 FROM ${pfx}_j3),
+        ${pfx}_j5 AS (SELECT doc_id, m, j0, j1, j2, j3, j4,
+            list_transform(j4, v -> j4[v]) AS j5 FROM ${pfx}_j4),
+        ${pfx}_g5 AS (SELECT doc_id, m, j0, j1, j2, j3, j4,
             CASE WHEN j5[1] <= m THEN j5[1] ELSE 1 END AS p5,
             CASE WHEN j5[1] <= m THEN 32 ELSE 0 END AS c5
-          FROM __bpe_j5),
-        __bpe_g4 AS (SELECT doc_id, m, j0, j1, j2, j3,
+          FROM ${pfx}_j5),
+        ${pfx}_g4 AS (SELECT doc_id, m, j0, j1, j2, j3,
             CASE WHEN j4[p5] <= m THEN j4[p5] ELSE p5 END AS p4,
             c5 + CASE WHEN j4[p5] <= m THEN 16 ELSE 0 END AS c4
-          FROM __bpe_g5),
-        __bpe_g3 AS (SELECT doc_id, m, j0, j1, j2,
+          FROM ${pfx}_g5),
+        ${pfx}_g3 AS (SELECT doc_id, m, j0, j1, j2,
             CASE WHEN j3[p4] <= m THEN j3[p4] ELSE p4 END AS p3,
             c4 + CASE WHEN j3[p4] <= m THEN 8 ELSE 0 END AS c3
-          FROM __bpe_g4),
-        __bpe_g2 AS (SELECT doc_id, m, j0, j1,
+          FROM ${pfx}_g4),
+        ${pfx}_g2 AS (SELECT doc_id, m, j0, j1,
             CASE WHEN j2[p3] <= m THEN j2[p3] ELSE p3 END AS p2,
             c3 + CASE WHEN j2[p3] <= m THEN 4 ELSE 0 END AS c2
-          FROM __bpe_g3),
-        __bpe_g1 AS (SELECT doc_id, m, j0,
+          FROM ${pfx}_g3),
+        ${pfx}_g1 AS (SELECT doc_id, m, j0,
             CASE WHEN j1[p2] <= m THEN j1[p2] ELSE p2 END AS p1,
             c2 + CASE WHEN j1[p2] <= m THEN 2 ELSE 0 END AS c1
-          FROM __bpe_g2),
-        __bpe_g0 AS (SELECT doc_id, m,
+          FROM ${pfx}_g2),
+        ${pfx}_g0 AS (SELECT doc_id, m,
             c1 + CASE WHEN j0[p1] <= m THEN 1 ELSE 0 END AS c0
-          FROM __bpe_g1),
-        __bpe_wt AS (SELECT doc_id,
+          FROM ${pfx}_g1),
+        ${pfx}_wt AS (SELECT doc_id,
             CASE WHEN m = 0 THEN 0 ELSE c0 + 1 END AS t
-          FROM __bpe_g0)"""
+          FROM ${pfx}_g0)"""
+  }
+
+  /** One merge-order ROUND as SQL (round 15): the lowest-RANKED rule
+    * whose pattern is present fires — the WHEN chain is in rank order,
+    * so "first pattern present" IS the min-rank rule — and `replace`
+    * over the `<sym>`-wrapped string merges every disjoint occurrence
+    * left-to-right, exactly the kernel's sweep (each symbol owns both
+    * its delimiters, so consecutive occurrences share no characters
+    * and non-overlapping replace cannot skip one). */
+  private def mergeRoundCase(merges: Seq[(String, String)]): String =
+    "CASE " + merges.map { case (a, b) =>
+      s"WHEN strpos(s, '<$a><$b>') > 0 THEN replace(s, '<$a><$b>', '<${a}$b>')"
+    }.mkString("\n                 ") + "\n                 ELSE s END"
+
+  /** Merge-order BPE token totals as SQL (round 15), ending in
+    * `{pfx}_dt(doc_id, n_merge)`: per word, wrap each codepoint as a
+    * `<c>` symbol, run `rounds` merge rounds ([[mergeRoundCase]] — a
+    * word of n codepoints needs at most n−1, each round merges ≥ 1
+    * occurrence or is identity), then count symbols as occurrences of
+    * '<'. `rounds` must be ≥ maxWordLen−1 of the source (fixture max
+    * word length is 8; a longer regenerated fixture hash-mismatches
+    * loudly, not silently). Replays [[graft.functions.BpeMergeKernel]]
+    * bit-for-bit — see the q131 row. */
+  private def mergeTokensSql(src: String, merges: Seq[(String, String)],
+                             rounds: Int, pfx: String): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""${pfx}_s$k AS (SELECT doc_id, ${mergeRoundCase(merges)} AS s
+           FROM ${pfx}_s${k - 1})"""
+    }.mkString(",\n        ")
+    s"""${pfx}_w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM $src),
+        ${pfx}_s0 AS (SELECT doc_id, CASE WHEN length(w) = 0 THEN ''
+              ELSE array_to_string(list_transform(range(1, length(w) + 1),
+                i -> '<' || substring(w, CAST(i AS INTEGER), 1) || '>'), '') END AS s
+          FROM ${pfx}_w0),
+        $rs,
+        ${pfx}_dt AS (SELECT doc_id,
+            CAST(SUM(length(s) - length(replace(s, '<', ''))) AS INTEGER) AS n_merge
+          FROM ${pfx}_s$rounds GROUP BY doc_id)"""
+  }
+
+  /** The q132 trainer oracle: `numMerges` unrolled training rounds
+    * (the q116 bounded-unroll discipline), each one pair-count →
+    * (count desc, pair asc) argmax → literal replace apply over the
+    * same `<sym>`-wrapped word-type strings the Scala trainer uses —
+    * so DuckDB re-learns the identical merge list. A round whose best
+    * pair falls below `minFreq` applies nothing, leaves the state
+    * unchanged, and every later round re-derives the same sub-floor
+    * winner — so the emitted (filtered) rows are exactly the Scala
+    * trainer's early-stopped prefix. */
+  private def bpeTrainSql(src: String, numMerges: Int, minFreq: Long): String = {
+    val rounds = (1 to numMerges).map { k =>
+      s"""__tr_y$k AS (SELECT f,
+              string_split(substring(ws, 2, length(ws) - 2), '><') AS sy
+            FROM __tr_s${k - 1}),
+          __tr_p$k AS (SELECT pr, CAST(SUM(f) AS BIGINT) AS c FROM (
+              SELECT f, unnest(list_transform(range(1, len(sy)),
+                i -> sy[i] || ' ' || sy[i + 1])) AS pr
+              FROM __tr_y$k) GROUP BY pr),
+          __tr_w$k AS (SELECT pr, c FROM __tr_p$k ORDER BY c DESC, pr ASC LIMIT 1),
+          __tr_s$k AS (SELECT s.f,
+              CASE WHEN w.c >= $minFreq THEN replace(s.ws,
+                  '<' || string_split(w.pr, ' ')[1] || '><' || string_split(w.pr, ' ')[2] || '>',
+                  '<' || replace(w.pr, ' ', '') || '>')
+                ELSE s.ws END AS ws
+            FROM __tr_s${k - 1} s CROSS JOIN __tr_w$k w)"""
+    }.mkString(",\n        ")
+    val out = (1 to numMerges).map { k =>
+      s"""SELECT ${k - 1} AS merge_rank, string_split(pr, ' ')[1] AS merge_left,
+               string_split(pr, ' ')[2] AS merge_right, c AS pair_count
+          FROM __tr_w$k WHERE c >= $minFreq"""
+    }.mkString("\n          UNION ALL ")
+    s"""WITH __tr_t0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $src) t
+              WHERE length(w) > 0 GROUP BY w),
+        __tr_s0 AS (SELECT f, array_to_string(list_transform(range(1, length(w) + 1),
+              i -> '<' || substring(w, CAST(i AS INTEGER), 1) || '>'), '') AS ws
+          FROM __tr_t0),
+        $rounds
+        SELECT * FROM (
+          $out
+        ) u ORDER BY merge_rank"""
   }
 
   /** The quote-cluster catalog oracle — q116's 8-round bounded

@@ -48,13 +48,49 @@ object BpeProbe {
         docs.agg(sum(size(split(col("text"), " ")))).head().getLong(0)
       }
       time("demo vocab ") {
-        TextAnalysis.bpeTokenCount(docs, "doc_id", "text")
+        TextAnalysis.subwordTokenCount(docs, "doc_id", "text")
           .agg(sum("bpe_tokens")).head().getLong(0)
       }
       time("50k vocab  ") {
-        TextAnalysis.bpeTokenCount(docs, "doc_id", "text", vocab = big)
+        TextAnalysis.subwordTokenCount(docs, "doc_id", "text", vocab = big)
           .agg(sum("bpe_tokens")).head().getLong(0)
       }
+      // merge-order kernel (round 15): same claims as greedy — rule
+      // table rides as one referenced HashMap, throughput must not
+      // move between the 16-rule demo list and a synthetic 50k-rule
+      // table (chained single-char merges: a+b, ab+c, abc+d — every
+      // rule consistent, realistic rank-probe density)
+      time("demo merges") {
+        TextAnalysis.mergeTokenCount(docs, "doc_id", "text")
+          .agg(sum("bpe_tokens")).head().getLong(0)
+      }
+      val bigMerges = {
+        val ms = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        for (a <- 'a' to 'z'; b <- 'a' to 'z' if ms.size < 50000) {
+          var cur = a.toString
+          ms += ((cur, b.toString)) // seed: a+b
+          cur = cur + b
+          var j = 0
+          while (j < 72 && ms.size < 50000) { // chain: cur + letter
+            val c = ('a' + (j % 26)).toChar.toString
+            ms += ((cur, c))
+            cur = cur + c
+            j += 1
+          }
+        }
+        ms.toSeq
+      }
+      time("50k merges ") {
+        TextAnalysis.mergeTokenCount(docs, "doc_id", "text", bigMerges)
+          .agg(sum("bpe_tokens")).head().getLong(0)
+      }
+      // trainer rung: 8 learned merges — per-round cost is O(word
+      // TYPES), so wall time must stay nearly flat as the corpus
+      // grows (the type table of the clone fixtures barely grows)
+      val t0 = System.nanoTime()
+      val learned = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 8)
+      println(f"[bpe] $dir train 8 merges: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"(learned=${learned.map(m => m._1 + "+" + m._2).mkString(",")})")
     }
     spark.stop()
   }

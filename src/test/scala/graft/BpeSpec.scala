@@ -56,7 +56,7 @@ class BpeSpec extends AnyFunSuite {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
     val v = TextAnalysis.demoBpeVocab
-    val viaExpr = TextAnalysis.bpeTokenCount(docs, "doc_id", "text", v)
+    val viaExpr = TextAnalysis.subwordTokenCount(docs, "doc_id", "text", v)
       .select("doc_id", "bpe_tokens").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val direct = docs.collect()
@@ -66,7 +66,7 @@ class BpeSpec extends AnyFunSuite {
     // interpreted path agrees (codegen off)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
-      val interp = TextAnalysis.bpeTokenCount(docs, "doc_id", "text", v)
+      val interp = TextAnalysis.subwordTokenCount(docs, "doc_id", "text", v)
         .select("doc_id", "bpe_tokens").collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(interp == direct, "interpreted eval diverges from codegen")
@@ -86,6 +86,115 @@ class BpeSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       BpeExpression.bpeCount(col("text"), Seq.empty)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // merge-order BPE (round 15)
+
+  private def m(text: String, merges: Seq[(String, String)]): Int = {
+    val ranks = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      ranks.putIfAbsent(a + " " + b, Int.box(i))
+    }
+    graft.functions.BpeMergeKernel.count(UTF8String.fromString(text), ranks)
+  }
+
+  test("merge-order semantics, hand-pinned: lowest rank first, all disjoint occurrences per round") {
+    val rules = TextAnalysis.demoBpeMerges
+    // (t,h) then (th,e): 'the' -> 1
+    assert(m("the", rules) == 1)
+    // 'tion': (o,n) r5 beats (t,i) r8 -> [t,i,on]; then (t,i) -> [ti,on];
+    // then (ti,on) -> [tion] = 1
+    assert(m("tion", rules) == 1)
+    // all disjoint occurrences merge in ONE round, left to right:
+    // 'inin' with (i,n) -> [in, in] = 2
+    assert(m("inin", Seq(("i", "n"))) == 2)
+    // the odd-run case: 'aaa' with (a,a) -> [aa, a] = 2; 'aaaa' -> 2
+    assert(m("aaa", Seq(("a", "a"))) == 2)
+    assert(m("aaaa", Seq(("a", "a"))) == 2)
+    // no rule present -> one token per codepoint
+    assert(m("xyz", rules) == 3)
+    // multi-word + empties
+    assert(m("the tion", rules) == 2)
+    assert(m("a  b", rules) == 2)
+    assert(m("", rules) == 0)
+  }
+
+  test("greedy and merge-order PROVABLY differ on the pinned fixture words") {
+    val rules = TextAnalysis.demoBpeMerges
+    val vocab = rules.map { case (a, b) => a + b } // same piece inventory
+    // 'ting': greedy commits to 'ti' first -> ti|n|g = 3; merge-order
+    // builds (i,n) r1 before (t,i) r8, then (in,g) -> t|ing = 2
+    assert(k("ting", vocab) == 3 && m("ting", rules) == 2)
+    // 'testing': greedy t|es|ti|n|g = 5; merge t|es|t|ing = 4
+    assert(k("testing", vocab) == 5 && m("testing", rules) == 4)
+    // 'sorting': greedy s|or|ti|n|g = 5; merge s|or|t|ing = 4
+    assert(k("sorting", vocab) == 5 && m("sorting", rules) == 4)
+  }
+
+  test("merge list hygiene: inconsistent tables refuse; duplicates keep first rank") {
+    // 'ab' used as a side before any rule builds it
+    intercept[IllegalArgumentException] {
+      BpeExpression.bpeMergeCount(col("text"), Seq(("ab", "c")))
+    }
+    intercept[IllegalArgumentException] {
+      BpeExpression.bpeMergeCount(col("text"), Seq(("a", "b c")))
+    }
+    intercept[IllegalArgumentException] {
+      BpeExpression.bpeMergeCount(col("text"), Seq.empty)
+    }
+    // duplicated rule is harmless: first rank wins
+    assert(m("ab", Seq(("a", "b"), ("a", "b"))) == 1)
+  }
+
+  test("merge expression (interpreted and codegen) == kernel over the documents fixture") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val rules = TextAnalysis.demoBpeMerges
+    val viaExpr = TextAnalysis.mergeTokenCount(docs, "doc_id", "text", rules)
+      .select("doc_id", "bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val direct = docs.collect()
+      .map(r => r.getLong(0) -> m(r.getString(1), rules)).toMap
+    assert(viaExpr == direct, "merge expression diverges from the kernel")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = TextAnalysis.mergeTokenCount(docs, "doc_id", "text", rules)
+        .select("doc_id", "bpe_tokens").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(interp == direct, "interpreted eval diverges from codegen")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("trainBpeMerges learns the hand-computable merges of a tiny corpus and the trained rules feed the encoder") {
+    // corpus: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3 — the
+    // Sennrich et al. worked example family. Pair counts, round 1:
+    // (e,s) 9, (s,t) 9, (w,e) 8, ... tie (e,s)/(s,t) breaks lexically:
+    // 'e s' < 's t' -> (e,s) first, then (es,t) 9.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val learned = TextAnalysis.trainBpeMerges(corpus, "text", numMerges = 4)
+    assert(learned.take(2).map(t => (t._1, t._2)) == Seq(("e", "s"), ("es", "t")),
+      s"first two merges diverge from the hand computation: $learned")
+    assert(learned.head._3 == 9L && learned(1)._3 == 9L)
+    // round 3: after est, counts: (l,o) 7, (o,w) 7, (w,e) 2... wait
+    // (l,o) and (o,w) tie at 7 -> 'l o' < 'o w' -> (l,o)
+    assert(learned(2) == ("l", "o", 7L), s"round-3 merge: ${learned(2)}")
+    assert(learned(3) == ("lo", "w", 7L), s"round-4 merge: ${learned(3)}")
+    // consistency: the trained list feeds the encoder directly
+    val rules = learned.map(t => (t._1, t._2))
+    // 'newest' under [es, est, lo, low]: n|e|w|est = 4
+    assert(m("newest", rules) == 4)
+    assert(m("low", rules) == 1)
+    // early stop: a min frequency above every pair count learns nothing
+    assert(TextAnalysis.trainBpeMerges(corpus, "text", 4, minFreq = 100L).isEmpty)
+    // delimiter hygiene is loud
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainBpeMerges(Seq((1L, "a<b")).toDF("doc_id", "text"),
+        "text", 2)
     }
   }
 }

@@ -36,7 +36,7 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("massCol path: mixture budgets in subword units end-to-end") {
-    val counted = TextAnalysis.bpeTokenCount(docs, "doc_id", "text")
+    val counted = TextAnalysis.subwordTokenCount(docs, "doc_id", "text")
     val w = Map("src0" -> 0.5, "src1" -> 0.5)
     val st = Curation.pipeline(counted, "doc_id", "text", "source",
       w, budget = 9000L, massCol = "bpe_tokens", staging = Staging.Local)
