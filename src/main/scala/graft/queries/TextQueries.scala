@@ -2962,7 +2962,165 @@ object TextQueries {
         SELECT doc_id, source,
                unnest(range(1, copies + 1)) AS epoch
         FROM c WHERE copies >= 1
-        ORDER BY doc_id, epoch"""))
+        ORDER BY doc_id, epoch""")),
+
+    // ----------------------------------------------------------------
+    // q134: SIMHASH ingest-loop landing path (round 15 — the verdict's
+    // loop-completeness task): the family had a persisted index,
+    // incremental miner and compaction but no streaming writer; this
+    // row drives the NEW IngestLoop.simhashIngest end-to-end INSIDE the
+    // hashed query (the q114 discipline): corpus (documents + id-shifted
+    // clones) lands as three parquet shards in a landing directory, the
+    // foreachBatch loop drains them (one micro-batch each — fence, meta
+    // binding, append-only partitions, unfenced mine + generation
+    // check), and the contract reduces to what DuckDB can oracle:
+    //   n_batches_ok        >= 3 micro-batches ran
+    //   n_identical_cross   md5-equal (a<b) pairs over the union —
+    //                       data-derived, DuckDB reproduces it
+    //   identical_all_found every such pair emitted at hamming 0
+    //                       (equal text -> equal signature -> collides
+    //                       in all four chunks; theorem)
+    //   union_matches_full  the accumulated per-batch pair union ==
+    //                       one batch simhashPairs over everything
+    "q134_simhash_ingest" -> QueryDef(
+      fn = (s, d) => {
+        // fresh family per run: drop catalog entries AND orphaned
+        // warehouse locations a previous session left (q112 discipline)
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+        val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("q134sh_chunked", "q134sh_meta", "q134sh_commits")
+          .foreach { t =>
+            s.sql(s"DROP TABLE IF EXISTS $t")
+            val loc = new org.apache.hadoop.fs.Path(wh, t)
+            if (whFs.exists(loc)) whFs.delete(loc, true)
+          }
+        graft.operators.Fence.forceRelease(s, "q134sh")
+        val corpus = docs(s, d).select(col("doc_id"), col("text"))
+          .union(docs(s, d).select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text"))).localCheckpoint(true)
+        val landing = java.nio.file.Files.createTempDirectory("q134_landing").toString
+        (0 until 3).foreach { i =>
+          val tmp = java.nio.file.Files.createTempDirectory("q134_shard").toString
+          corpus.filter(col("doc_id") % 3 === i).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val landed = java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(landing, s"shard$i.parquet"))
+          java.nio.file.Files.setLastModifiedTime(landed,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - (10 - i) * 2000L))
+        }
+        val pairsDir = java.nio.file.Files.createTempDirectory("q134_pairs").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("q134_ckpt").toString
+        val q = IngestLoop.simhashIngest(
+          s.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1").parquet(landing),
+          "doc_id", "text", prefix = "q134sh", pairsDir = pairsDir,
+          checkpointDir = ckpt)
+        q.awaitTermination()
+        val nBatches = new java.io.File(pairsDir).listFiles()
+          .count(_.getName.startsWith("ingest_batch="))
+        val streamed = s.read.parquet(pairsDir)
+          .select("a_id", "b_id", "hamming").localCheckpoint(true)
+        val full = Dedup.simhashPairs(corpus, "doc_id", "text")
+          .localCheckpoint(true)
+        val identCross = corpus
+          .select(col("doc_id").as("a_id"), md5(col("text")).as("__h"))
+          .join(corpus.select(col("doc_id").as("b_id"), md5(col("text")).as("__h")),
+            Seq("__h"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").localCheckpoint(true)
+        val missed = identCross.join(
+          streamed.filter(col("hamming") === 0).select("a_id", "b_id"),
+          Seq("a_id", "b_id"), "left_anti")
+        val d1 = streamed.exceptAll(full)
+        val d2 = full.exceptAll(streamed)
+        identCross.agg(count(lit(1)).as("n_identical_cross"))
+          .crossJoin(broadcast(missed.agg(count(lit(1)).as("__nm"))))
+          .crossJoin(broadcast(d1.agg(count(lit(1)).as("__d1"))))
+          .crossJoin(broadcast(d2.agg(count(lit(1)).as("__d2"))))
+          .select(lit(nBatches >= 3).as("n_batches_ok"),
+            col("n_identical_cross"),
+            (col("__nm") === 0L).as("identical_all_found"),
+            (col("__d1") === 0L && col("__d2") === 0L).as("union_matches_full"))
+      },
+      oracle = Some("""
+        WITH u AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        SELECT TRUE AS n_batches_ok,
+               CAST(COUNT(*) AS BIGINT) AS n_identical_cross,
+               TRUE AS identical_all_found, TRUE AS union_matches_full
+        FROM u a JOIN u b ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)""")),
+
+    // ----------------------------------------------------------------
+    // q135: CONTAINMENT ingest-loop landing path — q134's quote/excerpt
+    // sibling, with a STRONGER oracle: containment candidates are
+    // deterministic-complete (any pair sharing >= 1 shingle), so the
+    // accumulated per-batch pair union equals the full batch join
+    // EXACTLY and DuckDB enumerates the ENTIRE expected pair list (the
+    // q103 corpus shape and SQL) — every streamed row is hash-compared,
+    // not reduced to a contract boolean.
+    "q135_containment_ingest" -> QueryDef(
+      fn = (s, d) => {
+        // fresh family per run incl. orphaned locations (q112 discipline)
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+        val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("q135cn_posting", "q135cn_base", "q135cn_meta", "q135cn_commits")
+          .foreach { t =>
+            s.sql(s"DROP TABLE IF EXISTS $t")
+            val loc = new org.apache.hadoop.fs.Path(wh, t)
+            if (whFs.exists(loc)) whFs.delete(loc, true)
+          }
+        graft.operators.Fence.forceRelease(s, "q135cn")
+        val base = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val excerpts = base
+          .withColumn("__toks", split(col("text"), " "))
+          .withColumn("text",
+            expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        val corpus = base.union(excerpts).localCheckpoint(true)
+        val landing = java.nio.file.Files.createTempDirectory("q135_landing").toString
+        (0 until 3).foreach { i =>
+          val tmp = java.nio.file.Files.createTempDirectory("q135_shard").toString
+          corpus.filter(col("doc_id") % 3 === i).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val landed = java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(landing, s"shard$i.parquet"))
+          java.nio.file.Files.setLastModifiedTime(landed,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - (10 - i) * 2000L))
+        }
+        val pairsDir = java.nio.file.Files.createTempDirectory("q135_pairs").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("q135_ckpt").toString
+        val q = IngestLoop.containmentIngest(
+          s.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1").parquet(landing),
+          "doc_id", "text", prefix = "q135cn", pairsDir = pairsDir,
+          checkpointDir = ckpt, tau = 0.5, n = 3)
+        q.awaitTermination()
+        s.read.parquet(pairsDir).select("a_id", "b_id", "containment")
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        ex AS (SELECT doc_id + 20000000 AS doc_id,
+                      array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) // 2], ' ') AS text
+               FROM b0),
+        u AS (SELECT doc_id, text FROM b0 UNION ALL SELECT doc_id, text FROM ex),
+        sh0 AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+                FROM u),
+        s AS (SELECT doc_id, sh, len(sh) AS m FROM sh0 WHERE len(sh) > 0),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1000000 // a.m AS DOUBLE) / 1000000 AS containment
+              FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+        SELECT a_id, b_id, containment FROM p WHERE containment >= 0.5
+        ORDER BY a_id, b_id"""))
   )
 
   /** The q128/q129 shared oracle CTE chain: per-word greedy subword

@@ -1181,4 +1181,223 @@ object IngestLoop {
           loopId = checkpointDir, multiWriter = multiWriter)
       }
       .start()
+
+  /** The persisted SimHash corpus as of batches strictly before `bid` —
+    * [[minhashCorpusBefore]]'s 64-bit-signature twin. */
+  def simhashCorpusBefore(spark: SparkSession, prefix: String,
+                          bid: Long): Dedup.SimHashIndex = {
+    val idCol = spark.table(s"${prefix}_meta").head().getString(0)
+    Dedup.SimHashIndex(idCol, graft.operators.Tombstones.filter(
+      spark.table(s"${prefix}_chunked").filter(col("ingest_batch") < bid)
+        .drop("ingest_batch"), idCol, prefix))
+  }
+
+  /** The multi-writer SimHash corpus view — [[minhashCorpusMulti]]'s
+    * twin (partitions below the global id minus the frozen missing
+    * set, plus the compensation set). */
+  private def simhashCorpusMulti(spark: SparkSession, prefix: String,
+                                 g: GlobalBid): Dedup.SimHashIndex = {
+    val idCol = spark.table(s"${prefix}_meta").head().getString(0)
+    Dedup.SimHashIndex(idCol, graft.operators.Tombstones.filter(
+      spark.table(s"${prefix}_chunked")
+        .filter(multiCorpusFilter(g.gbid, g.missingBelow, g.compensate))
+        .drop("ingest_batch"), idCol, prefix))
+  }
+
+  /** One micro-batch of the SIMHASH ingestion loop (round 15 — the
+    * round-14 verdict's loop-completeness task): the family had a
+    * persisted index, an incremental miner and a compaction, but a
+    * landing-path user had to hand-roll the fence/meta/partition
+    * discipline this loop encodes. Same append-only partition design,
+    * retry contract, narrow fence window, and generation check as
+    * [[ingestMinhashBatch]] (chunk-bucket collision is a PAIRWISE
+    * predicate — Hamming is symmetric — so the pair-set contract and
+    * [[resolveGlobalBid]]'s multi-writer exactly-once argument carry
+    * over verbatim). */
+  def ingestSimhashBatch(batch: DataFrame, bid: Long, idCol: String,
+                         textCol: String, prefix: String, pairsDir: String,
+                         maxHamming: Int, buckets: Int,
+                         loopId: String = "",
+                         multiWriter: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val lid = normLoopId(loopId)
+    val owner = s"ingestSimhashBatch bid=$bid"
+    val shard = Dedup.simhashIndex(batch, idCol, textCol)
+    // fence window: resolve + append only; the corpus-sized pair mine
+    // runs unfenced below with the generation check — full soundness
+    // argument at ingestMinhashBatch (round 14)
+    val (pid, mkCorpus, gen0) =
+      graft.operators.Fence.withFence(spark, prefix, owner) {
+        val exists = familyExists(spark, prefix, Seq("chunked", "meta"))
+        if (exists && multiWriter) bindMulti(spark, prefix)
+        val resolved =
+          if (multiWriter) resolveGlobalBid(spark, prefix, lid, bid, s"${prefix}_chunked")
+          else GlobalBid(bid, Seq.empty, Seq.empty, created = !exists)
+        val pid = resolved.gbid
+        val mkCorpus: () => Dedup.SimHashIndex =
+          if (!exists) () => Dedup.SimHashIndex(idCol, shard.chunked.limit(0))
+          else if (multiWriter) () => simhashCorpusMulti(spark, prefix, resolved)
+          else () => simhashCorpusBefore(spark, prefix, pid)
+        val corpus = mkCorpus()
+        require(corpus.idCol == idCol,
+          s"persisted SimHash family keys on '${corpus.idCol}', loop on '$idCol'")
+        if (exists) {
+          requireBucketAgreement(spark, prefix, buckets)
+          if (!multiWriter) bindLoop(spark, prefix, lid)
+          val replayed = partitionExists(spark, s"${prefix}_chunked", pid)
+          spark.sql(s"ALTER TABLE ${prefix}_chunked DROP IF EXISTS PARTITION (ingest_batch=$pid)")
+          if (replayed) graft.operators.Tombstones.bumpGeneration(spark, prefix)
+        }
+        shard.chunked.withColumn("ingest_batch", lit(pid))
+          .write.mode("append").format("parquet")
+          .partitionBy("ingest_batch")
+          .bucketBy(buckets, "chunk", "ckey").sortBy("chunk", "ckey")
+          .saveAsTable(s"${prefix}_chunked")
+        if (!exists) {
+          import spark.implicits._
+          Seq((idCol, buckets)).toDF("id_col", "buckets")
+            .withColumn("loop_id",
+              lit(if (multiWriter) MultiWriterMarker else lid))
+            .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+        }
+        (pid, mkCorpus, graft.operators.Tombstones.generation(spark, prefix))
+      } // fence released — mine unfenced
+    mineAndPublish(spark, prefix, owner, gen0) {
+      Dedup.simhashPairsIncremental(shard, mkCorpus(), maxHamming)
+        .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$pid")
+    }
+  }
+
+  /** Drive a streaming document source through the SimHash ingestion
+    * loop — [[minhashIngest]]'s 64-bit-signature sibling. */
+  def simhashIngest(docs: DataFrame, idCol: String, textCol: String,
+                    prefix: String, pairsDir: String, checkpointDir: String,
+                    maxHamming: Int = 3, buckets: Int = 8,
+                    trigger: Trigger = Trigger.AvailableNow(),
+                    multiWriter: Boolean = false): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingestSimhashBatch(batch, bid, idCol, textCol, prefix, pairsDir,
+          maxHamming, buckets, loopId = checkpointDir,
+          multiWriter = multiWriter)
+      }
+      .start()
+
+  /** The persisted containment corpus as of batches strictly before
+    * `bid` — [[minhashCorpusBefore]]'s quote/excerpt twin (internal id
+    * column is the normalized `id`). */
+  def containmentCorpusBefore(spark: SparkSession, prefix: String,
+                              bid: Long): Dedup.ContainmentIndex = {
+    val m = spark.table(s"${prefix}_meta").head()
+    def live(t: String) = graft.operators.Tombstones.filter(
+      spark.table(s"${prefix}_$t").filter(col("ingest_batch") < bid)
+        .drop("ingest_batch"), "id", prefix)
+    Dedup.ContainmentIndex(m.getString(0), m.getInt(1),
+      live("base"), live("posting"))
+  }
+
+  /** The multi-writer containment corpus view. */
+  private def containmentCorpusMulti(spark: SparkSession, prefix: String,
+                                     g: GlobalBid): Dedup.ContainmentIndex = {
+    val m = spark.table(s"${prefix}_meta").head()
+    def live(t: String) = graft.operators.Tombstones.filter(
+      spark.table(s"${prefix}_$t")
+        .filter(multiCorpusFilter(g.gbid, g.missingBelow, g.compensate))
+        .drop("ingest_batch"), "id", prefix)
+    Dedup.ContainmentIndex(m.getString(0), m.getInt(1),
+      live("base"), live("posting"))
+  }
+
+  /** One micro-batch of the CONTAINMENT (quote/excerpt) ingestion loop
+    * (round 15): same design as [[ingestSimhashBatch]]. Containment
+    * candidates are DETERMINISTIC-COMPLETE (any pair sharing ≥ 1
+    * shingle), a pairwise predicate over the two docs' shingle sets —
+    * so the pair-set contract (each shard-touching ORDERED pair emitted
+    * exactly once, by the later id's batch, both directions scored by
+    * that batch's verify) and the multi-writer compensation argument
+    * carry over verbatim. The batch's pair publish is budget-guarded
+    * inside the miner ([[Dedup.containmentJoinIncremental]]) exactly as
+    * in batch mode. */
+  def ingestContainmentBatch(batch: DataFrame, bid: Long, idCol: String,
+                             textCol: String, prefix: String, pairsDir: String,
+                             tau: Double, n: Int, buckets: Int,
+                             maxCandidates: Long = 200000000L,
+                             loopId: String = "",
+                             multiWriter: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val lid = normLoopId(loopId)
+    val owner = s"ingestContainmentBatch bid=$bid"
+    val shard = Dedup.containmentIndex(batch, idCol, textCol, n)
+    val (pid, mkCorpus, gen0) =
+      graft.operators.Fence.withFence(spark, prefix, owner) {
+        val exists = familyExists(spark, prefix, Seq("posting", "base", "meta"))
+        if (exists && multiWriter) bindMulti(spark, prefix)
+        val resolved =
+          if (multiWriter) resolveGlobalBid(spark, prefix, lid, bid, s"${prefix}_posting")
+          else GlobalBid(bid, Seq.empty, Seq.empty, created = !exists)
+        val pid = resolved.gbid
+        val mkCorpus: () => Dedup.ContainmentIndex =
+          if (!exists) () => Dedup.ContainmentIndex(idCol, n,
+            shard.base.limit(0), shard.posting.limit(0))
+          else if (multiWriter) () => containmentCorpusMulti(spark, prefix, resolved)
+          else () => containmentCorpusBefore(spark, prefix, pid)
+        val corpus = mkCorpus()
+        require(corpus.n == n,
+          s"persisted containment family has shingle width n=${corpus.n}, " +
+            s"loop has n=$n — mismatched shingle families silently miss overlaps")
+        if (exists) {
+          requireBucketAgreement(spark, prefix, buckets)
+          if (!multiWriter) bindLoop(spark, prefix, lid)
+          val replayed = partitionExists(spark, s"${prefix}_posting", pid)
+          Seq("posting", "base").foreach { t =>
+            spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
+          }
+          if (replayed) graft.operators.Tombstones.bumpGeneration(spark, prefix)
+        }
+        shard.posting.withColumn("ingest_batch", lit(pid))
+          .write.mode("append").format("parquet")
+          .partitionBy("ingest_batch")
+          .bucketBy(buckets, "gram").sortBy("gram")
+          .saveAsTable(s"${prefix}_posting")
+        // between-append liveness beacon: see ingestMinhashBatch
+        graft.operators.Fence.heartbeat(spark, prefix, owner)
+        shard.base.withColumn("ingest_batch", lit(pid))
+          .write.mode("append").format("parquet")
+          .partitionBy("ingest_batch")
+          .bucketBy(buckets, "id").sortBy("id")
+          .saveAsTable(s"${prefix}_base")
+        if (!exists) {
+          import spark.implicits._
+          Seq((idCol, n, buckets)).toDF("id_col", "n", "buckets")
+            .withColumn("loop_id",
+              lit(if (multiWriter) MultiWriterMarker else lid))
+            .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+        }
+        (pid, mkCorpus, graft.operators.Tombstones.generation(spark, prefix))
+      } // fence released — mine unfenced
+    mineAndPublish(spark, prefix, owner, gen0) {
+      Dedup.containmentJoinIncremental(shard, mkCorpus(), tau, maxCandidates)
+        .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$pid")
+    }
+  }
+
+  /** Drive a streaming document source through the containment
+    * ingestion loop — [[minhashIngest]]'s quote/excerpt sibling. */
+  def containmentIngest(docs: DataFrame, idCol: String, textCol: String,
+                        prefix: String, pairsDir: String, checkpointDir: String,
+                        tau: Double = 0.5, n: Int = 3, buckets: Int = 8,
+                        maxCandidates: Long = 200000000L,
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        multiWriter: Boolean = false): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingestContainmentBatch(batch, bid, idCol, textCol, prefix, pairsDir,
+          tau, n, buckets, maxCandidates, loopId = checkpointDir,
+          multiWriter = multiWriter)
+      }
+      .start()
 }

@@ -982,4 +982,211 @@ class IngestLoopSpec extends AnyFunSuite {
       graft.operators.Fence.forceRelease(spark, "ing_pmw")
     }
   }
+
+  test("streamed SIMHASH ingestion over >=3 micro-batches == one batch full run; replay idempotent") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val streamDir = java.nio.file.Files.createTempDirectory("shingest_src").toString
+    (0 until 3).foreach { i =>
+      stage(corpus.filter(col("doc_id") % 3 === i), streamDir, s"f$i.parquet")
+      val f = java.nio.file.Paths.get(streamDir, s"f$i.parquet")
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (10 - i) * 2000L))
+    }
+    val pairsDir = java.nio.file.Files.createTempDirectory("shingest_pairs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("shingest_ckpt").toString
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    try {
+      val q = IngestLoop.simhashIngest(stream, "doc_id", "text",
+        prefix = "ing_sh", pairsDir = pairsDir, checkpointDir = ckpt)
+      q.awaitTermination()
+      val batchDirs = new java.io.File(pairsDir).listFiles()
+        .filter(_.getName.startsWith("ingest_batch=")).map(_.getName)
+      assert(batchDirs.length >= 3, s"expected >=3 micro-batches, got ${batchDirs.toSeq}")
+      // pair-set contract: union of per-batch outputs == one batch run
+      val streamed = spark.read.parquet(pairsDir).select("a_id", "b_id", "hamming")
+      val full = Dedup.simhashPairs(corpus, "doc_id", "text")
+      assert(streamed.count() > 0, "clone families must produce hamming-0 pairs")
+      assert(streamed.exceptAll(full).count() == 0 &&
+        full.exceptAll(streamed).count() == 0,
+        "streamed simhash pair union diverges from the batch full run")
+      // the folded index IS the full corpus index
+      val shard = docs.limit(40).withColumn("doc_id", col("doc_id") + 2000000L)
+      val sIdx = Dedup.simhashIndex(shard, "doc_id", "text")
+      val viaTables = Dedup.simhashPairsIncremental(sIdx,
+        IngestLoop.simhashCorpusBefore(spark, "ing_sh", Long.MaxValue))
+      val viaMem = Dedup.simhashPairsIncremental(sIdx,
+        Dedup.simhashIndex(corpus, "doc_id", "text"))
+      assert(viaTables.exceptAll(viaMem).count() == 0 &&
+        viaMem.exceptAll(viaTables).count() == 0,
+        "reloaded multi-partition simhash index diverges from in-memory full index")
+      // replay idempotence: redeliver local bid 2 (direct call, same loop id)
+      def snapshot() = (
+        spark.read.parquet(pairsDir).collect().map(_.toString).toSet,
+        spark.table("ing_sh_chunked").collect().map(_.toString).toSet)
+      val before = snapshot()
+      IngestLoop.ingestSimhashBatch(corpus.filter(col("doc_id") % 3 === 2), 2L,
+        "doc_id", "text", "ing_sh", pairsDir, maxHamming = 3, buckets = 8,
+        loopId = ckpt)
+      assert(snapshot() == before,
+        "a replayed simhash batch changed the pair output or the index")
+    } finally drop("ing_sh_chunked", "ing_sh_meta")
+  }
+
+  test("streamed CONTAINMENT ingestion over >=3 micro-batches == one batch full run; replay idempotent") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // the q103 corpus shape: every-10th doc + its first-half excerpt, so
+    // true containment-1.0 pairs exist and scatter across micro-batches
+    val base = docs.filter(col("doc_id") % 10 === 0)
+    val excerpts = base
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("text",
+        expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val corpus = base.union(excerpts)
+    val streamDir = java.nio.file.Files.createTempDirectory("cningest_src").toString
+    (0 until 3).foreach { i =>
+      stage(corpus.filter(col("doc_id") % 3 === i), streamDir, s"f$i.parquet")
+      val f = java.nio.file.Paths.get(streamDir, s"f$i.parquet")
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (10 - i) * 2000L))
+    }
+    val pairsDir = java.nio.file.Files.createTempDirectory("cningest_pairs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cningest_ckpt").toString
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    try {
+      val q = IngestLoop.containmentIngest(stream, "doc_id", "text",
+        prefix = "ing_cn", pairsDir = pairsDir, checkpointDir = ckpt,
+        tau = 0.5, n = 3)
+      q.awaitTermination()
+      val batchDirs = new java.io.File(pairsDir).listFiles()
+        .filter(_.getName.startsWith("ingest_batch=")).map(_.getName)
+      assert(batchDirs.length >= 3, s"expected >=3 micro-batches, got ${batchDirs.toSeq}")
+      // containment is deterministic-complete: every ordered pair's later
+      // endpoint's batch emits it, so the union == the full batch join,
+      // not just a contract subset
+      val streamed = spark.read.parquet(pairsDir)
+        .select("a_id", "b_id", "containment")
+      val full = Dedup.containmentJoin(corpus, "doc_id", "text", tau = 0.5)
+      assert(streamed.count() > 0, "excerpts must produce containment-1.0 pairs")
+      assert(streamed.filter(col("containment") === 1.0).count() > 0)
+      assert(streamed.exceptAll(full).count() == 0 &&
+        full.exceptAll(streamed).count() == 0,
+        "streamed containment pair union diverges from the batch full run")
+      // the folded index IS the full corpus index
+      val shard = base.limit(20).withColumn("doc_id", col("doc_id") + 30000000L)
+      val sIdx = Dedup.containmentIndex(shard, "doc_id", "text")
+      val viaTables = Dedup.containmentJoinIncremental(sIdx,
+        IngestLoop.containmentCorpusBefore(spark, "ing_cn", Long.MaxValue), tau = 0.5)
+      val viaMem = Dedup.containmentJoinIncremental(sIdx,
+        Dedup.containmentIndex(corpus, "doc_id", "text"), tau = 0.5)
+      assert(viaTables.exceptAll(viaMem).count() == 0 &&
+        viaMem.exceptAll(viaTables).count() == 0,
+        "reloaded multi-partition containment index diverges from in-memory full index")
+      // replay idempotence
+      def snapshot() = (
+        spark.read.parquet(pairsDir).collect().map(_.toString).toSet,
+        spark.table("ing_cn_posting").collect().map(_.toString).toSet,
+        spark.table("ing_cn_base").count())
+      val before = snapshot()
+      IngestLoop.ingestContainmentBatch(corpus.filter(col("doc_id") % 3 === 2), 2L,
+        "doc_id", "text", "ing_cn", pairsDir, tau = 0.5, n = 3, buckets = 8,
+        loopId = ckpt)
+      assert(snapshot() == before,
+        "a replayed containment batch changed the pair output or the index")
+      // mismatched shingle width refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        IngestLoop.ingestContainmentBatch(corpus.limit(5), 3L, "doc_id", "text",
+          "ing_cn", pairsDir, tau = 0.5, n = 4, buckets = 8, loopId = ckpt)
+      }
+      assert(e.getMessage.contains("shingle width"), e.getMessage)
+    } finally drop("ing_cn_posting", "ing_cn_base", "ing_cn_meta")
+  }
+
+  test("MULTI-WRITER simhash + containment: two PARALLEL loops on one prefix == one batch full run; single-writer refused") {
+    spark.conf.set("spark.graft.fence.waitMs", "120000")
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    try {
+      // --- simhash: clone families scatter across BOTH loops
+      val shCorpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      val shA = java.nio.file.Files.createTempDirectory("shmw_a").toString
+      val shB = java.nio.file.Files.createTempDirectory("shmw_b").toString
+      Seq(0, 2).zipWithIndex.foreach { case (r, i) =>
+        stage(shCorpus.filter(col("doc_id") % 4 === r), shA, s"f$i.parquet") }
+      Seq(1, 3).zipWithIndex.foreach { case (r, i) =>
+        stage(shCorpus.filter(col("doc_id") % 4 === r), shB, s"f$i.parquet") }
+      val shPairs = java.nio.file.Files.createTempDirectory("shmw_pairs").toString
+      val shCkA = java.nio.file.Files.createTempDirectory("shmw_ckA").toString
+      val shCkB = java.nio.file.Files.createTempDirectory("shmw_ckB").toString
+      def src(d: String) = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(d)
+      try {
+        val qa = IngestLoop.simhashIngest(src(shA), "doc_id", "text",
+          prefix = "ing_shmw", pairsDir = shPairs, checkpointDir = shCkA,
+          multiWriter = true)
+        val qb = IngestLoop.simhashIngest(src(shB), "doc_id", "text",
+          prefix = "ing_shmw", pairsDir = shPairs, checkpointDir = shCkB,
+          multiWriter = true)
+        qa.awaitTermination(); qb.awaitTermination()
+        assert(spark.table("ing_shmw_commits").count() == 4)
+        val streamed = spark.read.parquet(shPairs).select("a_id", "b_id", "hamming")
+        val full = Dedup.simhashPairs(shCorpus, "doc_id", "text")
+        assert(streamed.count() > 0)
+        assert(streamed.exceptAll(full).count() == 0 &&
+          full.exceptAll(streamed).count() == 0,
+          "two-loop simhash pair union diverges from the batch full run")
+        val e = intercept[IllegalArgumentException] {
+          IngestLoop.ingestSimhashBatch(docs.limit(5), 0L, "doc_id", "text",
+            "ing_shmw", shPairs, maxHamming = 3, buckets = 8, loopId = "/x")
+        }
+        assert(e.getMessage.contains("multiWriter"), e.getMessage)
+      } finally drop("ing_shmw_chunked", "ing_shmw_meta", "ing_shmw_commits")
+      // --- containment: excerpts land on the OTHER loop than sources
+      val base = docs.filter(col("doc_id") % 10 === 0)
+      val excerpts = base
+        .withColumn("__toks", split(col("text"), " "))
+        .withColumn("text",
+          expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      val cnCorpus = base.union(excerpts)
+      val cnA = java.nio.file.Files.createTempDirectory("cnmw_a").toString
+      val cnB = java.nio.file.Files.createTempDirectory("cnmw_b").toString
+      stage(base, cnA, "f0.parquet")
+      stage(excerpts, cnB, "f0.parquet")
+      val cnPairs = java.nio.file.Files.createTempDirectory("cnmw_pairs").toString
+      val cnCkA = java.nio.file.Files.createTempDirectory("cnmw_ckA").toString
+      val cnCkB = java.nio.file.Files.createTempDirectory("cnmw_ckB").toString
+      try {
+        val qa = IngestLoop.containmentIngest(src(cnA), "doc_id", "text",
+          prefix = "ing_cnmw", pairsDir = cnPairs, checkpointDir = cnCkA,
+          tau = 0.5, n = 3, multiWriter = true)
+        val qb = IngestLoop.containmentIngest(src(cnB), "doc_id", "text",
+          prefix = "ing_cnmw", pairsDir = cnPairs, checkpointDir = cnCkB,
+          tau = 0.5, n = 3, multiWriter = true)
+        qa.awaitTermination(); qb.awaitTermination()
+        assert(spark.table("ing_cnmw_commits").count() == 2)
+        val streamed = spark.read.parquet(cnPairs)
+          .select("a_id", "b_id", "containment")
+        val full = Dedup.containmentJoin(cnCorpus, "doc_id", "text", tau = 0.5)
+        assert(streamed.count() > 0)
+        assert(streamed.exceptAll(full).count() == 0 &&
+          full.exceptAll(streamed).count() == 0,
+          "two-loop containment pair union diverges from the batch full run")
+        val e = intercept[IllegalArgumentException] {
+          IngestLoop.ingestContainmentBatch(base.limit(5), 0L, "doc_id", "text",
+            "ing_cnmw", cnPairs, tau = 0.5, n = 3, buckets = 8, loopId = "/x")
+        }
+        assert(e.getMessage.contains("multiWriter"), e.getMessage)
+      } finally drop("ing_cnmw_posting", "ing_cnmw_base", "ing_cnmw_meta",
+        "ing_cnmw_commits")
+    } finally {
+      spark.conf.unset("spark.graft.fence.waitMs")
+      graft.operators.Fence.forceRelease(spark, "ing_shmw")
+      graft.operators.Fence.forceRelease(spark, "ing_cnmw")
+    }
+  }
 }
