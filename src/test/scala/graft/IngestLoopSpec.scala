@@ -1189,4 +1189,69 @@ class IngestLoopSpec extends AnyFunSuite {
       graft.operators.Fence.forceRelease(spark, "ing_cnmw")
     }
   }
+
+  test("auto-maintenance: spark.graft.maintain.fraction triggers the family compaction from inside the loop; pair output unchanged; everyBatches amortizes") {
+    import graft.operators.Tombstones
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val b0 = corpus.filter(col("doc_id") % 2 === 0)
+    val b1 = corpus.filter(col("doc_id") % 2 === 1)
+    val b2 = corpus.limit(20).withColumn("doc_id", col("doc_id") + 2000000L)
+    val pairsDir = java.nio.file.Files.createTempDirectory("automnt").toString
+    def run(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      IngestLoop.ingestMinhashBatch(batch, bid, "doc_id", "text", "ing_am",
+        pairsDir, threshold = 0.5, numPerms = 32, rowsPerBand = 4, buckets = 8)
+    try {
+      run(b0, 0L) // no maintain conf: loop behaves as before
+      assert(!spark.catalog.tableExists("ing_am_tombstones"))
+      // debt past the threshold: 4 dead ids, trigger at >= 8 * 0.5 = 4
+      val dead = b0.select("doc_id").orderBy("doc_id").limit(4)
+      Tombstones.add(dead, "doc_id", "ing_am")
+      val gen0 = Tombstones.generation(spark, "ing_am")
+      val pairs0 = spark.read.parquet(s"$pairsDir/ingest_batch=0")
+        .collect().map(_.toString).toSet
+      spark.conf.set("spark.graft.maintain.fraction", "0.5")
+      spark.conf.set("spark.graft.maintain.maxTombstones", "8")
+      run(b1, 1L)
+      // the batch's post-publish check dispatched compactMinhash: the
+      // tombstone set is cleared, the deletion is physical, and the
+      // rewrite bumped the generation (so concurrent miners re-check)
+      assert(!spark.catalog.tableExists("ing_am_tombstones"),
+        "auto-maintenance must fold + clear the over-threshold tombstones")
+      val deadIds = dead.collect().map(_.getLong(0)).toSet
+      assert(spark.table("ing_am_shingles")
+        .filter(col("doc_id").isin(deadIds.toSeq: _*)).count() == 0,
+        "the folded deletion must be physical")
+      assert(Tombstones.generation(spark, "ing_am") == gen0 + 1)
+      // pair output unchanged: batch 0's published pairs untouched, and
+      // batch 1's pairs equal a fresh incremental against the
+      // post-compact corpus view
+      assert(spark.read.parquet(s"$pairsDir/ingest_batch=0")
+        .collect().map(_.toString).toSet == pairs0)
+      val expected = Dedup.minhashLshPairsIncremental(
+        Dedup.minhashIndex(b1, "doc_id", "text"),
+        IngestLoop.minhashCorpusBefore(spark, "ing_am", 1L), threshold = 0.5)
+      val actual = spark.read.parquet(s"$pairsDir/ingest_batch=1")
+      assert(actual.count() > 0)
+      assert(actual.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(actual).count() == 0,
+        "auto-maintained batch pairs diverge from the corpus-view mine")
+      // everyBatches amortization: debt present but the cadence defers
+      // the check until the Nth batch
+      Tombstones.add(dead, "doc_id", "ing_am")
+      spark.conf.set("spark.graft.maintain.everyBatches", "2")
+      run(b2, 2L)
+      assert(spark.catalog.tableExists("ing_am_tombstones"),
+        "the first batch under everyBatches=2 must defer the check")
+      run(b2.withColumn("doc_id", col("doc_id") + 1000000L), 3L)
+      assert(!spark.catalog.tableExists("ing_am_tombstones"),
+        "the second batch must run the deferred check")
+    } finally {
+      spark.conf.unset("spark.graft.maintain.fraction")
+      spark.conf.unset("spark.graft.maintain.maxTombstones")
+      spark.conf.unset("spark.graft.maintain.everyBatches")
+      drop("ing_am_bands", "ing_am_shingles", "ing_am_meta",
+        "ing_am_tombstones")
+    }
+  }
 }
