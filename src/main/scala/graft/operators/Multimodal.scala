@@ -207,6 +207,200 @@ object Multimodal {
     }.toDF(idCol, "decoded", "features")
   }
 
+  /** REAL audio codec (round 15 — the verdict's audio-tier task): a
+    * WAV/RIFF PCM parser (pure JVM byte walking, no external library)
+    * plus a 64-bit SPECTRAL fingerprint — the audio twin of
+    * [[ImageCodec.dhash64]], feeding the same
+    * [[Dedup.signaturePairs]] banded near-dup join unchanged.
+    *
+    * Decode: RIFF/WAVE container, chunk walk (word-aligned sizes, so
+    * metadata chunks — LIST/INFO tags, padding — are skipped exactly
+    * as a player would), `fmt ` must be PCM (format 1) 16-bit;
+    * interleaved channels fold to mono by truncated integer mean.
+    * Undecodable payloads return None — a corrupt crawl clip must
+    * never kill a partition.
+    *
+    * Fingerprint `afp64`: 8 time windows × 8 frequency bands. Band
+    * energies come from Goertzel filters at fixed FRACTIONS of the
+    * sample rate (f_b = (b+1)/32 · fs, so the coefficients are
+    * constants and the fingerprint is a pure function of the sample
+    * array); bit (w, b) = E(w, b) > E(w, (b+1) mod 8) — adjacent-band
+    * comparisons, the dHash trick in frequency space. Invariances that
+    * make it a DEDUP key rather than a checksum:
+    *   - container re-encoding (metadata chunks added, chunk order,
+    *     byte-identical samples) → identical samples → identical hash;
+    *   - uniform power-of-two gain (the exact volume change a mastering
+    *     step applies): Goertzel is linear and scaling doubles by 2^k
+    *     is exact, so every energy scales by exactly 2^2k and every
+    *     strict comparison is preserved — Hamming 0 (pinned in
+    *     MultimodalFixtureSpec and the q136 planted classes);
+    *   - mild lossy edits land within a few bits — the Hamming ≤ 3
+    *     banding tier's territory. */
+  object AudioCodec {
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Parse a RIFF/WAVE PCM-16 payload to (mono samples, sample rate).
+      * None on anything that is not a well-formed PCM-16 WAV. */
+    def decodeWav(bytes: Array[Byte]): Option[(Array[Int], Int)] = {
+      if (bytes == null || bytes.length < 44) return None
+      try {
+        if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+        var off = 12
+        var channels = -1
+        var rate = -1
+        var bits = -1
+        var samples: Array[Int] = null
+        while (off + 8 <= bytes.length) {
+          val id = tag(bytes, off)
+          val size = le32(bytes, off + 4)
+          if (size < 0 || off + 8 + size > bytes.length) return None
+          if (id == "fmt ") {
+            if (size < 16 || le16(bytes, off + 8) != 1) return None // PCM only
+            channels = le16(bytes, off + 10)
+            rate = le32(bytes, off + 12)
+            bits = le16(bytes, off + 22)
+          } else if (id == "data") {
+            if (channels <= 0 || bits != 16) return None // fmt must precede data
+            val n = size / (2 * channels)
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              var acc = 0
+              var c = 0
+              while (c < channels) {
+                acc += le16(bytes, off + 8 + (i * channels + c) * 2).toShort.toInt
+                c += 1
+              }
+              out(i) = acc / channels // truncated integer mean
+              i += 1
+            }
+            samples = out
+          }
+          off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+        }
+        if (samples == null || rate <= 0) None else Some((samples, rate))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** 64-bit spectral fingerprint of a mono sample array — see the
+      * object scaladoc. Pure function of the samples (the band
+      * frequencies are fixed fractions of the sample rate, so the rate
+      * itself cancels out of the coefficients). */
+    def afp64(samples: Array[Int]): Long = {
+      val n = samples.length
+      if (n == 0) return 0L
+      val nw = 8
+      val nb = 8
+      val e = Array.ofDim[Double](nw, nb)
+      var w = 0
+      while (w < nw) {
+        val s0 = w * n / nw
+        val s1 = math.max((w + 1) * n / nw, s0 + 1).min(n)
+        var b = 0
+        while (b < nb) {
+          // Goertzel at f = (b+1)/32 of the sample rate
+          val coeff = 2.0 * StrictMath.cos(2.0 * StrictMath.PI * (b + 1) / 32.0)
+          var q1 = 0.0
+          var q2 = 0.0
+          var i = s0
+          while (i < s1) {
+            val q0 = coeff * q1 - q2 + samples(i)
+            q2 = q1
+            q1 = q0
+            i += 1
+          }
+          e(w)(b) = q1 * q1 + q2 * q2 - coeff * q1 * q2
+          b += 1
+        }
+        w += 1
+      }
+      var sig = 0L
+      w = 0
+      while (w < nw) {
+        var b = 0
+        while (b < nb) {
+          if (e(w)(b) > e(w)((b + 1) % nb)) sig |= 1L << (w * 8 + b)
+          b += 1
+        }
+        w += 1
+      }
+      sig
+    }
+
+    /** Decode + fingerprint; None for undecodable payloads or clips
+      * past 2^26 samples (the fingerprint is a dedup key for clip-sized
+      * media; an hour-plus "clip" is itself suspect — and the bound
+      * keeps the per-row Goertzel cost predictable). */
+    def decodeAfp(bytes: Array[Byte]): Option[Long] =
+      decodeWav(bytes).filter(_._1.length <= 67108864)
+        .map { case (s, _) => afp64(s) }
+
+    /** Minimal WAV/PCM-16 mono encoder — the fixture/test writer (the
+      * ImageIO-encode analog for q136's planted copy classes). With
+      * `extraChunk` an INFO LIST metadata chunk precedes the data: the
+      * bytes and sha256 change, the samples do not — the container
+      * re-encode class. */
+    def encodeWav(samples: Array[Int], sampleRate: Int,
+                  extraChunk: Boolean = false): Array[Byte] = {
+      val extra =
+        if (!extraChunk) Array.empty[Byte]
+        else {
+          val txt = "graft-reencode".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val pad = txt.length & 1
+          val b = java.nio.ByteBuffer.allocate(8 + 4 + 8 + txt.length + pad)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.put("LIST".getBytes, 0, 4).putInt(4 + 8 + txt.length + pad)
+          b.put("INFO".getBytes, 0, 4)
+          b.put("ICMT".getBytes, 0, 4).putInt(txt.length).put(txt)
+          if (pad == 1) b.put(0.toByte)
+          b.array()
+        }
+      val dataSize = samples.length * 2
+      val riffSize = 4 + (8 + 16) + extra.length + (8 + dataSize)
+      val b = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes, 0, 4).putInt(riffSize)
+      b.put("WAVE".getBytes, 0, 4)
+      b.put("fmt ".getBytes, 0, 4).putInt(16)
+      b.putShort(1.toShort).putShort(1.toShort) // PCM, mono
+      b.putInt(sampleRate).putInt(sampleRate * 2)
+      b.putShort(2.toShort).putShort(16.toShort)
+      b.put(extra)
+      b.put("data".getBytes, 0, 4).putInt(dataSize)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+  }
+
+  /** [[decodeImageDHash]]'s audio twin: decode WAV/PCM payloads via the
+    * real codec and emit the 64-bit spectral fingerprint
+    * ([[AudioCodec.afp64]]) — the input to [[Dedup.signaturePairs]]'
+    * banded near-dup join, unchanged. Same mapPartitions shape;
+    * undecodable payloads survive as decoded=false / afp=0. */
+  def decodeAudioFingerprint(df: DataFrame, idCol: String,
+                             bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+    ds.mapPartitions { iter =>
+      // codec init would go here; the WAV walker needs none
+      iter.map { case (id, bytes) =>
+        AudioCodec.decodeAfp(bytes) match {
+          case Some(sig) => (id, true, sig)
+          case None      => (id, false, 0L)
+        }
+      }
+    }.toDF(idCol, "decoded", "afp")
+  }
+
   /** [[decodeImageFeatures]]'s perceptual-hash twin: decode via the real
     * codec and emit the 64-bit dHash ([[ImageCodec.dhash64]]) — the
     * input to [[Dedup.signaturePairs]]' banded near-dup join. Same

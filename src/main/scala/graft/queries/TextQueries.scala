@@ -3120,7 +3120,83 @@ object TextQueries {
                      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1000000 // a.m AS DOUBLE) / 1000000 AS containment
               FROM s a JOIN s b ON a.doc_id <> b.doc_id)
         SELECT a_id, b_id, containment FROM p WHERE containment >= 0.5
-        ORDER BY a_id, b_id"""))
+        ORDER BY a_id, b_id""")),
+
+    // ----------------------------------------------------------------
+    // q136: spectral-fingerprint AUDIO dedup (round 15 — the verdict's
+    // audio-tier task; the q130 pattern on WAV clips instead of PNGs).
+    // A deterministic synthetic WAV corpus (one two-sinusoid PCM-16
+    // clip per doc_id < 300, REAL RIFF encode/decode in the multimodal
+    // mapPartitions codec stage) plants three classes: a container
+    // re-encode with an INFO metadata chunk (id%5==1 — bytes and sha256
+    // differ, samples identical), an exact half-gain copy (id%5==2 —
+    // samples are even, so the halving is exact and every Goertzel
+    // energy scales by exactly 2^-2: all 64 adjacent-band comparisons
+    // preserved), and a corrupt payload (id%5==3 — must survive as
+    // decoded=false, never kill the partition). Both copy classes land
+    // at Hamming 0 through the SAME Dedup.signaturePairs banded join
+    // the image dHash path uses (pigeonhole recall exactly 1.0 there).
+    // DuckDB cannot decode WAVs, so the oracle is the q130-style
+    // CONTRACT row from the plant arithmetic; the codec and fingerprint
+    // bit semantics are pinned byte-level in MultimodalFixtureSpec.
+    "q136_audio_dedup" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val idsDf = docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+        val clips = idsDf.as[Long].mapPartitions { it =>
+          import graft.operators.Multimodal.AudioCodec
+          def mk(id: Long, gainShift: Int, extra: Boolean): Array[Byte] = {
+            val n = 2048 + (id % 3).toInt * 512
+            val f1 = (1 + id % 5).toDouble / 32.0
+            val f2 = (2 + id % 7).toDouble / 32.0
+            val base = Array.tabulate(n) { i =>
+              2 * math.round(
+                3000.0 * StrictMath.sin(2.0 * StrictMath.PI * f1 * i) +
+                1500.0 * StrictMath.sin(2.0 * StrictMath.PI * f2 * i + 0.7)).toInt
+            }
+            AudioCodec.encodeWav(base.map(_ >> gainShift), 8000, extra)
+          }
+          it.flatMap { id =>
+            Seq((id, mk(id, 0, extra = false))) ++
+              (if (id % 5 == 1) Seq((id + 1000000L, mk(id, 0, extra = true)))
+               else Seq.empty) ++
+              (if (id % 5 == 2) Seq((id + 2000000L, mk(id, 1, extra = false)))
+               else Seq.empty) ++
+              (if (id % 5 == 3) Seq((id + 3000000L,
+                s"corrupt-$id".getBytes("US-ASCII"))) else Seq.empty)
+          }
+        }.toDF("media_id", "bytes")
+        val hashed = Multimodal.decodeAudioFingerprint(clips, "media_id", "bytes")
+          .localCheckpoint(true)
+        val pairs = Dedup.signaturePairs(
+          hashed.filter(col("decoded")), "media_id", "afp")
+          .localCheckpoint(true)
+        val expReenc = idsDf.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id").as("a_id"), (col("doc_id") + 1000000L).as("b_id"))
+        val expGain = idsDf.filter(col("doc_id") % 5 === 2)
+          .select(col("doc_id").as("a_id"), (col("doc_id") + 2000000L).as("b_id"))
+        val planted = expReenc.union(expGain)
+        hashed.agg(count(lit(1)).as("n_clips"),
+            sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"))
+          .crossJoin(broadcast(expReenc.join(pairs, Seq("a_id", "b_id"), "left_anti")
+            .agg(count(lit(1)).as("__mr"))))
+          .crossJoin(broadcast(expGain.join(pairs, Seq("a_id", "b_id"), "left_anti")
+            .agg(count(lit(1)).as("__mg"))))
+          .crossJoin(broadcast(planted.join(pairs, Seq("a_id", "b_id"))
+            .agg(coalesce(max("hamming"), lit(0)).as("__mh"))))
+          .select(col("n_clips"), col("n_decoded"),
+            (col("__mr") === 0L).as("reenc_found"),
+            (col("__mg") === 0L).as("gain_found"),
+            (col("__mh") === 0).as("planted_hamming_zero"))
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*)
+                 + SUM(CASE WHEN doc_id % 5 IN (1, 2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_clips,
+               CAST(COUNT(*)
+                 + SUM(CASE WHEN doc_id % 5 IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+               TRUE AS reenc_found, TRUE AS gain_found,
+               TRUE AS planted_hamming_zero
+        FROM documents WHERE doc_id < 300"""))
   )
 
   /** The q128/q129 shared oracle CTE chain: per-word greedy subword

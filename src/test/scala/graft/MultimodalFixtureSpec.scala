@@ -207,4 +207,81 @@ class MultimodalFixtureSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("AudioCodec: WAV roundtrip, metadata-chunk skip, stereo fold, refusals") {
+    import graft.operators.Multimodal.AudioCodec
+    val samples = Array.tabulate(2048)(i =>
+      2 * math.round(3000.0 * StrictMath.sin(2.0 * StrictMath.PI * 3 / 32.0 * i)).toInt)
+    // roundtrip: encode -> decode returns the exact samples + rate
+    val wav = AudioCodec.encodeWav(samples, 8000)
+    val Some((back, rate)) = AudioCodec.decodeWav(wav)
+    assert(rate == 8000 && back.sameElements(samples))
+    // a LIST/INFO metadata chunk changes the bytes, not the samples
+    val reenc = AudioCodec.encodeWav(samples, 8000, extraChunk = true)
+    assert(!java.util.Arrays.equals(reenc, wav))
+    val Some((back2, _)) = AudioCodec.decodeWav(reenc)
+    assert(back2.sameElements(samples))
+    // stereo folds to the truncated integer channel mean
+    val st = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    st.put("RIFF".getBytes, 0, 4).putInt(36 + 8)
+    st.put("WAVE".getBytes, 0, 4)
+    st.put("fmt ".getBytes, 0, 4).putInt(16)
+    st.putShort(1.toShort).putShort(2.toShort) // PCM, stereo
+    st.putInt(8000).putInt(8000 * 4).putShort(4.toShort).putShort(16.toShort)
+    st.put("data".getBytes, 0, 4).putInt(8)
+    Seq(100, 200, -51, 50).foreach(v => st.putShort(v.toShort))
+    val Some((mono, _)) = AudioCodec.decodeWav(st.array())
+    assert(mono.sameElements(Array(150, 0)), mono.toSeq) // (-51+50)/2 -> 0 truncated
+    // refusals: garbage, truncated, non-PCM format
+    assert(AudioCodec.decodeWav("not a wav at all".getBytes).isEmpty)
+    assert(AudioCodec.decodeWav(wav.take(40)).isEmpty)
+    val f = wav.clone(); f(20) = 3 // fmt audioFormat -> IEEE float
+    assert(AudioCodec.decodeWav(f).isEmpty)
+    assert(AudioCodec.decodeAfp(null).isEmpty)
+  }
+
+  test("afp64: sample-determined, invariant under re-encode and power-of-two gain, flips under real edits") {
+    import graft.operators.Multimodal.AudioCodec
+    def clip(seed: Int, n: Int = 2048): Array[Int] = Array.tabulate(n) { i =>
+      2 * math.round(
+        3000.0 * StrictMath.sin(2.0 * StrictMath.PI * (1 + seed % 5) / 32.0 * i) +
+        1500.0 * StrictMath.sin(2.0 * StrictMath.PI * (2 + seed % 7) / 32.0 * i + 0.7)).toInt
+    }
+    val a = clip(1)
+    val sig = AudioCodec.afp64(a)
+    assert(sig != 0L)
+    // container re-encode: identical samples -> identical fingerprint
+    assert(AudioCodec.decodeAfp(AudioCodec.encodeWav(a, 8000)).get ==
+      AudioCodec.decodeAfp(AudioCodec.encodeWav(a, 8000, extraChunk = true)).get)
+    // power-of-two gain: exact energy scaling, every comparison preserved
+    assert(AudioCodec.afp64(a.map(_ / 2)) == sig)
+    assert(AudioCodec.afp64(a.map(_ * 4)) == sig)
+    // a genuinely different clip lands far away
+    val other = AudioCodec.afp64(clip(3))
+    assert(java.lang.Long.bitCount(sig ^ other) > 3,
+      s"distinct clips must separate: ${java.lang.Long.bitCount(sig ^ other)}")
+    // a real edit (splice noise into the middle window) flips bits
+    val edited = a.clone()
+    (900 until 1100).foreach(i => edited(i) = (i * 2654435761L % 8192).toInt - 4096)
+    assert(AudioCodec.afp64(edited) != sig)
+    // banding reuse: planted copies land at Hamming 0 through the SAME
+    // signaturePairs join the image/dHash path uses
+    import spark.implicits._
+    val rows = Seq((1L, AudioCodec.encodeWav(a, 8000)),
+      (1000001L, AudioCodec.encodeWav(a, 8000, extraChunk = true)),
+      (2000001L, AudioCodec.encodeWav(a.map(_ / 2), 8000)),
+      (3L, AudioCodec.encodeWav(clip(3), 8000)),
+      (4L, "garbage".getBytes)).toDF("media_id", "bytes")
+    val hashed = graft.operators.Multimodal
+      .decodeAudioFingerprint(rows, "media_id", "bytes")
+    assert(hashed.filter(col("decoded")).count() == 4)
+    val pairs = graft.operators.Dedup.signaturePairs(
+      hashed.filter(col("decoded")), "media_id", "afp")
+      .filter(col("hamming") === 0)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 1000001L)) && pairs.contains((1L, 2000001L)),
+      s"planted audio copies must land at Hamming 0: $pairs")
+  }
+
 }
