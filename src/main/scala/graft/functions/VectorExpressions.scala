@@ -77,8 +77,11 @@ case class DotProduct(left: Expression, right: Expression)
   * array_position-of-min — and the per-center distance mirrors the
   * composed op tree (‖c‖² − (2·dot)) bit for bit, so cell assignments
   * are identical to the composed form. */
-case class NearestCenter(child: Expression, centers: Array[Array[Double]])
+case class NearestCenter(child: Expression, centers: Array[Array[Double]],
+                         rank: Int = 0)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(rank >= 0 && rank < centers.length,
+    s"nearest-center rank must be in [0, ${centers.length}): $rank")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = child.dataType.isInstanceOf[ArrayType] &&
@@ -105,8 +108,11 @@ case class NearestCenter(child: Expression, centers: Array[Array[Double]])
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = math.min(dim, v.numElements())
-    var best = 0
-    var bd = Double.MaxValue
+    // top-(rank+1) smallest distances, insertion-ordered; strict <
+    // keeps ties in center order (rank 0 == the old first-minimum)
+    val top = rank + 1
+    val bd = Array.fill(top)(Double.MaxValue)
+    val bi = new Array[Int](top)
     var c = 0
     while (c < centers.length) {
       var s = 0.0
@@ -114,10 +120,14 @@ case class NearestCenter(child: Expression, centers: Array[Array[Double]])
       val off = c * dim
       while (i < n) { s += v.getDouble(i) * flat(off + i); i += 1 }
       val d = normSq(c) - 2.0 * s
-      if (d < bd) { bd = d; best = c }
+      var j = top - 1
+      if (d < bd(j)) {
+        while (j > 0 && d < bd(j - 1)) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
+        bd(j) = d; bi(j) = c
+      }
       c += 1
     }
-    best
+    bi(rank)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -127,11 +137,14 @@ case class NearestCenter(child: Expression, centers: Array[Array[Double]])
       val c = ctx.freshName("c"); val i = ctx.freshName("i")
       val n = ctx.freshName("n"); val off = ctx.freshName("off")
       val s = ctx.freshName("s"); val d = ctx.freshName("d")
-      val bd = ctx.freshName("bd")
+      val bd = ctx.freshName("bd"); val bi = ctx.freshName("bi")
+      val j = ctx.freshName("j")
+      val top = rank + 1
       s"""
          |int $n = java.lang.Math.min($dim, $a.numElements());
-         |int ${ev.value}Best = 0;
-         |double $bd = Double.MAX_VALUE;
+         |double[] $bd = new double[$top];
+         |int[] $bi = new int[$top];
+         |java.util.Arrays.fill($bd, Double.MAX_VALUE);
          |for (int $c = 0; $c < ${centers.length}; $c++) {
          |  double $s = 0.0;
          |  int $off = $c * $dim;
@@ -139,9 +152,15 @@ case class NearestCenter(child: Expression, centers: Array[Array[Double]])
          |    $s += $a.getDouble($i) * $flatRef[$off + $i];
          |  }
          |  double $d = $nsqRef[$c] - 2.0 * $s;
-         |  if ($d < $bd) { $bd = $d; ${ev.value}Best = $c; }
+         |  int $j = $top - 1;
+         |  if ($d < $bd[$j]) {
+         |    while ($j > 0 && $d < $bd[$j - 1]) {
+         |      $bd[$j] = $bd[$j - 1]; $bi[$j] = $bi[$j - 1]; $j--;
+         |    }
+         |    $bd[$j] = $d; $bi[$j] = $c;
+         |  }
          |}
-         |${ev.value} = ${ev.value}Best;
+         |${ev.value} = $bi[$rank];
        """.stripMargin
     })
 
@@ -257,6 +276,15 @@ object VectorExpressions {
     * one codegen node, first-minimum tie-break. */
   def nearestCenter(v: Column, centers: Array[Array[Double]]): Column =
     Bridge.column(NearestCenter(Bridge.expression(v), centers))
+
+  /** Index of the RANK-th nearest center (rank 0 = nearest) — the
+    * multi-assignment cell router (round 15): each vector indexes into
+    * its top-a cells, lifting IVF recall at a fixed probed cell
+    * fraction. Same kernel, a small insertion top-(rank+1) instead of
+    * a single minimum; ties keep center order at every rank. */
+  def nearestCenterRank(v: Column, centers: Array[Array[Double]],
+                        rank: Int): Column =
+    Bridge.column(NearestCenter(Bridge.expression(v), centers, rank))
 
   /** Flat m·ksub ADC lookup table against literal PQ codebooks — one
     * codegen node; entry (j·ksub + c) = partial dot of subvector j with

@@ -326,7 +326,8 @@ object Similarity {
   final case class PqIndex(idCol: String, codes: DataFrame,
                            coarse: Coarse,
                            codebooks: Array[Array[Array[Double]]],
-                           m: Int, ksub: Int, dim: Int, seed: Long)
+                           m: Int, ksub: Int, dim: Int, seed: Long,
+                           assign: Int = 1)
 
   /** Train coarse cells + PQ codebooks and encode `candidates` into a
     * [[PqIndex]]. `codes` = (c_id, cell, codes int[m], cn) — the compact
@@ -335,7 +336,9 @@ object Similarity {
   def pqIndex(candidates: DataFrame, idCol: String, vecCol: String,
               nlist: Int = 16, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
               staging: Staging.Mode = Staging.Local,
-              trainSample: Int = 16384): PqIndex = {
+              trainSample: Int = 16384, assign: Int = 1): PqIndex = {
+    require(assign >= 1 && assign <= nlist,
+      s"multi-assignment must be in [1, nlist]: assign=$assign nlist=$nlist")
     val base = withNorm(candidates, idCol, vecCol, "c_id", "cv", "cn")
     val dim = candidates.select(size(col(vecCol))).limit(1).head.getInt(0)
     require(dim % m == 0, s"PQ subspaces must divide dim: dim=$dim m=$m")
@@ -359,8 +362,13 @@ object Similarity {
         java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
       lloyd(pts, ksub, iters = 10, seed = seed + j + 1)
     }
-    val codes = encodeAgainst(base, coarse, codebooks, m, dsub, staging)
-    PqIndex(idCol, codes, coarse, codebooks, m, ksub, dim, seed)
+    require(assign == 1 || coarse.n2 == 1,
+      s"multi-assignment is a single-level-coarse router (assign=$assign, " +
+        "two-level coarse): the two-level tier lifts recall by FINER cells " +
+        "at the same probed fraction instead (q110) — use that, or nlist " +
+        s"<= the single-level ceiling")
+    val codes = encodeAgainst(base, coarse, codebooks, m, dsub, staging, assign)
+    PqIndex(idCol, codes, coarse, codebooks, m, ksub, dim, seed, assign)
   }
 
   /** Cell assignment + PQ encode of a withNorm'd frame against FROZEN
@@ -374,17 +382,44 @@ object Similarity {
   private def encodeAgainst(base: DataFrame, coarse: Coarse,
                             codebooks: Array[Array[Array[Double]]],
                             m: Int, dsub: Int,
-                            staging: Staging.Mode): DataFrame = {
-    val withCell = staging(
-      withCellCols(base, coarse, col("cv"), residCol = Some("__r"),
-        staging = staging)
-        .select(col("c_id"), col("cell"), col("__r"), col("cn")))
-    val codeCols = (0 until m).map { j =>
-      graft.functions.VectorExpressions.nearestCenter(
-        slice(col("__r"), j * dsub + 1, dsub), codebooks(j))
+                            staging: Staging.Mode,
+                            assign: Int = 1): DataFrame = {
+    def codesOf(withCell: DataFrame): DataFrame = {
+      val codeCols = (0 until m).map { j =>
+        graft.functions.VectorExpressions.nearestCenter(
+          slice(col("__r"), j * dsub + 1, dsub), codebooks(j))
+      }
+      staging(withCell.select(col("c_id"), col("cell"),
+        array(codeCols: _*).as("codes"), col("cn")))
     }
-    staging(withCell.select(col("c_id"), col("cell"),
-      array(codeCols: _*).as("codes"), col("cn")))
+    if (assign <= 1)
+      codesOf(staging(
+        withCellCols(base, coarse, col("cv"), residCol = Some("__r"),
+          staging = staging)
+          .select(col("c_id"), col("cell"), col("__r"), col("cn"))))
+    else {
+      // MULTI-ASSIGNMENT (round 15): index each vector in its `assign`
+      // nearest cells — the recall lever the probe decomposition
+      // actually supports (RecallProbe: refine=64 moved recall 0.736 ->
+      // 0.736 while nprobe=16 hit 0.994, i.e. the loss is boundary
+      // vectors in unprobed cells, NOT quantization error — so an
+      // OPQ-style rotation would lift nothing here). Each copy encodes
+      // its OWN residual (vs its assigned cell's center), so ADC stays
+      // self-consistent per copy; serving keeps each candidate once at
+      // its best approx (ivfPqTopK's dedup). Index size and scan cost
+      // scale by `assign` at a FIXED probed cell fraction — the
+      // standard IVF replication trade (cf. spilled trees).
+      val l1Lit = typedLit(coarse.l1.map(_.toSeq).toSeq)
+      (0 until assign).map { r =>
+        codesOf(staging(base
+          .withColumn("cell", graft.functions.VectorExpressions
+            .nearestCenterRank(col("cv"), coarse.l1, r))
+          .withColumn("__r",
+            zip_with(col("cv"), element_at(l1Lit, col("cell") + 1),
+              (x, c) => x - c))
+          .select(col("c_id"), col("cell"), col("__r"), col("cn"))))
+      }.reduce(_ union _)
+    }
   }
 
   /** Encode NEW vectors against an existing index's frozen model — the
@@ -397,7 +432,7 @@ object Similarity {
   def encodePq(df: DataFrame, vecCol: String, idx: PqIndex,
                staging: Staging.Mode = Staging.Local): DataFrame =
     encodeAgainst(withNorm(df, idx.idCol, vecCol, "c_id", "cv", "cn"),
-      idx.coarse, idx.codebooks, idx.m, idx.dim / idx.m, staging)
+      idx.coarse, idx.codebooks, idx.m, idx.dim / idx.m, staging, idx.assign)
 
   /** Bounded HASH-ordered vector sample off a withNorm'd frame — the
     * shared trainer input of [[pqIndex]] and [[semanticDedup]]: one
@@ -544,9 +579,19 @@ object Similarity {
     val adcSum = (0 until m).map(j =>
       element_at(col("__lut"),
         lit(j * index.ksub) + element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
-    val adc = probes.join(index.codes, Seq("cell"))
+    val adcScored = probes.join(index.codes, Seq("cell"))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("__approx", (col("__qcdot") + adcSum) / (col("qn") * col("cn")))
+    // multi-assignment emits one code row per (vector, assigned cell);
+    // keep each candidate once at its BEST approx before the rank cut
+    // (each copy's ADC is self-consistent vs its own cell's residual).
+    // assign == 1 keeps the original plan untouched.
+    val adcBest =
+      if (index.assign <= 1) adcScored
+      else adcScored.groupBy(col("q_id"), col("c_id"))
+        .agg(max("__approx").as("__approx"),
+          first("qv").as("qv"), first("qn").as("qn"))
+    val adc = adcBest
       .withColumn("__ark", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("__approx"), asc("c_id"))))
       .filter(col("__ark") <= k * refine)
@@ -582,9 +627,9 @@ object Similarity {
     Seq((idx.idCol, idx.m, idx.ksub, idx.dim, idx.seed,
         idx.coarse.l1.map(_.toSeq).toSeq,
         idx.coarse.l2.map(_.toSeq).toSeq,
-        idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq, buckets))
+        idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq, buckets, idx.assign))
       .toDF("id_col", "m", "ksub", "dim", "seed", "coarse_l1", "coarse_l2",
-        "codebooks", "buckets")
+        "codebooks", "buckets", "assign")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
     }
   }
@@ -603,9 +648,13 @@ object Similarity {
       .map(_.toArray).toArray
     val books = r.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]](7)
       .map(_.map(_.toArray).toArray).toArray
+    // pre-round-15 metas have no assign column: single-assignment
+    val assign =
+      if (r.schema.fieldNames.contains("assign")) r.getAs[Int]("assign") else 1
     PqIndex(r.getString(0),
       Tombstones.filter(spark.table(s"${prefix}_codes"), "c_id", prefix),
-      Coarse(l1, l2), books, r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+      Coarse(l1, l2), books, r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4),
+      assign)
   }
 
   /** [[ivfPqTopK]] with the index built inline — the one-call form the

@@ -439,22 +439,30 @@ object TextQueries {
     // touches only the ~26-byte code rows; exact vectors are fetched for
     // refine*k survivors per query — the shape where [[ivfTopK]]'s
     // per-cell vector re-scan would dominate at 100 TB. Same contract
-    // row as q44/q46 (seeded fits make lists DuckDB-irreproducible):
-    // recall@10 vs exact measured 0.68-0.96 at sf0.001/0.01/0.1/10x
-    // with (m=16, ksub=32, nprobe=6, refine=8); 0.5 bound leaves
-    // margin. Exhaustive-probe == brute-force equality and the code
-    // ranges are pinned in SessionIvfSpec.
+    // row as q44/q46 (seeded fits make lists DuckDB-irreproducible).
+    //
+    // Round 15: MULTI-ASSIGNMENT (assign=2 — each vector indexed in its
+    // two nearest cells, serving dedups candidates at their best ADC).
+    // The RecallProbe decomposition showed the recall loss was entirely
+    // boundary vectors in unprobed cells (refine=64 moved nothing,
+    // nprobe=16 hit 0.99), so replication is the lever — measured
+    // mean recall@10 at (nprobe=6, refine=8): 0.88-1.00 across
+    // sf0.001/0.01/0.1/100x, up from 0.70-0.74 single-assigned at the
+    // SAME probed cell fraction. Floor raised 0.5 -> 0.75 accordingly.
+    // Exhaustive-probe == brute-force equality (with duplicates
+    // deduped) and the code ranges are pinned in SessionIvfSpec.
     "q107_ann_ivfpq" -> QueryDef(
       fn = (s, d) => {
         val e = embs(s, d)
         val q = e.filter(col("vec_id") < 50)
-        val ann = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
-            k = 10, nlist = 16, nprobe = 6, m = 16, ksub = 32, refine = 8,
-            seed = 42L)
+        val idx = Similarity.pqIndex(e, "vec_id", "embedding",
+          nlist = 16, m = 16, ksub = 32, seed = 42L, assign = 2)
+        val ann = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+            k = 10, nprobe = 6, refine = 8)
           .localCheckpoint(true)
         val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
           .localCheckpoint(true)
-        annContract(ann, exact, k = 10, minMeanRecall = 0.5)
+        annContract(ann, exact, k = 10, minMeanRecall = 0.75)
       },
       oracle = Some("""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 10 AS k, TRUE AS rows_le_k,

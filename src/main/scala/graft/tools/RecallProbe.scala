@@ -44,15 +44,34 @@ object RecallProbe {
     // nlist 16 = the q107 default (single-level coarse); nlist >= 4096
     // exercises the round-9 two-level trainer + beam probe at the scale
     // the old single-level trainer could not reach (nprobe scaled to
-    // keep the probed corpus fraction comparable)
+    // keep the probed corpus fraction comparable). The two extra arms
+    // DECOMPOSE the recall loss (round 15): refine=64 removes ADC
+    // ranking error (what's left is coarse-probing misses); nprobe=16
+    // removes probing misses (what's left is ADC error at the refine
+    // cut) — the lift work must target whichever dominates.
     for ((nlist, nprobe, m, ksub, refine) <- Seq(
-        (16, 6, 16, 32, 8), (4096, 1536, 16, 32, 8), (16384, 6144, 16, 32, 8))) {
+        (16, 6, 16, 32, 8), (16, 6, 16, 32, 64), (16, 16, 16, 32, 8),
+        (4096, 1536, 16, 32, 8), (16384, 6144, 16, 32, 8))) {
       val annPq = Similarity.ivfPqTopK(e, q5, "vec_id", "embedding",
           k = 10, nlist = nlist, nprobe = nprobe, m = m, ksub = ksub,
           refine = refine, seed = 42L)
         .select("q_id", "c_id")
       print(s"[probe] q107 ivfpq k=10 nlist=$nlist nprobe=$nprobe m=$m ksub=$ksub refine=$refine: ")
       recall(annPq, exactQ5, 10)
+    }
+
+    // MULTI-ASSIGNMENT ladder (round 15): each vector indexed in its
+    // top-a cells, same probed cell fraction (nprobe=6/16) — the lever
+    // the decomposition above supports (the loss is boundary vectors in
+    // unprobed cells, not ADC error)
+    for (a <- Seq(2, 3)) {
+      val idx = Similarity.pqIndex(e, "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 32, seed = 42L, assign = a)
+      val annMa = Similarity.ivfPqTopK(idx, e, q5, "vec_id", "embedding",
+          k = 10, nprobe = 6, refine = 8)
+        .select("q_id", "c_id")
+      print(s"[probe] q107 ivfpq k=10 nlist=16 nprobe=6 assign=$a: ")
+      recall(annMa, exactQ5, 10)
     }
     spark.stop()
   }

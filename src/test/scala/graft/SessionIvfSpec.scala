@@ -94,6 +94,72 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(ann.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("IVF-PQ multi-assignment: exhaustive probe still == brute force (deduped); recall lifts at fixed probed fraction; save/load/encode carry assign") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val n = e.count().toInt
+    val single = Similarity.pqIndex(e, "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 32, seed = 42L)
+    val multi = Similarity.pqIndex(e, "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 32, seed = 42L, assign = 2)
+    // each vector owns exactly `assign` code rows, in DISTINCT cells
+    assert(multi.codes.count() == 2L * n)
+    assert(multi.codes.groupBy("c_id").agg(countDistinct("cell").as("nc"))
+      .filter(col("nc") =!= 2).count() == 0,
+      "the two assigned cells of a vector must be distinct")
+    // rank-0 copies == the single-assignment index exactly
+    val rank0 = multi.codes.intersect(single.codes)
+    assert(rank0.count() == n,
+      "rank-0 copies must reproduce the single-assignment codes")
+    // exhaustive probe + full refine still reduces to brute force: the
+    // duplicate candidates dedup at their best ADC before the exact cut
+    val exhaustive = Similarity.ivfPqTopK(multi, e, q, "vec_id", "embedding",
+        k = 10, nprobe = 16, refine = n)
+      .orderBy("q_id", "rn").collect().map(_.toString)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rn").collect().map(_.toString)
+    assert(exhaustive.sameElements(exact),
+      "exhaustive multi-assigned IVF-PQ must reduce to brute force")
+    // the lift claim at production params: same probed cell fraction,
+    // strictly more true neighbors reachable
+    def recallOf(idx: Similarity.PqIndex): Double = {
+      val ann = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+        k = 10, nprobe = 6, refine = 8)
+        .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ex = exact.map(_.split(",")).map(a => (a(0).drop(1).toLong, a(1).toLong)).toSet
+      ann.intersect(ex).size.toDouble / ex.size
+    }
+    val r1 = recallOf(single)
+    val r2 = recallOf(multi)
+    assert(r2 > r1, s"multi-assignment must lift recall: single=$r1 multi=$r2")
+    assert(r2 >= 0.8, s"assign=2 recall floor: $r2")
+    // persistence + incremental encode carry the assignment factor
+    try {
+      Similarity.savePqIndex(multi, "ivf_ma", buckets = 8)
+      val loaded = Similarity.loadPqIndex(spark, "ivf_ma")
+      assert(loaded.assign == 2)
+      val shard = e.limit(10).withColumn("vec_id", col("vec_id") + 5000000L)
+      val enc = Similarity.encodePq(shard, "embedding", loaded)
+      assert(enc.count() == 20, "encodePq must replicate per the frozen assign")
+      // the serving answer through the loaded index matches the in-memory one
+      val a1 = Similarity.ivfPqTopK(multi, e, q, "vec_id", "embedding",
+        k = 10, nprobe = 6, refine = 8).collect().map(_.toString).sorted
+      val a2 = Similarity.ivfPqTopK(loaded, e, q, "vec_id", "embedding",
+        k = 10, nprobe = 6, refine = 8).collect().map(_.toString).sorted
+      assert(a1.sameElements(a2))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_ma_codes")
+      spark.sql("DROP TABLE IF EXISTS ivf_ma_meta")
+      graft.operators.Fence.forceRelease(spark, "ivf_ma")
+    }
+    // hygiene: assign on a two-level coarse refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqIndex(e, "vec_id", "embedding",
+        nlist = 4096, m = 16, ksub = 32, seed = 42L, assign = 2)
+    }
+    assert(err.getMessage.contains("single-level"), err.getMessage)
+  }
+
   test("PqLut == composed slice-dot LUT bit for bit; short-vector edge; codegen == interpreted") {
     import graft.functions.VectorExpressions
     val m = 4; val ksub = 3; val dsub = 16
