@@ -774,7 +774,8 @@ object IngestLoop {
                     vecCol: String, prefix: String, nlist: Int, m: Int,
                     ksub: Int, seed: Long, buckets: Int,
                     loopId: String = "",
-                    multiWriter: Boolean = false): Unit = {
+                    multiWriter: Boolean = false,
+                    assign: Int = 1): Unit = {
     val spark = batch.sparkSession
     val lid = normLoopId(loopId)
     // writer fence: see ingestMinhashBatch
@@ -788,8 +789,11 @@ object IngestLoop {
       else bid
     val codes =
       if (!exists) {
+        // the creating batch freezes the assignment factor with the
+        // quantizers (round 15 — multi-assignment): later batches'
+        // encodePq reads it off the loaded index and replicates
         val idx = graft.operators.Similarity.pqIndex(
-          batch, idCol, vecCol, nlist, m, ksub, seed)
+          batch, idCol, vecCol, nlist, m, ksub, seed, assign = assign)
         import spark.implicits._
         Seq((idx.idCol, idx.m, idx.ksub, idx.dim, idx.seed,
             idx.coarse.l1.map(_.toSeq).toSeq,
@@ -799,6 +803,7 @@ object IngestLoop {
             "coarse_l2", "codebooks", "buckets")
           .withColumn("loop_id",
             lit(if (multiWriter) MultiWriterMarker else lid))
+          .withColumn("assign", lit(idx.assign))
           .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
         idx.codes
       } else {
@@ -827,13 +832,15 @@ object IngestLoop {
                m: Int = 8, ksub: Int = 16, seed: Long = 42L,
                buckets: Int = 8,
                trigger: Trigger = Trigger.AvailableNow(),
-               multiWriter: Boolean = false): StreamingQuery =
+               multiWriter: Boolean = false,
+               assign: Int = 1): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestPqBatch(batch, bid, idCol, vecCol, prefix, nlist, m, ksub,
-          seed, buckets, loopId = checkpointDir, multiWriter = multiWriter)
+          seed, buckets, loopId = checkpointDir, multiWriter = multiWriter,
+          assign = assign)
       }
       .start()
 

@@ -1254,4 +1254,30 @@ class IngestLoopSpec extends AnyFunSuite {
         "ing_am_tombstones")
     }
   }
+
+  test("PQ ingest loop: the creating batch freezes the multi-assignment factor; later batches replicate against it") {
+    import graft.operators.Similarity
+    val embs = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val b0 = embs.filter(col("vec_id") % 2 === 0)
+    val b1 = embs.filter(col("vec_id") % 2 === 1)
+    try {
+      IngestLoop.ingestPqBatch(b0, 0L, "vec_id", "embedding", "ing_pqa",
+        nlist = 16, m = 8, ksub = 16, seed = 42L, buckets = 8, assign = 2)
+      val idx = Similarity.loadPqIndex(spark, "ing_pqa")
+      assert(idx.assign == 2, "creation must freeze the assignment factor")
+      assert(spark.table("ing_pqa_codes").count() == 2L * b0.count())
+      // a later batch encodes against the FROZEN model: replicated too,
+      // regardless of the caller's (creation-only) assign argument
+      IngestLoop.ingestPqBatch(b1, 1L, "vec_id", "embedding", "ing_pqa",
+        nlist = 16, m = 8, ksub = 16, seed = 42L, buckets = 8)
+      assert(spark.table("ing_pqa_codes")
+        .filter(col("ingest_batch") === 1).count() == 2L * b1.count(),
+        "later batches must replicate per the frozen factor")
+      // serving through the grown index dedups the copies: <= k rows/query
+      val q = embs.filter(col("vec_id") < 10)
+      val served = Similarity.ivfPqTopK(Similarity.loadPqIndex(spark, "ing_pqa"),
+        embs, q, "vec_id", "embedding", k = 5, nprobe = 6, refine = 8)
+      assert(served.groupBy("q_id").count().agg(max("count")).head.getLong(0) <= 5)
+    } finally drop("ing_pqa_codes", "ing_pqa_meta")
+  }
 }
