@@ -379,6 +379,130 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec (round 15 — modality breadth beyond images and
+    * audio): multi-frame animated-GIF decode on the JDK's ImageIO
+    * (`ImageReader.read(i)` over `getNumImages` — no external library;
+    * GIF is the one genuinely multi-frame container the JRE decodes),
+    * sampling up to `maxFrames` evenly spaced frames and fingerprinting
+    * each with the image tier's [[ImageCodec.dhash64]].
+    *
+    * The CLIP-level dedup needs no new join machinery: a clip is its
+    * SEQUENCE of frame fingerprints, and rendering them as a
+    * space-joined token string turns clip dedup into the containment
+    * family's problem verbatim — [[Dedup.containmentJoin]] over
+    * frame-hash n-grams. A container re-encode (same frames, different
+    * metadata/delays) has the identical token string (containment 1.0
+    * both ways); a TRIMMED clip's frame-trigrams are a subset of its
+    * source's (contiguous n-grams of a frame prefix), so the trim →
+    * source direction scores exactly 1.0 — the quote/excerpt detector
+    * applied to video (q137).
+    *
+    * Honest limitation, stated not hidden: frames are read RAW —
+    * GIF's partial-frame disposal/offset compositing is not replayed,
+    * so clips whose later frames are delta patches fingerprint the
+    * patches, not the composited screen. Identical encodes still land
+    * identically (the dedup contract); a full compositor is a codec
+    * upgrade behind the same column shapes. */
+  object VideoCodec {
+
+    /** Decode up to `maxFrames` evenly sampled frames' dHashes. None
+      * when the payload is not a decodable multi-frame image. */
+    def decodeFrameHashes(bytes: Array[Byte],
+                          maxFrames: Int = 16): Option[Array[Long]] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n <= 0) return None
+            val take = math.min(n, maxFrames)
+            val out = new Array[Long](take)
+            var j = 0
+            while (j < take) {
+              // evenly spaced sample indices (integer stride arithmetic,
+              // deterministic; take == n reads every frame in order)
+              val idx = (j.toLong * n / take).toInt
+              val img = reader.read(idx)
+              if (img == null || img.getWidth.toLong * img.getHeight > 268435456L)
+                return None
+              out(j) = ImageCodec.dhash64(img)
+              j += 1
+            }
+            Some(out)
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Minimal animated-GIF encoder on ImageIO's sequence writer — the
+      * fixture/test writer (the encodeWav analog). `delayCs` rides in
+      * each frame's GraphicControlExtension: a different delay is a
+      * CONTAINER re-encode (bytes differ, decoded pixels identical). */
+    def encodeGif(frames: Seq[java.awt.image.BufferedImage],
+                  delayCs: Int = 10): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { img =>
+          val ty = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+          val meta = writer.getDefaultImageMetadata(ty, writer.getDefaultWriteParam)
+          val fmt = meta.getNativeMetadataFormatName
+          val root = meta.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gce = new javax.imageio.metadata.IIOMetadataNode(
+            "GraphicControlExtension")
+          gce.setAttribute("disposalMethod", "none")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", delayCs.toString)
+          gce.setAttribute("transparentColorIndex", "0")
+          root.appendChild(gce)
+          meta.setFromTree(fmt, root)
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, meta),
+            writer.getDefaultWriteParam)
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      baos.toByteArray
+    }
+  }
+
+  /** [[decodeImageDHash]]'s video twin: decode multi-frame payloads via
+    * the real codec and emit the sampled frame-fingerprint sequence —
+    * feed `array_join(transform(frame_hashes, CAST as STRING), ' ')` to
+    * [[Dedup.containmentJoin]] for clip-level dedup (see
+    * [[VideoCodec]]). Same mapPartitions shape; undecodable payloads
+    * survive as decoded=false with an empty sequence. */
+  def decodeVideoFrameHashes(df: DataFrame, idCol: String, bytesCol: String,
+                             maxFrames: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+    ds.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      iter.map { case (id, bytes) =>
+        VideoCodec.decodeFrameHashes(bytes, maxFrames) match {
+          case Some(hs) => (id, true, hs)
+          case None     => (id, false, Array.empty[Long])
+        }
+      }
+    }.toDF(idCol, "decoded", "frame_hashes")
+  }
+
   /** [[decodeImageDHash]]'s audio twin: decode WAV/PCM payloads via the
     * real codec and emit the 64-bit spectral fingerprint
     * ([[AudioCodec.afp64]]) — the input to [[Dedup.signaturePairs]]'

@@ -3204,7 +3204,101 @@ object TextQueries {
                  + SUM(CASE WHEN doc_id % 5 IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
                TRUE AS reenc_found, TRUE AS gain_found,
                TRUE AS planted_hamming_zero
-        FROM documents WHERE doc_id < 300"""))
+        FROM documents WHERE doc_id < 300""")),
+
+    // ----------------------------------------------------------------
+    // q137: frame-sampled VIDEO dedup (round 15 — the third real
+    // multimodal tier): REAL multi-frame animated-GIF decode on JDK
+    // ImageIO in the mapPartitions codec stage, per-frame dHash, and
+    // clip-level dedup by REUSING the containment family verbatim —
+    // the frame-fingerprint sequence rendered as a token string makes
+    // a trimmed clip the quote/excerpt problem (its frame-trigrams are
+    // a subset of the source's, so trim → source containment is
+    // exactly 1.0) and a container re-encode (same frames, different
+    // delay metadata — bytes and sha256 differ) token-identical.
+    // Planted classes: id%4==1 re-encode (+1M), id%4==2 trimmed last-3
+    // frames (+2M), id%4==3 corrupt bytes (+3M, must survive as
+    // decoded=false). DuckDB cannot decode GIFs, so the oracle is the
+    // plant-arithmetic contract row (the q130/q136 pattern); the codec
+    // and sampling semantics are pinned in MultimodalFixtureSpec.
+    "q137_video_dedup" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val idsDf = docs(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+        val palette = Array(0x1b2838, 0xc84b31, 0x346751, 0xecdbba,
+          0x2d4263, 0x91c483, 0xffe162, 0x6b4f4f)
+        val clips = idsDf.as[Long].mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          def frame(id: Long, f: Int): java.awt.image.BufferedImage = {
+            val w = 45
+            val h = 40
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val a = (id * 37 % 97 + 3).toInt
+            val b = (id * 53 % 89 + 5).toInt
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val k = (x * a + y * b + f * (7 + (id % 5).toInt) +
+                  (x * y % 13)) % palette.length
+                img.setRGB(x, y, 0xff000000 | palette(k))
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          def frames(id: Long): Seq[java.awt.image.BufferedImage] =
+            (0 until (12 + (id % 5).toInt)).map(frame(id, _))
+          import graft.operators.Multimodal.VideoCodec
+          it.flatMap { id =>
+            val fs = frames(id)
+            Seq((id, VideoCodec.encodeGif(fs))) ++
+              (if (id % 4 == 1)
+                Seq((id + 1000000L, VideoCodec.encodeGif(fs, delayCs = 25)))
+               else Seq.empty) ++
+              (if (id % 4 == 2)
+                Seq((id + 2000000L, VideoCodec.encodeGif(fs.dropRight(3))))
+               else Seq.empty) ++
+              (if (id % 4 == 3) Seq((id + 3000000L,
+                s"corrupt-clip-$id".getBytes("US-ASCII"))) else Seq.empty)
+          }
+        }.toDF("media_id", "bytes")
+        val hashed = Multimodal.decodeVideoFrameHashes(clips, "media_id", "bytes")
+          .localCheckpoint(true)
+        val clipDocs = hashed.filter(col("decoded"))
+          .select(col("media_id"), expr(
+            "array_join(transform(frame_hashes, h -> CAST(h AS STRING)), ' ')")
+            .as("text"))
+        val pairs = Dedup.containmentJoin(clipDocs, "media_id", "text",
+          tau = 0.9, n = 3).localCheckpoint(true)
+        val expReenc = idsDf.filter(col("doc_id") % 4 === 1)
+          .select(col("doc_id").as("a_id"), (col("doc_id") + 1000000L).as("b_id"))
+        val expTrim = idsDf.filter(col("doc_id") % 4 === 2)
+          .select((col("doc_id") + 2000000L).as("a_id"), col("doc_id").as("b_id"))
+        val planted = expReenc.union(expTrim)
+        hashed.agg(count(lit(1)).as("n_clips"),
+            sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"))
+          .crossJoin(broadcast(expReenc.join(pairs, Seq("a_id", "b_id"), "left_anti")
+            .agg(count(lit(1)).as("__mr"))))
+          .crossJoin(broadcast(expTrim.join(pairs, Seq("a_id", "b_id"), "left_anti")
+            .agg(count(lit(1)).as("__mt"))))
+          .crossJoin(broadcast(planted.join(pairs, Seq("a_id", "b_id"))
+            .agg(coalesce(min("containment"), lit(1.0)).as("__mc"))))
+          .select(col("n_clips"), col("n_decoded"),
+            (col("__mr") === 0L).as("reenc_found"),
+            (col("__mt") === 0L).as("trim_found"),
+            (col("__mc") === 1.0).as("planted_containment_one"))
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*)
+                 + SUM(CASE WHEN doc_id % 4 IN (1, 2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_clips,
+               CAST(COUNT(*)
+                 + SUM(CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+               TRUE AS reenc_found, TRUE AS trim_found,
+               TRUE AS planted_containment_one
+        FROM documents WHERE doc_id < 200"""))
   )
 
   /** The q128/q129 shared oracle CTE chain: per-word greedy subword

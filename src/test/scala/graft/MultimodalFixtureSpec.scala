@@ -284,4 +284,61 @@ class MultimodalFixtureSpec extends AnyFunSuite {
       s"planted audio copies must land at Hamming 0: $pairs")
   }
 
+
+  test("VideoCodec: multi-frame GIF roundtrip, even sampling, re-encode/trim invariances, refusals") {
+    import graft.operators.Multimodal.{ImageCodec, VideoCodec}
+    // 7 palette entries (prime) so distinct seeds cannot alias through
+    // the modulus (seed 5 == seed 1 mod 4 was pixel-identical)
+    val palette = Array(0x1b2838, 0xc84b31, 0x346751, 0xecdbba,
+      0x2d4263, 0x91c483, 0xffe162)
+    def frame(seed: Int, f: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(45, 40,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 40; x <- 0 until 45)
+        img.setRGB(x, y, 0xff000000 |
+          palette((x * (3 + seed) + y * 7 + f * 11 + (x * y % 13)) % palette.length))
+      img
+    }
+    val frames = (0 until 12).map(frame(1, _))
+    val gif = VideoCodec.encodeGif(frames)
+    // roundtrip: every frame decodes to the hash of its source image
+    val Some(hs) = VideoCodec.decodeFrameHashes(gif, maxFrames = 16)
+    assert(hs.length == 12)
+    assert(hs.toSeq == frames.map(ImageCodec.dhash64),
+      "decoded frame hashes must equal the source frames' hashes")
+    // container re-encode (different frame delay): bytes differ,
+    // decoded frame hashes identical
+    val reenc = VideoCodec.encodeGif(frames, delayCs = 50)
+    assert(!java.util.Arrays.equals(reenc, gif))
+    assert(VideoCodec.decodeFrameHashes(reenc, 16).get.toSeq == hs.toSeq)
+    // trimmed clip: hash sequence is the exact prefix
+    val trimmed = VideoCodec.encodeGif(frames.dropRight(3))
+    assert(VideoCodec.decodeFrameHashes(trimmed, 16).get.toSeq ==
+      hs.take(9).toSeq)
+    // even sampling: maxFrames 4 over 12 frames reads 0, 3, 6, 9
+    val Some(s4) = VideoCodec.decodeFrameHashes(gif, maxFrames = 4)
+    assert(s4.toSeq == Seq(hs(0), hs(3), hs(6), hs(9)))
+    // refusals: garbage and null survive as None, never a throw
+    assert(VideoCodec.decodeFrameHashes("not a gif".getBytes, 16).isEmpty)
+    assert(VideoCodec.decodeFrameHashes(null, 16).isEmpty)
+    // clip-level dedup through the containment family: the trimmed
+    // clip's frame-trigrams are a subset of the source's
+    import spark.implicits._
+    val rows = Seq((1L, gif), (1000001L, reenc), (2000001L, trimmed),
+      (9L, VideoCodec.encodeGif((0 until 12).map(frame(5, _))))).toDF("media_id", "bytes")
+    val hashed = graft.operators.Multimodal
+      .decodeVideoFrameHashes(rows, "media_id", "bytes")
+    val clipDocs = hashed.filter(col("decoded"))
+      .select(col("media_id"), expr(
+        "array_join(transform(frame_hashes, h -> CAST(h AS STRING)), ' ')").as("text"))
+    val pairs = graft.operators.Dedup
+      .containmentJoin(clipDocs, "media_id", "text", tau = 0.9, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.contains((1L, 1000001L, 1.0)) && pairs.contains((1000001L, 1L, 1.0)),
+      s"re-encoded clip must be containment-1.0 both ways: $pairs")
+    assert(pairs.contains((2000001L, 1L, 1.0)),
+      s"trimmed clip -> source must be containment 1.0: $pairs")
+    assert(!pairs.exists(p => p._1 == 9L || p._2 == 9L),
+      s"an unrelated clip must not pair at tau 0.9: $pairs")
+  }
 }
