@@ -3298,7 +3298,124 @@ object TextQueries {
                  + SUM(CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
                TRUE AS reenc_found, TRUE AS trim_found,
                TRUE AS planted_containment_one
-        FROM documents WHERE doc_id < 200"""))
+        FROM documents WHERE doc_id < 200""")),
+
+    // ----------------------------------------------------------------
+    // q138: MEDIA ingest-loop landing path (round 15) — the q134
+    // lifecycle on PERCEPTUAL fingerprints: a real-PNG corpus (the q130
+    // generator with its planted re-encode + grid-aligned-resize copy
+    // classes) is decoded to dHash in the multimodal codec stage, the
+    // signatures land as three parquet shards, and the NEW
+    // IngestLoop.signatureIngest drains them — the simhash family's
+    // fence/meta/partition discipline reused verbatim for media
+    // (signatureIndex emits the same chunked geometry). Contract:
+    // >= 3 batches ran, both planted copy classes are found at Hamming
+    // 0 in the ACCUMULATED stream output, and the per-batch union ==
+    // one batch signaturePairs run (the pair-set contract on the media
+    // family). Oracle is the plant arithmetic (the q130 pattern).
+    "q138_media_ingest" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+        val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("q138sg_chunked", "q138sg_meta", "q138sg_commits")
+          .foreach { t =>
+            s.sql(s"DROP TABLE IF EXISTS $t")
+            val loc = new org.apache.hadoop.fs.Path(wh, t)
+            if (whFs.exists(loc)) whFs.delete(loc, true)
+          }
+        graft.operators.Fence.forceRelease(s, "q138sg")
+        val idsDf = docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+        val images = idsDf.as[Long].mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          def mk(id: Long, scale: Int, argb: Boolean): Array[Byte] = {
+            val w = 9 * (2 + (id % 3).toInt) * scale
+            val h = 8 * (2 + (id % 4).toInt) * scale
+            val img = new java.awt.image.BufferedImage(w, h,
+              if (argb) java.awt.image.BufferedImage.TYPE_INT_ARGB
+              else java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val a = (id * 37 % 97 + 3).toInt
+            val b = (id * 53 % 89 + 5).toInt
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val sx = x / scale
+                val sy = y / scale
+                val r = (sx * a + sy * b + (sx * sy % 31) * 7 + id.toInt) % 256
+                val g = (sx * b + sy * a * 2 + id.toInt * 3) % 256
+                val bl = ((sx + sy) * a + (sx * sx % 23) * b) % 256
+                img.setRGB(x, y, 0xff000000 | (r << 16) | (g << 8) | bl)
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            baos.toByteArray
+          }
+          it.flatMap { id =>
+            Seq((id, mk(id, 1, argb = false))) ++
+              (if (id % 5 == 1) Seq((id + 1000000L, mk(id, 1, argb = true)))
+               else Seq.empty) ++
+              (if (id % 5 == 2) Seq((id + 2000000L, mk(id, 2, argb = false)))
+               else Seq.empty)
+          }
+        }.toDF("media_id", "bytes")
+        val sigs = Multimodal.decodeImageDHash(images, "media_id", "bytes")
+          .filter(col("decoded")).select(col("media_id"), col("dhash"))
+          .localCheckpoint(true)
+        val landing = java.nio.file.Files.createTempDirectory("q138_landing").toString
+        (0 until 3).foreach { i =>
+          val tmp = java.nio.file.Files.createTempDirectory("q138_shard").toString
+          sigs.filter(col("media_id") % 3 === i).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val landed = java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(landing, s"shard$i.parquet"))
+          java.nio.file.Files.setLastModifiedTime(landed,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - (10 - i) * 2000L))
+        }
+        val pairsDir = java.nio.file.Files.createTempDirectory("q138_pairs").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("q138_ckpt").toString
+        val q = IngestLoop.signatureIngest(
+          s.readStream.schema("media_id LONG, dhash LONG")
+            .option("maxFilesPerTrigger", "1").parquet(landing),
+          "media_id", "dhash", prefix = "q138sg", pairsDir = pairsDir,
+          checkpointDir = ckpt)
+        q.awaitTermination()
+        val nBatches = new java.io.File(pairsDir).listFiles()
+          .count(_.getName.startsWith("ingest_batch="))
+        val streamed = s.read.parquet(pairsDir)
+          .select("a_id", "b_id", "hamming").localCheckpoint(true)
+        val full = Dedup.signaturePairs(sigs, "media_id", "dhash")
+          .localCheckpoint(true)
+        val expReenc = idsDf.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id").as("a_id"), (col("doc_id") + 1000000L).as("b_id"))
+        val expResize = idsDf.filter(col("doc_id") % 5 === 2)
+          .select(col("doc_id").as("a_id"), (col("doc_id") + 2000000L).as("b_id"))
+        val planted = expReenc.union(expResize)
+        val zeroed = streamed.filter(col("hamming") === 0).select("a_id", "b_id")
+        val d1 = streamed.exceptAll(full)
+        val d2 = full.exceptAll(streamed)
+        sigs.agg(count(lit(1)).as("n_media"))
+          .crossJoin(broadcast(planted.join(zeroed, Seq("a_id", "b_id"), "left_anti")
+            .agg(count(lit(1)).as("__mp"))))
+          .crossJoin(broadcast(d1.agg(count(lit(1)).as("__d1"))))
+          .crossJoin(broadcast(d2.agg(count(lit(1)).as("__d2"))))
+          .select(lit(nBatches >= 3).as("n_batches_ok"), col("n_media"),
+            (col("__mp") === 0L).as("planted_found_hamming_zero"),
+            (col("__d1") === 0L && col("__d2") === 0L).as("union_matches_full"))
+      },
+      oracle = Some("""
+        SELECT TRUE AS n_batches_ok,
+               CAST(COUNT(*)
+                 + SUM(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+               TRUE AS planted_found_hamming_zero, TRUE AS union_matches_full
+        FROM documents WHERE doc_id < 300"""))
   )
 
   /** The q128/q129 shared oracle CTE chain: per-word greedy subword

@@ -1273,11 +1273,39 @@ object IngestLoop {
                          textCol: String, prefix: String, pairsDir: String,
                          maxHamming: Int, buckets: Int,
                          loopId: String = "",
-                         multiWriter: Boolean = false): Unit = {
-    val spark = batch.sparkSession
-    val lid = normLoopId(loopId)
-    val owner = s"ingestSimhashBatch bid=$bid"
-    val shard = Dedup.simhashIndex(batch, idCol, textCol)
+                         multiWriter: Boolean = false): Unit =
+    ingestChunkedBatch(Dedup.simhashIndex(batch, idCol, textCol),
+      batch.sparkSession, bid, idCol, prefix, pairsDir, maxHamming, buckets,
+      normLoopId(loopId), multiWriter, s"ingestSimhashBatch bid=$bid")
+
+  /** One micro-batch of the SIGNATURE ingestion loop — the MEDIA
+    * landing path (round 15): the perceptual fingerprints (image dHash,
+    * audio spectral afp, video frame hashes folded upstream) are
+    * already 64-bit signatures, and [[Dedup.signatureIndex]] emits the
+    * SAME chunked geometry the simhash family persists — so a media
+    * corpus gets the full incremental family (append-only partitions,
+    * tombstones, `compactSimhash`, multi-writer) by reusing every piece
+    * of it; only the shard construction differs (a precomputed `sigCol`
+    * instead of text shingling). The Hamming ≤ 3 pigeonhole recall
+    * bound carries: it depends only on the signature being 64 bits. */
+  def ingestSignatureBatch(batch: DataFrame, bid: Long, idCol: String,
+                           sigCol: String, prefix: String, pairsDir: String,
+                           maxHamming: Int, buckets: Int,
+                           loopId: String = "",
+                           multiWriter: Boolean = false): Unit =
+    ingestChunkedBatch(Dedup.signatureIndex(batch, idCol, sigCol),
+      batch.sparkSession, bid, idCol, prefix, pairsDir, maxHamming, buckets,
+      normLoopId(loopId), multiWriter, s"ingestSignatureBatch bid=$bid")
+
+  /** The shared chunked-family batch body behind [[ingestSimhashBatch]]
+    * and [[ingestSignatureBatch]] — identical persisted geometry, so
+    * one fold serves both shard builders. */
+  private def ingestChunkedBatch(shard: Dedup.SimHashIndex,
+                                 spark: SparkSession, bid: Long,
+                                 idCol: String, prefix: String,
+                                 pairsDir: String, maxHamming: Int,
+                                 buckets: Int, lid: String,
+                                 multiWriter: Boolean, owner: String): Unit = {
     // fence window: resolve + append only; the corpus-sized pair mine
     // runs unfenced below with the generation check — full soundness
     // argument at ingestMinhashBatch (round 14)
@@ -1323,6 +1351,24 @@ object IngestLoop {
     }
     maybeMaintain(spark, prefix)
   }
+
+  /** Drive a streaming signature source (precomputed 64-bit
+    * fingerprints — the media codec stages' output) through the
+    * signature ingestion loop: the media landing path. */
+  def signatureIngest(sigs: DataFrame, idCol: String, sigCol: String,
+                      prefix: String, pairsDir: String, checkpointDir: String,
+                      maxHamming: Int = 3, buckets: Int = 8,
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      multiWriter: Boolean = false): StreamingQuery =
+    sigs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingestSignatureBatch(batch, bid, idCol, sigCol, prefix, pairsDir,
+          maxHamming, buckets, loopId = checkpointDir,
+          multiWriter = multiWriter)
+      }
+      .start()
 
   /** Drive a streaming document source through the SimHash ingestion
     * loop — [[minhashIngest]]'s 64-bit-signature sibling. */

@@ -1280,4 +1280,57 @@ class IngestLoopSpec extends AnyFunSuite {
       assert(served.groupBy("q_id").count().agg(max("count")).head.getLong(0) <= 5)
     } finally drop("ing_pqa_codes", "ing_pqa_meta")
   }
+
+  test("streamed SIGNATURE ingestion (media landing path) over >=3 micro-batches == one batch signaturePairs run; tombstone + compact work on the loop-built family") {
+    import graft.operators.Tombstones
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // precomputed 64-bit fingerprints (the media codec stages' output
+    // shape); id-shifted clones share signatures exactly -> hamming 0
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      .select(col("doc_id").as("media_id"),
+        graft.operators.Dedup.simhash64("split(text, ' ')").as("sig"))
+      .localCheckpoint(true)
+    val streamDir = java.nio.file.Files.createTempDirectory("sgingest_src").toString
+    (0 until 3).foreach { i =>
+      stage(corpus.filter(col("media_id") % 3 === i), streamDir, s"f$i.parquet")
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(streamDir, s"f$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (10 - i) * 2000L))
+    }
+    val pairsDir = java.nio.file.Files.createTempDirectory("sgingest_pairs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sgingest_ckpt").toString
+    val stream = spark.readStream.schema("media_id LONG, sig LONG")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    try {
+      val q = IngestLoop.signatureIngest(stream, "media_id", "sig",
+        prefix = "ing_sg", pairsDir = pairsDir, checkpointDir = ckpt)
+      q.awaitTermination()
+      val batchDirs = new java.io.File(pairsDir).listFiles()
+        .filter(_.getName.startsWith("ingest_batch=")).map(_.getName)
+      assert(batchDirs.length >= 3, s"expected >=3 micro-batches, got ${batchDirs.toSeq}")
+      val streamed = spark.read.parquet(pairsDir).select("a_id", "b_id", "hamming")
+      val full = Dedup.signaturePairs(corpus, "media_id", "sig")
+      assert(streamed.count() > 0, "clone signatures must produce hamming-0 pairs")
+      assert(streamed.exceptAll(full).count() == 0 &&
+        full.exceptAll(streamed).count() == 0,
+        "streamed signature pair union diverges from the batch full run")
+      // the loop-built family IS a simhash family: tombstone + compact
+      val dead = corpus.select(col("media_id")).orderBy("media_id").limit(3)
+      Tombstones.add(dead, "media_id", "ing_sg")
+      Tombstones.compactSimhash(spark, "ing_sg")
+      val deadIds = dead.collect().map(_.getLong(0)).toSet
+      assert(spark.table("ing_sg_chunked")
+        .filter(col("media_id").isin(deadIds.toSeq: _*)).count() == 0,
+        "compactSimhash must physically fold deletions on the signature family")
+      // ...and a fresh incremental against the compacted corpus view works
+      val shard = corpus.limit(20).withColumn("media_id", col("media_id") + 2000000L)
+      val inc = Dedup.simhashPairsIncremental(
+        Dedup.signatureIndex(shard, "media_id", "sig"),
+        IngestLoop.simhashCorpusBefore(spark, "ing_sg", Long.MaxValue))
+      assert(inc.count() > 0)
+      assert(inc.filter(col("a_id").isin(deadIds.toSeq: _*) ||
+        col("b_id").isin(deadIds.toSeq: _*)).count() == 0)
+    } finally drop("ing_sg_chunked", "ing_sg_meta", "ing_sg_tombstones")
+  }
 }
