@@ -1,0 +1,127 @@
+package graft.tools
+
+import graft.Tables
+import graft.streaming.IngestLoop
+import org.apache.spark.sql.functions._
+
+/** Dev probe (round 15): the TIMING contract of the three ingest loops
+  * this round added — simhash, containment, and signature (media) —
+  * at bench scale: per-shard micro-batch latency must track O(shard),
+  * staying flat across batches as the persisted family grows, because
+  * each batch appends its own `ingest_batch` partition and mines only
+  * batch-touching pairs against the bucketed corpus side
+  * (JsonlIngestProbe's discipline applied to the new families).
+  *
+  * Usage: runMain graft.tools.LoopProbe <sfDir> [nShards]
+  * Emits one JSON line per loop: stream wall seconds + per-batch
+  * trigger seconds/rows + accumulated pair count.
+  */
+object LoopProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val nShards = if (args.length > 1) args(1).toInt else 6
+    val spark = Tables.session(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val whFs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def clean(prefix: String, tables: Seq[String]): Unit = {
+      tables.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
+        val loc = new org.apache.hadoop.fs.Path(wh, s"${prefix}_$t")
+        if (whFs.exists(loc)) whFs.delete(loc, true)
+      }
+      graft.operators.Fence.forceRelease(spark, prefix)
+    }
+
+    def land(df: org.apache.spark.sql.DataFrame,
+             shardOf: org.apache.spark.sql.Column): String = {
+      val landing = java.nio.file.Files.createTempDirectory("lp_landing").toString
+      (0 until nShards).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("lp_shard").toString
+        df.filter(pmod(shardOf, lit(nShards)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val landed = java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(landing, f"shard$i%03d.parquet"))
+        java.nio.file.Files.setLastModifiedTime(landed,
+          java.nio.file.attribute.FileTime.fromMillis((i + 1) * 1000L))
+      }
+      landing
+    }
+
+    def report(loop: String, q: org.apache.spark.sql.streaming.StreamingQuery,
+               streamSec: Double, pairsDir: String, corpusRows: Long): Unit = {
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      val perBatch = batches.map(p =>
+        f"""{"batch":${p.batchId},"sec":${p.durationMs.get("triggerExecution").toDouble / 1000}%.2f,"rows":${p.numInputRows}}""")
+        .mkString("[", ",", "]")
+      val pairs = spark.read.parquet(pairsDir).count()
+      println(f"""{"probe":"loop_$loop","sf":"$sfDir","shards":$nShards,"stream_sec":$streamSec%.1f,"batches":$perBatch,"pairs":$pairs,"indexed":$corpusRows}""")
+    }
+
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+
+    // --- simhash loop
+    clean("lp_sh", Seq("chunked", "meta", "tombstones"))
+    locally {
+      val landing = land(docs, col("doc_id"))
+      val pairsDir = java.nio.file.Files.createTempDirectory("lp_sh_pairs").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("lp_sh_ckpt").toString
+      val t = System.nanoTime()
+      val q = IngestLoop.simhashIngest(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(landing),
+        "doc_id", "text", prefix = "lp_sh", pairsDir = pairsDir,
+        checkpointDir = ckpt)
+      q.awaitTermination()
+      report("simhash", q, (System.nanoTime() - t) / 1e9, pairsDir,
+        spark.table("lp_sh_chunked").count() / 4)
+    }
+
+    // --- containment loop — over the family's documented corpus tier
+    // (the q103 %10 shape, as ContainIncProbe probes it): the clone
+    // fixture's full 500k-doc corpus at 100× correctly REFUSES on the
+    // candidate budget even collapsed (measured: 855M rep-gram
+    // candidates > the 200M default — gram hotness, not clone mass),
+    // which is the loud-refusal contract, not a probe target
+    clean("lp_cn", Seq("posting", "base", "meta", "tombstones"))
+    locally {
+      val landing = land(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        col("doc_id").divide(10).cast("long"))
+      val pairsDir = java.nio.file.Files.createTempDirectory("lp_cn_pairs").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("lp_cn_ckpt").toString
+      val t = System.nanoTime()
+      val q = IngestLoop.containmentIngest(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(landing),
+        "doc_id", "text", prefix = "lp_cn", pairsDir = pairsDir,
+        checkpointDir = ckpt, tau = 0.5, n = 3)
+      q.awaitTermination()
+      report("containment", q, (System.nanoTime() - t) / 1e9, pairsDir,
+        spark.table("lp_cn_base").count())
+    }
+
+    // --- signature (media) loop over precomputed 64-bit fingerprints
+    clean("lp_sg", Seq("chunked", "meta", "tombstones"))
+    locally {
+      val sigs = docs.select(col("doc_id").as("media_id"),
+        graft.operators.Dedup.simhash64("split(text, ' ')").as("sig"))
+        .localCheckpoint(true)
+      val landing = land(sigs, col("media_id"))
+      val pairsDir = java.nio.file.Files.createTempDirectory("lp_sg_pairs").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("lp_sg_ckpt").toString
+      val t = System.nanoTime()
+      val q = IngestLoop.signatureIngest(
+        spark.readStream.schema("media_id LONG, sig LONG")
+          .option("maxFilesPerTrigger", "1").parquet(landing),
+        "media_id", "sig", prefix = "lp_sg", pairsDir = pairsDir,
+        checkpointDir = ckpt)
+      q.awaitTermination()
+      report("signature", q, (System.nanoTime() - t) / 1e9, pairsDir,
+        spark.table("lp_sg_chunked").count() / 4)
+    }
+    spark.stop()
+  }
+}
