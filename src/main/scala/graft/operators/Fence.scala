@@ -367,7 +367,17 @@ object Fence {
             if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] &&
                !e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] =>
           if (created) {
-            try f.delete(p, false) catch { case _: java.io.IOException => () }
+            // `created` only proves OUR builder succeeded, not that our
+            // bytes landed: on single-PUT-at-close stores (S3A) a
+            // close() failure means no object ever existed, and the
+            // file now at p may be a fence another writer legitimately
+            // created in the failure window (round-15 advisory). Delete
+            // only a fence carrying the tag THIS call wrote; a foreign
+            // tag (or unreadable fence) stays intact — mutual exclusion
+            // over cleanliness.
+            try {
+              if (Fence.readTagFully(f, p).contains(tag)) f.delete(p, false)
+            } catch { case _: java.io.IOException => () }
           }
           throw e
       }

@@ -853,7 +853,19 @@ object TextAnalysis {
     * [[mergeTokenCount]]. DuckDB-oracled end-to-end in q132 (the
     * k-unrolled-rounds pattern); symbols never contain the `<`/`>`
     * delimiters or spaces because words are space-split and the
-    * delimiters are excluded from the corpus (loudly, not silently). */
+    * delimiters are excluded from the corpus (loudly, not silently).
+    *
+    * Round budget: merges are INHERENTLY sequential (rule k+1's pair
+    * statistics depend on rule k having been applied — batching
+    * would change the learned list), so training runs one small Spark
+    * round plus a one-row collect per merge. Each round is O(word
+    * types) — independent of corpus size after pass 1 — and peak
+    * cached footprint is two copies of the types table (the previous
+    * round's frame is unpersisted as soon as the next settles). A
+    * GPT-2-scale 50k-rule vocabulary is therefore 50k short driver
+    * round-trips: fine on a warm cluster (BpeProbe's trainer wall is
+    * flat in corpus size), but budget wall-clock accordingly — the
+    * heavy lifting at 100 TB is pass 1, never the rounds. */
   def trainBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
                      minFreq: Long = 2L,
                      minWordFreq: Long = 1L): Seq[(String, String, Long)] = {
@@ -863,15 +875,31 @@ object TextAnalysis {
     require(bad == 0,
       "trainBpeMerges uses '<'/'>' as symbol delimiters; the corpus " +
         "contains them — pre-scrub the text or remap the delimiters")
-    var types = df
+    // Lineage-flattening WITHOUT localCheckpoint (round-15 advisory:
+    // eager localCheckpoint per round leaves every round's copy of the
+    // types table cached until session end — O(numMerges) copies).
+    // Materialize each round through a persisted Row RDD we hold a
+    // handle to and unpersist the previous round's copy, so peak
+    // footprint is two copies of the (already frequency-floored) types
+    // table regardless of round count.
+    var held: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    def settle(frame: DataFrame): DataFrame = {
+      val rdd = frame.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      val out = frame.sparkSession.createDataFrame(rdd, frame.schema)
+      held.foreach(_.unpersist(blocking = false))
+      held = Some(rdd)
+      out
+    }
+    var types = settle(df
       .select(explode(split(col(textCol), " ")).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy("__w").agg(count(lit(1)).as("__f"))
       .filter(col("__f") >= minWordFreq)
       .select(col("__f"), expr(
         """array_join(transform(sequence(1, length(__w)),
-             i -> concat('<', substring(__w, i, 1), '>')), '')""").as("__ws"))
-      .localCheckpoint(true)
+             i -> concat('<', substring(__w, i, 1), '>')), '')""").as("__ws")))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var r = 0
     var done = false
@@ -893,12 +921,12 @@ object TextAnalysis {
         val sp = pr.indexOf(' ')
         val (a, b) = (pr.substring(0, sp), pr.substring(sp + 1))
         merges += ((a, b, c))
-        types = types.select(col("__f"),
-          replace(col("__ws"), lit(s"<$a><$b>"), lit(s"<${a}$b>")).as("__ws"))
-          .localCheckpoint(true)
+        types = settle(types.select(col("__f"),
+          replace(col("__ws"), lit(s"<$a><$b>"), lit(s"<${a}$b>")).as("__ws")))
         r += 1
       }
     }
+    held.foreach(_.unpersist(blocking = false))
     merges.toSeq
   }
 }

@@ -562,9 +562,17 @@ object IngestLoop {
     spark.conf.getOption("spark.graft.maintain.fraction").foreach { f =>
       val every = spark.conf.getOption("spark.graft.maintain.everyBatches")
         .map(_.toInt).getOrElse(1)
-      val n = batchesSinceMaintain.merge(prefix, Int.box(1), (a, b) => Int.box(a + b))
-      if (n >= every) {
-        batchesSinceMaintain.put(prefix, Int.box(0))
+      // Keyed by (warehouse, prefix) so unrelated sessions sharing a
+      // prefix string never pool counts, and incremented-and-reset in
+      // ONE compute so racing loops on a family neither double-trigger
+      // nor skip a pass (round-15 advisory): the loop whose increment
+      // crosses `every` observes the reset-to-0 result and fires.
+      val key = spark.conf.get("spark.sql.warehouse.dir", "") + " " + prefix
+      val fired = batchesSinceMaintain.compute(key, (_, v) => {
+        val n = (if (v == null) 0 else v.intValue) + 1
+        Int.box(if (n >= every) 0 else n)
+      })
+      if (fired.intValue == 0) {
         val maxT = spark.conf.getOption("spark.graft.maintain.maxTombstones")
           .map(_.toLong).getOrElse(graft.operators.Tombstones.defaultMaxTombstones)
         try graft.operators.Tombstones.maintain(spark, prefix, f.toDouble, maxT)

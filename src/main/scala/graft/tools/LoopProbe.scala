@@ -55,7 +55,7 @@ object LoopProbe {
                streamSec: Double, pairsDir: String, corpusRows: Long): Unit = {
       val batches = q.recentProgress.filter(_.numInputRows > 0)
       val perBatch = batches.map(p =>
-        f"""{"batch":${p.batchId},"sec":${p.durationMs.get("triggerExecution").toDouble / 1000}%.2f,"rows":${p.numInputRows}}""")
+        f"""{"batch":${p.batchId},"sec":${p.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000}%.2f,"rows":${p.numInputRows}}""")
         .mkString("[", ",", "]")
       val pairs = spark.read.parquet(pairsDir).count()
       println(f"""{"probe":"loop_$loop","sf":"$sfDir","shards":$nShards,"stream_sec":$streamSec%.1f,"batches":$perBatch,"pairs":$pairs,"indexed":$corpusRows}""")
