@@ -1207,13 +1207,100 @@ object Dedup {
                                  corpus: ContainmentIndex, tau: Double,
                                  maxCandidates: Long = 200000000L,
                                  collapsePairsPerDoc: Double = 2.0,
-                                 staging: Staging.Mode = Staging.Local): DataFrame = {
+                                 staging: Staging.Mode = Staging.Local): DataFrame =
+    containmentMineIncremental(shard, corpus, tau, maxCandidates,
+      collapsePairsPerDoc, staging, edges = false)
+
+  /** GROUP-SIZED emission for the incremental containment miner
+    * (round 16 -- the clone-storm tier): instead of LISTING every
+    * qualifying ordered pair (inherently Theta(pair mass) output -- the
+    * q103 caveat), emit an undirected EDGE SET `(u, v)` whose
+    * connected components -- together with the edges of every earlier
+    * batch -- equal the components of the full qualifying pair graph.
+    * Feed the output to [[graft.streaming.IngestLoop.ingestCcBatch]]
+    * (the q116/q118 consumer): per-batch durable output becomes
+    * O(touched components), not Theta(k*shard) pairs.
+    *
+    * Edge algebra: a lean-branch edge is any unordered candidate pair
+    * where EITHER direction clears tau (exactly the pair graph's
+    * undirected projection). Under the exact-dup collapse the member
+    * expansion is SKIPPED entirely -- a group's members are connected
+    * by (member -> group-anchor) star edges (identical sets imply
+    * containment 1.0, so all member pairs qualify for any tau <= 1),
+    * a batch whose shard member becomes the new group anchor links the
+    * anchor to the group's previous minimum (so eras of one group
+    * stay connected), and qualifying rep-level edges connect groups
+    * (containment is a pure function of the two sets, so one rep edge
+    * stands for every cross-group member pair). Equality of the
+    * resulting components with [[connectedComponents]] over the full
+    * pair listing is pinned in DedupSpec. */
+  def containmentEdgesIncremental(shard: ContainmentIndex,
+                                  corpus: ContainmentIndex, tau: Double,
+                                  maxCandidates: Long = 200000000L,
+                                  collapsePairsPerDoc: Double = 2.0,
+                                  staging: Staging.Mode = Staging.Local): DataFrame =
+    containmentMineIncremental(shard, corpus, tau, maxCandidates,
+      collapsePairsPerDoc, staging, edges = true)
+
+  /** Shared body of [[containmentJoinIncremental]] (edges = false:
+    * ordered-pair listing) and [[containmentEdgesIncremental]]
+    * (edges = true: undirected component edges).
+    *
+    * COUNT-BASED VERIFY (round 16): |A intersect B| is computed as the
+    * ROW COUNT of the shared-gram equi-join per candidate pair --
+    * postings carry each (id, gram) exactly once (`array_distinct`
+    * upstream), so the count equals `size(array_intersect(a_sh, b_sh))`
+    * -- instead of the old distinct-then-rejoin that shuffled two full
+    * shingle ARRAYS per candidate. The verify payload drops from two
+    * ~m-element string arrays per candidate to two longs per shared
+    * gram with map-side partial aggregation, which is what lets
+    * clone-heavy corpora (every copy truly pairing with every earlier
+    * copy) complete: the candidate mass is inherent, the per-candidate
+    * constant is not. Row-identity with the array form is pinned in
+    * DedupSpec (same fixed-point floor on both sides). */
+  private def containmentMineIncremental(shard: ContainmentIndex,
+                                         corpus: ContainmentIndex, tau: Double,
+                                         maxCandidates: Long,
+                                         collapsePairsPerDoc: Double,
+                                         staging: Staging.Mode,
+                                         edges: Boolean): DataFrame = {
     val idCol = shard.idCol
     require(corpus.idCol == idCol,
       s"index id columns differ: '${corpus.idCol}' vs '$idCol'")
     require(corpus.n == shard.n,
       s"shingle widths differ: corpus n=${corpus.n} vs shard n=${shard.n}")
     require(tau > 0 && tau <= 1, s"containment threshold must be in (0,1], got $tau")
+    val fx = (cnt: Column, m: Column) =>
+      floor(cnt.cast("double") * lit(1000000.0) / m.cast("double")) /
+        lit(1000000.0)
+    // candidate counts: probe posting JOIN index posting on gram,
+    // grouped per pair. An unordered pair of two PROBE docs appears in
+    // both orientations -- keep one (a < b) via the probe-membership
+    // flag on the b side; a probe-vs-index pair appears once. Every
+    // kept row then scores BOTH directions from (cnt, m_a, m_b).
+    def counted(probePost: DataFrame, indexPost: DataFrame,
+                probeIds: DataFrame, baseM: DataFrame): DataFrame =
+      probePost.select(col("id").as("a_id"), col("gram"))
+        .join(indexPost.select(col("id").as("b_id"), col("gram")), Seq("gram"))
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("__cnt"))
+        .join(probeIds.select(col("id").as("b_id"), lit(true).as("__ps")),
+          Seq("b_id"), "left")
+        .filter(!coalesce(col("__ps"), lit(false)) || col("a_id") < col("b_id"))
+        .join(baseM.select(col("id").as("a_id"), col("m").as("__ma")), Seq("a_id"))
+        .join(baseM.select(col("id").as("b_id"), col("m").as("__mb")), Seq("b_id"))
+        .withColumn("__ca", fx(col("__cnt"), col("__ma")))
+        .withColumn("__cb", fx(col("__cnt"), col("__mb")))
+    def pairsOf(c: DataFrame): DataFrame =
+      c.filter(col("__ca") >= tau)
+        .select(col("a_id"), col("b_id"), col("__ca").as("containment"))
+        .union(c.filter(col("__cb") >= tau)
+          .select(col("b_id").as("a_id"), col("a_id").as("b_id"),
+            col("__cb").as("containment")))
+    def edgesOf(c: DataFrame): DataFrame =
+      c.filter(col("__ca") >= tau || col("__cb") >= tau)
+        .select(least(col("a_id"), col("b_id")).as("u"),
+          greatest(col("a_id"), col("b_id")).as("v"))
     val keyed = corpus.base.withColumn("__shard", lit(false))
       .union(shard.base.withColumn("__shard", lit(true)))
       // \u0001 separator: grams are space-joined token n-grams from a
@@ -1223,20 +1310,10 @@ object Dedup {
     if (!heavyDupMass(keyed, col("__k"), staging, collapsePairsPerDoc)) {
       val allPost = corpus.posting.union(shard.posting)
       requirePairBudget(shard.posting, allPost, "gram", maxCandidates)
-      val und = shard.posting.select(col("id").as("x_id"), col("gram"))
-        .join(allPost.select(col("id").as("y_id"), col("gram")), Seq("gram"))
-        .filter(col("x_id") =!= col("y_id"))
-        .select(least(col("x_id"), col("y_id")).as("u"),
-          greatest(col("x_id"), col("y_id")).as("v")).distinct()
-      val dirs = und.select(col("u").as("a_id"), col("v").as("b_id"))
-        .union(und.select(col("v").as("a_id"), col("u").as("b_id")))
       val allBase = corpus.base.union(shard.base)
-      val av = allBase.select(col("id").as("a_id"), col("sh").as("a_sh"), col("m").as("a_m"))
-      val bv = allBase.select(col("id").as("b_id"), col("sh").as("b_sh"))
-      return dirs.join(av, "a_id").join(bv, "b_id")
-        .select(col("a_id"), col("b_id"),
-          containmentExprFx(col("a_sh"), col("b_sh"), col("a_m")).as("containment"))
-        .filter(col("containment") >= tau)
+      val c = counted(shard.posting, allPost,
+        shard.base.select(col("id")), allBase.select(col("id"), col("m")))
+      return if (edges) edgesOf(c) else pairsOf(c)
     }
     // collapse branch: membership and reps on narrow (id, __k, __shard)
     // columns; the one array-keyed op was the md5 above
@@ -1248,26 +1325,33 @@ object Dedup {
     val allPost = corpus.posting.union(shard.posting)
     val repPost = allPost.join(repIds, Seq("id"), "left_semi")
     // probe side: representatives of groups with >= 1 shard member (the
-    // und join is symmetric, so corpus-only groups are still reachable
-    // as the y side)
+    // candidate join is symmetric, so corpus-only groups are still
+    // reachable as the index side)
     val probeGroups = mem.filter(col("__shard")).select(col("gid").as("id")).distinct()
     val probePost = repPost.join(probeGroups, Seq("id"), "left_semi")
     requirePairBudget(probePost, repPost, "gram", maxCandidates)
-    val und = probePost.select(col("id").as("x_id"), col("gram"))
-      .join(repPost.select(col("id").as("y_id"), col("gram")), Seq("gram"))
-      .filter(col("x_id") =!= col("y_id"))
-      .select(least(col("x_id"), col("y_id")).as("u"),
-        greatest(col("x_id"), col("y_id")).as("v")).distinct()
-    val dirs = und.select(col("u").as("a_id"), col("v").as("b_id"))
-      .union(und.select(col("v").as("a_id"), col("u").as("b_id")))
     val allBase = corpus.base.union(shard.base)
-    val av = allBase.select(col("id").as("a_id"), col("sh").as("a_sh"), col("m").as("a_m"))
-    val bv = allBase.select(col("id").as("b_id"), col("sh").as("b_sh"))
-    val repPairs = dirs.join(av, "a_id").join(bv, "b_id")
-      .select(col("a_id"), col("b_id"),
-        containmentExprFx(col("a_sh"), col("b_sh"), col("a_m")).as("containment"))
-      .filter(col("containment") >= tau)
-    // expansion 1 — within-group: every ORDERED member pair of a group
+    val repM = allBase.join(repIds, Seq("id"), "left_semi")
+      .select(col("id"), col("m"))
+    val c = counted(probePost, repPost, probeGroups, repM)
+    if (edges) {
+      // rep-level component edges + group star edges -- NO member-pair
+      // expansion (the whole point of the group-sized tier)
+      val repEdges = edgesOf(c)
+      // shard members link to their group anchor (gid = min member id)
+      val starEdges = mem.filter(col("__shard") && col("id") =!= col("gid"))
+        .select(col("id").as("u"), col("gid").as("v"))
+      // a group whose anchor arrived in THIS shard must link the new
+      // anchor to the group's previous minimum (corpus members were
+      // star-connected to that minimum in their own batches)
+      val eraEdges = mem.groupBy("gid")
+        .agg(min(when(!col("__shard"), col("id"))).as("__mc"))
+        .filter(col("__mc").isNotNull && col("__mc") =!= col("gid"))
+        .select(col("gid").as("u"), col("__mc").as("v"))
+      return repEdges.union(starEdges).union(eraEdges)
+    }
+    val repPairs = pairsOf(c)
+    // expansion 1 -- within-group: every ORDERED member pair of a group
     // (identical shingle sets -> containment exactly 1.0, which clears
     // any tau <= 1; base rows are shinglable by construction), kept
     // only when a side is in the shard
@@ -1276,9 +1360,9 @@ object Dedup {
         Seq("gid"))
       .filter(col("a_id") =!= col("b_id") && (col("__sa") || col("__sb")))
       .select(col("a_id"), col("b_id"), lit(1.0).as("containment"))
-    // expansion 2 — cross-group, DIRECTION-PRESERVING (containment is
+    // expansion 2 -- cross-group, DIRECTION-PRESERVING (containment is
     // asymmetric): each qualifying rep direction fans out to the a-side
-    // group's members × b-side group's members, shard-touching only
+    // group's members x the b-side group's members, shard-touching only
     val cross = repPairs
       .join(mem.select(col("gid").as("a_id"), col("id").as("__ma"),
         col("__shard").as("__sa")), Seq("a_id"))

@@ -541,12 +541,36 @@ object Fence {
     }
   }
 
+  /** Opt-in lease TTL (round 16): `spark.graft.fence.leaseMs` > 0
+    * lets an acquiring writer treat a holder whose heartbeat age
+    * exceeds the TTL as dead and reclaim the fence AUTOMATICALLY
+    * through the [[forceRelease]] path (epoch bump BEFORE delete — a
+    * holder that was in fact alive sees the bump inside its next
+    * heartbeat bracket and self-kills, the same guarantee manual
+    * recovery relies on). Unset (the default) nothing expires: a dead
+    * holder blocks the family loudly until an operator inspects
+    * [[holderAgeMillis]] and force-releases — the conservative
+    * default every spec pins. A deployment that opts in MUST size the
+    * TTL several beats above its slowest fence-held stage: holders
+    * beat per stage, so a TTL below one stage's wall time would
+    * reclaim a LIVE writer (it dies at its next beat — no corruption,
+    * but its batch work is wasted and replayed). */
+  private def configuredLeaseMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.fence.leaseMs").map(_.toLong).getOrElse(0L)
+
   /** Take the family's writer fence or refuse loudly. `owner` is a
     * human-readable tag recorded in the fence file and named by any
     * refusal another writer hits while this one holds it. A HELD fence
     * throws [[FenceHeldException]] (retryable by waiting); every other
-    * failure keeps its own type. */
-  def acquire(spark: SparkSession, prefix: String, owner: String): Unit = {
+    * failure keeps its own type. With the opt-in lease TTL set, a
+    * holder silent past the TTL is reclaimed instead (one attempt —
+    * a reclaim that loses the re-acquire race refuses against the new
+    * holder like any other waiter). */
+  def acquire(spark: SparkSession, prefix: String, owner: String): Unit =
+    acquireAttempt(spark, prefix, owner, reclaimTried = false)
+
+  private def acquireAttempt(spark: SparkSession, prefix: String,
+                             owner: String, reclaimTried: Boolean): Unit = {
     val p = path(spark, prefix)
     requireAtomicScheme(spark, p, owner)
     val tag = s"$owner @ ${java.time.Instant.ofEpochMilli(System.currentTimeMillis())}" +
@@ -556,15 +580,30 @@ object Fence {
     catch {
       case _: java.nio.file.FileAlreadyExistsException |
            _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        val held = holder(spark, prefix).getOrElse("<unreadable>")
-        throw new FenceHeldException(
-          s"writer fence for index family '$prefix' is held by [$held] " +
-            s"(${staleness(spark, prefix)}); " +
-            s"refusing to start [$owner] concurrently — a compaction " +
-            "overlapping a live ingest commit can lose the batch's append. " +
-            "Streaming micro-batches replay safely after the holder " +
-            "releases; if the holder crashed, clear the fence with " +
-            s"Fence.forceRelease (file: $p).")
+        val lease = configuredLeaseMs(spark)
+        val age = holderAgeMillis(spark, prefix)
+        if (!reclaimTried && lease > 0 && age.forall(_ > lease)) {
+          // expired (or the fence vanished between the lost create and
+          // the age read): reclaim via the bump-first forceRelease
+          // path and retry ONCE — a lost re-acquire race refuses below
+          forceRelease(spark, prefix)
+          acquireAttempt(spark, prefix, owner, reclaimTried = true)
+        } else {
+          val held = holder(spark, prefix).getOrElse("<unreadable>")
+          val leaseNote =
+            if (lease > 0)
+              s" Lease TTL ${lease} ms is set and the holder is within it" +
+                s"${if (reclaimTried) " (post-reclaim re-acquire lost to a live writer)" else ""}."
+            else ""
+          throw new FenceHeldException(
+            s"writer fence for index family '$prefix' is held by [$held] " +
+              s"(${staleness(spark, prefix)});$leaseNote " +
+              s"refusing to start [$owner] concurrently — a compaction " +
+              "overlapping a live ingest commit can lose the batch's append. " +
+              "Streaming micro-batches replay safely after the holder " +
+              "releases; if the holder crashed, clear the fence with " +
+              s"Fence.forceRelease (file: $p).")
+        }
     }
   }
 

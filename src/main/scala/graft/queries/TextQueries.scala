@@ -3415,7 +3415,75 @@ object TextQueries {
                  + SUM(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END)
                  + SUM(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
                TRUE AS planted_found_hamming_zero, TRUE AS union_matches_full
-        FROM documents WHERE doc_id < 300"""))
+        FROM documents WHERE doc_id < 300""")),
+
+    // ----------------------------------------------------------------
+    // q139: containment ingest loop in GROUP-SIZED emission (round 16
+    // — the clone-storm tier the round-15 verdict flagged): same
+    // landing path as q135 but with `groupsPrefix` set, so each
+    // batch's mined component edges feed ingestCcBatch directly and
+    // the loop's durable output is the persisted components CATALOG
+    // (O(touched groups) per batch), never a pair listing. The final
+    // ccComponents read — built from three streamed arrival deltas —
+    // must hash-match q116's batch-over-union cluster catalog, cluster
+    // for cluster, member-set for member-set (oracle = the shared
+    // ccCatalogOracle, q116's SQL verbatim).
+    "q139_containment_ingest_groups" -> QueryDef(
+      fn = (s, d) => {
+        // fresh families per run incl. orphaned locations (q112
+        // discipline) — both the containment index and the composed
+        // components family
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+        val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq("q139cn_posting", "q139cn_base", "q139cn_meta", "q139cn_commits",
+            "q139cc_labels", "q139cc_meta", "q139cc_labels__compact")
+          .foreach { t =>
+            s.sql(s"DROP TABLE IF EXISTS $t")
+            val loc = new org.apache.hadoop.fs.Path(wh, t)
+            if (whFs.exists(loc)) whFs.delete(loc, true)
+          }
+        graft.operators.Fence.forceRelease(s, "q139cn")
+        graft.operators.Fence.forceRelease(s, "q139cc")
+        val base = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val excerpts = base
+          .withColumn("__toks", split(col("text"), " "))
+          .withColumn("text",
+            expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        val corpus = base.union(excerpts).localCheckpoint(true)
+        val landing = java.nio.file.Files.createTempDirectory("q139_landing").toString
+        (0 until 3).foreach { i =>
+          val tmp = java.nio.file.Files.createTempDirectory("q139_shard").toString
+          corpus.filter(col("doc_id") % 3 === i).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+          val landed = java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(landing, s"shard$i.parquet"))
+          java.nio.file.Files.setLastModifiedTime(landed,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - (10 - i) * 2000L))
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory("q139_ckpt").toString
+        val q = IngestLoop.containmentIngest(
+          s.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1").parquet(landing),
+          "doc_id", "text", prefix = "q139cn", pairsDir = "",
+          checkpointDir = ckpt, tau = 0.5, n = 3,
+          groupsPrefix = "q139cc")
+        q.awaitTermination()
+        val comps = IngestLoop.ccComponents(s, "q139cc")
+        val singles = corpus
+          .join(comps.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("id"), col("doc_id").as("component"))
+        comps.select(col("id"), col("component")).union(singles)
+          .groupBy("component")
+          .agg(count(lit(1)).cast("int").as("csize"),
+            sum("id").as("id_sum"), max("id").as("max_id"))
+          .orderBy("component")
+      },
+      oracle = Some(ccCatalogOracle("TRUE")))
   )
 
   /** The q128/q129 shared oracle CTE chain: per-word greedy subword

@@ -1435,9 +1435,15 @@ object IngestLoop {
                              tau: Double, n: Int, buckets: Int,
                              maxCandidates: Long = 200000000L,
                              loopId: String = "",
-                             multiWriter: Boolean = false): Unit = {
+                             multiWriter: Boolean = false,
+                             groupsPrefix: String = ""): Unit = {
     val spark = batch.sparkSession
     val lid = normLoopId(loopId)
+    require(groupsPrefix.isEmpty || !multiWriter,
+      "group-sized emission composes the components family, which is " +
+        "single-writer by necessity (see ingestCcBatch): run multiple " +
+        "PAIR-mode containment loops with multiWriter=true and fan their " +
+        "pair streams into one ccIngest loop instead")
     val owner = s"ingestContainmentBatch bid=$bid"
     val shard = Dedup.containmentIndex(batch, idCol, textCol, n)
     val (pid, mkCorpus, gen0) =
@@ -1488,27 +1494,50 @@ object IngestLoop {
         (pid, mkCorpus, graft.operators.Tombstones.generation(spark, prefix))
       } // fence released — mine unfenced
     mineAndPublish(spark, prefix, owner, gen0) {
-      Dedup.containmentJoinIncremental(shard, mkCorpus(), tau, maxCandidates)
-        .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$pid")
+      if (groupsPrefix.nonEmpty)
+        // GROUP-SIZED emission (round 16): the batch's qualifying pairs
+        // never materialize as a listing — the undirected component
+        // edges feed the persisted components family directly, so the
+        // durable per-batch output is the labels DELTA (O(touched
+        // components)), not Theta(k·shard) pair rows. Replay-safe: a
+        // re-publish after a generation bump (or a crash-window batch
+        // replay) re-enters ingestCcBatch with the same bid, whose
+        // drop-own-partition contract makes the delta idempotent.
+        ingestCcBatch(
+          Dedup.containmentEdgesIncremental(shard, mkCorpus(), tau, maxCandidates),
+          pid, "u", "v", groupsPrefix, buckets, loopId = lid)
+      else
+        Dedup.containmentJoinIncremental(shard, mkCorpus(), tau, maxCandidates)
+          .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$pid")
     }
     maybeMaintain(spark, prefix)
   }
 
   /** Drive a streaming document source through the containment
     * ingestion loop — [[minhashIngest]]'s quote/excerpt sibling. */
+  /** `groupsPrefix` (round 16) switches the loop to GROUP-SIZED
+    * emission for clone-heavy landing regimes: instead of a pair
+    * listing under `pairsDir` (inherently Θ(pair mass) per batch —
+    * the q103 caveat), each batch's mined component edges feed
+    * [[ingestCcBatch]] on the `groupsPrefix` components family, whose
+    * labels table IS the loop's durable output (read it with
+    * [[ccComponents]]). Incompatible with `multiWriter` — the
+    * components family is single-writer by necessity; parallel miners
+    * fan pairs into ONE ccIngest loop instead (OPERATIONS.md). */
   def containmentIngest(docs: DataFrame, idCol: String, textCol: String,
                         prefix: String, pairsDir: String, checkpointDir: String,
                         tau: Double = 0.5, n: Int = 3, buckets: Int = 8,
                         maxCandidates: Long = 200000000L,
                         trigger: Trigger = Trigger.AvailableNow(),
-                        multiWriter: Boolean = false): StreamingQuery =
+                        multiWriter: Boolean = false,
+                        groupsPrefix: String = ""): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestContainmentBatch(batch, bid, idCol, textCol, prefix, pairsDir,
           tau, n, buckets, maxCandidates, loopId = checkpointDir,
-          multiWriter = multiWriter)
+          multiWriter = multiWriter, groupsPrefix = groupsPrefix)
       }
       .start()
 }

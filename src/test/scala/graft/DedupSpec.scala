@@ -158,6 +158,53 @@ class DedupSpec extends AnyFunSuite {
       Dedup.containmentMatchCorpus(shard, "doc_id", "text", n4, tau = 0.5))
   }
 
+  test("containmentEdgesIncremental: accumulated batch edges give the full pair graph's components, both branches") {
+    // three arrival batches over a corpus with excerpt stars AND
+    // identical-set clone groups, so the collapse branch's star/era
+    // edges and the rep-level cross edges are all exercised
+    val b0 = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 120)
+    val clones = b0.filter(col("doc_id") < 40)
+      .union(b0.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val excerpts = b0.filter(col("doc_id") % 3 === 0)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("text",
+        expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val all = b0.union(clones.filter(col("doc_id") >= 1000000L)).union(excerpts)
+      .localCheckpoint(true)
+    // batch split on a stable residue; batch 1 gets the CLONES so the
+    // clone of a batch-0 doc arrives later (era-edge path), batch 2
+    // gets the excerpts (cross-group path)
+    val batches = Seq(
+      all.filter(col("doc_id") < 1000000L),
+      all.filter(col("doc_id") >= 1000000L && col("doc_id") < 20000000L),
+      all.filter(col("doc_id") >= 20000000L))
+    for (forcedRatio <- Seq(Double.PositiveInfinity, 0.0)) {
+      var corpusIdx: Option[Dedup.ContainmentIndex] = None
+      var edges = spark.emptyDataFrame.select(lit(0L).as("u"), lit(0L).as("v")).limit(0)
+      batches.foreach { b =>
+        val sIdx = Dedup.containmentIndex(b, "doc_id", "text")
+        val cIdx = corpusIdx.getOrElse(Dedup.ContainmentIndex("doc_id", 3,
+          sIdx.base.limit(0), sIdx.posting.limit(0)))
+        edges = edges.union(Dedup.containmentEdgesIncremental(sIdx, cIdx,
+          tau = 0.5, collapsePairsPerDoc = forcedRatio))
+        corpusIdx = Some(cIdx.union(sIdx))
+      }
+      val incComps = Dedup.connectedComponents(edges.localCheckpoint(true), "u", "v")
+        .orderBy("id").collect().map(_.toString)
+      val fullPairs = Dedup.containmentJoin(all, "doc_id", "text", tau = 0.5)
+        .select("a_id", "b_id")
+      val fullComps = Dedup.connectedComponents(fullPairs, "a_id", "b_id")
+        .orderBy("id").collect().map(_.toString)
+      assert(fullComps.nonEmpty, "fixture must produce real components")
+      assert(incComps.sameElements(fullComps),
+        s"edge-mode components diverge (ratio=$forcedRatio): " +
+          s"inc=${incComps.length} full=${fullComps.length}")
+    }
+  }
+
   test("exactGroups collapses exact duplicates to min id") {
     val g = Dedup.exactGroups(corpus, "doc_id", "text").collect()
     assert(g.length == 4)

@@ -604,4 +604,47 @@ class FenceSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.fence.assumeConditionalCreate")
     }
   }
+
+  test("opt-in lease expiry: silent-past-TTL holder reclaimed (and self-kills at its next beat); within-TTL refuses; default-off refuses regardless of age") {
+    def backdate(prefix: String, ms: Long): Unit = {
+      val fp = Fence.path(spark, prefix)
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(fp.toUri.getPath),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ms))
+    }
+    // DEFAULT OFF: a holder silent for "hours" still blocks loudly
+    val p1 = "fence_lease_off"
+    Fence.forceRelease(spark, p1)
+    Fence.acquire(spark, p1, "deadWriter")
+    backdate(p1, 3600000L)
+    val off = intercept[FenceHeldException](Fence.acquire(spark, p1, "waiter"))
+    assert(off.getMessage.contains("deadWriter") &&
+      !off.getMessage.contains("Lease TTL"), off.getMessage)
+    Fence.forceRelease(spark, p1)
+    spark.conf.set("spark.graft.fence.leaseMs", "120000")
+    try {
+      // WITHIN TTL: refuses, and the refusal names the un-expired lease
+      val p2 = "fence_lease_live"
+      Fence.forceRelease(spark, p2)
+      Fence.acquire(spark, p2, "liveWriter")
+      val live = intercept[FenceHeldException](Fence.acquire(spark, p2, "waiter"))
+      assert(live.getMessage.contains("Lease TTL"), live.getMessage)
+      Fence.forceRelease(spark, p2)
+      // PAST TTL: the waiter reclaims and becomes the holder; the stale
+      // holder's next heartbeat dies on the epoch bump the reclaim made
+      val p3 = "fence_lease_dead"
+      Fence.forceRelease(spark, p3)
+      Fence.acquire(spark, p3, "staleWriter")
+      backdate(p3, 600000L)
+      Fence.acquire(spark, p3, "reclaimer") // must NOT throw
+      assert(Fence.holder(spark, p3).exists(_.startsWith("reclaimer @ ")),
+        s"reclaim did not install the new holder: ${Fence.holder(spark, p3)}")
+      val stale = intercept[IllegalStateException](
+        Fence.heartbeat(spark, p3, "staleWriter"))
+      assert(stale.getMessage.contains("held by") ||
+        stale.getMessage.contains("epoch"), stale.getMessage)
+      Fence.release(spark, p3, "reclaimer")
+    } finally spark.conf.unset("spark.graft.fence.leaseMs")
+  }
 }

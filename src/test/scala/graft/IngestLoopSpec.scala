@@ -1107,6 +1107,64 @@ class IngestLoopSpec extends AnyFunSuite {
     } finally drop("ing_cn_posting", "ing_cn_base", "ing_cn_meta")
   }
 
+  test("GROUP-SIZED containment ingestion: streamed edge deltas build the components catalog == batch CC over the full pair graph; replay idempotent; multiWriter refused") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 10 === 0)
+    val excerpts = base
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("text",
+        expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val corpus = base.union(excerpts)
+    val streamDir = java.nio.file.Files.createTempDirectory("cngrp_src").toString
+    (0 until 3).foreach { i =>
+      stage(corpus.filter(col("doc_id") % 3 === i), streamDir, s"f$i.parquet")
+      val f = java.nio.file.Paths.get(streamDir, s"f$i.parquet")
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (10 - i) * 2000L))
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("cngrp_ckpt").toString
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    try {
+      val q = IngestLoop.containmentIngest(stream, "doc_id", "text",
+        prefix = "ing_cng", pairsDir = "", checkpointDir = ckpt,
+        tau = 0.5, n = 3, groupsPrefix = "ing_cng_cc")
+      q.awaitTermination()
+      // the loop's durable output IS the components catalog — no pair
+      // listing exists anywhere; it must equal batch CC over the full
+      // qualifying pair graph
+      val streamedComps = IngestLoop.ccComponents(spark, "ing_cng_cc")
+        .collect().map(_.toString).toSet
+      val fullPairs = Dedup.containmentJoin(corpus, "doc_id", "text", tau = 0.5)
+        .select("a_id", "b_id")
+      val batchComps = Dedup.connectedComponents(fullPairs, "a_id", "b_id")
+        .select(col("id"), col("component")).collect().map(_.toString).toSet
+      assert(batchComps.nonEmpty, "fixture must produce real components")
+      assert(streamedComps == batchComps,
+        s"group-mode catalog diverges: streamed=${streamedComps.size} batch=${batchComps.size}")
+      // replay idempotence: re-running the last batch (foreachBatch
+      // redelivery) must leave the folded catalog unchanged
+      IngestLoop.ingestContainmentBatch(corpus.filter(col("doc_id") % 3 === 2), 2L,
+        "doc_id", "text", "ing_cng", "", tau = 0.5, n = 3, buckets = 8,
+        loopId = ckpt, groupsPrefix = "ing_cng_cc")
+      val replayed = IngestLoop.ccComponents(spark, "ing_cng_cc")
+        .collect().map(_.toString).toSet
+      assert(replayed == streamedComps,
+        "a replayed group-mode batch changed the components catalog")
+      // multiWriter + groups is a contract violation (CC is
+      // single-writer): refuse loudly, naming the fan-in topology
+      val e = intercept[IllegalArgumentException] {
+        IngestLoop.ingestContainmentBatch(corpus.limit(5), 3L, "doc_id", "text",
+          "ing_cng", "", tau = 0.5, n = 3, buckets = 8, loopId = ckpt,
+          multiWriter = true, groupsPrefix = "ing_cng_cc")
+      }
+      assert(e.getMessage.contains("single-writer"), e.getMessage)
+    } finally drop("ing_cng_posting", "ing_cng_base", "ing_cng_meta",
+      "ing_cng_cc_labels", "ing_cng_cc_meta")
+  }
+
   test("MULTI-WRITER simhash + containment: two PARALLEL loops on one prefix == one batch full run; single-writer refused") {
     spark.conf.set("spark.graft.fence.waitMs", "120000")
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
