@@ -279,6 +279,151 @@ case class BpeMergeCount(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** BYTE-LEVEL merge-order BPE with the GPT-2 pre-tokenizer (round 16)
+  * — what [[BpeMergeKernel]] counts after the two fidelity steps that
+  * make counts match tiktoken-class tokenizers:
+  *
+  *   1. PRE-TOKENIZATION: the GPT-2 regex — contractions first, then
+  *      optional-leading-space letter/digit/punctuation runs, then
+  *      whitespace runs — instead of a plain whitespace split, so
+  *      "don't" counts as [don]['t], "word," as [word][,], and a
+  *      mid-text word carries its leading space into the token (the
+  *      " the"-style pieces every GPT-2-family vocabulary is full of).
+  *      This engine's pattern drops GPT-2's one lookahead branch
+  *      (`\s+(?!\S)`), keeping the pattern RE2-expressible so the
+  *      DuckDB oracle runs it verbatim: on a k-space run before a
+  *      word, GPT-2 emits (k−1 spaces)+( word) where this emits
+  *      (k spaces)+(word) — the PRETOKEN COUNT is identical, the
+  *      boundary shifts by one space only on multi-space runs (which
+  *      single-space corpora never contain). Alternation is
+  *      leftmost-FIRST in both java.util.regex and RE2, so both
+  *      engines segment identically.
+  *   2. BYTE FALLBACK: each pretoken starts as one symbol per UTF-8
+  *      BYTE (rendered as the byte's latin-1 codepoint, so rule tables
+  *      are plain strings), not per codepoint — "café" is 5 initial
+  *      symbols and a non-ASCII char can never fall outside the
+  *      alphabet, exactly the GPT-2 byte-level contract.
+  *
+  * Merge rounds are [[BpeMergeKernel]]'s verbatim (lowest-ranked rule
+  * present, one disjoint left-to-right sweep per round); rule keys are
+  * \u0001-joined because byte symbols may legitimately contain
+  * spaces. */
+object BpeBytePretokKernel extends Serializable {
+
+  /** The RE2-safe GPT-2 pre-tokenizer pattern (see class doc). */
+  val PretokPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  private val pretok = java.util.regex.Pattern.compile(PretokPattern)
+
+  /** Total byte-level merge-order tokens across all pretokens. */
+  def count(text: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
+    if (text == null) return 0
+    val s = text.toString
+    val m = pretok.matcher(s)
+    var total = 0
+    while (m.find()) total += countPretoken(s, m.start(), m.end(), ranks)
+    total
+  }
+
+  private def countPretoken(s: String, from: Int, until: Int,
+                            ranks: java.util.HashMap[String, Integer]): Int = {
+    val bytes = s.substring(from, until)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length == 0) return 0
+    var syms = new java.util.ArrayList[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      syms.add(String.valueOf((bytes(i) & 0xFF).toChar))
+      i += 1
+    }
+    var done = false
+    while (!done && syms.size > 1) {
+      var best: Int = -1
+      var bestRank = Integer.MAX_VALUE
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(syms.get(j) + "\u0001" + syms.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; best = j }
+        j += 1
+      }
+      if (best < 0) done = true
+      else {
+        val a = syms.get(best)
+        val b = syms.get(best + 1)
+        val next = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k < syms.size - 1 && syms.get(k) == a && syms.get(k + 1) == b) {
+            next.add(a + b); k += 2
+          } else { next.add(syms.get(k)); k += 1 }
+        }
+        syms = next
+      }
+    }
+    syms.size
+  }
+}
+
+/** `graft_bpe_byte_count(text)`: total byte-level merge-order BPE
+  * tokens under the GPT-2 pre-tokenizer — see [[BpeBytePretokKernel]].
+  * Rule-table discipline identical to [[BpeMergeCount]] (one
+  * referenced HashMap per task, plan size O(1)); sides MAY contain
+  * spaces (a space is byte 0x20 — the " the" pieces), so keys join on
+  * \u0001 and the consistency check requires sides to be single BYTES
+  * (one latin-1-range char) or earlier rule outputs. */
+case class BpeBytePretokCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.nonEmpty, "BPE merge list must not be empty")
+  require(merges.forall { case (a, b) =>
+    a.nonEmpty && b.nonEmpty && !a.contains("\u0001") && !b.contains("\u0001") },
+    "byte-level BPE merge sides must be non-empty and contain no \\u0001 " +
+      "(the rule-key separator)")
+  require({
+    val built = scala.collection.mutable.Set[String]()
+    merges.forall { case (a, b) =>
+      def isByte(x: String) = x.length == 1 && x.charAt(0) <= 0xFF
+      val ok = (isByte(a) || built.contains(a)) && (isByte(b) || built.contains(b))
+      built += (a + b)
+      ok
+    }
+  }, "byte-level BPE merge list is inconsistent: every rule's sides must " +
+    "be single bytes (latin-1-range chars) or the output of an EARLIER " +
+    "rule (byte-level trained merge tables satisfy this by construction)")
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val h = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      h.putIfAbsent(a + "\u0001" + b, i)
+    }
+    h
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bpe_byte_count needs a string column, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_byte_count"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeBytePretokKernel.count(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeByteMerges", ranks,
+      "java.util.HashMap<String,Integer>")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.BpeBytePretokKernel.count($t, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeBytePretokCount =
+    copy(child = newChild)
+}
+
 object BpeExpression {
   /** Greedy frozen-vocab subword token count of a text column. */
   def bpeCount(text: Column, vocab: Seq[String]): Column =
@@ -288,4 +433,10 @@ object BpeExpression {
     * rank-ordered merge list. */
   def bpeMergeCount(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeMergeCount(Bridge.expression(text), merges))
+
+  /** Byte-level merge-order BPE token count with the GPT-2
+    * pre-tokenizer (contractions / space-prefixed runs / byte
+    * fallback). */
+  def bpeBytePretokCount(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeBytePretokCount(Bridge.expression(text), merges))
 }

@@ -1205,7 +1205,7 @@ object Dedup {
     * so the per-batch keying is one linear pass, not a corpus re-index. */
   def containmentJoinIncremental(shard: ContainmentIndex,
                                  corpus: ContainmentIndex, tau: Double,
-                                 maxCandidates: Long = 200000000L,
+                                 maxCandidates: Long = 1000000000L,
                                  collapsePairsPerDoc: Double = 2.0,
                                  staging: Staging.Mode = Staging.Local): DataFrame =
     containmentMineIncremental(shard, corpus, tau, maxCandidates,
@@ -1236,7 +1236,7 @@ object Dedup {
     * pair listing is pinned in DedupSpec. */
   def containmentEdgesIncremental(shard: ContainmentIndex,
                                   corpus: ContainmentIndex, tau: Double,
-                                  maxCandidates: Long = 200000000L,
+                                  maxCandidates: Long = 1000000000L,
                                   collapsePairsPerDoc: Double = 2.0,
                                   staging: Staging.Mode = Staging.Local): DataFrame =
     containmentMineIncremental(shard, corpus, tau, maxCandidates,
@@ -1257,7 +1257,16 @@ object Dedup {
     * clone-heavy corpora (every copy truly pairing with every earlier
     * copy) complete: the candidate mass is inherent, the per-candidate
     * constant is not. Row-identity with the array form is pinned in
-    * DedupSpec (same fixed-point floor on both sides). */
+    * DedupSpec (same fixed-point floor on both sides).
+    *
+    * The default `maxCandidates` for the incremental paths is RE-PRICED
+    * to 1e9 (round 16): the budget counts shared-gram join rows, and a
+    * count-verify row is two longs (~20 GB pre-combine at 1e9) where
+    * the old array verify carried two ~m-element shingle arrays per
+    * candidate — the same guard now refuses at the input mass that is
+    * actually unaffordable, not at the old representation's. The batch
+    * [[containmentJoin]] keeps 2e8 (its verify still joins arrays over
+    * prefix-filtered candidates). */
   private def containmentMineIncremental(shard: ContainmentIndex,
                                          corpus: ContainmentIndex, tau: Double,
                                          maxCandidates: Long,

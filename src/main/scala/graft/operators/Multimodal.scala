@@ -397,16 +397,37 @@ object Multimodal {
     * source direction scores exactly 1.0 — the quote/excerpt detector
     * applied to video (q137).
     *
-    * Honest limitation, stated not hidden: frames are read RAW —
-    * GIF's partial-frame disposal/offset compositing is not replayed,
-    * so clips whose later frames are delta patches fingerprint the
-    * patches, not the composited screen. Identical encodes still land
-    * identically (the dedup contract); a full compositor is a codec
-    * upgrade behind the same column shapes. */
+    * GIF frames are COMPOSITED per the disposal model before hashing
+    * (round 16 — closing round 15's stated raw-frame limitation): a
+    * logical-screen canvas accumulates each frame at its descriptor
+    * offset, the sampled frames hash the COMPOSITED screen, and the
+    * frame's disposal method is applied afterward ("none"/
+    * "doNotDispose" leave the canvas — the renderer convention for
+    * unspecified disposal; "restoreToBackgroundColor" clears the
+    * frame's rect to the opaque-black canvas ground;
+    * "restoreToPrevious" restores the pre-draw canvas). A delta-frame
+    * re-encode of the same animation (full frames vs patch rects)
+    * therefore fingerprints IDENTICALLY — MultimodalFixtureSpec plants
+    * exactly that pair at Hamming 0. Non-GIF multi-frame containers
+    * (no disposal model) hash frames as decoded. */
   object VideoCodec {
 
-    /** Decode up to `maxFrames` evenly sampled frames' dHashes. None
-      * when the payload is not a decodable multi-frame image. */
+    private def gifAttr(tree: org.w3c.dom.Node, node: String,
+                        attr: String, default: String): String = {
+      var c = tree.getFirstChild
+      while (c != null) {
+        if (c.getNodeName == node) {
+          val a = c.getAttributes.getNamedItem(attr)
+          return if (a == null) default else a.getNodeValue
+        }
+        c = c.getNextSibling
+      }
+      default
+    }
+
+    /** Decode up to `maxFrames` evenly sampled frames' dHashes —
+      * composited per disposal for GIF (see object doc). None when the
+      * payload is not a decodable multi-frame image. */
     def decodeFrameHashes(bytes: Array[Byte],
                           maxFrames: Int = 16): Option[Array[Long]] = {
       if (bytes == null || bytes.isEmpty) return None
@@ -419,20 +440,84 @@ object Multimodal {
           val reader = readers.next()
           try {
             reader.setInput(iis)
+            val isGif = reader.getFormatName.equalsIgnoreCase("gif")
             val n = reader.getNumImages(true)
             if (n <= 0) return None
             val take = math.min(n, maxFrames)
+            // evenly spaced sample indices (integer stride arithmetic,
+            // deterministic; take == n covers every frame in order)
+            val sample = Array.tabulate(take)(j => (j.toLong * n / take).toInt)
+            if (!isGif) {
+              val out = new Array[Long](take)
+              var j = 0
+              while (j < take) {
+                val img = reader.read(sample(j))
+                if (img == null || img.getWidth.toLong * img.getHeight > 268435456L)
+                  return None
+                out(j) = ImageCodec.dhash64(img)
+                j += 1
+              }
+              return Some(out)
+            }
+            // GIF: sequential composite up to the last sampled frame
+            val gifFmt = "javax_imageio_gif_image_1.0"
+            val (sw, sh) = {
+              val st = Option(reader.getStreamMetadata)
+                .map(_.getAsTree("javax_imageio_gif_stream_1.0"))
+              val w = st.map(t => gifAttr(t, "LogicalScreenDescriptor",
+                "logicalScreenWidth", "0").toInt).getOrElse(0)
+              val h = st.map(t => gifAttr(t, "LogicalScreenDescriptor",
+                "logicalScreenHeight", "0").toInt).getOrElse(0)
+              if (w > 0 && h > 0) (w, h)
+              else { // degenerate stream metadata: frame-0 extent
+                val t0 = reader.getImageMetadata(0).getAsTree(gifFmt)
+                val f0 = reader.read(0)
+                (gifAttr(t0, "ImageDescriptor", "imageLeftPosition", "0").toInt
+                  + f0.getWidth,
+                 gifAttr(t0, "ImageDescriptor", "imageTopPosition", "0").toInt
+                  + f0.getHeight)
+              }
+            }
+            if (sw.toLong * sh > 268435456L || sw <= 0 || sh <= 0) return None
+            var canvas = new java.awt.image.BufferedImage(sw, sh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB) // opaque black ground
             val out = new Array[Long](take)
             var j = 0
-            while (j < take) {
-              // evenly spaced sample indices (integer stride arithmetic,
-              // deterministic; take == n reads every frame in order)
-              val idx = (j.toLong * n / take).toInt
+            var idx = 0
+            while (idx <= sample(take - 1)) {
               val img = reader.read(idx)
               if (img == null || img.getWidth.toLong * img.getHeight > 268435456L)
                 return None
-              out(j) = ImageCodec.dhash64(img)
-              j += 1
+              val tree = reader.getImageMetadata(idx).getAsTree(gifFmt)
+              val left = gifAttr(tree, "ImageDescriptor", "imageLeftPosition", "0").toInt
+              val top = gifAttr(tree, "ImageDescriptor", "imageTopPosition", "0").toInt
+              val disposal = gifAttr(tree, "GraphicControlExtension",
+                "disposalMethod", "none")
+              val before =
+                if (disposal == "restoreToPrevious") {
+                  val cp = new java.awt.image.BufferedImage(sw, sh,
+                    java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = cp.createGraphics()
+                  g.drawImage(canvas, 0, 0, null); g.dispose()
+                  cp
+                } else null
+              val g = canvas.createGraphics()
+              g.drawImage(img, left, top, null)
+              g.dispose()
+              if (j < take && sample(j) == idx) {
+                out(j) = ImageCodec.dhash64(canvas)
+                j += 1
+              }
+              disposal match {
+                case "restoreToBackgroundColor" =>
+                  val g2 = canvas.createGraphics()
+                  g2.setColor(java.awt.Color.BLACK)
+                  g2.fillRect(left, top, img.getWidth, img.getHeight)
+                  g2.dispose()
+                case "restoreToPrevious" => canvas = before
+                case _ => () // none / doNotDispose: canvas persists
+              }
+              idx += 1
             }
             Some(out)
           } finally reader.dispose()
@@ -445,14 +530,24 @@ object Multimodal {
       * each frame's GraphicControlExtension: a different delay is a
       * CONTAINER re-encode (bytes differ, decoded pixels identical). */
     def encodeGif(frames: Seq[java.awt.image.BufferedImage],
-                  delayCs: Int = 10): Array[Byte] = {
+                  delayCs: Int = 10): Array[Byte] =
+      encodeGifFrames(frames.map(f => (f, 0, 0, "none")), delayCs)
+
+    /** The disposal-aware fixture writer (round 16): each frame rides
+      * with its descriptor offset and disposal method, so a spec can
+      * plant a DELTA-FRAME re-encode (patch rects over a persisting
+      * canvas) of the same visual animation a full-frame encode shows
+      * — the pair the compositing decoder must fingerprint
+      * identically. */
+    def encodeGifFrames(frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)],
+                        delayCs: Int = 10): Array[Byte] = {
       val baos = new java.io.ByteArrayOutputStream()
       val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
-        frames.foreach { img =>
+        frames.foreach { case (img, left, top, disposal) =>
           val ty = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
           val meta = writer.getDefaultImageMetadata(ty, writer.getDefaultWriteParam)
           val fmt = meta.getNativeMetadataFormatName
@@ -460,12 +555,32 @@ object Multimodal {
             .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
           val gce = new javax.imageio.metadata.IIOMetadataNode(
             "GraphicControlExtension")
-          gce.setAttribute("disposalMethod", "none")
+          gce.setAttribute("disposalMethod", disposal)
           gce.setAttribute("userInputFlag", "FALSE")
           gce.setAttribute("transparentColorFlag", "FALSE")
           gce.setAttribute("delayTime", delayCs.toString)
           gce.setAttribute("transparentColorIndex", "0")
           root.appendChild(gce)
+          if (left != 0 || top != 0) {
+            // offset rides in the ImageDescriptor node (created if the
+            // default tree lacks one; the GIF writer honors it)
+            var desc: javax.imageio.metadata.IIOMetadataNode = null
+            var c = root.getFirstChild
+            while (c != null && desc == null) {
+              if (c.getNodeName == "ImageDescriptor")
+                desc = c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              c = c.getNextSibling
+            }
+            if (desc == null) {
+              desc = new javax.imageio.metadata.IIOMetadataNode("ImageDescriptor")
+              desc.setAttribute("imageWidth", img.getWidth.toString)
+              desc.setAttribute("imageHeight", img.getHeight.toString)
+              desc.setAttribute("interlaceFlag", "FALSE")
+              root.appendChild(desc)
+            }
+            desc.setAttribute("imageLeftPosition", left.toString)
+            desc.setAttribute("imageTopPosition", top.toString)
+          }
           meta.setFromTree(fmt, root)
           writer.writeToSequence(
             new javax.imageio.IIOImage(img, null, meta),

@@ -528,13 +528,41 @@ object Similarity {
     * exactly, emit the top k. `vectors` supplies the exact embeddings
     * for the refine fetch (the base table at cluster scale — typically
     * the frame the index was built from). Same (q_id, c_id, cos, rn)
-    * geometry as every ANN tier. */
+    * geometry as every ANN tier.
+    *
+    * ATTRIBUTE-FILTERED serving (round 16): pass `filterIds` (one id
+    * column — build it by filtering your metadata frame on the source
+    * predicate) and the candidate CODE rows are pre-filtered with a
+    * left-semi join BEFORE any ADC work, so the predicate pushes down
+    * to the scan instead of post-filtering a top-k that then starves.
+    * Because a selective predicate thins the probed cells, the probe
+    * set WIDENS adaptively under a SURVIVOR FLOOR: cells are ranked as
+    * usual, and each query keeps ranked cells until the cumulative
+    * FILTERED candidate count reaches `survivorFloor` (default
+    * k·refine — the refine stage's natural appetite), never fewer than
+    * `nprobe`, never more than `nprobeMax` (default max(8·nprobe, 64),
+    * capped at nlist). Per-cell filtered counts come from ONE narrow
+    * aggregate over the filtered codes (nlist-sized, broadcastable),
+    * so the widening adds no corpus-scale work; with `filterIds` unset
+    * the plan is exactly the unfiltered one. Recall contract vs the
+    * FILTERED brute force pinned in SessionIvfSpec and q141. */
   def ivfPqTopK(index: PqIndex, vectors: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 4,
-                refine: Int = 4): DataFrame = {
+                refine: Int = 4, filterIds: Option[DataFrame] = None,
+                survivorFloor: Int = -1, nprobeMax: Int = -1): DataFrame = {
     val m = index.m
     val dsub = index.dim / m
     val cq = index.coarse
+    val codesScan = filterIds match {
+      case None => index.codes
+      case Some(f) => index.codes.join(
+        f.select(col(f.columns.head).as("c_id")), Seq("c_id"), "left_semi")
+    }
+    val npMax = filterIds match {
+      case None => nprobe
+      case Some(_) => math.min(cq.n1 * cq.n2,
+        if (nprobeMax > 0) nprobeMax else math.max(8 * nprobe, 64))
+    }
     // flat m·ksub ADC lookup table as ONE codegen node — the composed
     // array(array(m×ksub dot kernels)) form is a 512-expression
     // projection at (16, 32) that blows the janino method budget and
@@ -558,28 +586,45 @@ object Similarity {
     val l2Frame = cq.l2.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("__sub", "__c2")
     val beam = math.min(cq.n1,
-      math.max(4, 4 * math.ceil(nprobe.toDouble / cq.n2).toInt))
+      math.max(4, 4 * math.ceil(npMax.toDouble / cq.n2).toInt))
     val supers = q.crossJoin(broadcast(l1Frame))
       .withColumn("__sdist", dot(col("qv"), col("__c1")) /
         (col("qn") * sqrt(dot(col("__c1"), col("__c1")))))
       .withColumn("__srk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("__sdist"), asc("__sup"))))
       .filter(col("__srk") <= beam)
-    val probes = supers.crossJoin(broadcast(l2Frame))
+    val ranked = supers.crossJoin(broadcast(l2Frame))
       .withColumn("__ctr", zip_with(col("__c1"), col("__c2"), (a, b) => a + b))
       .withColumn("cell", col("__sup") * cq.n2 + col("__sub"))
       .withColumn("__cdist", dot(col("qv"), col("__ctr")) /
         (col("qn") * sqrt(dot(col("__ctr"), col("__ctr")))))
       .withColumn("__crk", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("__cdist"), asc("cell"))))
-      .filter(col("__crk") <= nprobe)
+      .filter(col("__crk") <= npMax)
+    // survivor-floor widening (filtered serving only): keep ranked
+    // cells until the cumulative FILTERED candidate count reaches the
+    // floor — one nlist-sized count aggregate, no corpus-scale work
+    val cells = filterIds match {
+      case None => ranked // npMax == nprobe: the unfiltered plan verbatim
+      case Some(_) =>
+        val floor = if (survivorFloor > 0) survivorFloor else k * refine
+        val cc = codesScan.groupBy("cell").agg(count(lit(1)).as("__cc"))
+        ranked.join(cc, Seq("cell"), "left")
+          .withColumn("__cum", sum(coalesce(col("__cc"), lit(0L))).over(
+            Window.partitionBy("q_id").orderBy("__crk")
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .filter(col("__crk") <= nprobe ||
+            coalesce(col("__cum"), lit(0L)) < floor)
+          .drop("__cc", "__cum")
+    }
+    val probes = cells
       .withColumn("__qcdot", dot(col("qv"), col("__ctr")))
       .select(col("q_id"), col("qv"), col("qn"), col("cell"), col("__lut"), col("__qcdot"))
     // ADC scan: codes only — m flat-LUT lookups + adds per candidate
     val adcSum = (0 until m).map(j =>
       element_at(col("__lut"),
         lit(j * index.ksub) + element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
-    val adcScored = probes.join(index.codes, Seq("cell"))
+    val adcScored = probes.join(codesScan, Seq("cell"))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("__approx", (col("__qcdot") + adcSum) / (col("qn") * col("cn")))
     // multi-assignment emits one code row per (vector, assigned cell);

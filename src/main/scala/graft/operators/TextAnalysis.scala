@@ -824,6 +824,36 @@ object TextAnalysis {
     df.withColumn(out,
       graft.functions.BpeExpression.bpeMergeCount(col(textCol), merges))
 
+  /** Demonstration BYTE-LEVEL merge list for [[byteMergeTokenCount]]:
+    * [[demoBpeMerges]] (single ASCII chars are single bytes, so the
+    * list stays consistent) prefixed by two SPACE-side rules — the
+    * " the"-style pieces that only exist at byte level, where the
+    * space byte is a mergeable symbol instead of a discarded
+    * delimiter. */
+  val demoByteMerges: Seq[(String, String)] =
+    Seq((" ", "t"), (" ", "a")) ++ demoBpeMerges
+
+  /** BYTE-LEVEL merge-order BPE token count with the GPT-2
+    * pre-tokenizer (round 16) — the tiktoken-fidelity twin of
+    * [[mergeTokenCount]]: contractions split off ([don]['t]),
+    * punctuation runs become their own pretokens, a mid-text word
+    * carries its leading space (so space bytes are counted and
+    * mergeable — the " the" pieces), and every pretoken starts as
+    * UTF-8 BYTES ("café" = 5 symbols; no out-of-alphabet chars).
+    * Same execution shape as the siblings: one codegen'd kernel call
+    * per row, rule table as one referenced HashMap per task, no
+    * shuffle, no UDF. Counts provably differ from the
+    * whitespace-split [[mergeTokenCount]] (q140 pins a fixture, both
+    * DuckDB-oracled — the pre-tokenizer regex is RE2-expressible);
+    * budget mixtures in THESE units when the deployment tokenizer is
+    * GPT-2/tiktoken-class. Full semantics:
+    * [[graft.functions.BpeBytePretokKernel]]. */
+  def byteMergeTokenCount(df: DataFrame, idCol: String, textCol: String,
+                          merges: Seq[(String, String)] = demoByteMerges,
+                          out: String = "bpe_tokens"): DataFrame =
+    df.withColumn(out,
+      graft.functions.BpeExpression.bpeBytePretokCount(col(textCol), merges))
+
   /** DISTRIBUTED BPE vocabulary training (round 15) — learn a
     * merge-rank list from the corpus itself, the Sennrich et al. 2016
     * procedure re-expressed as k bounded Spark rounds:
@@ -868,13 +898,16 @@ object TextAnalysis {
     * heavy lifting at 100 TB is pass 1, never the rounds. */
   def trainBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
                      minFreq: Long = 2L,
-                     minWordFreq: Long = 1L): Seq[(String, String, Long)] = {
+                     minWordFreq: Long = 1L,
+                     byteLevel: Boolean = false): Seq[(String, String, Long)] = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
-    val bad = df.filter(col(textCol).contains("<") || col(textCol).contains(">"))
+    val bad = df.filter(col(textCol).contains("<") || col(textCol).contains(">") ||
+        (if (byteLevel) col(textCol).contains("\u0001") else lit(false)))
       .limit(1).count()
     require(bad == 0,
-      "trainBpeMerges uses '<'/'>' as symbol delimiters; the corpus " +
-        "contains them — pre-scrub the text or remap the delimiters")
+      "trainBpeMerges uses '<'/'>' as symbol delimiters (and \\u0001 as " +
+        "the byte-level pair separator); the corpus contains them — " +
+        "pre-scrub the text or remap the delimiters")
     // Lineage-flattening WITHOUT localCheckpoint (round-15 advisory:
     // eager localCheckpoint per round leaves every round's copy of the
     // types table cached until session end — O(numMerges) copies).
@@ -892,25 +925,43 @@ object TextAnalysis {
       held = Some(rdd)
       out
     }
-    var types = settle(df
-      .select(explode(split(col(textCol), " ")).as("__w"))
+    // BYTE LEVEL (round 16): pretokenize with the GPT-2 regex instead
+    // of the whitespace split (contractions, punctuation runs,
+    // space-prefixed words) and start each pretoken as one symbol per
+    // UTF-8 BYTE (latin-1 char of the byte, via the hex projection) —
+    // the trainer then learns space-prefixed and punctuation pieces
+    // exactly like a GPT-2-class trainer. Pair strings join on \u0001
+    // there (byte symbols may contain spaces); ties still break on
+    // (count desc, pair asc) over the joined string.
+    val words =
+      if (byteLevel)
+        df.select(explode(regexp_extract_all(col(textCol),
+          lit(graft.functions.BpeBytePretokKernel.PretokPattern), lit(0))).as("__w"))
+      else df.select(explode(split(col(textCol), " ")).as("__w"))
+    val wrapExpr =
+      if (byteLevel) expr(
+        """array_join(transform(sequence(1, length(hex(encode(__w, 'UTF-8'))) DIV 2),
+             i -> concat('<', char(conv(substring(hex(encode(__w, 'UTF-8')), 2*i - 1, 2), 16, 10)), '>')), '')""")
+      else expr(
+        """array_join(transform(sequence(1, length(__w)),
+             i -> concat('<', substring(__w, i, 1), '>')), '')""")
+    var types = settle(words
       .filter(length(col("__w")) > 0)
       .groupBy("__w").agg(count(lit(1)).as("__f"))
       .filter(col("__f") >= minWordFreq)
-      .select(col("__f"), expr(
-        """array_join(transform(sequence(1, length(__w)),
-             i -> concat('<', substring(__w, i, 1), '>')), '')""").as("__ws")))
+      .select(col("__f"), wrapExpr.as("__ws")))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var r = 0
     var done = false
     while (r < numMerges && !done) {
+      val pairSepSql = if (byteLevel) "char(1)" else "' '"
       val winner = types
         .select(col("__f"), expr(
           "split(substring(__ws, 2, length(__ws) - 2), '><')").as("__syms"))
         .filter(size(col("__syms")) >= 2)
         .select(col("__f"), explode(expr(
-          """transform(sequence(1, size(__syms) - 1),
-               i -> concat(element_at(__syms, i), ' ', element_at(__syms, i + 1)))"""))
+          s"""transform(sequence(1, size(__syms) - 1),
+               i -> concat(element_at(__syms, i), $pairSepSql, element_at(__syms, i + 1)))"""))
           .as("__pr"))
         .groupBy("__pr").agg(sum("__f").as("__c"))
         .orderBy(desc("__c"), asc("__pr")).limit(1).collect()
@@ -918,7 +969,7 @@ object TextAnalysis {
       else {
         val pr = winner.head.getString(0)
         val c = winner.head.getLong(1)
-        val sp = pr.indexOf(' ')
+        val sp = pr.indexOf(if (byteLevel) '\u0001' else ' ')
         val (a, b) = (pr.substring(0, sp), pr.substring(sp + 1))
         merges += ((a, b, c))
         types = settle(types.select(col("__f"),

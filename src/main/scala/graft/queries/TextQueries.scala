@@ -3483,7 +3483,84 @@ object TextQueries {
             sum("id").as("id_sum"), max("id").as("max_id"))
           .orderBy("component")
       },
-      oracle = Some(ccCatalogOracle("TRUE")))
+      oracle = Some(ccCatalogOracle("TRUE"))),
+
+    // ----------------------------------------------------------------
+    // q140: BYTE-LEVEL merge-order BPE with the GPT-2 pre-tokenizer
+    // (round 16 — the round-15 verdict's tokenizer-fidelity task) vs
+    // the whitespace-split merge counting. The planted rows carry a
+    // contraction (don't → [don]['t]), punctuation runs, and non-ASCII
+    // (café: é is two UTF-8 bytes — the byte fallback), and the byte
+    // tier's space-prefixed pieces mean the two counts provably differ
+    // on ~every document. Oracle: the q131 merge-round replay twice —
+    // whitespace legs via mergeTokensSql, byte legs via
+    // byteMergeTokensSql (RE2 pre-tokenizer regex + hex byte
+    // expansion, same unrolled replace chain) — so DuckDB re-derives
+    // BOTH counts bit-for-bit.
+    "q140_bpe_byte_pretok" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val src = docs(s, d).select(col("doc_id"), col("text")).union(
+          Seq((90000001L, "don't stop, the café isn't here"),
+            (90000002L, "the theory, the 'thing' and 42 things"))
+            .toDF("doc_id", "text"))
+        val ws = TextAnalysis.mergeTokenCount(src, "doc_id", "text",
+          TextAnalysis.demoBpeMerges, out = "n_ws")
+        TextAnalysis.byteMergeTokenCount(ws, "doc_id", "text",
+          TextAnalysis.demoByteMerges, out = "n_byte")
+          .select(col("doc_id"), col("n_ws"), col("n_byte"),
+            (col("n_ws") =!= col("n_byte")).as("differs"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        s"""
+        WITH __q140_lit(doc_id, text) AS (VALUES
+            (CAST(90000001 AS BIGINT), 'don''t stop, the café isn''t here'),
+            (CAST(90000002 AS BIGINT), 'the theory, the ''thing'' and 42 things')),
+        __q140_src AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM __q140_lit),
+        ${mergeTokensSql("__q140_src",
+          graft.operators.TextAnalysis.demoBpeMerges, rounds = 7, "__ws")},
+        ${byteMergeTokensSql("__q140_src",
+          graft.operators.TextAnalysis.demoByteMerges, rounds = 9, "__by")}
+        SELECT w.doc_id, w.n_merge AS n_ws, b.n_byte,
+               w.n_merge <> b.n_byte AS differs
+        FROM __ws_dt w JOIN __by_dt b USING (doc_id)
+        ORDER BY doc_id"""
+      }),
+
+    // ----------------------------------------------------------------
+    // q141: ATTRIBUTE-FILTERED IVF-PQ serving (round 16 — the verdict's
+    // filtered-ANN task): "top-k among candidates WHERE source = 1" as
+    // predicate pushdown into the ADC scan — the code rows are
+    // pre-filtered (left-semi on the predicate's id set) BEFORE any
+    // scoring, and the probe set widens adaptively under a survivor
+    // floor (a selective predicate thins probed cells; post-filtering
+    // an unfiltered top-k would starve instead). Recall contract vs
+    // the FILTERED brute force at a deliberately starved nprobe=2 —
+    // the widening is what clears the floor. Exhaustive-probe ==
+    // filtered brute force pinned in SessionIvfSpec.
+    "q141_ann_filtered" -> QueryDef(
+      fn = (s, d) => {
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") < 50)
+        val pred = pmod(col("vec_id"), lit(4)) === 1
+        val idx = Similarity.pqIndex(e, "vec_id", "embedding",
+          nlist = 16, m = 16, ksub = 32, seed = 42L, assign = 2)
+        val ann = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+            k = 10, nprobe = 2, refine = 8,
+            filterIds = Some(e.filter(pred).select("vec_id")))
+          .localCheckpoint(true)
+        val exact = Similarity.bruteForceTopK(e.filter(pred), q,
+            "vec_id", "embedding", k = 10)
+          .localCheckpoint(true)
+        annContract(ann, exact, k = 10, minMeanRecall = 0.75)
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 10 AS k, TRUE AS rows_le_k,
+               TRUE AS ann_never_beats_exact, TRUE AS mean_recall_ok
+        FROM embeddings WHERE vec_id < 50
+          AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0"""))
   )
 
   /** The q128/q129 shared oracle CTE chain: per-word greedy subword
@@ -3590,6 +3667,40 @@ object TextQueries {
         $rs,
         ${pfx}_dt AS (SELECT doc_id,
             CAST(SUM(length(s) - length(replace(s, '<', ''))) AS INTEGER) AS n_merge
+          FROM ${pfx}_s$rounds GROUP BY doc_id)"""
+  }
+
+  /** BYTE-LEVEL merge-order BPE totals as SQL (round 16), ending in
+    * `{pfx}_dt(doc_id, n_byte)`: pretokenize with the RE2-safe GPT-2
+    * pattern (regexp_extract_all — leftmost-first alternation in both
+    * RE2 and java.util.regex, so both engines segment identically),
+    * expand each pretoken to one `<chr(byte)>` symbol per UTF-8 byte
+    * via the hex projection (chr(b) is the byte's latin-1 codepoint —
+    * the same alphabet [[graft.functions.BpeBytePretokKernel]] uses),
+    * then the SAME unrolled merge-round replace chain as
+    * [[mergeTokensSql]]. `rounds` must be ≥ maxPretokenBytes−1 of the
+    * source (fixture words ≤ 8 chars + the carried leading space;
+    * é costs 2 bytes). Docs whose text is empty vanish at the unnest —
+    * the fixtures contain none, and a regenerated fixture that does
+    * hash-mismatches loudly. */
+  private def byteMergeTokensSql(src: String, merges: Seq[(String, String)],
+                                 rounds: Int, pfx: String): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""${pfx}_s$k AS (SELECT doc_id, ${mergeRoundCase(merges)} AS s
+           FROM ${pfx}_s${k - 1})"""
+    }.mkString(",\n        ")
+    val pat = "''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"""${pfx}_w0 AS (SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS w
+                      FROM $src),
+        ${pfx}_h0 AS (SELECT doc_id, hex(encode(w)) AS h FROM ${pfx}_w0),
+        ${pfx}_s0 AS (SELECT doc_id, CASE WHEN length(h) = 0 THEN ''
+              ELSE array_to_string(list_transform(range(1, length(h) // 2 + 1),
+                i -> '<' || chr(CAST(16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i - 1 AS INTEGER), 1)) - 1)
+                             + strpos('0123456789ABCDEF', substring(h, CAST(2*i AS INTEGER), 1)) - 1 AS INTEGER)) || '>'), '') END AS s
+          FROM ${pfx}_h0),
+        $rs,
+        ${pfx}_dt AS (SELECT doc_id,
+            CAST(SUM(length(s) - length(replace(s, '<', ''))) AS INTEGER) AS n_byte
           FROM ${pfx}_s$rounds GROUP BY doc_id)"""
   }
 

@@ -1433,7 +1433,7 @@ object IngestLoop {
   def ingestContainmentBatch(batch: DataFrame, bid: Long, idCol: String,
                              textCol: String, prefix: String, pairsDir: String,
                              tau: Double, n: Int, buckets: Int,
-                             maxCandidates: Long = 200000000L,
+                             maxCandidates: Long = 1000000000L,
                              loopId: String = "",
                              multiWriter: Boolean = false,
                              groupsPrefix: String = ""): Unit = {
@@ -1444,8 +1444,16 @@ object IngestLoop {
         "single-writer by necessity (see ingestCcBatch): run multiple " +
         "PAIR-mode containment loops with multiWriter=true and fan their " +
         "pair streams into one ccIngest loop instead")
+    // SPREAD THE BATCH before corpus-sized work (round 16 — found by
+    // LoopProbe's clone-storm arm): a landing micro-batch is typically
+    // ONE file = ONE partition, and the mine's candidate join + count
+    // aggregate inherit that partitioning on the shard side — on a
+    // clone-heavy batch the whole within-batch pair mass then runs in a
+    // single task. One shard-sized hash repartition on the id restores
+    // cluster-wide parallelism for everything downstream.
+    val spread = batch.repartition(col(idCol))
     val owner = s"ingestContainmentBatch bid=$bid"
-    val shard = Dedup.containmentIndex(batch, idCol, textCol, n)
+    val shard = Dedup.containmentIndex(spread, idCol, textCol, n)
     val (pid, mkCorpus, gen0) =
       graft.operators.Fence.withFence(spark, prefix, owner) {
         val exists = familyExists(spark, prefix, Seq("posting", "base", "meta"))
@@ -1527,7 +1535,7 @@ object IngestLoop {
   def containmentIngest(docs: DataFrame, idCol: String, textCol: String,
                         prefix: String, pairsDir: String, checkpointDir: String,
                         tau: Double = 0.5, n: Int = 3, buckets: Int = 8,
-                        maxCandidates: Long = 200000000L,
+                        maxCandidates: Long = 1000000000L,
                         trigger: Trigger = Trigger.AvailableNow(),
                         multiWriter: Boolean = false,
                         groupsPrefix: String = ""): StreamingQuery =

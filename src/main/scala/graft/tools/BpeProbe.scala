@@ -84,6 +84,17 @@ object BpeProbe {
         TextAnalysis.mergeTokenCount(docs, "doc_id", "text", bigMerges)
           .agg(sum("bpe_tokens")).head().getLong(0)
       }
+      // byte-level pretok kernel (round 16): regex pretokenization +
+      // per-byte symbols add constant per-row work — throughput must
+      // stay in the merge-kernel band with both rule-table sizes
+      time("demo bytes ") {
+        TextAnalysis.byteMergeTokenCount(docs, "doc_id", "text")
+          .agg(sum("bpe_tokens")).head().getLong(0)
+      }
+      time("50k bytes  ") {
+        TextAnalysis.byteMergeTokenCount(docs, "doc_id", "text", bigMerges)
+          .agg(sum("bpe_tokens")).head().getLong(0)
+      }
       // trainer rung: 8 learned merges — per-round cost is O(word
       // TYPES), so wall time must stay nearly flat as the corpus
       // grows (the type table of the clone fixtures barely grows)
@@ -91,6 +102,13 @@ object BpeProbe {
       val learned = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 8)
       println(f"[bpe] $dir train 8 merges: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
         s"(learned=${learned.map(m => m._1 + "+" + m._2).mkString(",")})")
+      // byte-level trainer rung: same O(types)-per-round claim with the
+      // regex pretokenizer + byte wrap in pass 1
+      val t1 = System.nanoTime()
+      val learnedB = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 8,
+        byteLevel = true)
+      println(f"[bpe] $dir train 8 byte merges: ${(System.nanoTime() - t1) / 1e9}%.2f s " +
+        s"(learned=${learnedB.map(m => "[" + m._1 + "+" + m._2 + "]").mkString(",")})")
     }
     spark.stop()
   }

@@ -103,6 +103,59 @@ object LoopProbe {
         spark.table("lp_cn_base").count())
     }
 
+    // --- containment loop, GROUP-SIZED emission (round 16): same %10
+    // corpus tier as the pair-mode arm, but each batch's mined edges
+    // feed the components family — per-batch durable output is the
+    // labels delta, so the clone fixture's Θ(k·shard) pair mass never
+    // materializes as output. Report the labels-catalog size instead
+    // of a pair count.
+    clean("lp_cg", Seq("posting", "base", "meta", "tombstones"))
+    clean("lp_cg_cc", Seq("labels", "meta", "tombstones"))
+    locally {
+      val landing = land(docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        col("doc_id").divide(10).cast("long"))
+      val ckpt = java.nio.file.Files.createTempDirectory("lp_cg_ckpt").toString
+      val t = System.nanoTime()
+      val q = IngestLoop.containmentIngest(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(landing),
+        "doc_id", "text", prefix = "lp_cg", pairsDir = "",
+        checkpointDir = ckpt, tau = 0.5, n = 3, groupsPrefix = "lp_cg_cc")
+      q.awaitTermination()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      val perBatch = batches.map(p =>
+        f"""{"batch":${p.batchId},"sec":${p.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000}%.2f,"rows":${p.numInputRows}}""")
+        .mkString("[", ",", "]")
+      val labels = IngestLoop.ccComponents(spark, "lp_cg_cc").count()
+      println(f"""{"probe":"loop_containment_groups","sf":"$sfDir","shards":$nShards,"stream_sec":${(System.nanoTime() - t) / 1e9}%.1f,"batches":$perBatch,"labeled_docs":$labels,"indexed":${spark.table("lp_cg_base").count()}}""")
+    }
+
+    // --- FULL-corpus clone-storm arm (opt-in: SPARK_GRAFT_LOOPPROBE_FULL=1):
+    // the ENTIRE documents table through the group-mode loop — the
+    // regime that refused on the candidate budget in round 15 (855 M
+    // rep-gram candidates at 100×, gram hotness). With the count-based
+    // verify the budget is re-priced (1e9 default) and the run must
+    // COMPLETE, its durable output being the components catalog.
+    if (sys.env.get("SPARK_GRAFT_LOOPPROBE_FULL").contains("1")) {
+      clean("lp_cf", Seq("posting", "base", "meta", "tombstones"))
+      clean("lp_cf_cc", Seq("labels", "meta", "tombstones"))
+      val landing = land(docs, col("doc_id"))
+      val ckpt = java.nio.file.Files.createTempDirectory("lp_cf_ckpt").toString
+      val t = System.nanoTime()
+      val q = IngestLoop.containmentIngest(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(landing),
+        "doc_id", "text", prefix = "lp_cf", pairsDir = "",
+        checkpointDir = ckpt, tau = 0.5, n = 3, groupsPrefix = "lp_cf_cc")
+      q.awaitTermination()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      val perBatch = batches.map(p =>
+        f"""{"batch":${p.batchId},"sec":${p.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1000}%.2f,"rows":${p.numInputRows}}""")
+        .mkString("[", ",", "]")
+      val labels = IngestLoop.ccComponents(spark, "lp_cf_cc").count()
+      println(f"""{"probe":"loop_containment_groups_full","sf":"$sfDir","shards":$nShards,"stream_sec":${(System.nanoTime() - t) / 1e9}%.1f,"batches":$perBatch,"labeled_docs":$labels,"indexed":${spark.table("lp_cf_base").count()}}""")
+    }
+
     // --- signature (media) loop over precomputed 64-bit fingerprints
     clean("lp_sg", Seq("chunked", "meta", "tombstones"))
     locally {

@@ -110,6 +110,58 @@ object MwProbe {
       "overlaps the two loops' unfenced mining legs — only bid-resolution + " +
       "append serialize — with the pair contract intact")
     drop("mw_single"); drop("mw_multi")
+
+    // ---- signature (media) family arm (round 16): q138's landing path
+    // claims the multiWriter machinery by REUSE of the chunked family —
+    // this rung gives the claim its own measurement: two parallel
+    // signatureIngest loops on ONE family == one loop, row-for-row.
+    def dropSig(prefix: String): Unit =
+      Seq("chunked", "meta", "commits")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    val sigs = corpus.select(col("doc_id").as("media_id"),
+      graft.operators.Dedup.simhash64("split(text, ' ')").as("sig"))
+      .localCheckpoint(true)
+    def sigSrc(d: String) = spark.readStream.schema("media_id LONG, sig LONG")
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    dropSig("mw_sig1")
+    val sOneDir = tmp("mw_s1")
+    (0 until nShards).foreach { i =>
+      stage(sigs.filter(pmod(col("media_id"), lit(nShards)) === i), sOneDir, s"f$i.parquet")
+      Thread.sleep(1100)
+    }
+    val sOnePairs = tmp("mw_s1_pairs")
+    time(s"signature single ($nShards batches, one loop)") {
+      IngestLoop.signatureIngest(sigSrc(sOneDir), "media_id", "sig",
+        prefix = "mw_sig1", pairsDir = sOnePairs,
+        checkpointDir = tmp("mw_s1_ckpt")).awaitTermination()
+    }
+    dropSig("mw_sig2")
+    val sDirA = tmp("mw_sa"); val sDirB = tmp("mw_sb")
+    (0 until nShards).foreach { i =>
+      stage(sigs.filter(pmod(col("media_id"), lit(nShards)) === i),
+        if (i % 2 == 0) sDirA else sDirB, s"f${i / 2}.parquet")
+      Thread.sleep(1100)
+    }
+    val sTwoPairs = tmp("mw_s2_pairs")
+    time(s"signature multi  ($nShards batches, TWO parallel loops)") {
+      val qa = IngestLoop.signatureIngest(sigSrc(sDirA), "media_id", "sig",
+        prefix = "mw_sig2", pairsDir = sTwoPairs,
+        checkpointDir = tmp("mw_sa_ckpt"), multiWriter = true)
+      val qb = IngestLoop.signatureIngest(sigSrc(sDirB), "media_id", "sig",
+        prefix = "mw_sig2", pairsDir = sTwoPairs,
+        checkpointDir = tmp("mw_sb_ckpt"), multiWriter = true)
+      qa.awaitTermination(); qb.awaitTermination()
+    }
+    val sa = spark.read.parquet(sOnePairs).select("a_id", "b_id", "hamming")
+    val sb = spark.read.parquet(sTwoPairs).select("a_id", "b_id", "hamming")
+    val sOnlyA = sa.exceptAll(sb).count(); val sOnlyB = sb.exceptAll(sa).count()
+    println(s"[mw] signature pairs single=${sa.count()} multi=${sb.count()} " +
+      s"onlySingle=$sOnlyA onlyMulti=$sOnlyB")
+    require(sOnlyA == 0 && sOnlyB == 0,
+      "signature multi-writer drain diverged from the single-loop drain")
+    println("[mw] signature single == multi row-for-row — the media landing " +
+      "path's multiWriter claim measured on its own family")
+    dropSig("mw_sig1"); dropSig("mw_sig2")
     spark.stop()
   }
 }

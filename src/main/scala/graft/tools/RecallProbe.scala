@@ -73,6 +73,30 @@ object RecallProbe {
       print(s"[probe] q107 ivfpq k=10 nlist=16 nprobe=6 assign=$a: ")
       recall(annMa, exactQ5, 10)
     }
+
+    // ATTRIBUTE-FILTERED ladder (round 16, q141): candidates restricted
+    // to vec_id % 4 == 1 BEFORE the ADC scan; recall vs the FILTERED
+    // brute force. The three arms show what the survivor-floor widening
+    // buys at a starved nprobe: (a) widening off (nprobeMax pins the
+    // probe set), (b) widening on, (c) generous fixed nprobe as the
+    // ceiling reference.
+    val pred = pmod(col("vec_id"), lit(4)) === 1
+    val fids = e.filter(pred).select("vec_id")
+    val exactF = Similarity.bruteForceTopK(e.filter(pred), q5,
+      "vec_id", "embedding", k = 10).select("q_id", "c_id")
+    val idxF = Similarity.pqIndex(e, "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 32, seed = 42L, assign = 2)
+    for ((label, np, npMax) <- Seq(
+        ("nprobe=2 widening OFF", 2, 2),
+        ("nprobe=2 widening ON ", 2, -1),
+        ("nprobe=8 fixed        ", 8, 8))) {
+      val annF = Similarity.ivfPqTopK(idxF, e, q5, "vec_id", "embedding",
+          k = 10, nprobe = np, refine = 8, filterIds = Some(fids),
+          nprobeMax = npMax)
+        .select("q_id", "c_id")
+      print(s"[probe] q141 filtered ivfpq k=10 $label: ")
+      recall(annF, exactF, 10)
+    }
     spark.stop()
   }
 }

@@ -197,4 +197,69 @@ class BpeSpec extends AnyFunSuite {
         "text", 2)
     }
   }
+
+  test("byte-level pretok kernel: contractions, punctuation, space pieces, byte fallback — hand-pinned") {
+    import graft.functions.BpeBytePretokKernel
+    def cnt(text: String, merges: Seq[(String, String)]): Int = {
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      TextAnalysis.byteMergeTokenCount(df, "doc_id", "text", merges, "n")
+        .head().getAs[Int]("n")
+    }
+    // space bytes COUNT at byte level: "a b" -> [a][ ][b] without a
+    // space rule, [a][ b] with one
+    assert(cnt("a b", Seq(("x", "y"))) == 3)
+    assert(cnt("a b", Seq((" ", "b"))) == 2)
+    // contraction boundary: whitespace-split can merge across n-'
+    // inside "don't"; the pretokenizer splits [don]['t] first
+    val rule = Seq(("n", "'"))
+    val dfD = Seq((1L, "don't")).toDF("doc_id", "text")
+    val wsCount = TextAnalysis.mergeTokenCount(dfD, "doc_id", "text", rule, "n")
+      .head().getAs[Int]("n")
+    assert(wsCount == 4, s"whitespace path merges n-': $wsCount") // d o n' t
+    assert(cnt("don't", rule) == 5, "pretokenizer forbids the cross-boundary merge") // d o n | ' t
+    // punctuation runs become their own pretokens
+    assert(cnt("word,", Seq(("w", "o"))) == 4) // wo r d | ,
+    // byte fallback: é is two UTF-8 bytes (0xC3 0xA9); a byte rule
+    // merges them back to one token
+    assert(cnt("é", Seq(("x", "y"))) == 2)
+    assert(cnt("é", Seq(("Ã", "©"))) == 1)
+    // ASCII single-pretoken equivalence with the whitespace kernel
+    val dfT = Seq((1L, "testing")).toDF("doc_id", "text")
+    val a = TextAnalysis.mergeTokenCount(dfT, "doc_id", "text",
+      TextAnalysis.demoBpeMerges, "n").head().getAs[Int]("n")
+    assert(cnt("testing", TextAnalysis.demoBpeMerges) == a)
+    // raw kernel agrees with the expression (codegen path exercised by
+    // the DataFrame call above; interpreted here)
+    val ranksDemo = new java.util.HashMap[String, Integer]()
+    TextAnalysis.demoByteMerges.zipWithIndex.foreach { case ((x, y), i) =>
+      ranksDemo.putIfAbsent(x + "\u0001" + y, i)
+    }
+    assert(BpeBytePretokKernel.count(UTF8String.fromString("the cat"), ranksDemo) ==
+      cnt("the cat", TextAnalysis.demoByteMerges))
+    // inconsistent byte rule list refuses
+    intercept[IllegalArgumentException] {
+      cnt("x", Seq(("ab", "c")))
+    }
+  }
+
+  test("byte-level trainer learns space-prefixed pieces; whitespace trainer cannot") {
+    val corpus = Seq.fill(6)((1L, "the cat and the bat and the rat"))
+      .zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val byteRules = TextAnalysis.trainBpeMerges(corpus, "text",
+      numMerges = 6, minFreq = 2L, byteLevel = true)
+    assert(byteRules.nonEmpty)
+    // space-side rules exist at byte level (" t" family appears in
+    // " the" x2 per doc + " rat"/" bat" tails)
+    assert(byteRules.exists { case (a, b, _) => (a + b).contains(" ") },
+      s"no space-prefixed piece learned: $byteRules")
+    // the learned rules feed the counting kernel directly
+    val counted = TextAnalysis.byteMergeTokenCount(corpus, "doc_id", "text",
+      byteRules.map(r => (r._1, r._2)), "n").select("n").head().getInt(0)
+    assert(counted > 0)
+    // whitespace trainer on the same corpus never learns a space side
+    val wsRules = TextAnalysis.trainBpeMerges(corpus, "text",
+      numMerges = 6, minFreq = 2L)
+    assert(wsRules.forall { case (a, b, _) => !(a + b).contains(" ") })
+  }
 }

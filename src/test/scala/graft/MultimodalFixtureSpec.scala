@@ -341,4 +341,83 @@ class MultimodalFixtureSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 9L || p._2 == 9L),
       s"an unrelated clip must not pair at tau 0.9: $pairs")
   }
+
+  test("VideoCodec disposal compositing: a delta-frame re-encode of the same animation fingerprints identically (all three disposal methods)") {
+    import graft.operators.Multimodal.VideoCodec
+    val palette = Array(0x1b2838, 0xc84b31, 0x346751, 0xecdbba,
+      0x2d4263, 0x91c483, 0xffe162)
+    def base(): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(45, 40,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 40; x <- 0 until 45)
+        img.setRGB(x, y, 0xff000000 |
+          palette((x * 5 + y * 7 + (x * y % 13)) % palette.length))
+      img
+    }
+    def withPatch(src: java.awt.image.BufferedImage, px: Int, py: Int,
+                  pw: Int, ph: Int, seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(45, 40,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics(); g.drawImage(src, 0, 0, null); g.dispose()
+      for (y <- py until py + ph; x <- px until px + pw)
+        img.setRGB(x, y, 0xff000000 | palette((x + y * 3 + seed) % palette.length))
+      img
+    }
+    def patchOf(img: java.awt.image.BufferedImage, px: Int, py: Int,
+                pw: Int, ph: Int): java.awt.image.BufferedImage = {
+      val p = new java.awt.image.BufferedImage(pw, ph,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = p.createGraphics()
+      g.drawImage(img, -px, -py, null); g.dispose()
+      p
+    }
+    val s0 = base()
+    val s1 = withPatch(s0, 12, 8, 16, 12, 3)   // patch A applied
+    val s2 = withPatch(s1, 20, 20, 14, 10, 5)  // patch B applied on top
+    // --- doNotDispose deltas: full-frame encode vs patch-rect encode
+    val full = VideoCodec.encodeGif(Seq(s0, s1, s2))
+    val delta = VideoCodec.encodeGifFrames(Seq(
+      (s0, 0, 0, "doNotDispose"),
+      (patchOf(s1, 12, 8, 16, 12), 12, 8, "doNotDispose"),
+      (patchOf(s2, 20, 20, 14, 10), 20, 20, "none")))
+    assert(!java.util.Arrays.equals(full, delta))
+    val Some(hFull) = VideoCodec.decodeFrameHashes(full, 16)
+    val Some(hDelta) = VideoCodec.decodeFrameHashes(delta, 16)
+    assert(hFull.toSeq == hDelta.toSeq,
+      "delta-frame re-encode must composite to identical fingerprints")
+    // --- restoreToPrevious: a blink animation (S0, S0+patch, S0)
+    val onePix = patchOf(s0, 0, 0, 1, 1)
+    val blinkFull = VideoCodec.encodeGif(Seq(s0, s1, s0))
+    val blinkDelta = VideoCodec.encodeGifFrames(Seq(
+      (s0, 0, 0, "doNotDispose"),
+      (patchOf(s1, 12, 8, 16, 12), 12, 8, "restoreToPrevious"),
+      (onePix, 0, 0, "none")))
+    assert(VideoCodec.decodeFrameHashes(blinkFull, 16).get.toSeq ==
+      VideoCodec.decodeFrameHashes(blinkDelta, 16).get.toSeq,
+      "restoreToPrevious must rewind the canvas to the pre-draw screen")
+    // --- restoreToBackgroundColor: the patch rect clears to the
+    // opaque-black canvas ground after its frame
+    val s2bg = {
+      val img = new java.awt.image.BufferedImage(45, 40,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.drawImage(s0, 0, 0, null)
+      g.setColor(java.awt.Color.BLACK)
+      g.fillRect(12, 8, 16, 12)
+      g.dispose()
+      img
+    }
+    val bgFull = VideoCodec.encodeGif(Seq(s0, s1, s2bg))
+    val bgDelta = VideoCodec.encodeGifFrames(Seq(
+      (s0, 0, 0, "doNotDispose"),
+      (patchOf(s1, 12, 8, 16, 12), 12, 8, "restoreToBackgroundColor"),
+      (onePix, 0, 0, "none")))
+    assert(VideoCodec.decodeFrameHashes(bgFull, 16).get.toSeq ==
+      VideoCodec.decodeFrameHashes(bgDelta, 16).get.toSeq,
+      "restoreToBackgroundColor must clear the frame rect to the ground")
+    // the banded signature join lands the doNotDispose pair at Hamming 0
+    // on every sampled frame (fold the per-frame hashes through xor of
+    // first frame as a quick signature stand-in is NOT needed — frame 0
+    // is already identical; assert the full sequences matched above)
+  }
 }

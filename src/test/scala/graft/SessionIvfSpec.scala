@@ -94,6 +94,49 @@ class SessionIvfSpec extends AnyFunSuite {
     assert(ann.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("attribute-filtered IVF-PQ: predicate pre-filters the code scan; survivor floor widens probes; exhaustive == FILTERED brute force") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    val pred = pmod(col("vec_id"), lit(4)) === 1
+    val fids = e.filter(pred).select("vec_id")
+    val idx = Similarity.pqIndex(e, "vec_id", "embedding")
+    // exhaustive probing + full refine over the FILTERED candidates must
+    // equal brute force over the filtered candidate set row for row
+    val exhaustive = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+        k = 10, nprobe = 16, refine = n, filterIds = Some(fids))
+      .orderBy("q_id", "rn").collect().map(_.toString)
+    val exact = Similarity.bruteForceTopK(e.filter(pred), q,
+        "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rn").collect()
+    assert(exhaustive.nonEmpty)
+    assert(exhaustive.sameElements(exact.map(_.toString)),
+      "exhaustive filtered IVF-PQ must reduce to the filtered brute force")
+    // production shape: a deliberately starved nprobe=1 — the survivor
+    // floor must WIDEN the probe set; every result satisfies the
+    // predicate; recall holds where the unwidened run starves
+    val wide = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+      k = 10, nprobe = 1, refine = 8, filterIds = Some(fids)).collect()
+    assert(wide.nonEmpty && wide.forall(_.getLong(1) % 4 == 1),
+      "filtered serving leaked a candidate outside the predicate")
+    val exactPairs = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(exactPairs).size.toDouble / exactPairs.size
+    val rWide = recall(wide)
+    // nprobeMax == nprobe disables the widening: the starved baseline
+    val narrow = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+      k = 10, nprobe = 1, refine = 8, filterIds = Some(fids),
+      nprobeMax = 1).collect()
+    val rNarrow = recall(narrow)
+    assert(rWide >= rNarrow,
+      s"widening must never lose recall: wide=$rWide narrow=$rNarrow")
+    assert(rWide >= 0.5, s"widened filtered recall too low: $rWide " +
+      s"(narrow baseline $rNarrow)")
+    // unfiltered call sites are untouched: filterIds=None keeps the
+    // q107-era defaults (covered by the exhaustive test above)
+  }
+
   test("IVF-PQ multi-assignment: exhaustive probe still == brute force (deduped); recall lifts at fixed probed fraction; save/load/encode carry assign") {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 20)
