@@ -191,7 +191,10 @@ object Dedup {
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
                    numPerms: Int = 32, rowsPerBand: Int = 4,
                    staging: Staging.Mode = Staging.Local): MinHashIndex = {
-    val withSh = df
+    // spread before the kernel (round 16): the signature projection is
+    // the corpus's CPU floor, and a narrow scan otherwise pins it to
+    // the file count — see Staging.spread (no-op past defaultParallelism)
+    val withSh = Staging.spread(df, col(idCol))
       .withColumn("__toks", split(col(textCol), " "))
       .withColumn("__sh", shingleExpr("__toks"))
     val sh = staging(withSh.select(col(idCol), col("__sh")))
@@ -223,10 +226,14 @@ object Dedup {
     // fenced like every other family-mutating writer so it cannot
     // interleave with a live ingest loop or compaction on the prefix
     Fence.withFence(spark, prefix, "saveMinhashIndex") {
-    idx.bands.write.mode("overwrite").format("parquet")
+    // bucket-aligned writes (round 16): exactly `buckets` files per
+    // table instead of tasks x buckets — see Layout.bucketAligned
+    Layout.bucketAligned(idx.bands, buckets, "band", "bucket")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(s"${prefix}_bands")
-    idx.shingles.write.mode("overwrite").format("parquet")
+    Layout.bucketAligned(idx.shingles, buckets, idx.idCol)
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, idx.idCol).sortBy(idx.idCol).saveAsTable(s"${prefix}_shingles")
     import spark.implicits._
     Seq((idx.idCol, idx.numPerms, idx.rowsPerBand, buckets))
@@ -747,7 +754,8 @@ object Dedup {
                        buckets: Int = 64): Unit = {
     val spark = idx.chunked.sparkSession
     Fence.withFence(spark, prefix, "saveSimhashIndex") {
-    idx.chunked.write.mode("overwrite").format("parquet")
+    Layout.bucketAligned(idx.chunked, buckets, "chunk", "ckey")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "chunk", "ckey").sortBy("chunk", "ckey")
       .saveAsTable(s"${prefix}_chunked")
     import spark.implicits._
@@ -770,7 +778,10 @@ object Dedup {
     * vote kernel) + chunk explode — shuffle-free scan projection. */
   def simhashIndex(df: DataFrame, idCol: String, textCol: String,
                    staging: Staging.Mode = Staging.Local): SimHashIndex = {
-    val sigd = df.withColumn("__sig", simhash64(s"split($textCol, ' ')"))
+    // spread before the kernel (round 16): see Staging.spread — the
+    // 64-hyperplane vote otherwise runs at the scan's file width
+    val sigd = Staging.spread(df, col(idCol))
+      .withColumn("__sig", simhash64(s"split($textCol, ' ')"))
     SimHashIndex(idCol, staging(sigd.select(col(idCol), col("__sig"),
       explode(expr("transform(sequence(0, 3), c -> " +
         "named_struct('chunk', c, 'ckey', shiftright(`__sig`, c * 16) & 65535))")).as("cb"))
@@ -1138,7 +1149,9 @@ object Dedup {
   def containmentIndex(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3,
                        staging: Staging.Mode = Staging.Local): ContainmentIndex = {
-    val base = staging(containmentBase(df, idCol, textCol, n))
+    // spread before the gram kernel (round 16): see Staging.spread
+    val base = staging(containmentBase(
+      Staging.spread(df, col(idCol)), idCol, textCol, n))
     ContainmentIndex(idCol, n, base,
       base.select(col("id"), explode(col("sh")).as("gram")))
   }
@@ -1154,9 +1167,11 @@ object Dedup {
                            buckets: Int = 64): Unit = {
     val spark = idx.posting.sparkSession
     Fence.withFence(spark, prefix, "saveContainmentIndex") {
-    idx.posting.write.mode("overwrite").format("parquet")
+    Layout.bucketAligned(idx.posting, buckets, "gram")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "gram").sortBy("gram").saveAsTable(s"${prefix}_posting")
-    idx.base.write.mode("overwrite").format("parquet")
+    Layout.bucketAligned(idx.base, buckets, "id")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${prefix}_base")
     import spark.implicits._
     Seq((idx.idCol, idx.n, buckets)).toDF("id_col", "n", "buckets")

@@ -130,7 +130,11 @@ object Similarity {
               vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
               seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    val base = withNorm(candidates, idCol, vecCol, "c_id", "cv", "cn")
+    // spread before the fit (round 16): the Lloyd iterations and the
+    // cell transform otherwise run at the scan's file width — see
+    // Staging.spread (no-op once partitions >= defaultParallelism)
+    val base = withNorm(Staging.spread(candidates, col(idCol)),
+        idCol, vecCol, "c_id", "cv", "cn")
       .withColumn("features", array_to_vector(col("cv")))
     // random init + capped iterations: IVF cells are an approximate
     // routing structure — recall (pinned in SessionIvfSpec) needs
@@ -339,7 +343,10 @@ object Similarity {
               trainSample: Int = 16384, assign: Int = 1): PqIndex = {
     require(assign >= 1 && assign <= nlist,
       s"multi-assignment must be in [1, nlist]: assign=$assign nlist=$nlist")
-    val base = withNorm(candidates, idCol, vecCol, "c_id", "cv", "cn")
+    // spread before the encode kernel (round 16): the per-row cell
+    // argmin + m code argmins otherwise run at the scan's file width
+    val base = withNorm(Staging.spread(candidates, col(idCol)),
+      idCol, vecCol, "c_id", "cv", "cn")
     val dim = candidates.select(size(col(vecCol))).limit(1).head.getInt(0)
     require(dim % m == 0, s"PQ subspaces must divide dim: dim=$dim m=$m")
     val dsub = dim / m
@@ -609,11 +616,32 @@ object Similarity {
       case Some(_) =>
         val floor = if (survivorFloor > 0) survivorFloor else k * refine
         val cc = codesScan.groupBy("cell").agg(count(lit(1)).as("__cc"))
+        // SELECTIVITY-PROPORTIONAL widening (round 16 — the survivor
+        // floor alone does not scale: at bench scale every cell holds
+        // >> k·refine filtered candidates, so the floor is met in the
+        // first ranked cell and no widening happens — while the
+        // filtered top-k sit ~1/f deeper in the unfiltered neighbor
+        // ranking, i.e. in MORE ranked cells, not denser ones; measured
+        // as q141's recall floor failing at sf0.1 with nprobe=2 while
+        // passing at sf0.01). With filter selectivity f = kept/total,
+        // cover ceil(nprobe/f) ranked cells — the filtered scan then
+        // spans the same neighbor depth the unfiltered nprobe scan
+        // covers. The survivor floor stays as the secondary widener for
+        // CORRELATED filters (cells wholly emptied by the predicate
+        // contribute no candidates, so mass, not rank, is the binding
+        // constraint there). Both are one narrow aggregate each —
+        // nlist-sized, no corpus-scale work.
+        val total = index.codes.agg(count(lit(1))).head.getLong(0)
+        val kept = codesScan.agg(count(lit(1))).head.getLong(0)
+        val npEff =
+          if (kept <= 0) npMax
+          else math.min(npMax.toLong, math.max(nprobe.toLong,
+            (nprobe.toLong * total + kept - 1) / kept)).toInt
         ranked.join(cc, Seq("cell"), "left")
           .withColumn("__cum", sum(coalesce(col("__cc"), lit(0L))).over(
             Window.partitionBy("q_id").orderBy("__crk")
               .rowsBetween(Window.unboundedPreceding, -1)))
-          .filter(col("__crk") <= nprobe ||
+          .filter(col("__crk") <= npEff ||
             coalesce(col("__cum"), lit(0L)) < floor)
           .drop("__cc", "__cum")
     }
@@ -666,7 +694,9 @@ object Similarity {
     // writer fence (round 11): saves overwrite the whole family — fenced
     // like every other family-mutating writer (see graft.operators.Fence)
     Fence.withFence(spark, prefix, "savePqIndex") {
-    idx.codes.write.mode("overwrite").format("parquet")
+    // bucket-aligned write (round 16): see Layout.bucketAligned
+    Layout.bucketAligned(idx.codes, buckets, "cell")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_codes")
     import spark.implicits._
     Seq((idx.idCol, idx.m, idx.ksub, idx.dim, idx.seed,
@@ -821,6 +851,11 @@ object Similarity {
                                   trainSample: Int, maxPairs: Long,
                                   staging: Staging.Mode,
                                   pretrained: Option[Coarse] = None): DataFrame = {
+    // NO Staging.spread here (round 16): this entry also receives
+    // shuffle-derived frames (the collapse branch's rep frame), where
+    // the spread's width probe would execute the upstream stages once
+    // just to read a partition count — spread sits on the scan-shaped
+    // public entries (semIndex, pqIndex, ivfTopK) instead
     val base = withNorm(df, idCol, vecCol, "c_id", "cv", "cn")
     val cq = pretrained.getOrElse(
       trainCoarse(sampleDistinctVecs(base, trainSample), nlist, seed))
@@ -892,7 +927,8 @@ object Similarity {
                staging: Staging.Mode = Staging.Local,
                collapsePairsPerDoc: Double = 2.0): SemIndex = {
     val k = resolveSemNlist(df, nlist, maxPairs)
-    val base = staging(withNorm(df, idCol, vecCol, "id", "cv", "cn"))
+    val base = staging(withNorm(Staging.spread(df, col(idCol)),
+      idCol, vecCol, "id", "cv", "cn"))
     val cq = trainCoarse(sampleDistinctVecs(base, trainSample), k, seed)
     // decisions run against THIS model (no re-count, no re-sample, no
     // second pair of Lloyd fits — the round-9 advisory): the recorded
@@ -1028,7 +1064,8 @@ object Similarity {
   def saveSemIndex(idx: SemIndex, prefix: String, buckets: Int = 16): Unit = {
     val spark = idx.docs.sparkSession
     Fence.withFence(spark, prefix, "saveSemIndex") {
-    idx.docs.write.mode("overwrite").format("parquet")
+    Layout.bucketAligned(idx.docs, buckets, "cell")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_docs")
     import spark.implicits._
     Seq((idx.idCol, idx.threshold, idx.seed,
@@ -1249,10 +1286,12 @@ object Similarity {
                      buckets: Int = 64): Unit = {
     val spark = idx.hashed.sparkSession
     Fence.withFence(spark, prefix, "saveEmbedIndex") {
-    idx.hashed.write.mode("overwrite").format("parquet")
+    Layout.bucketAligned(idx.hashed, buckets, "t", "h")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "t", "h").sortBy("t", "h")
       .saveAsTable(s"${prefix}_hashed")
-    idx.vecs.write.mode("overwrite").format("parquet")
+    Layout.bucketAligned(idx.vecs, buckets, "id")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${prefix}_vecs")
     import spark.implicits._
     Seq((idx.idCol, idx.bitsPerTable, idx.numTables, idx.seed, idx.dim, buckets))
@@ -1336,7 +1375,10 @@ object Similarity {
       else df.select(size(col(vecCol))).limit(1).head.getInt(0)
     val planes = signPlanes(numTables, bitsPerTable, vecDim, seed)
     val hvec = array((0 until numTables).map(t => tableKey(planes(t), col("arr"))): _*)
-    val vecs = staging(df
+    // spread before the kernel (round 16): numTables*bits hyperplane
+    // dots per row otherwise run at the scan's file width — see
+    // Staging.spread (no-op once partitions >= defaultParallelism)
+    val vecs = staging(Staging.spread(df, col(idCol))
       .select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("arr"))
       .withColumn("nrm", l2norm(col("arr")))
       .filter(col("nrm") > 0) // zero-norm exclusion (withNorm contract)

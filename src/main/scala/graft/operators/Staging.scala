@@ -53,4 +53,45 @@ object Staging {
   case object None extends Mode {
     def apply(df: DataFrame): DataFrame = df
   }
+
+  /** Restore full-session parallelism ahead of a CPU-heavy kernel
+    * projection when the source partitioning under-fills the cluster
+    * (round 16; guide §2.6 — stragglers and idle capacity). A narrow
+    * scan of a small file set arrives in fewer partitions than the
+    * session has cores, and every kernel stage built on it (MinHash
+    * signatures, shingle explosion, hyperplane votes, media decode)
+    * inherits that width: at sf0.1 the whole MinHash kernel ran as 2
+    * tasks on 32 cores — one idle-capacity straggler pair owning the
+    * query's wall. The deterministic hash repartition on `key` engages
+    * ONLY when the input has fewer partitions than
+    * `defaultParallelism`; a 100-TB scan arrives in thousands of
+    * partitions and passes through untouched, so the exchange is paid
+    * exactly (and only) in the regime where cores would otherwise sit
+    * idle. Hash-on-key rather than round-robin: no
+    * sortBeforeRepartition pre-sort, and the row→partition map is a
+    * pure function of the data, so task retries are safe (guide §2.5).
+    * Row set is unchanged — callers' joins/aggregations are
+    * order-insensitive by the engine's determinism doctrine.
+    *
+    * Probe safety: the width probe is `df.rdd.getNumPartitions`, and
+    * under AQE that call materializes every upstream shuffle stage —
+    * on a shuffle-derived frame it would silently execute (and the
+    * later action re-execute) the whole upstream pipeline. A frame
+    * with any shuffle-inducing operator in its optimized plan is
+    * therefore passed through unprobed: its width is already the
+    * shuffle width, which is the session's parallelism. Only
+    * scan-shaped / checkpointed plans (project/filter/union/generate
+    * over sources) are probed, where `toRdd` is pure metadata. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    if (df.isStreaming) return df // no partition probe on streams
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffleDerived = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort => true
+      case _: RepartitionOperation => true
+      case _ => false
+    }
+    if (shuffleDerived) return df
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
+  }
 }

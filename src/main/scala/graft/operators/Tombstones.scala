@@ -351,7 +351,9 @@ object Tombstones {
                            bucketCols: Seq[String]): Unit = {
     val tmp = tbl + "__compact"
     def write(df: org.apache.spark.sql.DataFrame, to: String): Unit = {
-      val w0 = df.write.mode("overwrite").format("parquet")
+      // bucket-aligned (round 16): see Layout.bucketAligned
+      val w0 = Layout.bucketAligned(df, buckets, bucketCols: _*)
+        .write.mode("overwrite").format("parquet")
       val w1 = if (df.columns.contains("ingest_batch")) w0.partitionBy("ingest_batch") else w0
       w1.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)

@@ -148,7 +148,12 @@ object TextQueries {
         val lshSlice = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.8)
           .filter(inSlice(col("a_id")) && inSlice(col("b_id")))
           .select("a_id", "b_id").localCheckpoint(true)
-        val slice = corpus.filter(inSlice(col("doc_id")))
+        // spread before checkpoint (round 16): the exact tier's
+        // all-pairs jaccard runs on the probe side's partitioning —
+        // unspread, the 125k-pair nested-loop verify ran as 2 tasks
+        // (Staging.spread is a no-op once partitions >= cores)
+        val slice = graft.operators.Staging.spread(
+            corpus.filter(inSlice(col("doc_id"))), col("doc_id"))
           .withColumn("__toks", split(col("text"), " "))
           .select(col("doc_id"), col("text"), Dedup.shingleExpr("__toks").as("__sh"))
           .localCheckpoint(true)

@@ -443,7 +443,8 @@ object IngestLoop {
       }
       if (replayed) graft.operators.Tombstones.bumpGeneration(spark, prefix)
     }
-    shard.bands.withColumn("ingest_batch", lit(pid))
+    graft.operators.Layout.bucketAligned(shard.bands, buckets, "band", "bucket")
+      .withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
@@ -452,7 +453,8 @@ object IngestLoop {
     // batch reads as alive, not crashed, to an operator eyeing
     // forceRelease
     graft.operators.Fence.heartbeat(spark, prefix, owner)
-    shard.shingles.withColumn("ingest_batch", lit(pid))
+    graft.operators.Layout.bucketAligned(shard.shingles, buckets, idCol)
+      .withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, idCol).sortBy(idCol)
@@ -719,14 +721,16 @@ object IngestLoop {
       }
       if (replayed) graft.operators.Tombstones.bumpGeneration(spark, prefix)
     }
-    shard.hashed.withColumn("ingest_batch", lit(pid))
+    graft.operators.Layout.bucketAligned(shard.hashed, buckets, "t", "h")
+      .withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "t", "h").sortBy("t", "h")
       .saveAsTable(s"${prefix}_hashed")
     // between-append liveness beacon: see ingestMinhashBatch
     graft.operators.Fence.heartbeat(spark, prefix, owner)
-    shard.vecs.withColumn("ingest_batch", lit(pid))
+    graft.operators.Layout.bucketAligned(shard.vecs, buckets, "id")
+      .withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "id").sortBy("id")
@@ -823,7 +827,8 @@ object IngestLoop {
         spark.sql(s"ALTER TABLE ${prefix}_codes DROP IF EXISTS PARTITION (ingest_batch=$pid)")
         graft.operators.Similarity.encodePq(batch, vecCol, idx)
       }
-    codes.withColumn("ingest_batch", lit(pid))
+    graft.operators.Layout.bucketAligned(codes, buckets, "cell")
+      .withColumn("ingest_batch", lit(pid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "cell").sortBy("cell")
@@ -908,7 +913,8 @@ object IngestLoop {
         graft.operators.Similarity.semanticDedupIncremental(
           batch, vecCol, idx, maxPairs)
       }
-    docs.withColumn("ingest_batch", lit(bid))
+    graft.operators.Layout.bucketAligned(docs, buckets, "cell")
+      .withColumn("ingest_batch", lit(bid))
       .write.mode("append").format("parquet")
       .partitionBy("ingest_batch")
       .bucketBy(buckets, "cell").sortBy("cell")
@@ -1072,6 +1078,8 @@ object IngestLoop {
     val spark = pairs.sparkSession
     val lid = normLoopId(loopId)
     val owner = s"ingestCcBatch bid=$bid"
+    def label(s: String): Unit =
+      spark.sparkContext.setJobDescription(s"cc bid=$bid: $s")
     graft.operators.Fence.withFence(spark, prefix, owner) {
       // per-CC-round liveness beacon (round 13): the incremental run is
       // this batch's long leg — several corpus-touching rounds with no
@@ -1079,6 +1087,7 @@ object IngestLoop {
       // operator eyeing forceRelease. Each round stamps the fence.
       val beat = () => graft.operators.Fence.heartbeat(spark, prefix, owner)
       val exists = familyExists(spark, prefix, Seq("labels", "meta"))
+      label("delta")
       val delta =
         if (!exists) Dedup.connectedComponents(pairs, aCol, bCol, onRound = beat)
         else {
@@ -1091,7 +1100,9 @@ object IngestLoop {
         }
       // between-leg beacon before the append, mirroring the other loops
       graft.operators.Fence.heartbeat(spark, prefix, owner)
-      delta.withColumn("ingest_batch", lit(bid))
+      label("append labels")
+      graft.operators.Layout.bucketAligned(delta, buckets, "id")
+        .withColumn("ingest_batch", lit(bid))
         .write.mode("append").format("parquet")
         .partitionBy("ingest_batch")
         .bucketBy(buckets, "id").sortBy("id")
@@ -1103,7 +1114,9 @@ object IngestLoop {
           .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
       }
     }
+    label("maintain check")
     maybeMaintain(spark, prefix)
+    spark.sparkContext.setJobDescription(null)
   }
 
   /** Fold the components family's delta log (round 13 — the LSM fold
@@ -1148,7 +1161,8 @@ object IngestLoop {
         if (buckets > 0) buckets
         else spark.table(s"${prefix}_meta").head().getAs[Int]("buckets")
       def write(df: DataFrame, to: String): Unit =
-        df.write.mode("overwrite").format("parquet")
+        graft.operators.Layout.bucketAligned(df, b, "id")
+          .write.mode("overwrite").format("parquet")
           .partitionBy("ingest_batch")
           .bucketBy(b, "id").sortBy("id")
           .saveAsTable(to)
@@ -1194,7 +1208,8 @@ object IngestLoop {
         if (buckets > 0) buckets
         else spark.table(s"${prefix}_meta").head().getAs[Int]("buckets")
       def write(df: DataFrame, to: String): Unit =
-        df.write.mode("overwrite").format("parquet")
+        graft.operators.Layout.bucketAligned(df, b, "id")
+          .write.mode("overwrite").format("parquet")
           .partitionBy("ingest_batch")
           .bucketBy(b, "id").sortBy("id")
           .saveAsTable(to)
@@ -1339,7 +1354,8 @@ object IngestLoop {
           spark.sql(s"ALTER TABLE ${prefix}_chunked DROP IF EXISTS PARTITION (ingest_batch=$pid)")
           if (replayed) graft.operators.Tombstones.bumpGeneration(spark, prefix)
         }
-        shard.chunked.withColumn("ingest_batch", lit(pid))
+        graft.operators.Layout.bucketAligned(shard.chunked, buckets, "chunk", "ckey")
+          .withColumn("ingest_batch", lit(pid))
           .write.mode("append").format("parquet")
           .partitionBy("ingest_batch")
           .bucketBy(buckets, "chunk", "ckey").sortBy("chunk", "ckey")
@@ -1453,6 +1469,11 @@ object IngestLoop {
     // cluster-wide parallelism for everything downstream.
     val spread = batch.repartition(col(idCol))
     val owner = s"ingestContainmentBatch bid=$bid"
+    // job labels (guide §1.5): phases of a batch are readable in the UI
+    // and in JobProfile without a debugger
+    def label(s: String): Unit =
+      spark.sparkContext.setJobDescription(s"containment bid=$bid: $s")
+    label("shard index")
     val shard = Dedup.containmentIndex(spread, idCol, textCol, n)
     val (pid, mkCorpus, gen0) =
       graft.operators.Fence.withFence(spark, prefix, owner) {
@@ -1480,14 +1501,18 @@ object IngestLoop {
           }
           if (replayed) graft.operators.Tombstones.bumpGeneration(spark, prefix)
         }
-        shard.posting.withColumn("ingest_batch", lit(pid))
+        label("append posting")
+        graft.operators.Layout.bucketAligned(shard.posting, buckets, "gram")
+          .withColumn("ingest_batch", lit(pid))
           .write.mode("append").format("parquet")
           .partitionBy("ingest_batch")
           .bucketBy(buckets, "gram").sortBy("gram")
           .saveAsTable(s"${prefix}_posting")
         // between-append liveness beacon: see ingestMinhashBatch
         graft.operators.Fence.heartbeat(spark, prefix, owner)
-        shard.base.withColumn("ingest_batch", lit(pid))
+        label("append base")
+        graft.operators.Layout.bucketAligned(shard.base, buckets, "id")
+          .withColumn("ingest_batch", lit(pid))
           .write.mode("append").format("parquet")
           .partitionBy("ingest_batch")
           .bucketBy(buckets, "id").sortBy("id")
@@ -1501,6 +1526,7 @@ object IngestLoop {
         }
         (pid, mkCorpus, graft.operators.Tombstones.generation(spark, prefix))
       } // fence released — mine unfenced
+    label("mine")
     mineAndPublish(spark, prefix, owner, gen0) {
       if (groupsPrefix.nonEmpty)
         // GROUP-SIZED emission (round 16): the batch's qualifying pairs
@@ -1518,7 +1544,9 @@ object IngestLoop {
         Dedup.containmentJoinIncremental(shard, mkCorpus(), tau, maxCandidates)
           .write.mode("overwrite").parquet(s"$pairsDir/ingest_batch=$pid")
     }
+    label("maintain check")
     maybeMaintain(spark, prefix)
+    spark.sparkContext.setJobDescription(null)
   }
 
   /** Drive a streaming document source through the containment
