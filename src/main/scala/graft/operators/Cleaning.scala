@@ -258,6 +258,196 @@ object Cleaning {
     cols.map(c => c -> out(c)).toMap
   }
 
+  /** Grouped twin of [[bracketQuantiles]] (round 16): exact type-7
+    * quantiles per (group, column) in THREE corpus passes TOTAL instead
+    * of three PER GROUP. The per-class caller shape (KdeNb's bw.nrd0
+    * IQR: one filtered bracketQuantiles call per class) pays
+    * classes × 3 full scans — 192 corpus passes for a 64-class fit at
+    * 100 TB where 3 suffice. Here pass 1 is ONE grouped aggregate
+    * (count/min/max/approx_percentile per group), and passes 2–3 are
+    * ONE global aggregate each whose bracket counters/collects are
+    * group-predicated (`when(g = v, …)`) — the same bracket → count →
+    * interior-select machinery with identical selection arithmetic, so
+    * results are value-identical to the filtered per-group calls
+    * (pinned in CleaningSpec). Retry state (rank-miss widen / oversize
+    * escalation / exact-percentile safety net) is per (group, column),
+    * mirroring the ungrouped cause-split verbatim; retried states rerun
+    * pass 1 grouped per (accuracy, pad) tier. Groups absent from the
+    * data are absent from the result (the filtered form would return
+    * NaNs for them — a caller enumerating groups from the same data
+    * never sees the difference). Driver memory: one row per group in
+    * pass 1 and `groups × cols × brackets` counters in pass 2 — bounded
+    * by the same collection budget discipline as the per-group path
+    * (callers bound their group cardinality; KdeNb's maxClasses). */
+  def bracketQuantilesByGroup(df: DataFrame, groupCol: String,
+                              cols: Seq[String], probs: Seq[Double],
+                              accuracy: Int = 10000,
+                              maxBracket: Long = 4000000L,
+                              onRetry: (String, String, Long) => Unit = (_, _, _) => ())
+      : Map[(String, String), Seq[Double]] = {
+    val vcols = cols.indices.map(i => s"__q$i")
+    val vals = df.select(col(s"`$groupCol`").cast("string").as("__g") +:
+      cols.zip(vcols).map { case (c, v) =>
+        col(s"`$c`").cast("double").as(v) }: _*)
+    val out = scala.collection.mutable.Map[(String, String), Seq[Double]]()
+    case class St(g: String, c: String, v: String, acc: Long, pad: Double,
+                  widens: Int, escalations: Int)
+    val maxAcc = 100000000L
+    // seed states from pass 0: the groups present in the data
+    val groups = vals.select("__g").filter(col("__g").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    var remaining: Seq[St] = for (g <- groups; (c, v) <- cols.zip(vcols))
+      yield St(g, c, v, accuracy.toLong, 2.0 / accuracy, 0, 0)
+    var attempt = 0
+    while (remaining.nonEmpty && attempt < 12) {
+      // pass 1, grouped, one aggregate per (acc, pad) tier (first
+      // attempt = one tier; retries are rare and per-state)
+      val r1ByGc = scala.collection.mutable.Map[(String, String), org.apache.spark.sql.Row]()
+      remaining.groupBy(st => (st.acc, st.pad)).foreach { case ((acc, pad), sts) =>
+        val tierCols = sts.map(_.v).distinct
+        val sketchProbs = probs.flatMap(p =>
+          Seq(math.max(0.0, p - pad), math.min(1.0, p + pad)))
+        val aggs = tierCols.flatMap { v =>
+          Seq(count(col(v)).as(s"n_$v"), min(col(v)).as(s"mn_$v"),
+            max(col(v)).as(s"mx_$v"),
+            expr(s"approx_percentile($v, array(${sketchProbs.mkString(", ")}), $acc)")
+              .as(s"ap_$v"))
+        }
+        val tierGroups = sts.map(_.g).distinct
+        vals.filter(col("__g").isin(tierGroups: _*))
+          .groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+          .collect().foreach { r =>
+            tierCols.foreach(v => r1ByGc((r.getString(0), v)) = r)
+          }
+      }
+      case class Plan(st: St, n: Long, ranks: Seq[Long],
+                      brackets: Seq[(Double, Double)])
+      val next = scala.collection.mutable.Buffer[St]()
+      val plans = remaining.flatMap { st =>
+        val r1 = r1ByGc.get((st.g, st.v)).orNull
+        val n = if (r1 == null) 0L else r1.getAs[Long](s"n_${st.v}")
+        if (n == 0) { out((st.g, st.c)) = probs.map(_ => Double.NaN); None }
+        else if (2.0 * st.pad * n > maxBracket && st.acc < maxAcc) {
+          val want = math.min(maxAcc, math.max(st.acc * 8, 8L * (n / maxBracket + 1)))
+          onRetry(st.c, "oversize", want)
+          next += st.copy(acc = want, pad = 2.0 / want,
+            escalations = st.escalations + 1)
+          None
+        } else {
+          val (mn, mx) = (r1.getAs[Double](s"mn_${st.v}"), r1.getAs[Double](s"mx_${st.v}"))
+          val ap = r1.getSeq[Double](r1.fieldIndex(s"ap_${st.v}"))
+          val ranks = probs.map(_ * (n - 1)).flatMap(pos =>
+            Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).distinct.sorted
+          val raw = probs.indices.map { j =>
+            val lo = if (probs(j) - st.pad <= 0) mn else ap(2 * j)
+            val hi = if (probs(j) + st.pad >= 1) mx else ap(2 * j + 1)
+            (math.min(lo, hi), math.max(lo, hi))
+          }.sortBy(_._1)
+          val merged = raw.foldLeft(List.empty[(Double, Double)]) {
+            case ((plo, phi) :: rest, (lo, hi)) if lo <= phi =>
+              (plo, math.max(phi, hi)) :: rest
+            case (acc0, b) => b :: acc0
+          }.reverse
+          Some(Plan(st, n, ranks, merged))
+        }
+      }
+      if (plans.nonEmpty) {
+        // pass 2: group-predicated bracket counters, one global aggregate
+        def tag(pl: Plan) = s"${groups.indexOf(pl.st.g)}_${pl.st.v}"
+        val grpOf = (pl: Plan) => col("__g") === lit(pl.st.g)
+        val cntAggs = plans.flatMap { pl =>
+          pl.brackets.zipWithIndex.flatMap { case ((lo, hi), i) =>
+            val v = col(pl.st.v); val in = grpOf(pl)
+            Seq(sum(when(in && v < lo, 1L).otherwise(0L)).as(s"lt_${tag(pl)}_$i"),
+              sum(when(in && v >= lo && v <= hi, 1L).otherwise(0L)).as(s"in_${tag(pl)}_$i"),
+              sum(when(in && v === lo, 1L).otherwise(0L)).as(s"lo_${tag(pl)}_$i"),
+              sum(when(in && v === hi, 1L).otherwise(0L)).as(s"hi_${tag(pl)}_$i"))
+          }
+        }
+        val r2 = vals.agg(cntAggs.head, cntAggs.tail: _*).head()
+        case class B(lt: Long, in: Long, eqLo: Long, eqHi: Long, interior: Long)
+        def meta(pl: Plan) = pl.brackets.indices.map { i =>
+          val lt = r2.getAs[Long](s"lt_${tag(pl)}_$i")
+          val in = r2.getAs[Long](s"in_${tag(pl)}_$i")
+          val eqLo = r2.getAs[Long](s"lo_${tag(pl)}_$i")
+          val eqHi = r2.getAs[Long](s"hi_${tag(pl)}_$i")
+          val (blo, bhi) = pl.brackets(i)
+          val interior = if (blo == bhi) 0L else in - eqLo - eqHi
+          B(lt, in, eqLo, eqHi, interior)
+        }
+        val (ready, retry) = plans.partition { pl =>
+          val m = meta(pl)
+          pl.ranks.forall(k => m.exists(b => k >= b.lt && k < b.lt + b.in)) &&
+            m.forall(_.interior <= maxBracket)
+        }
+        if (ready.nonEmpty) {
+          val interiors = ready.map(pl => pl -> meta(pl))
+          val colAggs = interiors.flatMap { case (pl, m) =>
+            pl.brackets.zipWithIndex.collect {
+              case ((lo, hi), i) if m(i).interior > 0 =>
+                sort_array(collect_list(when(
+                  grpOf(pl) && col(pl.st.v) > lo && col(pl.st.v) < hi,
+                  col(pl.st.v)))).as(s"vs_${tag(pl)}_$i")
+            }
+          }
+          val r3 = if (colAggs.nonEmpty)
+            vals.agg(colAggs.head, colAggs.tail: _*).head() else null
+          interiors.foreach { case (pl, m) =>
+            val byRank = pl.ranks.map { k =>
+              val i = m.indices.find(i => k >= m(i).lt && k < m(i).lt + m(i).in).get
+              val off = k - m(i).lt
+              val value =
+                if (off < m(i).eqLo) pl.brackets(i)._1
+                else if (off < m(i).eqLo + m(i).interior)
+                  r3.getSeq[Double](r3.fieldIndex(s"vs_${tag(pl)}_$i"))((off - m(i).eqLo).toInt)
+                else pl.brackets(i)._2
+              k -> value
+            }.toMap
+            out((pl.st.g, pl.st.c)) = probs.map { p =>
+              val pos = p * (pl.n - 1)
+              val lo = math.floor(pos).toLong
+              val hi = math.ceil(pos).toLong
+              if (hi == lo) byRank(lo)
+              else (hi - pos) * byRank(lo) + (pos - lo) * byRank(hi)
+            }
+          }
+        }
+        retry.foreach { pl =>
+          val m = meta(pl)
+          val covered = pl.ranks.forall(k => m.exists(b => k >= b.lt && k < b.lt + b.in))
+          if (!covered) {
+            onRetry(pl.st.c, "rankmiss", pl.st.acc)
+            next += pl.st.copy(pad = math.min(pl.st.pad * 8, 0.5),
+              widens = pl.st.widens + 1)
+          } else {
+            val want = math.min(maxAcc, pl.st.acc * 8)
+            onRetry(pl.st.c, "oversize", want)
+            next += pl.st.copy(acc = want, pad = 2.0 / want,
+              escalations = pl.st.escalations + 1)
+          }
+        }
+      }
+      val (fallback, keep) = next.partition(_.widens > 4)
+      fallback.groupBy(_.g).foreach { case (g, sts) =>
+        val aggs = sts.toSeq.map(st => pctExpr(st.v, probs, exact = true).as(st.v))
+        val row = vals.filter(col("__g") === lit(g))
+          .agg(aggs.head, aggs.tail: _*).head()
+        sts.foreach { st =>
+          onRetry(st.c, "fallback", st.acc)
+          out((st.g, st.c)) = row.getSeq[Double](row.fieldIndex(st.v))
+        }
+      }
+      remaining = keep.toSeq
+      attempt += 1
+    }
+    remaining.foreach { st =>
+      throw new IllegalStateException(
+        s"bracketQuantilesByGroup: (${st.g}, ${st.c}) still unresolved " +
+          s"after $attempt attempts (accuracy=${st.acc}, pad=${st.pad})")
+    }
+    out.toMap
+  }
+
   /** Exact type-7 quantiles via SKETCH-BRACKETED SELECTION — the 100-TB
     * path for EXACT quantiles. The `percentile` aggregate (used by
     * [[quantiles]]) buffers every value of a group in one aggregation

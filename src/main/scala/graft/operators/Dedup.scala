@@ -495,8 +495,8 @@ object Dedup {
     val fwd = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val edges = staging(fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct())
-    var labels = staging(edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id")))
+    var labelsInit = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
     // sum(comp) strictly decreases whenever any label improves (labels
     // only ever decrease), so fixpoint == unchanged sum: one aggregate
     // per round instead of a change-count join. coalesce: an EMPTY edge
@@ -505,7 +505,32 @@ object Dedup {
     def compSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("comp")), lit(0L)).cast("decimal(38,0)"))
         .head.getDecimal(0)
-    var prevSum = compSum(labels)
+    // OBSERVED convergence metric (round 16): under an EAGER staging
+    // mode each round already materializes `next` with one action —
+    // riding the label sum on that action as an observed metric
+    // (CollectMetrics) removes the per-round compSum job (one fewer
+    // driver round-trip per round, across every CC consumer). The
+    // eager staging runs through Dataset.withAction, which notifies the
+    // QueryExecutionListener Observation registers, so the metric is
+    // ready the moment the checkpoint action returns; lazy modes keep
+    // the explicit pass (no action to ride).
+    val eagerStaging = staging match {
+      case Staging.Local | Staging.Reliable(_) => true
+      case _ => false
+    }
+    def stageWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) =
+      if (!eagerStaging) { val s = staging(df); (s, compSum(s)) }
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val staged = staging(df.observe(obs,
+          coalesce(sum(col("comp")), lit(0L)).cast("decimal(38,0)").as("s")))
+        val s = obs.get("s") match {
+          case d: java.math.BigDecimal => d
+          case other => new java.math.BigDecimal(other.toString)
+        }
+        (staged, s)
+      }
+    var (labels, prevSum) = stageWithSum(labelsInit)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -526,9 +551,8 @@ object Dedup {
           labels.select(col("id"), col("comp").as("__via"))
             .join(labels.select(col("id").as("__via"), col("comp")), "__via")
             .select(col("id"), col("comp")))
-      val next = staging(candidates
+      val (next, s) = stageWithSum(candidates
         .groupBy("id").agg(min("comp").as("comp")))
-      val s = compSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

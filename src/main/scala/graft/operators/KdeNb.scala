@@ -112,14 +112,17 @@ object KdeNb {
       })
       val statRows = base.groupBy(col("__cls")).agg(aggs.head, aggs.tail: _*)
         .collect().map(r => r.getString(0) -> r).toMap
-      // exact type-7 IQR (== R quantile == DuckDB quantile_cont): one
-      // bracket-quantile pass per class — classes are maxClasses-bounded
+      // exact type-7 IQR (== R quantile == DuckDB quantile_cont): ONE
+      // grouped bracket-quantile pass for ALL classes (round 16 — the
+      // per-class form paid classes x 3 corpus scans; the grouped twin
+      // pays 3 total, value-identical per class, CleaningSpec-pinned)
       val iqrOf: Map[(String, String), Double] =
-        if (exactBandwidth) classes.flatMap { c =>
-          val qs = Cleaning.bracketQuantiles(
-            base.filter(col("__cls") === c), featureCols, Seq(0.25, 0.75))
-          featureCols.map(f => (c, f) -> (qs(f)(1) - qs(f)(0)))
-        }.toMap
+        if (exactBandwidth) {
+          val qs = Cleaning.bracketQuantilesByGroup(
+            base, "__cls", featureCols, Seq(0.25, 0.75))
+          (for (c <- classes; f <- featureCols)
+            yield (c, f) -> (qs((c, f))(1) - qs((c, f))(0))).toMap
+        }
         else classes.flatMap { c => featureCols.map { f =>
           val q = statRows(c).getSeq[Double](statRows(c).fieldIndex(s"q__$f"))
           (c, f) -> (q(1) - q(0))

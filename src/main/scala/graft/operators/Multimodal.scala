@@ -52,7 +52,8 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      Staging.spread(df, col(idCol)) // decode is the CPU floor (round 16)
+        .select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
     ds.mapPartitions { iter =>
       // real codec init would happen here, once per partition
       iter.map { case (id, bytes) => (id, FakeCodec.decode(bytes)) }
@@ -195,7 +196,8 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      Staging.spread(df, col(idCol)) // decode is the CPU floor (round 16)
+        .select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
     ds.mapPartitions { iter =>
       javax.imageio.ImageIO.setUseCache(false) // once per partition
       iter.map { case (id, bytes) =>
@@ -606,7 +608,8 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      Staging.spread(df, col(idCol)) // decode is the CPU floor (round 16)
+        .select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
     ds.mapPartitions { iter =>
       javax.imageio.ImageIO.setUseCache(false) // once per partition
       iter.map { case (id, bytes) =>
@@ -628,7 +631,8 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      Staging.spread(df, col(idCol)) // decode is the CPU floor (round 16)
+        .select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
     ds.mapPartitions { iter =>
       // codec init would go here; the WAV walker needs none
       iter.map { case (id, bytes) =>
@@ -649,7 +653,8 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      Staging.spread(df, col(idCol)) // decode is the CPU floor (round 16)
+        .select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
     ds.mapPartitions { iter =>
       javax.imageio.ImageIO.setUseCache(false) // once per partition
       iter.map { case (id, bytes) =>

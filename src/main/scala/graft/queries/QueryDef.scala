@@ -37,4 +37,24 @@ object QueryDef {
     (sum(c.cast(DecimalType(18, scale))).cast(DecimalType(27, scale)) * lit(f))
       .cast("long").cast("double").divide(lit(f))
   }
+
+  /** Multiset equality of two same-schema frames in ONE action (round
+    * 16): the contract rows previously pinned set-equality with two
+    * `exceptAll(...).count()` round-trips per comparison — four hash
+    * aggregates and two driver actions each. Grouping both sides to
+    * (row, multiplicity) and full-outer joining on the null-safe row
+    * key finds any multiplicity mismatch in a single action; semantics
+    * match `exceptAll` both ways == empty (NULL-safe equality, exact
+    * binary doubles — the same row identity exceptAll uses). */
+  def sameMultiset(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    val ga = a.groupBy(cols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__ca"))
+    val gb = b.groupBy(cols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__cb"))
+    val cond = cols.map(c => ga(c) <=> gb(c)).reduce(_ && _)
+    ga.join(gb, cond, "full_outer")
+      .filter(!(coalesce(ga("__ca"), lit(0L)) === coalesce(gb("__cb"), lit(0L))))
+      .isEmpty
+  }
 }

@@ -87,7 +87,17 @@ object TextQueries {
         // 30×+ correctly refuses with the q33 pointer. Cluster callers
         // with real aggregate scratch raise it.
         Dedup.requirePairBudget(a, b, "source", maxPairs = 20000000L)
-        val pairs = a.join(b, Seq("source")).filter(col("b_id") > col("a_id"))
+        // broadcast the probe slice + spread the corpus side (round 16;
+        // guide §2.5/§3.1): `source` has a handful of distinct values,
+        // so the hash exchange landed the whole quadratic verify tier
+        // on as many tasks as there are sources (measured: 1-task
+        // 0.96 s jobs at sf0.1 while 31 cores idled). The every-25th
+        // slice is broadcast-sized by construction; broadcasting it
+        // removes the hot-key exchange entirely and the verify runs at
+        // the spread corpus width. Row-identical output.
+        val pairs = graft.operators.Staging.spread(b, col("b_id"))
+          .join(broadcast(a), Seq("source"))
+          .filter(col("b_id") > col("a_id"))
           .select(col("a_id"), col("b_id"),
             round(Dedup.jaccard(col("a_sh"), col("b_sh")), 4).as("jaccard"))
         // distributed top-k (TakeOrdered) first; the row_number window then
@@ -589,8 +599,7 @@ object TextQueries {
             "embedding", threshold = 0.9, nlist = idx0.coarse.nlist)
           .select(col("vec_id").as("id"), col("cell"), col("canonical"), col("kept"))
           .localCheckpoint(true)
-        val eq = folded.exceptAll(batch).count() == 0 &&
-          batch.exceptAll(folded).count() == 0
+        val eq = QueryDef.sameMultiset(folded, batch)
         val kept = folded.filter(col("kept"))
         val witnessBad = dec.filter(!col("kept"))
           .select(col("id"), col("cell"), col("canonical"))
@@ -687,7 +696,7 @@ object TextQueries {
           .select("a_id", "b_id", "jaccard").localCheckpoint(true)
         def sameSet(a: org.apache.spark.sql.DataFrame,
                     b: org.apache.spark.sql.DataFrame): Boolean =
-          a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+          QueryDef.sameMultiset(a, b) // one action per compare (round 16)
         val pairsEq = sameSet(logical, rebuilt) && sameSet(physical, logical)
         val mhCleared = !s.catalog.tableExists("q112mh_tombstones")
         val nCorpusLive = s.table("q112mh_shingles").count()

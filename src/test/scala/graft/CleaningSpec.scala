@@ -175,4 +175,31 @@ class CleaningSpec extends AnyFunSuite {
       assert(a == s, s"p=$p: aggregate $a vs sorted $s")
     }
   }
+
+  test("bracketQuantilesByGroup == per-group bracketQuantiles bitwise (round-16 single-pass fit)") {
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type").as("g"),
+        col("user_id").cast("double").as("u"), col("value").cast("double").as("v"))
+    val probs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val grouped = Cleaning.bracketQuantilesByGroup(ev, "g", Seq("u", "v"), probs)
+    val groupsInData = ev.select("g").distinct().collect().map(_.getString(0))
+    assert(groupsInData.nonEmpty)
+    groupsInData.foreach { g =>
+      val per = Cleaning.bracketQuantiles(
+        ev.filter(col("g") === g), Seq("u", "v"), probs)
+      Seq("u", "v").foreach { c =>
+        assert(grouped((g, c)) == per(c),
+          s"group=$g col=$c: grouped ${grouped((g, c))} vs per-filter ${per(c)}")
+      }
+    }
+    // tiny skewed groups exercise the small-n rank arithmetic per group
+    val tiny = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 7.0), ("b", 9.0),
+      ("c", 4.0)).toDF("g", "x")
+    val tg = Cleaning.bracketQuantilesByGroup(tiny, "g", Seq("x"), probs)
+    Seq("a", "b", "c").foreach { g =>
+      val per = Cleaning.bracketQuantiles(
+        tiny.filter(col("g") === g), Seq("x"), probs)
+      assert(tg((g, "x")) == per("x"), s"tiny group $g")
+    }
+  }
 }
