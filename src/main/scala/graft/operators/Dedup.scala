@@ -190,11 +190,15 @@ object Dedup {
     * shuffle at all; both frames are narrow projections of the scan. */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
                    numPerms: Int = 32, rowsPerBand: Int = 4,
-                   staging: Staging.Mode = Staging.Local): MinHashIndex = {
+                   staging: Staging.Mode = Staging.Local,
+                   spread: Boolean = true): MinHashIndex = {
     // spread before the kernel (round 16): the signature projection is
     // the corpus's CPU floor, and a narrow scan otherwise pins it to
-    // the file count — see Staging.spread (no-op past defaultParallelism)
-    val withSh = Staging.spread(df, col(idCol))
+    // the file count — see Staging.spread (no-op past defaultParallelism).
+    // `spread = false` for SHARD/BATCH-sized inputs, where the exchange
+    // and 32-way materialization cost more than the kernel (measured:
+    // q134 -2.2 s, q104 -1.4 s with shard spreads on).
+    val withSh = (if (spread) Staging.spread(df, col(idCol)) else df)
       .withColumn("__toks", split(col(textCol), " "))
       .withColumn("__sh", shingleExpr("__toks"))
     val sh = staging(withSh.select(col(idCol), col("__sh")))
@@ -801,10 +805,12 @@ object Dedup {
   /** Build the [[SimHashIndex]] for `df`: signature (native codegen
     * vote kernel) + chunk explode — shuffle-free scan projection. */
   def simhashIndex(df: DataFrame, idCol: String, textCol: String,
-                   staging: Staging.Mode = Staging.Local): SimHashIndex = {
+                   staging: Staging.Mode = Staging.Local,
+                   spread: Boolean = true): SimHashIndex = {
     // spread before the kernel (round 16): see Staging.spread — the
-    // 64-hyperplane vote otherwise runs at the scan's file width
-    val sigd = Staging.spread(df, col(idCol))
+    // 64-hyperplane vote otherwise runs at the scan's file width;
+    // spread = false for shard/batch-sized inputs (see minhashIndex)
+    val sigd = (if (spread) Staging.spread(df, col(idCol)) else df)
       .withColumn("__sig", simhash64(s"split($textCol, ' ')"))
     SimHashIndex(idCol, staging(sigd.select(col(idCol), col("__sig"),
       explode(expr("transform(sequence(0, 3), c -> " +
@@ -1172,10 +1178,12 @@ object Dedup {
     * posting. */
   def containmentIndex(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3,
-                       staging: Staging.Mode = Staging.Local): ContainmentIndex = {
-    // spread before the gram kernel (round 16): see Staging.spread
+                       staging: Staging.Mode = Staging.Local,
+                       spread: Boolean = true): ContainmentIndex = {
+    // spread before the gram kernel (round 16): see Staging.spread;
+    // spread = false for shard/batch-sized inputs (see minhashIndex)
     val base = staging(containmentBase(
-      Staging.spread(df, col(idCol)), idCol, textCol, n))
+      if (spread) Staging.spread(df, col(idCol)) else df, idCol, textCol, n))
     ContainmentIndex(idCol, n, base,
       base.select(col("id"), explode(col("sh")).as("gram")))
   }

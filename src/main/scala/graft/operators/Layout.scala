@@ -28,7 +28,8 @@ object Layout {
     * tiny-file explosion, and it scales with the frame being written,
     * never the corpus. */
   def bucketAligned(df: DataFrame, buckets: Int, cols: String*): DataFrame =
-    df.repartition(buckets, cols.map(c => col(s"`$c`")): _*)
+    if (!df.sparkSession.conf.get("spark.graft.bucketAlign", "true").toBoolean) df
+    else df.repartition(buckets, cols.map(c => col(s"`$c`")): _*)
 
   /** Write as a bucketed managed table (hash-partitioned into `buckets`
     * files per partition by `key`, sorted within buckets). Joins and

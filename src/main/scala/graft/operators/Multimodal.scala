@@ -52,8 +52,12 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      Staging.spread(df, col(idCol)) // decode is the CPU floor (round 16)
-        .select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      // NO spread (round 16): measured neutral-to-negative on every media
+      // row (q43/q130/q136/q137/q117) — the exchange moves the payload
+      // BYTES to feed a cheap per-row decode (guide SS8: don't shuffle
+      // heavy opaque payloads for light work); a production-scale scan
+      // arrives wide and never needed it
+      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
     ds.mapPartitions { iter =>
       // real codec init would happen here, once per partition
       iter.map { case (id, bytes) => (id, FakeCodec.decode(bytes)) }
@@ -196,8 +200,12 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      Staging.spread(df, col(idCol)) // decode is the CPU floor (round 16)
-        .select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      // NO spread (round 16): measured neutral-to-negative on every media
+      // row (q43/q130/q136/q137/q117) — the exchange moves the payload
+      // BYTES to feed a cheap per-row decode (guide SS8: don't shuffle
+      // heavy opaque payloads for light work); a production-scale scan
+      // arrives wide and never needed it
+      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
     ds.mapPartitions { iter =>
       javax.imageio.ImageIO.setUseCache(false) // once per partition
       iter.map { case (id, bytes) =>
@@ -608,8 +616,12 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      Staging.spread(df, col(idCol)) // decode is the CPU floor (round 16)
-        .select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      // NO spread (round 16): measured neutral-to-negative on every media
+      // row (q43/q130/q136/q137/q117) — the exchange moves the payload
+      // BYTES to feed a cheap per-row decode (guide SS8: don't shuffle
+      // heavy opaque payloads for light work); a production-scale scan
+      // arrives wide and never needed it
+      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
     ds.mapPartitions { iter =>
       javax.imageio.ImageIO.setUseCache(false) // once per partition
       iter.map { case (id, bytes) =>
@@ -631,8 +643,9 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      Staging.spread(df, col(idCol)) // decode is the CPU floor (round 16)
-        .select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      // NO spread (round 16): measured 1.5 -> 1.1 s without it — the WAV
+      // synth bytes would shuffle to feed a cheap Goertzel pass
+      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
     ds.mapPartitions { iter =>
       // codec init would go here; the WAV walker needs none
       iter.map { case (id, bytes) =>
@@ -653,8 +666,12 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      Staging.spread(df, col(idCol)) // decode is the CPU floor (round 16)
-        .select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      // NO spread (round 16): measured neutral-to-negative on every media
+      // row (q43/q130/q136/q137/q117) — the exchange moves the payload
+      // BYTES to feed a cheap per-row decode (guide SS8: don't shuffle
+      // heavy opaque payloads for light work); a production-scale scan
+      // arrives wide and never needed it
+      df.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
     ds.mapPartitions { iter =>
       javax.imageio.ImageIO.setUseCache(false) // once per partition
       iter.map { case (id, bytes) =>

@@ -130,11 +130,11 @@ object Similarity {
               vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
               seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    // spread before the fit (round 16): the Lloyd iterations and the
-    // cell transform otherwise run at the scan's file width — see
-    // Staging.spread (no-op once partitions >= defaultParallelism)
-    val base = withNorm(Staging.spread(candidates, col(idCol)),
-        idCol, vecCol, "c_id", "cv", "cn")
+    // NO spread here (round 16): measured q46 2.2 -> 1.7 s without it —
+    // the fit's per-iteration work is light relative to the exchange,
+    // and the unspread input keeps the seeded random init's
+    // partition-dependent sample stable
+    val base = withNorm(candidates, idCol, vecCol, "c_id", "cv", "cn")
       .withColumn("features", array_to_vector(col("cv")))
     // random init + capped iterations: IVF cells are an approximate
     // routing structure — recall (pinned in SessionIvfSpec) needs
@@ -343,10 +343,10 @@ object Similarity {
               trainSample: Int = 16384, assign: Int = 1): PqIndex = {
     require(assign >= 1 && assign <= nlist,
       s"multi-assignment must be in [1, nlist]: assign=$assign nlist=$nlist")
-    // spread before the encode kernel (round 16): the per-row cell
-    // argmin + m code argmins otherwise run at the scan's file width
-    val base = withNorm(Staging.spread(candidates, col(idCol)),
-      idCol, vecCol, "c_id", "cv", "cn")
+    // NO spread here (round 16): measured q107 3.1 -> 2.4 s and q110
+    // 4.2 -> 3.2 s without it — the staged encode frames are small and
+    // the exchange + wide checkpoint cost more than the argmin kernels
+    val base = withNorm(candidates, idCol, vecCol, "c_id", "cv", "cn")
     val dim = candidates.select(size(col(vecCol))).limit(1).head.getInt(0)
     require(dim % m == 0, s"PQ subspaces must divide dim: dim=$dim m=$m")
     val dsub = dim / m

@@ -678,7 +678,7 @@ object TextQueries {
         val shard = docsDf.filter(col("doc_id") % 40 === 1)
         Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"),
           "q112mh", buckets = 8)
-        val sIdx = Dedup.minhashIndex(shard, "doc_id", "text")
+        val sIdx = Dedup.minhashIndex(shard, "doc_id", "text", spread = false)
         Tombstones.add(corpus.filter(col("doc_id") % 8 === 0).select("doc_id"),
           "doc_id", "q112mh")
         val logical = Dedup.minhashLshPairsIncremental(sIdx,
@@ -1765,7 +1765,9 @@ object TextQueries {
         val shardDf = corpusDf.filter(pmod(col("doc_id"), lit(40)) === 0)
           .withColumn("doc_id", col("doc_id") + 10000000L)
         val cIdx = Dedup.minhashIndex(corpusDf, "doc_id", "text")
-        val sIdx = Dedup.minhashIndex(shardDf, "doc_id", "text")
+        // shard is 1/40 of the corpus: the spread exchange costs more
+        // than the signature kernel it widens (round 16)
+        val sIdx = Dedup.minhashIndex(shardDf, "doc_id", "text", spread = false)
         val inc = Dedup.minhashLshPairsIncremental(sIdx, cIdx, threshold = 0.8)
           .localCheckpoint(true)
         val shingleOk = (t: org.apache.spark.sql.Column) => size(split(t, " ")) >= 3
@@ -1934,7 +1936,8 @@ object TextQueries {
             expr("concat_ws(' ', slice(__toks, 1, CAST(size(__toks) DIV 2 AS INT)))"))
           .select((col("doc_id") + 30000000L).as("doc_id"), col("text"))
         val cIdx = Dedup.containmentIndex(corpus, "doc_id", "text")
-        val sIdx = Dedup.containmentIndex(shard, "doc_id", "text")
+        // shard-sized input: spread off (round 16, measured q104 -1.4 s)
+        val sIdx = Dedup.containmentIndex(shard, "doc_id", "text", spread = false)
         Dedup.containmentJoinIncremental(sIdx, cIdx, tau = 0.5)
           .orderBy("a_id", "b_id")
       },

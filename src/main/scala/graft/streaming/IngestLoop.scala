@@ -373,7 +373,11 @@ object IngestLoop {
     val spark = batch.sparkSession
     val lid = normLoopId(loopId)
     val owner = s"ingestMinhashBatch bid=$bid"
-    val shard = Dedup.minhashIndex(batch, idCol, textCol, numPerms, rowsPerBand)
+    // spread = false (round 16): a micro-batch is shard-sized — the
+    // 32-way exchange + checkpoint cost more than the signature kernel
+    // saves (see Dedup.minhashIndex; measured on the simhash twin)
+    val shard = Dedup.minhashIndex(batch, idCol, textCol, numPerms, rowsPerBand,
+      spread = false)
     // Fence window 1 (round 14 — narrowed from the whole batch): bid
     // resolution + the batch-local APPEND legs only. The expensive leg
     // — pair mining against the corpus-sized index — runs OUTSIDE the
@@ -1297,7 +1301,9 @@ object IngestLoop {
                          maxHamming: Int, buckets: Int,
                          loopId: String = "",
                          multiWriter: Boolean = false): Unit =
-    ingestChunkedBatch(Dedup.simhashIndex(batch, idCol, textCol),
+    // spread = false (round 16): batch-sized input — measured q134
+    // 7.3 -> ~4.7 s with the shard spread off (exchange dominated)
+    ingestChunkedBatch(Dedup.simhashIndex(batch, idCol, textCol, spread = false),
       batch.sparkSession, bid, idCol, prefix, pairsDir, maxHamming, buckets,
       normLoopId(loopId), multiWriter, s"ingestSimhashBatch bid=$bid")
 

@@ -169,8 +169,10 @@ object OracleEmu {
     s = outsideLiterals(s)(_.replaceAll("\"([A-Za-z_][A-Za-z0-9_]*)\"", "`$1`"))
     // two-arg regexp_extract_all: DuckDB defaults to group 0 (whole
     // match), Spark to group 1 — make group 0 explicit (pattern arg is
-    // a quoted literal in every oracle)
-    s = s.replaceAll("""regexp_extract_all\(([^,()]+),\s*('[^']*')\)""",
+    // a quoted literal in every oracle; `(?:[^']|'')*` admits doubled
+    // quotes INSIDE the literal — q140's byte-pretokenizer pattern
+    // carries escaped contraction quotes, round 16)
+    s = s.replaceAll("""regexp_extract_all\(([^,()]+),\s*('(?:[^']|'')*')\)""",
       "regexp_extract_all($1, $2, 0)")
     // bare VARCHAR casts (Spark needs STRING or a length)
     s = s.replace("AS VARCHAR)", "AS STRING)")
