@@ -1088,7 +1088,13 @@ object Dedup {
                       staging: Staging.Mode = Staging.Local,
                       collapsePairsPerDoc: Double = 2.0): DataFrame = {
     require(tau > 0 && tau <= 1, s"containment threshold must be in (0,1], got $tau")
-    val base = staging(containmentBase(df, idCol, textCol, n))
+    // spread before the shingle kernel (round 17): see Staging.spread —
+    // the (split + shingle-set) projection is the operator's CPU-heavy
+    // per-row stage and ran at source width (2 tasks on 32 cores at
+    // sf0.1 — q119's profile showed it as a 2-task job holding 2.5
+    // task-seconds). No-op on streams and at production scan widths.
+    val base = staging(containmentBase(Staging.spread(df, col(idCol)),
+      idCol, textCol, n))
     // conditional exact-dup collapse on the SHINGLE-SET key (the
     // minhashLshPairs trade; see containmentJoinIncremental): clone
     // families would re-pay the prefix pipeline per copy and flood the

@@ -77,9 +77,20 @@ object KdeNb {
       s"KdeNb.fit: ${featureCols.size} features — the grid collect is " +
         "bounded by classes*features*gridN; keep features <= 64")
     val lab = col(labelCol).cast("string")
-    val base = df.select((lab.as("__cls") +:
-      featureCols.map(c => col(s"`$c`").cast("double").as(c))): _*)
-      .filter(col("__cls").isNotNull).cache()
+    // spread before the fit passes (round 17; guide §2.6): every pass —
+    // grouped stats, the 3 bracket-quantile scans, the linear-binning
+    // explode+agg — inherits the source width, and a single-file scan
+    // arrives in 1-2 partitions, so the whole fit ran as 2 tasks on 32
+    // cores (q106 profile: one 2-task job holding 4.0 task-seconds).
+    // Key = the full row struct (deterministic, high-cardinality; the
+    // class column alone would hash #classes values into 32 partitions
+    // — guide §2.5). All downstream consumers are aggregates, so the
+    // row set (and every exact bracket count) is unchanged.
+    val base = Staging.spread(
+      df.select((lab.as("__cls") +:
+        featureCols.map(c => col(s"`$c`").cast("double").as(c))): _*)
+        .filter(col("__cls").isNotNull),
+      struct(col("__cls") +: featureCols.map(c => col(s"`$c`")): _*)).cache()
     try {
       // classes: bounded collect with the rLevels/requirePairBudget guard
       val clsRows = base.select("__cls").distinct().limit(maxClasses + 1)
@@ -207,6 +218,14 @@ object KdeNb {
     * order), `posterior_<i>` (softmax-normalized), and `pred` (argmax
     * label, first class wins ties — R `which.max`). One projection. */
   def score(df: DataFrame, model: Model): DataFrame = {
+    // spread before the scoring projection (round 17; guide §2.6): the
+    // per-row expression is classes x features grid interpolations plus
+    // the posterior/argmax chain — heavy enough that a 1-partition scan
+    // made q106's scoring a single 2.2 s task on 32 cores. No-op on
+    // streams (EventStream's gate) and at production scan widths; pure
+    // projection downstream, so row values are untouched.
+    val dfW = Staging.spread(df,
+      struct(model.features.map(f => col(s"`$f`")): _*))
     val logps = model.classes.zipWithIndex.map { case (c, i) =>
       val terms = model.features.map { f =>
         val d = model.density(c, f)
@@ -217,7 +236,7 @@ object KdeNb {
       }
       terms.foldLeft(lit(math.log(model.prior(c))))(_ + _).as(s"logp_$i")
     }
-    val scored = df.select(col("*") +: logps: _*)
+    val scored = dfW.select(col("*") +: logps: _*)
     if (model.classes.size == 1)
       return scored.withColumn("posterior_0", lit(1.0))
         .withColumn("pred", lit(model.classes.head))

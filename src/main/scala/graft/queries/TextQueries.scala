@@ -2188,9 +2188,16 @@ object TextQueries {
         val base = docs(s, d).select(col("doc_id"), col("text"))
         val corpus = base.union(base.select(
           (col("doc_id") + 10000000L).as("doc_id"), col("text")))
-        val chunks = TextAnalysis.chunkTokens(corpus, "doc_id", "text",
-            window = 32, overlap = 8)
-          .withColumn("chunk_id", col("doc_id") * 100000L + col("chunk_idx"))
+        // spread + stage the chunk table ONCE (round 17; guide §2.6/§5):
+        // the split+chunk+sha256 kernel previously re-ran for the count,
+        // the corpus-mean aggregate AND the pooled checkpoint — three
+        // evaluations, each at source width (2 tasks on 32 cores)
+        val chunks = graft.operators.Staging.spread(
+            TextAnalysis.chunkTokens(corpus, "doc_id", "text",
+              window = 32, overlap = 8)
+              .withColumn("chunk_id", col("doc_id") * 100000L + col("chunk_idx")),
+            col("chunk_id"))
+          .localCheckpoint(true)
         val nChunks = chunks.count()
         val emb = Multimodal.decodeFeatures(
           Multimodal.binarize(chunks, "chunk_id", "chunk_text"),
@@ -2202,10 +2209,14 @@ object TextQueries {
         // the pipeline. Centering (one tiny Summarizer.mean broadcast,
         // the standard embedding-whitening step) makes cosine measure
         // deviation from the corpus mean; exact clones stay bit-equal.
+        // staged: consumed twice (corpus-mean aggregate + centered
+        // checkpoint below) — without it the pool shuffle re-runs per
+        // consumer (round 17)
         val pooledRaw = Similarity.meanPoolNormalize(
             emb.withColumn("doc_id", expr("chunk_id div 100000L")),
             "doc_id", "features")
           .select(col("doc_id"), col("pooled"))
+          .localCheckpoint(true)
         val meanRow = pooledRaw.agg(org.apache.spark.ml.stat.Summarizer
             .mean(org.apache.spark.ml.functions.array_to_vector(col("pooled")))
             .as("__mv"))
