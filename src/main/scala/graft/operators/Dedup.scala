@@ -231,18 +231,27 @@ object Dedup {
     // interleave with a live ingest loop or compaction on the prefix
     Fence.withFence(spark, prefix, "saveMinhashIndex") {
     // bucket-aligned writes (round 16): exactly `buckets` files per
-    // table instead of tasks x buckets — see Layout.bucketAligned
-    Layout.bucketAligned(idx.bands, buckets, "band", "bucket")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
-      .saveAsTable(s"${prefix}_bands")
-    Layout.bucketAligned(idx.shingles, buckets, idx.idCol)
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, idx.idCol).sortBy(idx.idCol).saveAsTable(s"${prefix}_shingles")
-    import spark.implicits._
-    Seq((idx.idCol, idx.numPerms, idx.rowsPerBand, buckets))
-      .toDF("id_col", "num_perms", "rows_per_band", "buckets")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    // table instead of tasks x buckets — see Layout.bucketAligned.
+    // The three writes land on DIFFERENT tables — overlap them (round
+    // 17; guide §2.6: each is one write-latency of mostly driver-side
+    // catalog work); all complete before the fence releases.
+    val bandsJoin = FitPool.sideThread {
+      Layout.bucketAligned(idx.bands, buckets, "band", "bucket")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+        .saveAsTable(s"${prefix}_bands")
+    }
+    val metaJoin = FitPool.sideThread {
+      import spark.implicits._
+      Seq((idx.idCol, idx.numPerms, idx.rowsPerBand, buckets))
+        .toDF("id_col", "num_perms", "rows_per_band", "buckets")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
+    try {
+      Layout.bucketAligned(idx.shingles, buckets, idx.idCol)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, idx.idCol).sortBy(idx.idCol).saveAsTable(s"${prefix}_shingles")
+    } finally FitPool.joinAll(bandsJoin, metaJoin)
     }
   }
 
@@ -1088,13 +1097,17 @@ object Dedup {
                       staging: Staging.Mode = Staging.Local,
                       collapsePairsPerDoc: Double = 2.0): DataFrame = {
     require(tau > 0 && tau <= 1, s"containment threshold must be in (0,1], got $tau")
-    // spread before the shingle kernel (round 17): see Staging.spread —
-    // the (split + shingle-set) projection is the operator's CPU-heavy
-    // per-row stage and ran at source width (2 tasks on 32 cores at
-    // sf0.1 — q119's profile showed it as a 2-task job holding 2.5
-    // task-seconds). No-op on streams and at production scan widths.
-    val base = staging(containmentBase(Staging.spread(df, col(idCol)),
-      idCol, textCol, n))
+    // NO Staging.spread here (round 17): tried and REVERTED by
+    // measurement — the shingle kernel does show as a 2-task job at
+    // sf0.1 (q119 profile: 2.5 task-seconds), but spreading the text
+    // payload through an exchange to feed it made the whole family
+    // SLOWER in the full bench (q103 2.6→3.4 s, q116 3.6→4.8, q119
+    // 6.9→8.4; ambient drift ~1.0 on untouched rows): this operator
+    // stages `base` once and every downstream stage is shuffle-derived,
+    // so the exchange + 32-partition checkpoint overhead exceeds the
+    // kernel time it parallelizes (guide §8: don't move payload bytes
+    // for light work). A production-width scan never collapses here.
+    val base = staging(containmentBase(df, idCol, textCol, n))
     // conditional exact-dup collapse on the SHINGLE-SET key (the
     // minhashLshPairs trade; see containmentJoinIncremental): clone
     // families would re-pay the prefix pipeline per copy and flood the
@@ -1205,15 +1218,22 @@ object Dedup {
                            buckets: Int = 64): Unit = {
     val spark = idx.posting.sparkSession
     Fence.withFence(spark, prefix, "saveContainmentIndex") {
-    Layout.bucketAligned(idx.posting, buckets, "gram")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "gram").sortBy("gram").saveAsTable(s"${prefix}_posting")
-    Layout.bucketAligned(idx.base, buckets, "id")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${prefix}_base")
-    import spark.implicits._
-    Seq((idx.idCol, idx.n, buckets)).toDF("id_col", "n", "buckets")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    // overlap the three per-table writes: see saveMinhashIndex (round 17)
+    val postingJoin = FitPool.sideThread {
+      Layout.bucketAligned(idx.posting, buckets, "gram")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "gram").sortBy("gram").saveAsTable(s"${prefix}_posting")
+    }
+    val metaJoin = FitPool.sideThread {
+      import spark.implicits._
+      Seq((idx.idCol, idx.n, buckets)).toDF("id_col", "n", "buckets")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
+    try {
+      Layout.bucketAligned(idx.base, buckets, "id")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${prefix}_base")
+    } finally FitPool.joinAll(postingJoin, metaJoin)
     }
   }
 

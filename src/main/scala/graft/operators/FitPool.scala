@@ -46,4 +46,43 @@ private[graft] object FitPool {
 
   def peakActive: Int = peak.get()
   def resetPeak(): Unit = peak.set(0)
+
+  /** Run `body` on a FRESH daemon thread and return a join-function that
+    * rethrows its failure (round 17). For overlapping a FIXED, small
+    * number of independent driver actions (e.g. the two bucketed table
+    * appends of one ingest batch — each ~400 ms of mostly driver-side
+    * write/catalog latency): unlike [[submit]], it cannot deadlock when
+    * the caller itself runs on a pool thread and the pool is saturated,
+    * because the side thread is never drawn from the bounded pool. Use
+    * [[submit]] for unbounded fan-out, this for pairwise overlap. */
+  /** Join EVERY side thread even when an earlier join throws — the
+    * fence-window contract requires no write outlives the window, so a
+    * caller wraps its main-thread write in `try { ... } finally
+    * FitPool.joinAll(a, b)`. First failure wins among the joins; when
+    * the guarded block also failed, that (rarer, both-failed) join error
+    * replaces it — either way a loud write failure surfaces and no
+    * thread is left running. */
+  def joinAll(joins: (() => Any)*): Unit = {
+    var err: Throwable = null
+    joins.foreach { j =>
+      try j() catch { case e: Throwable => if (err == null) err = e }
+    }
+    if (err != null) throw err
+  }
+
+  def sideThread[T](body: => T): () => T = {
+    @volatile var out: Either[Throwable, T] = null
+    val t = new Thread(() => {
+      out = try Right(body) catch { case e: Throwable => Left(e) }
+    }, "graft-side-thread")
+    t.setDaemon(true)
+    t.start()
+    () => {
+      t.join()
+      out match {
+        case Right(v) => v
+        case Left(e) => throw e
+      }
+    }
+  }
 }

@@ -694,18 +694,24 @@ object Similarity {
     // writer fence (round 11): saves overwrite the whole family — fenced
     // like every other family-mutating writer (see graft.operators.Fence)
     Fence.withFence(spark, prefix, "savePqIndex") {
-    // bucket-aligned write (round 16): see Layout.bucketAligned
-    Layout.bucketAligned(idx.codes, buckets, "cell")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_codes")
-    import spark.implicits._
-    Seq((idx.idCol, idx.m, idx.ksub, idx.dim, idx.seed,
-        idx.coarse.l1.map(_.toSeq).toSeq,
-        idx.coarse.l2.map(_.toSeq).toSeq,
-        idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq, buckets, idx.assign))
-      .toDF("id_col", "m", "ksub", "dim", "seed", "coarse_l1", "coarse_l2",
-        "codebooks", "buckets", "assign")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    // bucket-aligned write (round 16): see Layout.bucketAligned.
+    // meta write overlapped with the codes write (round 17; different
+    // tables, both inside the fence — see Dedup.saveMinhashIndex)
+    val metaJoin = graft.operators.FitPool.sideThread {
+      import spark.implicits._
+      Seq((idx.idCol, idx.m, idx.ksub, idx.dim, idx.seed,
+          idx.coarse.l1.map(_.toSeq).toSeq,
+          idx.coarse.l2.map(_.toSeq).toSeq,
+          idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq, buckets, idx.assign))
+        .toDF("id_col", "m", "ksub", "dim", "seed", "coarse_l1", "coarse_l2",
+          "codebooks", "buckets", "assign")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
+    try {
+      Layout.bucketAligned(idx.codes, buckets, "cell")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_codes")
+    } finally graft.operators.FitPool.joinAll(metaJoin)
     }
   }
 
@@ -1064,15 +1070,20 @@ object Similarity {
   def saveSemIndex(idx: SemIndex, prefix: String, buckets: Int = 16): Unit = {
     val spark = idx.docs.sparkSession
     Fence.withFence(spark, prefix, "saveSemIndex") {
-    Layout.bucketAligned(idx.docs, buckets, "cell")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_docs")
-    import spark.implicits._
-    Seq((idx.idCol, idx.threshold, idx.seed,
-        idx.coarse.l1.map(_.toSeq).toSeq, idx.coarse.l2.map(_.toSeq).toSeq,
-        buckets))
-      .toDF("id_col", "threshold", "seed", "coarse_l1", "coarse_l2", "buckets")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    // meta overlapped with the docs write (round 17; see saveMinhashIndex)
+    val metaJoin = graft.operators.FitPool.sideThread {
+      import spark.implicits._
+      Seq((idx.idCol, idx.threshold, idx.seed,
+          idx.coarse.l1.map(_.toSeq).toSeq, idx.coarse.l2.map(_.toSeq).toSeq,
+          buckets))
+        .toDF("id_col", "threshold", "seed", "coarse_l1", "coarse_l2", "buckets")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
+    try {
+      Layout.bucketAligned(idx.docs, buckets, "cell")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(s"${prefix}_docs")
+    } finally graft.operators.FitPool.joinAll(metaJoin)
     }
   }
 
@@ -1286,17 +1297,24 @@ object Similarity {
                      buckets: Int = 64): Unit = {
     val spark = idx.hashed.sparkSession
     Fence.withFence(spark, prefix, "saveEmbedIndex") {
-    Layout.bucketAligned(idx.hashed, buckets, "t", "h")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "t", "h").sortBy("t", "h")
-      .saveAsTable(s"${prefix}_hashed")
-    Layout.bucketAligned(idx.vecs, buckets, "id")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${prefix}_vecs")
-    import spark.implicits._
-    Seq((idx.idCol, idx.bitsPerTable, idx.numTables, idx.seed, idx.dim, buckets))
-      .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim", "buckets")
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    // overlap the three per-table writes: see saveMinhashIndex (round 17)
+    val hashedJoin = graft.operators.FitPool.sideThread {
+      Layout.bucketAligned(idx.hashed, buckets, "t", "h")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "t", "h").sortBy("t", "h")
+        .saveAsTable(s"${prefix}_hashed")
+    }
+    val metaJoin = graft.operators.FitPool.sideThread {
+      import spark.implicits._
+      Seq((idx.idCol, idx.bitsPerTable, idx.numTables, idx.seed, idx.dim, buckets))
+        .toDF("id_col", "bits_per_table", "num_tables", "seed", "dim", "buckets")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    }
+    try {
+      Layout.bucketAligned(idx.vecs, buckets, "id")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${prefix}_vecs")
+    } finally graft.operators.FitPool.joinAll(hashedJoin, metaJoin)
     }
   }
 

@@ -70,11 +70,19 @@ object CarPricePipeline {
     val factorCols = Seq("fueltype", "aspiration", "doornumber", "carbody",
       "drivewheel", "enginelocation", "enginetype", "cylindernumber",
       "fuelsystem", "brand").filter(casted.columns.contains)
-    val imputed = Cleaning.modeImpute(Cleaning.medianImpute(casted, nums), factorCols)
-    val capped = cap match {
+    // plan truncation between phases (round 17; guide §3.3/§7.3): the
+    // impute/winsor stages stack ~16 per-column CASE chains, and every
+    // later driver round-trip (bucket breaks, the caller's fits, the
+    // final emit) re-analyzed the whole deepening tree — measured as
+    // q113's dominant cost (27 sub-100 ms jobs under ~2.5 s of driver
+    // planning). localCheckpoint preserves rows AND partitioning (the
+    // golden partition the seeded fits pin), only the lineage is cut.
+    val imputed = Cleaning.modeImpute(Cleaning.medianImpute(casted, nums),
+      factorCols).localCheckpoint(true)
+    val capped = (cap match {
       case WinsorGolden => Cleaning.winsorize(imputed, nums, 0.01, 0.99)
       case IqrScript    => Cleaning.iqrCap(imputed, nums.filterNot(_ == "price"))
-    }
+    }).localCheckpoint(true)
     Cleaning.quantileBucket(capped, "price", "price_bucket")
       .withColumn("log_price", log1p(col("price")))
   }

@@ -470,13 +470,21 @@ object TextQueries {
       fn = (s, d) => {
         val e = embs(s, d)
         val q = e.filter(col("vec_id") < 50)
-        val idx = Similarity.pqIndex(e, "vec_id", "embedding",
-          nlist = 16, m = 16, ksub = 32, seed = 42L, assign = 2)
-        val ann = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
-            k = 10, nprobe = 6, refine = 8)
-          .localCheckpoint(true)
-        val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
-          .localCheckpoint(true)
+        // brute-force reference leg is independent of the index
+        // build+serve leg — overlap them (guide §2.6)
+        val exactLeg = graft.operators.FitPool.submit {
+          Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+            .localCheckpoint(true)
+        }
+        val ann = QueryDef.withLegs(exactLeg) {
+          val idx = Similarity.pqIndex(e, "vec_id", "embedding",
+            nlist = 16, m = 16, ksub = 32, seed = 42L, assign = 2)
+          Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+              k = 10, nprobe = 6, refine = 8)
+            .localCheckpoint(true)
+        }
+        val exact = scala.concurrent.Await.result(exactLeg,
+          scala.concurrent.duration.Duration.Inf)
         annContract(ann, exact, k = 10, minMeanRecall = 0.75)
       },
       oracle = Some("""
@@ -501,12 +509,19 @@ object TextQueries {
       fn = (s, d) => {
         val e = embs(s, d)
         val q = e.filter(col("vec_id") < 50)
-        val ann = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
-            k = 10, nlist = 4096, nprobe = 1536, m = 16, ksub = 32,
-            refine = 8, seed = 42L)
-          .localCheckpoint(true)
-        val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
-          .localCheckpoint(true)
+        // brute-force reference leg overlapped with build+serve (§2.6)
+        val exactLeg = graft.operators.FitPool.submit {
+          Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+            .localCheckpoint(true)
+        }
+        val ann = QueryDef.withLegs(exactLeg) {
+          Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+              k = 10, nlist = 4096, nprobe = 1536, m = 16, ksub = 32,
+              refine = 8, seed = 42L)
+            .localCheckpoint(true)
+        }
+        val exact = scala.concurrent.Await.result(exactLeg,
+          scala.concurrent.duration.Duration.Inf)
         annContract(ann, exact, k = 10, minMeanRecall = 0.5)
       },
       oracle = Some("""
@@ -587,27 +602,40 @@ object TextQueries {
           .withColumn("vec_id", col("vec_id") + 10000000L)
         val built = Similarity.semIndex(e, "vec_id", "embedding", threshold = 0.9)
         val idx0 = built.copy(docs = built.docs.localCheckpoint(true))
-        val dec = Similarity.semanticDedupIncremental(shard, "embedding", idx0)
-          .localCheckpoint(true)
-        val folded = idx0.union(dec).docs
-          .select(col("id"), col("cell"), col("canonical"), col("kept"))
-          .localCheckpoint(true)
+        // incremental-fold leg and batch-over-union leg are independent
+        // past the shared frozen index — overlap them (guide §2.6); the
+        // equality compare and the emitted row read both legs' staged
+        // results exactly as the sequential form did
+        val foldLeg = graft.operators.FitPool.submit {
+          val dec = Similarity.semanticDedupIncremental(shard, "embedding", idx0)
+            .localCheckpoint(true)
+          val folded = idx0.union(dec).docs
+            .select(col("id"), col("cell"), col("canonical"), col("kept"))
+            .localCheckpoint(true)
+          val kept = folded.filter(col("kept"))
+          val witnessBad = dec.filter(!col("kept"))
+            .select(col("id"), col("cell"), col("canonical"))
+            .join(kept.select(col("id").as("canonical"), col("cell").as("__kc")),
+              Seq("canonical"), "left")
+            .filter(col("__kc").isNull || col("__kc") =!= col("cell")).count()
+          (folded, witnessBad, dec.filter(col("kept")).count())
+        }
         // the comparator quantizes with the INDEX's nlist: the
         // incremental path uses the frozen model, and auto-nlist would
         // resolve differently on the larger union at scale
-        val batch = Similarity.semanticDedup(e.union(shard), "vec_id",
-            "embedding", threshold = 0.9, nlist = idx0.coarse.nlist)
-          .select(col("vec_id").as("id"), col("cell"), col("canonical"), col("kept"))
-          .localCheckpoint(true)
+        val batchLeg = graft.operators.FitPool.submit {
+          Similarity.semanticDedup(e.union(shard), "vec_id",
+              "embedding", threshold = 0.9, nlist = idx0.coarse.nlist)
+            .select(col("vec_id").as("id"), col("cell"), col("canonical"), col("kept"))
+            .localCheckpoint(true)
+        }
+        import scala.concurrent.Await
+        import scala.concurrent.duration.Duration
+        val (folded, witnessBad, decKept) =
+          QueryDef.withLegs(batchLeg)(Await.result(foldLeg, Duration.Inf))
+        val batch = Await.result(batchLeg, Duration.Inf)
         val eq = QueryDef.sameMultiset(folded, batch)
-        val kept = folded.filter(col("kept"))
-        val witnessBad = dec.filter(!col("kept"))
-          .select(col("id"), col("cell"), col("canonical"))
-          .join(kept.select(col("id").as("canonical"), col("cell").as("__kc")),
-            Seq("canonical"), "left")
-          .filter(col("__kc").isNull || col("__kc") =!= col("cell")).count()
-        Seq((folded.count(), eq, dec.filter(col("kept")).count() == 0L,
-            witnessBad == 0L))
+        Seq((folded.count(), eq, decKept == 0L, witnessBad == 0L))
           .toDF("n_docs", "incr_eq_batch", "clones_dropped", "witness_ok")
       },
       oracle = Some("""
@@ -670,61 +698,78 @@ object TextQueries {
         // so clear them with the fresh-family reset above
         Seq("q112mh", "q112pq").foreach(p =>
           graft.operators.Fence.forceRelease(s, p))
-        val docsDf = docs(s, d).select(col("doc_id"), col("text"))
-        val corpus = docsDf.filter(col("doc_id") % 4 === 0)
-        // ingestion-shaped shard (q101's ratio): a batch is small relative
-        // to the corpus — the three mining legs pay O(shard), keeping the
-        // query's cost where it belongs (family build + compaction)
-        val shard = docsDf.filter(col("doc_id") % 40 === 1)
-        Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"),
-          "q112mh", buckets = 8)
-        val sIdx = Dedup.minhashIndex(shard, "doc_id", "text", spread = false)
-        Tombstones.add(corpus.filter(col("doc_id") % 8 === 0).select("doc_id"),
-          "doc_id", "q112mh")
-        val logical = Dedup.minhashLshPairsIncremental(sIdx,
-            Dedup.loadMinhashIndex(s, "q112mh"), threshold = 0.8)
-          .select("a_id", "b_id", "jaccard").localCheckpoint(true)
-        val rebuilt = Dedup.minhashLshPairsIncremental(sIdx,
-            Dedup.minhashIndex(corpus.filter(col("doc_id") % 8 =!= 0),
-              "doc_id", "text"), threshold = 0.8)
-          .select("a_id", "b_id", "jaccard").localCheckpoint(true)
-        val deadPairs = logical
-          .filter(col("a_id") % 8 === 0 || col("b_id") % 8 === 0).count()
-        Tombstones.compactMinhash(s, "q112mh") // buckets from family meta
-        val physical = Dedup.minhashLshPairsIncremental(sIdx,
-            Dedup.loadMinhashIndex(s, "q112mh"), threshold = 0.8)
-          .select("a_id", "b_id", "jaccard").localCheckpoint(true)
         def sameSet(a: org.apache.spark.sql.DataFrame,
                     b: org.apache.spark.sql.DataFrame): Boolean =
           QueryDef.sameMultiset(a, b) // one action per compare (round 16)
-        val pairsEq = sameSet(logical, rebuilt) && sameSet(physical, logical)
-        val mhCleared = !s.catalog.tableExists("q112mh_tombstones")
-        val nCorpusLive = s.table("q112mh_shingles").count()
-
-        val e = embs(s, d).select(col("vec_id"), col("embedding"))
-        Similarity.savePqIndex(Similarity.pqIndex(e, "vec_id", "embedding",
-          nlist = 16, m = 8, ksub = 16, seed = 42L), "q112pq", buckets = 8)
-        val q = e.filter(col("vec_id") < 30)
-        Tombstones.add(e.filter(col("vec_id") % 8 === 0).select("vec_id"),
-          "vec_id", "q112pq")
-        val loaded = Similarity.loadPqIndex(s, "q112pq")
-        val served = Similarity.ivfPqTopK(loaded, e, q, "vec_id", "embedding",
-            k = 5, nprobe = 8, refine = 8).localCheckpoint(true)
-        val annDead = served.filter(col("c_id") % 8 === 0).count()
-        // the strongest falsifier: serving through the tombstoned load
-        // must equal serving with the codes filtered by the same
-        // data-derived predicate — re-ranked, not just row-dropped
-        val manual = loaded.copy(codes =
-          s.table("q112pq_codes").filter(pmod(col("c_id"), lit(8)) =!= 0))
-        val expect = Similarity.ivfPqTopK(manual, e, q, "vec_id", "embedding",
-            k = 5, nprobe = 8, refine = 8).localCheckpoint(true)
-        Tombstones.compactPq(s, "q112pq") // buckets from family meta
-        val reServed = Similarity.ivfPqTopK(Similarity.loadPqIndex(s, "q112pq"),
-            e, q, "vec_id", "embedding", k = 5, nprobe = 8, refine = 8)
-          .localCheckpoint(true)
-        val annEq = sameSet(served, expect) && sameSet(reServed, served)
-        val pqCleared = !s.catalog.tableExists("q112pq_tombstones")
-        val nCodesLive = s.table("q112pq_codes").count()
+        // The two family lifecycles (MinHash corpus index, IVF-PQ serving
+        // index) touch disjoint tables/prefixes and share no state — run
+        // them as two concurrent driver threads (guide §2.6: overlap
+        // independent jobs) so each leg's stragglers back-fill the other's
+        // idle cores. Statement ORDER within each leg is unchanged; the
+        // emitted row is the same pure function of both legs' results.
+        val mhLeg = graft.operators.FitPool.submit {
+          val docsDf = docs(s, d).select(col("doc_id"), col("text"))
+          val corpus = docsDf.filter(col("doc_id") % 4 === 0)
+          // ingestion-shaped shard (q101's ratio): a batch is small relative
+          // to the corpus — the three mining legs pay O(shard), keeping the
+          // query's cost where it belongs (family build + compaction)
+          val shard = docsDf.filter(col("doc_id") % 40 === 1)
+          Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"),
+            "q112mh", buckets = 8)
+          val sIdx = Dedup.minhashIndex(shard, "doc_id", "text", spread = false)
+          Tombstones.add(corpus.filter(col("doc_id") % 8 === 0).select("doc_id"),
+            "doc_id", "q112mh")
+          val logical = Dedup.minhashLshPairsIncremental(sIdx,
+              Dedup.loadMinhashIndex(s, "q112mh"), threshold = 0.8)
+            .select("a_id", "b_id", "jaccard").localCheckpoint(true)
+          val rebuilt = Dedup.minhashLshPairsIncremental(sIdx,
+              Dedup.minhashIndex(corpus.filter(col("doc_id") % 8 =!= 0),
+                "doc_id", "text"), threshold = 0.8)
+            .select("a_id", "b_id", "jaccard").localCheckpoint(true)
+          val deadPairs = logical
+            .filter(col("a_id") % 8 === 0 || col("b_id") % 8 === 0).count()
+          Tombstones.compactMinhash(s, "q112mh") // buckets from family meta
+          val physical = Dedup.minhashLshPairsIncremental(sIdx,
+              Dedup.loadMinhashIndex(s, "q112mh"), threshold = 0.8)
+            .select("a_id", "b_id", "jaccard").localCheckpoint(true)
+          val pairsEq = sameSet(logical, rebuilt) && sameSet(physical, logical)
+          val mhCleared = !s.catalog.tableExists("q112mh_tombstones")
+          val nCorpusLive = s.table("q112mh_shingles").count()
+          (nCorpusLive, pairsEq, deadPairs, mhCleared)
+        }
+        val pqLeg = graft.operators.FitPool.submit {
+          val e = embs(s, d).select(col("vec_id"), col("embedding"))
+          Similarity.savePqIndex(Similarity.pqIndex(e, "vec_id", "embedding",
+            nlist = 16, m = 8, ksub = 16, seed = 42L), "q112pq", buckets = 8)
+          val q = e.filter(col("vec_id") < 30)
+          Tombstones.add(e.filter(col("vec_id") % 8 === 0).select("vec_id"),
+            "vec_id", "q112pq")
+          val loaded = Similarity.loadPqIndex(s, "q112pq")
+          val served = Similarity.ivfPqTopK(loaded, e, q, "vec_id", "embedding",
+              k = 5, nprobe = 8, refine = 8).localCheckpoint(true)
+          val annDead = served.filter(col("c_id") % 8 === 0).count()
+          // the strongest falsifier: serving through the tombstoned load
+          // must equal serving with the codes filtered by the same
+          // data-derived predicate — re-ranked, not just row-dropped
+          val manual = loaded.copy(codes =
+            s.table("q112pq_codes").filter(pmod(col("c_id"), lit(8)) =!= 0))
+          val expect = Similarity.ivfPqTopK(manual, e, q, "vec_id", "embedding",
+              k = 5, nprobe = 8, refine = 8).localCheckpoint(true)
+          Tombstones.compactPq(s, "q112pq") // buckets from family meta
+          val reServed = Similarity.ivfPqTopK(Similarity.loadPqIndex(s, "q112pq"),
+              e, q, "vec_id", "embedding", k = 5, nprobe = 8, refine = 8)
+            .localCheckpoint(true)
+          val annEq = sameSet(served, expect) && sameSet(reServed, served)
+          val pqCleared = !s.catalog.tableExists("q112pq_tombstones")
+          val nCodesLive = s.table("q112pq_codes").count()
+          (nCodesLive, annEq, annDead, pqCleared)
+        }
+        import scala.concurrent.Await
+        import scala.concurrent.duration.Duration
+        val (nCorpusLive, pairsEq, deadPairs, mhCleared) =
+          QueryDef.withLegs(pqLeg)(Await.result(mhLeg, Duration.Inf))
+        val (nCodesLive, annEq, annDead, pqCleared) =
+          Await.result(pqLeg, Duration.Inf)
         Seq((nCorpusLive, nCodesLive, pairsEq, deadPairs == 0L, annEq,
             annDead == 0L, mhCleared && pqCleared))
           .toDF("n_corpus_live", "n_codes_live", "pairs_eq_rebuild",
@@ -1764,28 +1809,41 @@ object TextQueries {
         val corpusDf = docs(s, d).select(col("doc_id"), col("text"))
         val shardDf = corpusDf.filter(pmod(col("doc_id"), lit(40)) === 0)
           .withColumn("doc_id", col("doc_id") + 10000000L)
-        val cIdx = Dedup.minhashIndex(corpusDf, "doc_id", "text")
-        // shard is 1/40 of the corpus: the spread exchange costs more
-        // than the signature kernel it widens (round 16)
-        val sIdx = Dedup.minhashIndex(shardDf, "doc_id", "text", spread = false)
-        val inc = Dedup.minhashLshPairsIncremental(sIdx, cIdx, threshold = 0.8)
-          .localCheckpoint(true)
+        // the md5-identity leg and the full-slice reference leg are
+        // independent of the incremental mine — overlap all three
+        // (guide §2.6)
         val shingleOk = (t: org.apache.spark.sql.Column) => size(split(t, " ")) >= 3
-        val identCross = corpusDf.filter(shingleOk(col("text")))
-          .select(col("doc_id").as("a_id"), md5(col("text")).as("__h"))
-          .join(shardDf.select(col("doc_id").as("b_id"), md5(col("text")).as("__h")),
-            Seq("__h"))
-          .select("a_id", "b_id").localCheckpoint(true)
+        val identLeg = graft.operators.FitPool.submit {
+          corpusDf.filter(shingleOk(col("text")))
+            .select(col("doc_id").as("a_id"), md5(col("text")).as("__h"))
+            .join(shardDf.select(col("doc_id").as("b_id"), md5(col("text")).as("__h")),
+              Seq("__h"))
+            .select("a_id", "b_id").localCheckpoint(true)
+        }
+        val inSlice = (c: org.apache.spark.sql.Column) => pmod(c, lit(10000000L)) < 250
+        val fullLeg = graft.operators.FitPool.submit {
+          Dedup.minhashLshPairs(
+              corpusDf.filter(inSlice(col("doc_id")))
+                .union(shardDf.filter(inSlice(col("doc_id")))),
+              "doc_id", "text", threshold = 0.8)
+            .filter(col("a_id") >= 10000000L || col("b_id") >= 10000000L)
+            .select("a_id", "b_id").localCheckpoint(true)
+        }
+        val inc = QueryDef.withLegs(identLeg, fullLeg) {
+          val cIdx = Dedup.minhashIndex(corpusDf, "doc_id", "text")
+          // shard is 1/40 of the corpus: the spread exchange costs more
+          // than the signature kernel it widens (round 16)
+          val sIdx = Dedup.minhashIndex(shardDf, "doc_id", "text", spread = false)
+          Dedup.minhashLshPairsIncremental(sIdx, cIdx, threshold = 0.8)
+            .localCheckpoint(true)
+        }
+        val identCross = scala.concurrent.Await.result(identLeg,
+          scala.concurrent.duration.Duration.Inf)
+        val fullSlice = scala.concurrent.Await.result(fullLeg,
+          scala.concurrent.duration.Duration.Inf)
         val missed = identCross.join(
           inc.filter(col("jaccard") === 1.0).select("a_id", "b_id"),
           Seq("a_id", "b_id"), "left_anti")
-        val inSlice = (c: org.apache.spark.sql.Column) => pmod(c, lit(10000000L)) < 250
-        val fullSlice = Dedup.minhashLshPairs(
-            corpusDf.filter(inSlice(col("doc_id")))
-              .union(shardDf.filter(inSlice(col("doc_id")))),
-            "doc_id", "text", threshold = 0.8)
-          .filter(col("a_id") >= 10000000L || col("b_id") >= 10000000L)
-          .select("a_id", "b_id").localCheckpoint(true)
         val incSlice = inc.filter(inSlice(col("a_id")) && inSlice(col("b_id")))
           .select("a_id", "b_id").localCheckpoint(true)
         val d1 = incSlice.join(fullSlice, Seq("a_id", "b_id"), "left_anti")
@@ -1828,27 +1886,39 @@ object TextQueries {
         val corpusDf = embs(s, d).select(col("vec_id"), col("embedding"))
         val shardDf = corpusDf.filter(pmod(col("vec_id"), lit(40)) === 0)
           .withColumn("vec_id", col("vec_id") + 10000000L)
-        val cIdx = Similarity.embedIndex(corpusDf, "vec_id", "embedding", dim = 64)
-        val sIdx = Similarity.embedIndex(shardDf, "vec_id", "embedding", dim = 64)
-        val inc = Similarity.lshDupPairsIncremental(sIdx, cIdx, threshold = 0.9)
-          .localCheckpoint(true)
+        // identity leg and full-slice reference leg overlapped with the
+        // incremental mine (guide §2.6) — same restructure as q101
         val nonzero = (v: org.apache.spark.sql.Column) =>
           Similarity.l2norm(Similarity.toDoubleArray(v)) > 0
-        val identCross = corpusDf.filter(nonzero(col("embedding")))
-          .select(col("vec_id").as("a_id"), col("embedding").as("__v"))
-          .join(shardDf.select(col("vec_id").as("b_id"), col("embedding").as("__v")),
-            Seq("__v"))
-          .select("a_id", "b_id").localCheckpoint(true)
+        val identLeg = graft.operators.FitPool.submit {
+          corpusDf.filter(nonzero(col("embedding")))
+            .select(col("vec_id").as("a_id"), col("embedding").as("__v"))
+            .join(shardDf.select(col("vec_id").as("b_id"), col("embedding").as("__v")),
+              Seq("__v"))
+            .select("a_id", "b_id").localCheckpoint(true)
+        }
+        val inSlice = (c: org.apache.spark.sql.Column) => pmod(c, lit(10000000L)) < 250
+        val fullLeg = graft.operators.FitPool.submit {
+          Similarity.lshDupPairs(
+              corpusDf.filter(inSlice(col("vec_id")))
+                .union(shardDf.filter(inSlice(col("vec_id")))),
+              "vec_id", "embedding", threshold = 0.9, dim = 64)
+            .filter(col("a_id") >= 10000000L || col("b_id") >= 10000000L)
+            .select("a_id", "b_id").localCheckpoint(true)
+        }
+        val inc = QueryDef.withLegs(identLeg, fullLeg) {
+          val cIdx = Similarity.embedIndex(corpusDf, "vec_id", "embedding", dim = 64)
+          val sIdx = Similarity.embedIndex(shardDf, "vec_id", "embedding", dim = 64)
+          Similarity.lshDupPairsIncremental(sIdx, cIdx, threshold = 0.9)
+            .localCheckpoint(true)
+        }
+        val identCross = scala.concurrent.Await.result(identLeg,
+          scala.concurrent.duration.Duration.Inf)
+        val fullSlice = scala.concurrent.Await.result(fullLeg,
+          scala.concurrent.duration.Duration.Inf)
         val missed = identCross.join(
           inc.filter(col("cos") === 1.0).select("a_id", "b_id"),
           Seq("a_id", "b_id"), "left_anti")
-        val inSlice = (c: org.apache.spark.sql.Column) => pmod(c, lit(10000000L)) < 250
-        val fullSlice = Similarity.lshDupPairs(
-            corpusDf.filter(inSlice(col("vec_id")))
-              .union(shardDf.filter(inSlice(col("vec_id")))),
-            "vec_id", "embedding", threshold = 0.9, dim = 64)
-          .filter(col("a_id") >= 10000000L || col("b_id") >= 10000000L)
-          .select("a_id", "b_id").localCheckpoint(true)
         val incSlice = inc.filter(inSlice(col("a_id")) && inSlice(col("b_id")))
           .select("a_id", "b_id").localCheckpoint(true)
         val d1 = incSlice.join(fullSlice, Seq("a_id", "b_id"), "left_anti")
@@ -3054,19 +3124,32 @@ object TextQueries {
             .option("maxFilesPerTrigger", "1").parquet(landing),
           "doc_id", "text", prefix = "q134sh", pairsDir = pairsDir,
           checkpointDir = ckpt)
-        q.awaitTermination()
-        val nBatches = new java.io.File(pairsDir).listFiles()
-          .count(_.getName.startsWith("ingest_batch="))
-        val streamed = s.read.parquet(pairsDir)
-          .select("a_id", "b_id", "hamming").localCheckpoint(true)
-        val full = Dedup.simhashPairs(corpus, "doc_id", "text")
-          .localCheckpoint(true)
-        val identCross = corpus
-          .select(col("doc_id").as("a_id"), md5(col("text")).as("__h"))
-          .join(corpus.select(col("doc_id").as("b_id"), md5(col("text")).as("__h")),
-            Seq("__h"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").localCheckpoint(true)
+        // the full-batch reference pairs and the md5-identical cross set
+        // depend only on the checkpointed corpus, not on the loop — run
+        // them concurrently with the draining micro-batches (guide §2.6:
+        // the loop's small jobs leave most cores idle)
+        val fullLeg = graft.operators.FitPool.submit {
+          Dedup.simhashPairs(corpus, "doc_id", "text").localCheckpoint(true)
+        }
+        val identLeg = graft.operators.FitPool.submit {
+          corpus
+            .select(col("doc_id").as("a_id"), md5(col("text")).as("__h"))
+            .join(corpus.select(col("doc_id").as("b_id"), md5(col("text")).as("__h")),
+              Seq("__h"))
+            .filter(col("a_id") < col("b_id"))
+            .select("a_id", "b_id").localCheckpoint(true)
+        }
+        val (nBatches, streamed) = QueryDef.withLegs(fullLeg, identLeg) {
+          q.awaitTermination()
+          val nB = new java.io.File(pairsDir).listFiles()
+            .count(_.getName.startsWith("ingest_batch="))
+          (nB, s.read.parquet(pairsDir)
+            .select("a_id", "b_id", "hamming").localCheckpoint(true))
+        }
+        import scala.concurrent.Await
+        import scala.concurrent.duration.Duration
+        val full = Await.result(fullLeg, Duration.Inf)
+        val identCross = Await.result(identLeg, Duration.Inf)
         val missed = identCross.join(
           streamed.filter(col("hamming") === 0).select("a_id", "b_id"),
           Seq("a_id", "b_id"), "left_anti")
@@ -3413,13 +3496,23 @@ object TextQueries {
             .option("maxFilesPerTrigger", "1").parquet(landing),
           "media_id", "dhash", prefix = "q138sg", pairsDir = pairsDir,
           checkpointDir = ckpt)
-        q.awaitTermination()
-        val nBatches = new java.io.File(pairsDir).listFiles()
-          .count(_.getName.startsWith("ingest_batch="))
-        val streamed = s.read.parquet(pairsDir)
-          .select("a_id", "b_id", "hamming").localCheckpoint(true)
-        val full = Dedup.signaturePairs(sigs, "media_id", "dhash")
-          .localCheckpoint(true)
+        // full-batch reference pairs depend only on the checkpointed
+        // signatures — overlap with the draining loop (guide §2.6)
+        val fullLeg = graft.operators.FitPool.submit {
+          Dedup.signaturePairs(sigs, "media_id", "dhash").localCheckpoint(true)
+        }
+        val (nBatches, streamed) = QueryDef.withLegs(fullLeg) {
+          q.awaitTermination()
+          val nB = new java.io.File(pairsDir).listFiles()
+            .count(_.getName.startsWith("ingest_batch="))
+          (nB, s.read.parquet(pairsDir)
+            .select("a_id", "b_id", "hamming").localCheckpoint(true))
+        }
+        val full = {
+          import scala.concurrent.Await
+          import scala.concurrent.duration.Duration
+          Await.result(fullLeg, Duration.Inf)
+        }
         val expReenc = idsDf.filter(col("doc_id") % 5 === 1)
           .select(col("doc_id").as("a_id"), (col("doc_id") + 1000000L).as("b_id"))
         val expResize = idsDf.filter(col("doc_id") % 5 === 2)
@@ -3573,15 +3666,23 @@ object TextQueries {
         val e = embs(s, d)
         val q = e.filter(col("vec_id") < 50)
         val pred = pmod(col("vec_id"), lit(4)) === 1
-        val idx = Similarity.pqIndex(e, "vec_id", "embedding",
-          nlist = 16, m = 16, ksub = 32, seed = 42L, assign = 2)
-        val ann = Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
-            k = 10, nprobe = 2, refine = 8,
-            filterIds = Some(e.filter(pred).select("vec_id")))
-          .localCheckpoint(true)
-        val exact = Similarity.bruteForceTopK(e.filter(pred), q,
-            "vec_id", "embedding", k = 10)
-          .localCheckpoint(true)
+        // filtered brute-force reference leg overlapped with the index
+        // build+filtered-serve leg (guide §2.6)
+        val exactLeg = graft.operators.FitPool.submit {
+          Similarity.bruteForceTopK(e.filter(pred), q,
+              "vec_id", "embedding", k = 10)
+            .localCheckpoint(true)
+        }
+        val ann = QueryDef.withLegs(exactLeg) {
+          val idx = Similarity.pqIndex(e, "vec_id", "embedding",
+            nlist = 16, m = 16, ksub = 32, seed = 42L, assign = 2)
+          Similarity.ivfPqTopK(idx, e, q, "vec_id", "embedding",
+              k = 10, nprobe = 2, refine = 8,
+              filterIds = Some(e.filter(pred).select("vec_id")))
+            .localCheckpoint(true)
+        }
+        val exact = scala.concurrent.Await.result(exactLeg,
+          scala.concurrent.duration.Duration.Inf)
         annContract(ann, exact, k = 10, minMeanRecall = 0.75)
       },
       oracle = Some("""

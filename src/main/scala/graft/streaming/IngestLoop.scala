@@ -441,28 +441,39 @@ object IngestLoop {
     // check re-mines instead of accepting a torn (partially re-listed)
     // read of this partition.
     if (exists) {
-      val replayed = partitionExists(spark, s"${prefix}_bands", pid)
+      // probe BOTH tables (round 17): the concurrent appends below mean
+      // a crash window can leave either partition present alone — see
+      // ingestContainmentBatch
+      val replayed = partitionExists(spark, s"${prefix}_bands", pid) ||
+        partitionExists(spark, s"${prefix}_shingles", pid)
       Seq("bands", "shingles").foreach { t =>
         spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
       }
       if (replayed) graft.operators.Tombstones.bumpGeneration(spark, prefix)
     }
-    graft.operators.Layout.bucketAligned(shard.bands, buckets, "band", "bucket")
-      .withColumn("ingest_batch", lit(pid))
-      .write.mode("append").format("parquet")
-      .partitionBy("ingest_batch")
-      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
-      .saveAsTable(s"${prefix}_bands")
+    // overlap the two per-table appends (round 17; guide §2.6 — each is
+    // ~one write-latency of mostly driver-side catalog work); both
+    // complete before the fence releases
+    val bandsJoin = graft.operators.FitPool.sideThread {
+      graft.operators.Layout.bucketAligned(shard.bands, buckets, "band", "bucket")
+        .withColumn("ingest_batch", lit(pid))
+        .write.mode("append").format("parquet")
+        .partitionBy("ingest_batch")
+        .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+        .saveAsTable(s"${prefix}_bands")
+    }
     // between-append liveness beacon (see Fence.heartbeat): a large
     // batch reads as alive, not crashed, to an operator eyeing
     // forceRelease
     graft.operators.Fence.heartbeat(spark, prefix, owner)
-    graft.operators.Layout.bucketAligned(shard.shingles, buckets, idCol)
-      .withColumn("ingest_batch", lit(pid))
-      .write.mode("append").format("parquet")
-      .partitionBy("ingest_batch")
-      .bucketBy(buckets, idCol).sortBy(idCol)
-      .saveAsTable(s"${prefix}_shingles")
+    try {
+      graft.operators.Layout.bucketAligned(shard.shingles, buckets, idCol)
+        .withColumn("ingest_batch", lit(pid))
+        .write.mode("append").format("parquet")
+        .partitionBy("ingest_batch")
+        .bucketBy(buckets, idCol).sortBy(idCol)
+        .saveAsTable(s"${prefix}_shingles")
+    } finally graft.operators.FitPool.joinAll(bandsJoin)
     if (!exists) {
       import spark.implicits._
       Seq((idCol, numPerms, rowsPerBand, buckets))
@@ -719,26 +730,34 @@ object IngestLoop {
     // replay rewrite of an existing partition bumps the generation so a
     // concurrent miner re-mines: see ingestMinhashBatch
     if (exists) {
-      val replayed = partitionExists(spark, s"${prefix}_hashed", pid)
+      // probe BOTH tables: the concurrent appends below mean a crash
+      // window can leave either partition present alone (round 17)
+      val replayed = partitionExists(spark, s"${prefix}_hashed", pid) ||
+        partitionExists(spark, s"${prefix}_vecs", pid)
       Seq("hashed", "vecs").foreach { t =>
         spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
       }
       if (replayed) graft.operators.Tombstones.bumpGeneration(spark, prefix)
     }
-    graft.operators.Layout.bucketAligned(shard.hashed, buckets, "t", "h")
-      .withColumn("ingest_batch", lit(pid))
-      .write.mode("append").format("parquet")
-      .partitionBy("ingest_batch")
-      .bucketBy(buckets, "t", "h").sortBy("t", "h")
-      .saveAsTable(s"${prefix}_hashed")
+    // overlap the two per-table appends: see ingestContainmentBatch
+    val hashedJoin = graft.operators.FitPool.sideThread {
+      graft.operators.Layout.bucketAligned(shard.hashed, buckets, "t", "h")
+        .withColumn("ingest_batch", lit(pid))
+        .write.mode("append").format("parquet")
+        .partitionBy("ingest_batch")
+        .bucketBy(buckets, "t", "h").sortBy("t", "h")
+        .saveAsTable(s"${prefix}_hashed")
+    }
     // between-append liveness beacon: see ingestMinhashBatch
     graft.operators.Fence.heartbeat(spark, prefix, owner)
-    graft.operators.Layout.bucketAligned(shard.vecs, buckets, "id")
-      .withColumn("ingest_batch", lit(pid))
-      .write.mode("append").format("parquet")
-      .partitionBy("ingest_batch")
-      .bucketBy(buckets, "id").sortBy("id")
-      .saveAsTable(s"${prefix}_vecs")
+    try {
+      graft.operators.Layout.bucketAligned(shard.vecs, buckets, "id")
+        .withColumn("ingest_batch", lit(pid))
+        .write.mode("append").format("parquet")
+        .partitionBy("ingest_batch")
+        .bucketBy(buckets, "id").sortBy("id")
+        .saveAsTable(s"${prefix}_vecs")
+    } finally graft.operators.FitPool.joinAll(hashedJoin)
     if (!exists) {
       import spark.implicits._
       Seq((idCol, bitsPerTable, numTables, seed, shard.dim, buckets))
@@ -1501,28 +1520,43 @@ object IngestLoop {
         if (exists) {
           requireBucketAgreement(spark, prefix, buckets)
           if (!multiWriter) bindLoop(spark, prefix, lid)
-          val replayed = partitionExists(spark, s"${prefix}_posting", pid)
+          // probe BOTH tables (round 17): with the appends below running
+          // concurrently, a crash window can leave EITHER partition
+          // present alone, and a drop that removes files without the
+          // generation bump would expose a concurrent miner to a torn
+          // read of the re-listed partition
+          val replayed = partitionExists(spark, s"${prefix}_posting", pid) ||
+            partitionExists(spark, s"${prefix}_base", pid)
           Seq("posting", "base").foreach { t =>
             spark.sql(s"ALTER TABLE ${prefix}_$t DROP IF EXISTS PARTITION (ingest_batch=$pid)")
           }
           if (replayed) graft.operators.Tombstones.bumpGeneration(spark, prefix)
         }
+        // the two appends land on DIFFERENT tables and each is ~one
+        // write-latency of mostly driver-side catalog work (round-17
+        // DdlProbe: ~400 ms per tiny bucketed append) — overlap them on
+        // a side thread (guide §2.6); both complete before the fence
+        // releases, so assign->append atomicity is unchanged
         label("append posting")
-        graft.operators.Layout.bucketAligned(shard.posting, buckets, "gram")
-          .withColumn("ingest_batch", lit(pid))
-          .write.mode("append").format("parquet")
-          .partitionBy("ingest_batch")
-          .bucketBy(buckets, "gram").sortBy("gram")
-          .saveAsTable(s"${prefix}_posting")
+        val postingJoin = graft.operators.FitPool.sideThread {
+          graft.operators.Layout.bucketAligned(shard.posting, buckets, "gram")
+            .withColumn("ingest_batch", lit(pid))
+            .write.mode("append").format("parquet")
+            .partitionBy("ingest_batch")
+            .bucketBy(buckets, "gram").sortBy("gram")
+            .saveAsTable(s"${prefix}_posting")
+        }
         // between-append liveness beacon: see ingestMinhashBatch
         graft.operators.Fence.heartbeat(spark, prefix, owner)
         label("append base")
-        graft.operators.Layout.bucketAligned(shard.base, buckets, "id")
-          .withColumn("ingest_batch", lit(pid))
-          .write.mode("append").format("parquet")
-          .partitionBy("ingest_batch")
-          .bucketBy(buckets, "id").sortBy("id")
-          .saveAsTable(s"${prefix}_base")
+        try {
+          graft.operators.Layout.bucketAligned(shard.base, buckets, "id")
+            .withColumn("ingest_batch", lit(pid))
+            .write.mode("append").format("parquet")
+            .partitionBy("ingest_batch")
+            .bucketBy(buckets, "id").sortBy("id")
+            .saveAsTable(s"${prefix}_base")
+        } finally graft.operators.FitPool.joinAll(postingJoin)
         if (!exists) {
           import spark.implicits._
           Seq((idCol, n, buckets)).toDF("id_col", "n", "buckets")
